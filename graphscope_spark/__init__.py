@@ -1,0 +1,35 @@
+"""graphscope_spark — a PySpark-native link-graph analytics engine.
+
+A from-scratch rebuild of the query/data-processing capabilities of
+GraphScope's analytical engine (GRAPE / PIE model; reference at
+/root/reference) expressed in idiomatic Spark: every graph algorithm is a
+driver-side superstep loop over DataFrames where the message-passing step is
+a join + aggregate (the shuffle is the superstep barrier), and all scalar
+computation stays JVM-side in ``pyspark.sql.functions`` or in Arrow-batched
+pandas UDFs.
+
+Public surface:
+    LinkGraph              — partitioned property-graph wrapper (SURVEY.md §1.5)
+    pagerank / wcc / cdlp / triangles / ... — builtin algorithms (SURVEY.md §2.B)
+    SuperstepRunner        — checkpoint/resume superstep harness (SURVEY.md §3)
+    corpus / sources       — source-code corpus ingestion + edge extraction
+    functions              — text / dedup / similarity pipeline operators
+"""
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.session import build_session
+from graphscope_spark.operators.pagerank import pagerank
+from graphscope_spark.operators.wcc import wcc
+from graphscope_spark.operators.cdlp import cdlp
+from graphscope_spark.operators.triangles import triangles
+
+__all__ = [
+    "LinkGraph",
+    "build_session",
+    "pagerank",
+    "wcc",
+    "cdlp",
+    "triangles",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,300 @@
+"""LinkGraph — the engine's distributed property-graph abstraction.
+
+Reference mapping (SURVEY.md §1.5): GraphScope partitions a property graph
+edge-cut by ``hash(oid) % fnum`` into per-worker fragments holding CSR
+topology + Arrow property tables (reference:
+analytical_engine/core/utils/partitioner.h:40-53,
+docs/analytical_engine/performance_tuning.md:42-84). Here the fragment
+becomes a DataFrame partition: the edge table is hash-repartitioned by
+``src`` and sorted within partitions ("CSR blocks"), persisted so every
+superstep's message join reuses the same exchange instead of re-shuffling
+the (big) edge side. The oid→vid dense VertexMap
+(performance_tuning.md:22-40) becomes a deterministic two-level dense-id
+assignment (per-partition offsets + intra-partition row_number) — no global
+single-partition window, so it scales to 10^12 vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def assign_dense_ids(
+    df: DataFrame, oid_col: str, num_partitions: int, vid_col: str = "vid"
+) -> DataFrame:
+    """Deterministically assign dense ids 0..n-1 to distinct ``oid_col``.
+
+    Scalable equivalent of the reference's GlobalVertexMap build
+    (reference: analytical_engine/core/vertex_map/global_vertex_map.h):
+    hash-partition the distinct oids, count rows per partition, prefix-sum
+    the counts on the driver (num_partitions scalars), then number rows
+    within each partition (window partitioned by partition id — never a
+    single global partition). Deterministic for a fixed partition count.
+    """
+    d = (
+        df.select(F.col(oid_col).alias("oid"))
+        .distinct()
+        .repartition(num_partitions, "oid")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = d.sparkSession
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(pid), int(off)) for pid, off in offsets.items()], "_pid INT, _offset LONG"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy("oid")
+    out = (
+        d.join(offset_df, "_pid")
+        .withColumn(vid_col, F.row_number().over(w) - F.lit(1) + F.col("_offset"))
+        .select(F.col(vid_col).cast("long"), F.col("oid").alias(oid_col))
+    )
+    return out
+
+
+class LinkGraph:
+    """A directed (or undirected) graph over two DataFrames.
+
+    ``edges``: (src: long, dst: long) — dense vertex ids.
+    ``vertices``: (vid: long [, oid, properties...]); derived from edges if
+    not given.
+
+    The constructor repartitions the edge table by ``src`` once and persists
+    it; all algorithms join against this stable partitioning (reference
+    analogue: the immutable ArrowFragment shared by every app run).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        vertices: DataFrame | None = None,
+        directed: bool = True,
+        num_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.directed = directed
+        self.num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+        self.edges = (
+            edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+            .repartition(self.num_partitions, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if vertices is None:
+            vertices = (
+                self.edges.select(F.col("src").alias("vid"))
+                .union(self.edges.select(F.col("dst").alias("vid")))
+                .distinct()
+            )
+        self.vertices = (
+            vertices.repartition(self.num_partitions, "vid").persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._num_vertices: int | None = None
+        self._num_edges: int | None = None
+        self._sym_edges: DataFrame | None = None
+        self._und_edges: DataFrame | None = None
+        self._out_degrees: DataFrame | None = None
+        self._und_degrees: DataFrame | None = None
+
+    # ---- factories -------------------------------------------------------
+
+    @classmethod
+    def from_oid_edges(
+        cls,
+        spark: SparkSession,
+        oid_edges: DataFrame,
+        src_col: str = "src_oid",
+        dst_col: str = "dst_oid",
+        directed: bool = True,
+        num_partitions: int | None = None,
+    ) -> "LinkGraph":
+        """Build from edges keyed by arbitrary (string) original ids.
+
+        Mirrors CREATE_GRAPH (reference:
+        analytical_engine/core/loader/arrow_fragment_loader.h:248-255):
+        build the oid→vid map, then broadcast-free join it onto both edge
+        endpoints.
+        """
+        num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+        oids = oid_edges.select(F.col(src_col).alias("oid")).union(
+            oid_edges.select(F.col(dst_col).alias("oid"))
+        )
+        vmap = assign_dense_ids(oids, "oid", num_partitions).persist(StorageLevel.MEMORY_AND_DISK)
+        e = (
+            oid_edges.join(vmap.withColumnRenamed("vid", "src"), oid_edges[src_col] == vmap["oid"])
+            .drop("oid")
+            .join(
+                vmap.withColumnRenamed("vid", "dst").withColumnRenamed("oid", "_doid"),
+                F.col(dst_col) == F.col("_doid"),
+            )
+            .select("src", "dst")
+        )
+        return cls(spark, e, vertices=vmap, directed=directed, num_partitions=num_partitions)
+
+    # ---- basic stats (REPORT_GRAPH, reference grape_instance.cc:353-359) --
+
+    @property
+    def num_vertices(self) -> int:
+        if self._num_vertices is None:
+            self._num_vertices = self.vertices.count()
+        return self._num_vertices
+
+    @property
+    def num_edges(self) -> int:
+        if self._num_edges is None:
+            self._num_edges = self.edges.count()
+        return self._num_edges
+
+    def report(self) -> dict:
+        deg = self.und_degrees().agg(
+            F.max("deg").alias("max"), F.avg("deg").alias("avg")
+        ).first()
+        return {
+            "num_vertices": self.num_vertices,
+            "num_edges": self.num_edges,
+            "directed": self.directed,
+            "max_degree": deg["max"],
+            "avg_degree": deg["avg"],
+            "num_partitions": self.num_partitions,
+        }
+
+    # ---- derived views (cached; built once, reused by every algorithm) ----
+
+    def sym_edges(self) -> DataFrame:
+        """Edges in both directions, duplicates kept (multiset neighborhood).
+
+        For a directed graph this is the in⊎out neighbor multiset used by
+        CDLP/WCC message passing (reference pushes along both adjacency
+        lists: benchmarks/apps/wcc/wcc.h:76-94). For an undirected graph the
+        stored edges are already symmetric — returned as-is.
+        """
+        if self._sym_edges is None:
+            if self.directed:
+                e = self.edges.union(self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+                self._sym_edges = e.repartition(self.num_partitions, "src").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+            else:
+                self._sym_edges = self.edges
+        return self._sym_edges
+
+    def und_edges(self) -> DataFrame:
+        """Simple undirected view: both directions, self-loops dropped,
+        deduplicated (PROJECT_TO_SIMPLE + TO_UNDIRECTED, reference
+        grape_instance.cc:1389-1410)."""
+        if self._und_edges is None:
+            e = (
+                self.edges.filter(F.col("src") != F.col("dst"))
+                .select("src", "dst")
+                .union(
+                    self.edges.filter(F.col("src") != F.col("dst")).select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                )
+                .distinct()
+            )
+            self._und_edges = e.repartition(self.num_partitions, "src").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        return self._und_edges
+
+    def out_degrees(self) -> DataFrame:
+        """(vid, deg) with zero rows for sink vertices included."""
+        if self._out_degrees is None:
+            d = self.edges.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+            self._out_degrees = (
+                self.vertices.select("vid")
+                .join(d, "vid", "left")
+                .select("vid", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+                .repartition(self.num_partitions, "vid")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        return self._out_degrees
+
+    def in_degrees(self) -> DataFrame:
+        d = self.edges.groupBy(F.col("dst").alias("vid")).agg(F.count("*").alias("deg"))
+        return (
+            self.vertices.select("vid")
+            .join(d, "vid", "left")
+            .select("vid", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+        )
+
+    def und_degrees(self) -> DataFrame:
+        """Degree in the simple undirected view (triangles/LCC use this)."""
+        if self._und_degrees is None:
+            d = self.und_edges().groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+            self._und_degrees = (
+                self.vertices.select("vid")
+                .join(d, "vid", "left")
+                .select("vid", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+                .repartition(self.num_partitions, "vid")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        return self._und_degrees
+
+    # ---- graph-management ops (SURVEY.md §2.A) ----------------------------
+
+    def to_undirected(self) -> "LinkGraph":
+        return LinkGraph(
+            self.spark,
+            self.und_edges(),
+            vertices=self.vertices,
+            directed=False,
+            num_partitions=self.num_partitions,
+        )
+
+    def induce_subgraph(self, vertex_subset: DataFrame) -> "LinkGraph":
+        """INDUCE_SUBGRAPH (reference grape_instance.cc:1351-1452): keep
+        edges whose both endpoints are in ``vertex_subset`` (a (vid) DF)."""
+        vs = vertex_subset.select("vid")
+        e = (
+            self.edges.join(vs.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .join(vs.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        )
+        v = self.vertices.join(vs, "vid", "left_semi")
+        return LinkGraph(self.spark, e, vertices=v, directed=self.directed,
+                         num_partitions=self.num_partitions)
+
+    def add_column(self, result: DataFrame) -> DataFrame:
+        """ADD_COLUMN (reference grape_instance.cc:893): join an app result
+        (vid, ...) back onto the vertex table."""
+        return self.vertices.join(result, "vid", "left")
+
+    # ---- persistence ("CSR blocks", SURVEY.md §1.5) ------------------------
+
+    def materialize(self, path: str) -> None:
+        """Write the graph as sorted, hash-bucketed parquet adjacency blocks
+        so a re-load skips the build shuffle (vineyard-persistence analogue,
+        reference grape_instance.cc:302-306)."""
+        (
+            self.edges.repartition(self.num_partitions, "src")
+            .sortWithinPartitions("src", "dst")
+            .write.mode("overwrite")
+            .parquet(f"{path}/edges")
+        )
+        self.vertices.write.mode("overwrite").parquet(f"{path}/vertices")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, directed: bool = True,
+             num_partitions: int | None = None) -> "LinkGraph":
+        return cls(
+            spark,
+            spark.read.parquet(f"{path}/edges"),
+            vertices=spark.read.parquet(f"{path}/vertices"),
+            directed=directed,
+            num_partitions=num_partitions,
+        )
+
+    def unpersist_all(self) -> None:
+        for df in (self.edges, self.vertices, self._sym_edges, self._und_edges,
+                   self._out_degrees, self._und_degrees):
+            if df is not None:
+                df.unpersist()

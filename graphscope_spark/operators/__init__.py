@@ -1,0 +1,11 @@
+from graphscope_spark.operators.pagerank import PageRankJob, pagerank
+from graphscope_spark.operators.wcc import WCCJob, wcc
+from graphscope_spark.operators.cdlp import CDLPJob, cdlp
+from graphscope_spark.operators.triangles import triangles, triangle_count
+
+__all__ = [
+    "pagerank", "PageRankJob",
+    "wcc", "WCCJob",
+    "cdlp", "CDLPJob",
+    "triangles", "triangle_count",
+]

@@ -1,0 +1,78 @@
+"""Community detection by label propagation (CDLP) — LDBC Graphalytics
+semantics, GraphScope's ``lpa``/``cdlp`` builtin.
+
+Reference: registry algo ``cdlp`` → grape::CDLP implementing the LDBC
+Graphalytics CDLP spec (golden fixtures are LDBC-named ``p2p-31-CDLP``,
+/root/reference/python/graphscope/tests/conftest.py:753-755; python wrapper
+lpa(graph, max_round=10), python/graphscope/analytical/app/lpa.py:30-57).
+In-repo semantic witness: gs::LPAFlash
+(/root/reference/analytical_engine/apps/flash/clustering/lpa.h:42-78):
+init label[v]=id, each synchronous round every vertex collects ALL neighbor
+labels over both directions (EdgeMapDense(All, EU, ...), line 74) and
+adopts the most frequent. LDBC's deterministic tie-break — the *smallest*
+label among the most frequent — is used (the spec the registry algorithm
+implements; ties in the FLASH witness are arrival-order, i.e. unspecified).
+
+Spark shape per round: message join (both-direction edge multiset × state)
+→ groupBy(dst,label).count() → per-dst argmax via max(struct(cnt,-label))
+(a second hash aggregate — deterministic min-label tie-break without a
+window, so both aggregations get map-side partial combine) → left join
+onto state. Vertices with no neighbors keep their label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
+
+
+class CDLPJob(SuperstepJob):
+    name = "cdlp"
+
+    def __init__(self, graph: LinkGraph, max_round: int = 10):
+        self.graph = graph
+        self.max_round = max_round
+        self.msg_edges = graph.sym_edges()  # duplicates kept: in ⊎ out multiset
+
+    def config(self) -> dict:
+        return {"algo": self.name, "max_round": self.max_round}
+
+    def init(self, spark: SparkSession):
+        state = self.graph.vertices.select(
+            "vid", F.col("vid").alias("label"), F.lit(True).alias("changed")
+        )
+        return state, {"changed": -1}
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        msgs = self.msg_edges.join(
+            state, self.msg_edges["src"] == state["vid"]
+        ).select("dst", "label")
+        counts = msgs.groupBy("dst", "label").agg(F.count("*").alias("cnt"))
+        best = (
+            counts.groupBy("dst")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("dst", (-F.col("m.neg")).alias("new_label"))
+        )
+        new_state = (
+            state.join(best, state["vid"] == best["dst"], "left")
+            .select(
+                state["vid"],
+                F.coalesce("new_label", state["label"]).alias("label"),
+                (F.coalesce("new_label", state["label"]) != state["label"]).alias("changed"),
+            )
+        ).persist()
+        changed = new_state.agg(F.sum(F.col("changed").cast("long")).alias("c")).first()["c"] or 0
+        converged = changed == 0 or step_no >= self.max_round
+        return new_state, {"changed": int(changed)}, converged
+
+
+def cdlp(graph: LinkGraph, max_round: int = 10,
+         runner: SuperstepRunner | None = None, resume: bool = False) -> DataFrame:
+    """Run CDLP for ≤ max_round synchronous rounds; returns (vid, label)."""
+    job = CDLPJob(graph, max_round=max_round)
+    runner = runner or SuperstepRunner(graph.spark)
+    state, _ = runner.run(job, max_steps=max_round, resume=resume)
+    return state.select("vid", "label")

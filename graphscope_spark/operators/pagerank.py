@@ -1,0 +1,121 @@
+"""PageRank — NetworkX semantics, the north-rule flagship.
+
+Reference: gs::PageRankNetworkX
+(/root/reference/analytical_engine/apps/pagerank/pagerank_networkx.h:54-163;
+python wrapper pagerank_nx(graph, alpha=0.85, max_iter=100, tol=1e-06),
+python/graphscope/analytical/app/pagerank.py:96-123). Exact semantics
+reproduced:
+
+  init  : rank[v] = 1/n; deg[v] = |out(v)|;
+          dangling_sum = alpha * (1/n) * |{v : deg(v)=0}|     (lines 62-85)
+  step  : pre[u]  = rank[u]/deg[u] if deg>0 else rank[u]      (lines 108-115)
+          base    = (1-alpha)/n + dangling_sum/n              (line 117)
+          rank[v] = alpha * Σ_{u→v} pre[u] + base             (lines 118-133)
+            (sum over in-edges when directed; over the symmetric
+             neighborhood when undirected)
+          eps     = Σ_v |rank[v] − rank_prev[v]|              (lines 135-144;
+            pre[v]*deg[v] ≡ rank_prev[v] for deg>0, pre[v] for deg=0)
+          dangling_sum' = alpha * Σ_{deg=0} rank[v]           (lines 142,159)
+  stop  : eps < tol * n  or  step > max_iter                  (line 147)
+
+Spark shape per superstep: one join of the (stable-partitioned) edge table
+against the rank state on src + a salted sum by dst (messages), one left
+join back onto the state (apply), one scalar aggregate action computing eps
+and the dangling sum together (the reference's two Sum() all-reduces fused
+into a single pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.runtime.salting import salted_sum
+from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
+
+
+class PageRankJob(SuperstepJob):
+    name = "pagerank"
+
+    def __init__(self, graph: LinkGraph, alpha: float = 0.85,
+                 max_iter: int = 100, tol: float = 1e-6, salt: int = 16):
+        self.graph = graph
+        self.alpha = alpha
+        self.max_iter = max_iter
+        self.tol = tol
+        self.salt = salt
+        # messages flow along stored edges (u→v ⇒ u's share reaches v);
+        # an undirected LinkGraph already stores both directions.
+        self.msg_edges = graph.edges if graph.directed else graph.sym_edges()
+
+    def config(self) -> dict:
+        return {"algo": self.name, "alpha": self.alpha, "max_iter": self.max_iter,
+                "tol": self.tol, "salt": self.salt,
+                "directed": self.graph.directed}
+
+    def init(self, spark: SparkSession):
+        g = self.graph
+        n = g.num_vertices
+        p = 1.0 / n
+        state = g.out_degrees().select(
+            "vid", "deg", F.lit(p).alias("rank"), F.lit(p).alias("prev")
+        )
+        dangling_vnum = state.filter(F.col("deg") == 0).count()
+        scalars = {
+            "n": n,
+            "dangling_sum": self.alpha * p * dangling_vnum,
+            "eps": float("inf"),
+        }
+        return state, scalars
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        n = scalars["n"]
+        base = (1.0 - self.alpha) / n + scalars["dangling_sum"] / n
+
+        contrib = state.filter(F.col("deg") > 0).select(
+            "vid", (F.col("rank") / F.col("deg")).alias("c")
+        )
+        msgs = self.msg_edges.join(
+            contrib, self.msg_edges["src"] == contrib["vid"]
+        ).select("dst", "c", "src")
+        sums = salted_sum(msgs, "dst", "c", salt=self.salt, salt_source="src")
+
+        new_state = (
+            state.join(sums, state["vid"] == sums["dst"], "left")
+            .select(
+                state["vid"],
+                state["deg"],
+                (F.lit(self.alpha) * F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(base)).alias("rank"),
+                state["rank"].alias("prev"),
+            )
+        ).persist()
+
+        row = new_state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("eps"),
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("drank"),
+        ).first()
+        eps = float(row["eps"] or 0.0)
+        scalars = {
+            "n": n,
+            "dangling_sum": self.alpha * float(row["drank"] or 0.0),
+            "eps": eps,
+        }
+        converged = eps < self.tol * n or step_no > self.max_iter
+        return new_state, scalars, converged
+
+
+def pagerank(
+    graph: LinkGraph,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    salt: int = 16,
+    runner: SuperstepRunner | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Run PageRank to convergence; returns (vid, rank)."""
+    job = PageRankJob(graph, alpha=alpha, max_iter=max_iter, tol=tol, salt=salt)
+    runner = runner or SuperstepRunner(graph.spark)
+    state, _ = runner.run(job, max_steps=max_iter + 1, resume=resume)
+    return state.select("vid", "rank")

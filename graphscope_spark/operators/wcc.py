@@ -1,0 +1,76 @@
+"""Connected components (WCC) — HashMin with frontier tracking.
+
+Reference: gs::benchmarks::WCC
+(/root/reference/analytical_engine/benchmarks/apps/wcc/wcc.h:59-176):
+init ``comp[v] = gid(v)``; every modified vertex pushes min(comp) along
+both outgoing and incoming edges (the graph is treated as undirected,
+lines 76-94); atomic_min merge; a frontier (curr/next_modified
+DenseVertexSet) restricts work to changed vertices; terminate when the
+frontier is empty (lines 149-151, 170-174). Result: comp = min vertex id
+in the component.
+
+Spark shape per superstep: semi-restricted message join — edges joined
+against the *frontier only* (the reference's core optimization; late
+rounds have tiny frontiers, which AQE converts to broadcast joins) →
+salted min by dst → left join onto state → `least` merge; the frontier is
+folded into the state DataFrame as a ``changed`` flag so checkpoints
+capture it and resume is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.runtime.salting import salted_min
+from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
+
+
+class WCCJob(SuperstepJob):
+    name = "wcc"
+
+    def __init__(self, graph: LinkGraph, salt: int = 16):
+        self.graph = graph
+        self.salt = salt
+        self.msg_edges = graph.sym_edges()
+
+    def config(self) -> dict:
+        return {"algo": self.name, "salt": self.salt}
+
+    def init(self, spark: SparkSession):
+        state = self.graph.vertices.select(
+            "vid", F.col("vid").alias("comp"), F.lit(True).alias("changed")
+        )
+        return state, {"frontier": self.graph.num_vertices}
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        frontier = state.filter(F.col("changed")).select("vid", "comp")
+        msgs = self.msg_edges.join(
+            frontier, self.msg_edges["src"] == frontier["vid"]
+        ).select("dst", "comp", "src")
+        mins = salted_min(msgs, "dst", "comp", salt=self.salt, salt_source="src")
+        mins = mins.withColumnRenamed("comp", "mcomp")
+
+        new_state = (
+            state.join(mins, state["vid"] == mins["dst"], "left")
+            .select(
+                state["vid"],
+                F.least(state["comp"], F.coalesce("mcomp", state["comp"])).alias("comp"),
+                (F.coalesce(F.col("mcomp") < state["comp"], F.lit(False))).alias("changed"),
+            )
+        ).persist()
+
+        changed = new_state.agg(
+            F.sum(F.col("changed").cast("long")).alias("c")
+        ).first()["c"] or 0
+        return new_state, {"frontier": int(changed)}, changed == 0
+
+
+def wcc(graph: LinkGraph, salt: int = 16,
+        runner: SuperstepRunner | None = None, resume: bool = False) -> DataFrame:
+    """Run HashMin connected components; returns (vid, comp)."""
+    job = WCCJob(graph, salt=salt)
+    runner = runner or SuperstepRunner(graph.spark)
+    state, _ = runner.run(job, resume=resume)
+    return state.select("vid", "comp")

@@ -1,0 +1,4 @@
+from graphscope_spark.runtime.salting import salted_agg, salted_min, salted_sum
+from graphscope_spark.runtime.superstep import SuperstepRunner
+
+__all__ = ["SuperstepRunner", "salted_agg", "salted_sum", "salted_min"]

@@ -1,0 +1,221 @@
+"""Superstep runtime: the engine's equivalent of the PIE worker loop.
+
+Reference lifecycle (SURVEY.md §3): ``DefaultWorker::Query`` runs
+``ctx.Init → PEval → while(!messages.ToTerminate()) IncEval`` with MPI
+barriers between supersteps (reference
+analytical_engine/core/worker/default_worker.h:88-135). Here PEval is the
+job's ``init``, each IncEval is one ``step`` whose shuffle is the barrier,
+and termination is the boolean the step computes from its scalar
+aggregations (the reference's ``Sum(eps, total)`` all-reduce ≡ one Spark
+action).
+
+What Spark adds that the reference never needed (SURVEY.md §7.3 risk #1):
+an iterative DataFrame loop grows its logical plan without bound, so the
+runner persists each state, unpersists the previous one, and every
+``checkpoint_every`` steps writes the state to Parquet and re-reads it —
+truncating lineage — together with a JSON manifest capturing loop-carried
+scalars and per-partition metrics (rows + xxhash64 checksum + timing). The
+manifest makes a killed job resumable mid-iteration (north-rule
+requirement; replaces vineyard persistence, reference
+grape_instance.cc:302-306).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+class SuperstepJob:
+    """Base class for iterative algorithms.
+
+    Subclasses implement:
+      ``init(spark) -> (state_df, scalars)``        — PEval
+      ``step(state_df, step_no, scalars) -> (state_df, scalars, converged)``
+                                                     — IncEval
+    ``scalars`` is a JSON-serializable dict of loop-carried values (e.g.
+    PageRank's dangling_sum / eps — reference pagerank_networkx.h:94,146).
+    The step function performs its own scalar actions; the runner owns
+    persistence, lineage truncation, checkpoint manifests, and resume.
+    """
+
+    name: str = "job"
+
+    def init(self, spark: SparkSession):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):  # pragma: no cover
+        raise NotImplementedError
+
+    def config(self) -> dict:
+        """Hashable config dict; stored in the manifest so a resume can
+        refuse mismatched parameters."""
+        return {}
+
+
+@dataclass
+class StepMetrics:
+    step: int
+    wall_ms: float
+    scalars: dict
+    checkpointed: bool = False
+    per_partition: list = field(default_factory=list)
+
+
+class SuperstepRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 5,
+        partition_metrics: bool = True,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ):
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = max(1, checkpoint_every)
+        self.partition_metrics = partition_metrics
+        self.storage_level = storage_level
+        self.history: list[StepMetrics] = []
+
+    # ---- manifest helpers --------------------------------------------------
+
+    def _manifest_path(self, step: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"step_{step:05d}", "manifest.json")
+
+    def _state_path(self, step: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"step_{step:05d}", "state")
+
+    def _write_checkpoint(self, job: SuperstepJob, state: DataFrame, step: int,
+                          scalars: dict, prev_ckpt: int | None) -> DataFrame:
+        spath = self._state_path(step)
+        state.write.mode("overwrite").parquet(spath)
+        reloaded = self.spark.read.parquet(spath).persist(self.storage_level)
+
+        per_part = []
+        if self.partition_metrics:
+            cols = [F.col(c) for c in reloaded.columns]
+            # bit_xor is order-independent and cannot overflow (ANSI mode
+            # is on by default in Spark 4; sum(xxhash64) overflows long).
+            rows = (
+                reloaded.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("rows"),
+                     F.bit_xor(F.xxhash64(*cols)).alias("checksum"))
+                .collect()
+            )
+            per_part = [
+                {"pid": r["pid"], "rows": r["rows"], "checksum": str(r["checksum"])}
+                for r in sorted(rows, key=lambda r: r["pid"])
+            ]
+
+        manifest = {
+            "algo": job.name,
+            "step": step,
+            "state_path": spath,
+            "scalars": scalars,
+            "config": job.config(),
+            "input_checkpoint": (
+                self._state_path(prev_ckpt) if prev_ckpt is not None else None
+            ),
+            "per_partition": per_part,
+            "wrote_at": time.time(),
+        }
+        mpath = self._manifest_path(step)
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=1)
+        with open(os.path.join(self.checkpoint_dir, "LATEST"), "w") as f:
+            f.write(str(step))
+        return reloaded
+
+    def latest_checkpoint(self) -> dict | None:
+        if not self.checkpoint_dir:
+            return None
+        latest = os.path.join(self.checkpoint_dir, "LATEST")
+        if not os.path.exists(latest):
+            return None
+        with open(latest) as f:
+            step = int(f.read().strip())
+        with open(self._manifest_path(step)) as f:
+            return json.load(f)
+
+    # ---- the loop ------------------------------------------------------------
+
+    def run(
+        self,
+        job: SuperstepJob,
+        max_steps: int = 1_000_000,
+        resume: bool = False,
+        on_step: Callable[[StepMetrics], None] | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Run ``job`` to convergence (or ``max_steps``). With
+        ``resume=True`` and a readable manifest, restart from the last
+        checkpointed superstep instead of ``init``."""
+        self.history = []
+        start_step = 0
+        last_ckpt: int | None = None
+
+        manifest = self.latest_checkpoint() if resume else None
+        if manifest is not None:
+            if manifest["config"] != job.config():
+                raise ValueError(
+                    f"resume config mismatch: checkpoint {manifest['config']} "
+                    f"!= job {job.config()}"
+                )
+            state = self.spark.read.parquet(manifest["state_path"]).persist(self.storage_level)
+            scalars = manifest["scalars"]
+            start_step = manifest["step"]
+            last_ckpt = manifest["step"]
+        else:
+            state, scalars = job.init(self.spark)
+            state = state.persist(self.storage_level)
+
+        converged = scalars.get("converged", False)
+        step_no = start_step
+        while not converged and step_no < max_steps:
+            step_no += 1
+            t0 = time.perf_counter()
+            new_state, scalars, converged = job.step(state, step_no, scalars)
+            new_state = new_state.persist(self.storage_level)
+
+            checkpointed = False
+            if self.checkpoint_dir and (
+                converged or step_no % self.checkpoint_every == 0
+            ):
+                scalars = dict(scalars, converged=bool(converged))
+                ckpt_state = self._write_checkpoint(job, new_state, step_no, scalars, last_ckpt)
+                new_state.unpersist()
+                new_state = ckpt_state
+                last_ckpt = step_no
+                checkpointed = True
+            else:
+                # Truncate lineage EVERY superstep: the new state's logical
+                # plan references the old state several times (contrib +
+                # apply join), so without truncation analysis cost grows
+                # ~3^k with iteration k (SURVEY.md §7.3 risk #1).
+                # localCheckpoint materializes from the step's cache and
+                # replaces the plan with a LogicalRDD.
+                truncated = new_state.localCheckpoint(eager=True)
+                new_state.unpersist()
+                new_state = truncated
+
+            state.unpersist()
+            state = new_state
+            m = StepMetrics(
+                step=step_no,
+                wall_ms=(time.perf_counter() - t0) * 1000.0,
+                scalars={k: v for k, v in scalars.items()},
+                checkpointed=checkpointed,
+            )
+            self.history.append(m)
+            if on_step:
+                on_step(m)
+
+        return state, scalars

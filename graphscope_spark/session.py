@@ -1,0 +1,55 @@
+"""SparkSession construction with the engine's scale-oriented defaults.
+
+The defaults mirror what we would submit on a real multi-executor cluster
+(``spark-submit --py-files graphscope_spark.zip``): AQE on (runtime
+broadcast-conversion + skew-join splitting), Arrow on (pandas UDF batches),
+explicit shuffle-partition count sized to the parallelism level.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    cpus: int | None = None,
+    app_name: str = "graphscope-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession tuned for iterative graph jobs.
+
+    ``cpus`` controls local parallelism (``local[cpus]``); on a real cluster
+    the same confs apply and the master comes from spark-submit.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # one shuffle partition per core keeps superstep barriers dense;
+        # on a 1000-executor cluster this would be ~2-3x total cores.
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        # AQE: runtime shuffle→broadcast conversion (FLASH's dense/sparse
+        # EdgeMap switch, SURVEY.md §2.C) and skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas UDFs / toPandas (the engine's only Python path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # iterative jobs re-read persisted state; keep blocks compact
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,101 @@
+"""Pure-Python oracles implementing the exact reference semantics.
+
+These are the test goldens' source of truth, written independently from the
+Spark engine (SURVEY.md §5.2): PageRank per
+/root/reference/analytical_engine/apps/pagerank/pagerank_networkx.h:54-163,
+HashMin components per benchmarks/apps/wcc/wcc.h:105-175, CDLP per the LDBC
+spec (min label among most-frequent; reference registry algo grape::CDLP),
+triangles per apps/clustering/triangles.h:70-139.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+
+def pagerank_oracle(vertices, edges, alpha=0.85, max_iter=100, tol=1e-6):
+    """``edges`` are the message edges exactly as the engine sees them:
+    rank flows src→dst along each pair (symmetrize first for undirected)."""
+    vertices = list(vertices)
+    n = len(vertices)
+    outdeg = Counter(u for u, _ in edges)
+    in_nbrs = defaultdict(list)
+    for u, v in edges:
+        in_nbrs[v].append(u)
+    rank = {v: 1.0 / n for v in vertices}
+    dangling = [v for v in vertices if outdeg[v] == 0]
+    dangling_sum = alpha * (1.0 / n) * len(dangling)
+    step = 0
+    while True:
+        step += 1
+        base = (1.0 - alpha) / n + dangling_sum / n
+        pre = {u: (rank[u] / outdeg[u] if outdeg[u] > 0 else rank[u]) for u in vertices}
+        new = {v: alpha * sum(pre[u] for u in in_nbrs[v]) + base for v in vertices}
+        eps = sum(abs(new[v] - rank[v]) for v in vertices)
+        dangling_sum = alpha * sum(new[v] for v in dangling)
+        rank = new
+        if eps < tol * n or step > max_iter:
+            return rank, step
+
+
+def wcc_oracle(vertices, edges):
+    """Min-id connected components over the symmetric closure."""
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {v: find(v) for v in vertices}
+
+
+def cdlp_oracle(vertices, msg_edges, max_round=10):
+    """``msg_edges``: (src, dst) pairs where dst collects src's label —
+    the engine's sym_edges multiset (both directions for directed input)."""
+    nbrs = defaultdict(list)
+    for u, v in msg_edges:
+        nbrs[v].append(u)
+    label = {v: v for v in vertices}
+    for _ in range(max_round):
+        new = {}
+        for v in vertices:
+            if not nbrs[v]:
+                new[v] = label[v]
+                continue
+            cnt = Counter(label[u] for u in nbrs[v])
+            best = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == best)
+        if new == label:
+            return label
+        label = new
+    return label
+
+
+def triangles_oracle(vertices, edges):
+    """Per-vertex triangle counts; degree-ordered orientation with id
+    tie-break, each triangle counted once at all three corners."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    deg = {v: len(adj[v]) for v in vertices}
+    nbr = {
+        v: [u for u in adj[v] if (deg[u], u) < (deg[v], v)] for v in vertices
+    }
+    tricnt = {v: 0 for v in vertices}
+    for v in vertices:
+        vset = set(nbr[v])
+        for u in nbr[v]:
+            for w in nbr[u]:
+                if w in vset:
+                    tricnt[u] += 1
+                    tricnt[v] += 1
+                    tricnt[w] += 1
+    return tricnt

@@ -1,0 +1,85 @@
+"""Correctness of the four north-rule algorithms vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.operators.cdlp import cdlp
+from graphscope_spark.operators.pagerank import pagerank
+from graphscope_spark.operators.triangles import triangle_count, triangles
+from graphscope_spark.operators.wcc import wcc
+
+from tests.oracles import cdlp_oracle, pagerank_oracle, triangles_oracle, wcc_oracle
+
+
+def make_graph(spark, vertices, edges, directed=True):
+    e = spark.createDataFrame(edges, "src LONG, dst LONG")
+    v = spark.createDataFrame([(x,) for x in vertices], "vid LONG")
+    return LinkGraph(spark, e, vertices=v, directed=directed, num_partitions=8)
+
+
+@pytest.mark.parametrize("gname", ["tiny_graph", "small_graph"])
+def test_pagerank_matches_oracle(spark, gname, request):
+    vertices, edges = request.getfixturevalue(gname)
+    g = make_graph(spark, vertices, edges)
+    got = {r["vid"]: r["rank"] for r in pagerank(g, max_iter=100, tol=1e-6).collect()}
+    want, _ = pagerank_oracle(vertices, edges, max_iter=100, tol=1e-6)
+    assert set(got) == set(want)
+    gv = np.array([got[v] for v in vertices])
+    wv = np.array([want[v] for v in vertices])
+    assert np.allclose(gv, wv, rtol=1e-6, atol=1e-12)
+    assert abs(gv.sum() - 1.0) < 1e-6  # ranks are a distribution
+
+
+def test_pagerank_salt_invariance(spark, small_graph):
+    vertices, edges = small_graph
+    g = make_graph(spark, vertices, edges)
+    r1 = {r["vid"]: r["rank"] for r in pagerank(g, salt=1, max_iter=8).collect()}
+    r2 = {r["vid"]: r["rank"] for r in pagerank(g, salt=32, max_iter=8).collect()}
+    a = np.array([r1[v] for v in vertices])
+    b = np.array([r2[v] for v in vertices])
+    assert np.allclose(a, b, rtol=1e-9)
+
+
+@pytest.mark.parametrize("gname", ["tiny_graph", "small_graph"])
+def test_wcc_matches_oracle(spark, gname, request):
+    vertices, edges = request.getfixturevalue(gname)
+    g = make_graph(spark, vertices, edges)
+    got = {r["vid"]: r["comp"] for r in wcc(g).collect()}
+    want = wcc_oracle(vertices, edges)
+    assert got == want
+
+
+@pytest.mark.parametrize("gname", ["tiny_graph", "small_graph"])
+def test_cdlp_matches_oracle(spark, gname, request):
+    vertices, edges = request.getfixturevalue(gname)
+    g = make_graph(spark, vertices, edges)
+    got = {r["vid"]: r["label"] for r in cdlp(g, max_round=10).collect()}
+    msg_edges = edges + [(v, u) for u, v in edges]
+    want = cdlp_oracle(vertices, msg_edges, max_round=10)
+    assert got == want
+
+
+@pytest.mark.parametrize("gname", ["tiny_graph", "small_graph"])
+def test_triangles_matches_oracle(spark, gname, request):
+    vertices, edges = request.getfixturevalue(gname)
+    g = make_graph(spark, vertices, edges)
+    got = {r["vid"]: r["tricnt"] for r in triangles(g).collect()}
+    want = triangles_oracle(vertices, edges)
+    assert got == want
+    assert triangle_count(g) == sum(want.values()) // 3
+
+
+def test_undirected_pagerank(spark, tiny_graph):
+    vertices, edges = tiny_graph
+    sym = sorted(set(edges) | {(v, u) for u, v in edges})
+    g = make_graph(spark, vertices, sym, directed=False)
+    got = {r["vid"]: r["rank"] for r in pagerank(g).collect()}
+    want, _ = pagerank_oracle(vertices, sym)
+    assert np.allclose(
+        np.array([got[v] for v in vertices]),
+        np.array([want[v] for v in vertices]),
+        rtol=1e-6,
+    )
