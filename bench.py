@@ -1,0 +1,209 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Sections:
+  A. north-rule headline: synthesize the source-code corpus at SF scale,
+     extract the import graph (Arrow UDFs + joins), run PageRank to
+     convergence (alpha .85, L1 tol 1e-6) → iterations/sec +
+     time-to-convergence; WCC / CDLP / triangles on the same graph.
+  B. testdata queries at $SPARK_GRAFT_SF_DIR (graph + relational, the
+     same queries the correctness gate checks).
+  C. scaling evidence (north rule: ≥0.8 throughput efficiency from N to
+     4N executors): the same fixed-size PageRank job at local[2] and
+     local[8] on an identical 30M-edge synthetic graph, min-step-time
+     estimator (robust to VM steal spikes), plus a pure-CPU
+     multiprocessing control at the same worker counts that measures the
+     box's own scaling ceiling (hyperthread pairing + hypervisor steal).
+     Skip with SPARK_GRAFT_SCALING=0.
+
+Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+_m = re.search(r"sf([\d.]+)", SF_DIR)
+SF = float(_m.group(1).rstrip(".")) if _m else 0.1
+
+LOCAL_DIR = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+
+
+def _session(cpus: int, aqe: bool = True):
+    from graphscope_spark import build_session
+
+    extra = {}
+    if LOCAL_DIR:
+        os.makedirs(LOCAL_DIR, exist_ok=True)
+        extra["spark.local.dir"] = LOCAL_DIR
+    if not aqe:
+        extra["spark.sql.adaptive.enabled"] = "false"
+    s = build_session(cpus=cpus, shuffle_partitions=cpus, app_name="gs-bench",
+                      extra_conf=extra)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+# ---------------------------------------------------------------------------
+
+def section_a(spark, queries: dict, extras: dict) -> None:
+    """Corpus → import graph → the four north-rule algorithms."""
+    from pyspark.sql import functions as F
+
+    from graphscope_spark import cdlp, triangles, wcc
+    from graphscope_spark.corpus import build_import_graph, synthesize_corpus
+    from graphscope_spark.operators.pagerank import PageRankJob
+    from graphscope_spark.runtime.superstep import SuperstepRunner
+
+    n_files = max(2000, int(SF * 200_000))
+    corpus = synthesize_corpus(spark, n_files=n_files, files_per_repo=50)
+
+    t, g = _timed(lambda: build_import_graph(spark, corpus))
+    # force build + stats
+    t2, _ = _timed(lambda: (g.num_vertices, g.num_edges))
+    queries["corpus_graph_build"] = t + t2
+    extras["corpus"] = {"n_files": n_files, "n_vertices": g.num_vertices,
+                        "n_edges": g.num_edges}
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    runner = SuperstepRunner(spark)
+    job = PageRankJob(g, alpha=0.85, max_iter=60, tol=1e-6)
+    t, (state, scalars) = _timed(lambda: runner.run(job, max_steps=61))
+    iters = len(runner.history)
+    queries["corpus_pagerank_conv"] = t
+    extras["pagerank"] = {
+        "iterations": iters,
+        "time_to_convergence_sec": t,
+        "iters_per_sec": iters / t if t else 0.0,
+        "eps": scalars.get("eps"),
+        "converged": bool(scalars.get("eps", 1) < 1e-6 * scalars.get("n", 1)),
+        "edges_per_sec": g.num_edges * iters / t if t else 0.0,
+    }
+
+    queries["corpus_wcc"], _ = _timed(lambda: wcc(g).count())
+    queries["corpus_cdlp_10r"], _ = _timed(lambda: cdlp(g, max_round=10).count())
+    queries["corpus_triangles"], _ = _timed(
+        lambda: triangles(g).agg(F.sum("tricnt")).first()
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def section_b(spark, queries: dict) -> None:
+    """Headline testdata queries (same code paths the correctness gate runs)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(os.path.dirname(__file__) or ".", "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    qs = entry.queries()
+    for name in ["pagerank_conv", "wcc", "triangles",
+                 "rel_groupby_aggs", "rel_join_3way"]:
+        queries[name], _ = _timed(lambda n=name: qs[n](spark, SF_DIR).count())
+
+
+# ---------------------------------------------------------------------------
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i % 7
+    return x
+
+
+def _cpu_control(workers: int, total: int = 120_000_000) -> float:
+    per = total // workers
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with mp.Pool(workers) as p:
+            p.map(_burn, [per] * workers)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _pr_min_step(cpus: int, steps: int) -> float:
+    """Min superstep wall time of fixed-size PageRank at `cpus` threads."""
+    from pyspark.sql import functions as F
+
+    from graphscope_spark.graph import LinkGraph
+    from graphscope_spark.operators.pagerank import PageRankJob
+    from graphscope_spark.runtime.superstep import SuperstepRunner
+
+    spark = _session(cpus, aqe=False)
+    V, E = 4_000_000, 60_000_000
+    e = (spark.range(0, E, 1, cpus)
+         .select(F.pmod(F.xxhash64("id"), F.lit(V)).alias("src"),
+                 F.pmod(F.xxhash64(F.col("id") + 3), F.lit(V)).alias("dst")))
+    g = LinkGraph(spark, e, num_partitions=cpus)
+    g.num_vertices
+    runner = SuperstepRunner(spark)
+    runner.run(PageRankJob(g, tol=0.0, max_iter=1000), max_steps=steps)
+    per_step = [m.wall_ms / 1000 for m in runner.history]
+    spark.stop()
+    return min(per_step[1:])  # drop warmup step
+
+
+def section_c(extras: dict) -> None:
+    """North-rule scaling criterion, evidenced at two parallelism levels."""
+    n_lo, n_hi = 2, 8
+    t_lo = _pr_min_step(n_lo, steps=5)
+    t_hi = _pr_min_step(n_hi, steps=8)
+    eff = (t_lo / t_hi) / (n_hi // n_lo)
+    c_lo = _cpu_control(n_lo)
+    c_hi = _cpu_control(n_hi)
+    ceff = (c_lo / c_hi) / (n_hi // n_lo)
+    extras["scaling"] = {
+        "graph": {"V": 4_000_000, "E": 60_000_000},
+        "N": n_lo, "4N": n_hi,
+        "sec_per_iter_N": t_lo, "sec_per_iter_4N": t_hi,
+        "iters_per_sec_N": 1 / t_lo, "iters_per_sec_4N": 1 / t_hi,
+        "efficiency": eff,
+        "cpu_control_efficiency": ceff,  # same-box embarrassingly-parallel ceiling
+        "efficiency_vs_hardware_ceiling": eff / ceff if ceff else None,
+        "estimator": "min step time (robust to hypervisor steal spikes)",
+    }
+
+
+def main() -> None:
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    spark = _session(CPUS)
+    section_a(spark, queries, extras)
+    section_b(spark, queries)
+    spark.stop()
+
+    if DO_SCALING:
+        section_c(extras)
+
+    pr = extras.get("pagerank", {})
+    out = {
+        "metric": "pagerank_iters_per_sec_on_import_graph",
+        "value": pr.get("iters_per_sec", 0.0),
+        "unit": "iters/sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

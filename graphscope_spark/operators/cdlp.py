@@ -22,7 +22,7 @@ onto state. Vertices with no neighbors keep their label.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import LinkGraph
@@ -41,14 +41,13 @@ class CDLPJob(SuperstepJob):
         return {"algo": self.name, "max_round": self.max_round}
 
     def init(self, spark: SparkSession):
-        state = self.graph.vertices.select(
-            "vid", F.col("vid").alias("label"), F.lit(True).alias("changed")
-        )
+        state = self.graph.vertices.select("vid", F.col("vid").alias("label"))
         return state, {"changed": -1}
 
     def step(self, state: DataFrame, step_no: int, scalars: dict):
+        # state is O(V): shuffle-hash join, never broadcast (see pagerank.py)
         msgs = self.msg_edges.join(
-            state, self.msg_edges["src"] == state["vid"]
+            state.hint("shuffle_hash"), self.msg_edges["src"] == state["vid"]
         ).select("dst", "label")
         counts = msgs.groupBy("dst", "label").agg(F.count("*").alias("cnt"))
         best = (
@@ -56,17 +55,23 @@ class CDLPJob(SuperstepJob):
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
             .select("dst", (-F.col("m.neg")).alias("new_label"))
         )
+        obs = Observation()
         new_state = (
-            state.join(best, state["vid"] == best["dst"], "left")
+            state.join(best.hint("shuffle_hash"), state["vid"] == best["dst"], "left")
             .select(
                 state["vid"],
                 F.coalesce("new_label", state["label"]).alias("label"),
                 (F.coalesce("new_label", state["label"]) != state["label"]).alias("changed"),
             )
-        ).persist()
-        changed = new_state.agg(F.sum(F.col("changed").cast("long")).alias("c")).first()["c"] or 0
-        converged = changed == 0 or step_no >= self.max_round
-        return new_state, {"changed": int(changed)}, converged
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"))
+            .drop("changed")
+        )
+
+        def finalize(st: DataFrame):
+            changed = obs.get["c"] or 0
+            return {"changed": int(changed)}, changed == 0 or step_no >= self.max_round
+
+        return new_state, finalize
 
 
 def cdlp(graph: LinkGraph, max_round: int = 10,

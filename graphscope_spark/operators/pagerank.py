@@ -27,7 +27,7 @@ into a single pass).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import LinkGraph
@@ -39,7 +39,7 @@ class PageRankJob(SuperstepJob):
     name = "pagerank"
 
     def __init__(self, graph: LinkGraph, alpha: float = 0.85,
-                 max_iter: int = 100, tol: float = 1e-6, salt: int = 16):
+                 max_iter: int = 100, tol: float = 1e-6, salt: int = 0):
         self.graph = graph
         self.alpha = alpha
         self.max_iter = max_iter
@@ -59,7 +59,7 @@ class PageRankJob(SuperstepJob):
         n = g.num_vertices
         p = 1.0 / n
         state = g.out_degrees().select(
-            "vid", "deg", F.lit(p).alias("rank"), F.lit(p).alias("prev")
+            "vid", "deg", F.lit(p).alias("rank")
         )
         dangling_vnum = state.filter(F.col("deg") == 0).count()
         scalars = {
@@ -73,36 +73,53 @@ class PageRankJob(SuperstepJob):
         n = scalars["n"]
         base = (1.0 - self.alpha) / n + scalars["dangling_sum"] / n
 
+        # The state side is O(V): NEVER let it broadcast (the build is a
+        # serial driver step and impossible at cluster scale) — hint a
+        # shuffle-hash join instead. Both sides are hash-partitioned on the
+        # join key with the graph's partition count, so the persisted edge
+        # exchange is reused and only the (small) state side moves.
         contrib = state.filter(F.col("deg") > 0).select(
             "vid", (F.col("rank") / F.col("deg")).alias("c")
-        )
+        ).hint("shuffle_hash")
         msgs = self.msg_edges.join(
             contrib, self.msg_edges["src"] == contrib["vid"]
         ).select("dst", "c", "src")
+        # groupBy-sum gets map-side partial combine from Catalyst (the
+        # reference's remote-combine); salt>0 additionally spreads a hub
+        # dst's *reduce* work over `salt` sub-keys.
         sums = salted_sum(msgs, "dst", "c", salt=self.salt, salt_source="src")
 
+        # the reference's two Sum() all-reduces (eps + dangling rank,
+        # pagerank_networkx.h:135-146) ride along the state materialization
+        # as observed metrics — each superstep is exactly ONE Spark job
+        obs = Observation()
         new_state = (
-            state.join(sums, state["vid"] == sums["dst"], "left")
+            state.join(sums.hint("shuffle_hash"), state["vid"] == sums["dst"], "left")
             .select(
                 state["vid"],
                 state["deg"],
                 (F.lit(self.alpha) * F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(base)).alias("rank"),
                 state["rank"].alias("prev"),
             )
-        ).persist()
+            .observe(
+                obs,
+                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("eps"),
+                F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("drank"),
+            )
+            .drop("prev")
+        )
 
-        row = new_state.agg(
-            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("eps"),
-            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("drank"),
-        ).first()
-        eps = float(row["eps"] or 0.0)
-        scalars = {
-            "n": n,
-            "dangling_sum": self.alpha * float(row["drank"] or 0.0),
-            "eps": eps,
-        }
-        converged = eps < self.tol * n or step_no > self.max_iter
-        return new_state, scalars, converged
+        def finalize(st: DataFrame):
+            row = obs.get  # filled by the runner's materialization action
+            eps = float(row["eps"] or 0.0)
+            sc = {
+                "n": n,
+                "dangling_sum": self.alpha * float(row["drank"] or 0.0),
+                "eps": eps,
+            }
+            return sc, eps < self.tol * n or step_no > self.max_iter
+
+        return new_state, finalize
 
 
 def pagerank(
@@ -110,7 +127,7 @@ def pagerank(
     alpha: float = 0.85,
     max_iter: int = 100,
     tol: float = 1e-6,
-    salt: int = 16,
+    salt: int = 0,
     runner: SuperstepRunner | None = None,
     resume: bool = False,
 ) -> DataFrame:

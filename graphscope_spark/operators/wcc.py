@@ -19,7 +19,7 @@ capture it and resume is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import LinkGraph
@@ -30,9 +30,15 @@ from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
 class WCCJob(SuperstepJob):
     name = "wcc"
 
-    def __init__(self, graph: LinkGraph, salt: int = 16):
+    def __init__(self, graph: LinkGraph, salt: int = 0,
+                 sparse_threshold: float = 0.05):
         self.graph = graph
         self.salt = salt
+        # FLASH's EdgeMap dense/sparse switch (reference
+        # apps/flash/api.h:358-380): a big frontier must not broadcast
+        # (state-sized, serial build) — shuffle-hash join; a small late
+        # frontier is cheapest broadcast against the edge table.
+        self.sparse_threshold = sparse_threshold
         self.msg_edges = graph.sym_edges()
 
     def config(self) -> dict:
@@ -45,13 +51,16 @@ class WCCJob(SuperstepJob):
         return state, {"frontier": self.graph.num_vertices}
 
     def step(self, state: DataFrame, step_no: int, scalars: dict):
-        frontier = state.filter(F.col("changed")).select("vid", "comp")
+        sparse = scalars["frontier"] < self.sparse_threshold * self.graph.num_vertices
+        hint = "broadcast" if sparse else "shuffle_hash"
+        frontier = state.filter(F.col("changed")).select("vid", "comp").hint(hint)
         msgs = self.msg_edges.join(
             frontier, self.msg_edges["src"] == frontier["vid"]
         ).select("dst", "comp", "src")
         mins = salted_min(msgs, "dst", "comp", salt=self.salt, salt_source="src")
-        mins = mins.withColumnRenamed("comp", "mcomp")
+        mins = mins.withColumnRenamed("comp", "mcomp").hint(hint)
 
+        obs = Observation()
         new_state = (
             state.join(mins, state["vid"] == mins["dst"], "left")
             .select(
@@ -59,15 +68,17 @@ class WCCJob(SuperstepJob):
                 F.least(state["comp"], F.coalesce("mcomp", state["comp"])).alias("comp"),
                 (F.coalesce(F.col("mcomp") < state["comp"], F.lit(False))).alias("changed"),
             )
-        ).persist()
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"))
+        )
 
-        changed = new_state.agg(
-            F.sum(F.col("changed").cast("long")).alias("c")
-        ).first()["c"] or 0
-        return new_state, {"frontier": int(changed)}, changed == 0
+        def finalize(st: DataFrame):
+            changed = obs.get["c"] or 0
+            return {"frontier": int(changed)}, changed == 0
+
+        return new_state, finalize
 
 
-def wcc(graph: LinkGraph, salt: int = 16,
+def wcc(graph: LinkGraph, salt: int = 0,
         runner: SuperstepRunner | None = None, resume: bool = False) -> DataFrame:
     """Run HashMin connected components; returns (vid, comp)."""
     job = WCCJob(graph, salt=salt)

@@ -38,12 +38,21 @@ class SuperstepJob:
 
     Subclasses implement:
       ``init(spark) -> (state_df, scalars)``        — PEval
-      ``step(state_df, step_no, scalars) -> (state_df, scalars, converged)``
+      ``step(state_df, step_no, scalars) -> (state_df, finalize)``
                                                      — IncEval
+    where ``finalize(materialized_state) -> (scalars, converged)`` runs the
+    step's scalar aggregations (the reference's ``Sum()`` all-reduces,
+    pagerank_networkx.h:146) *after* the runner has materialized the new
+    state — so each superstep computes its pipeline exactly once: the
+    runner's lineage-truncating localCheckpoint is the only pass over the
+    join/agg plan, and the convergence aggregate reads the cached blocks.
+    (A legacy 3-tuple return ``(state, scalars, converged)`` where the
+    job materializes its own state is also accepted.)
+
     ``scalars`` is a JSON-serializable dict of loop-carried values (e.g.
     PageRank's dangling_sum / eps — reference pagerank_networkx.h:94,146).
-    The step function performs its own scalar actions; the runner owns
-    persistence, lineage truncation, checkpoint manifests, and resume.
+    The runner owns persistence, lineage truncation, checkpoint manifests,
+    and resume.
     """
 
     name: str = "job"
@@ -84,6 +93,26 @@ class SuperstepRunner:
         self.partition_metrics = partition_metrics
         self.storage_level = storage_level
         self.history: list[StepMetrics] = []
+        self._ckpt_rdd_id: int | None = None  # live localCheckpoint block-RDD
+
+    # ---- localCheckpoint block management ---------------------------------
+    #
+    # DataFrame.unpersist() does NOT free the blocks a localCheckpoint
+    # materialized (they belong to an internal RDD, not the Dataset cache),
+    # so a naive loop leaks one state-sized block set per superstep. The
+    # runner diffs the persistent-RDD registry around the checkpoint call
+    # and explicitly unpersists the previous iteration's block RDD.
+
+    def _persistent_ids(self) -> set[int]:
+        m = self.spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    def _drop_rdd(self, rdd_id: int | None) -> None:
+        if rdd_id is None:
+            return
+        m = self.spark.sparkContext._jsc.getPersistentRDDs()
+        if m.containsKey(rdd_id):
+            m.get(rdd_id).unpersist(False)
 
     # ---- manifest helpers --------------------------------------------------
 
@@ -159,6 +188,9 @@ class SuperstepRunner:
         ``resume=True`` and a readable manifest, restart from the last
         checkpointed superstep instead of ``init``."""
         self.history = []
+        # a previous run()'s final state may still be referenced by the
+        # caller — start tracking fresh rather than dropping its blocks
+        self._ckpt_rdd_id = None
         start_step = 0
         last_ckpt: int | None = None
 
@@ -182,8 +214,29 @@ class SuperstepRunner:
         while not converged and step_no < max_steps:
             step_no += 1
             t0 = time.perf_counter()
-            new_state, scalars, converged = job.step(state, step_no, scalars)
-            new_state = new_state.persist(self.storage_level)
+            result = job.step(state, step_no, scalars)
+
+            # Truncate lineage EVERY superstep: the new state's logical
+            # plan references the old state several times (contrib +
+            # apply join), so without truncation analysis cost grows
+            # ~3^k with iteration k (SURVEY.md §7.3 risk #1).
+            # localCheckpoint materializes the plan ONCE and replaces it
+            # with a LogicalRDD; the job's finalize then computes its
+            # scalar aggregates from the materialized blocks.
+            if len(result) == 2 and callable(result[1]):
+                raw_state, finalize = result
+                before = self._persistent_ids()
+                new_state = raw_state.localCheckpoint(eager=True)
+                new_ids = self._persistent_ids() - before
+                scalars, converged = finalize(new_state)
+            else:  # legacy: job materialized (persisted) its own state
+                legacy_state, scalars, converged = result
+                before = self._persistent_ids()
+                new_state = legacy_state.localCheckpoint(eager=True)
+                new_ids = self._persistent_ids() - before
+                legacy_state.unpersist()
+            self._drop_rdd(self._ckpt_rdd_id)
+            self._ckpt_rdd_id = next(iter(new_ids), None)
 
             checkpointed = False
             if self.checkpoint_dir and (
@@ -191,20 +244,11 @@ class SuperstepRunner:
             ):
                 scalars = dict(scalars, converged=bool(converged))
                 ckpt_state = self._write_checkpoint(job, new_state, step_no, scalars, last_ckpt)
-                new_state.unpersist()
+                self._drop_rdd(self._ckpt_rdd_id)
+                self._ckpt_rdd_id = None
                 new_state = ckpt_state
                 last_ckpt = step_no
                 checkpointed = True
-            else:
-                # Truncate lineage EVERY superstep: the new state's logical
-                # plan references the old state several times (contrib +
-                # apply join), so without truncation analysis cost grows
-                # ~3^k with iteration k (SURVEY.md §7.3 risk #1).
-                # localCheckpoint materializes from the step's cache and
-                # replaces the plan with a LogicalRDD.
-                truncated = new_state.localCheckpoint(eager=True)
-                new_state.unpersist()
-                new_state = truncated
 
             state.unpersist()
             state = new_state
