@@ -71,6 +71,29 @@ def _graph(spark: SparkSession, sf_dir: str, tri: bool = False):
     return LinkGraph(spark, e, directed=True)
 
 
+
+def _graph_und(spark: SparkSession, sf_dir: str):
+    """Undirected view: LinkGraph(directed=False) expects symmetric input."""
+    from graphscope_spark import LinkGraph
+
+    e = _edges(spark, sf_dir)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return LinkGraph(spark, sym, directed=False)
+
+
+def _wgraph(spark: SparkSession, sf_dir: str):
+    from graphscope_spark import LinkGraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    we = (li.groupBy("l_partkey", "l_suppkey")
+          .agg((1 + F.min("l_quantity").cast("long") % 3).cast("double").alias("w"))
+          .select(F.col("l_partkey").alias("src"),
+                  (F.lit(100000) + F.col("l_suppkey")).alias("dst"), "w"))
+    sym = we.unionByName(
+        we.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    return LinkGraph(spark, sym, directed=False)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL generators (bounded-round supersteps as nested CTEs)
 # ---------------------------------------------------------------------------
@@ -157,6 +180,171 @@ FROM verts v LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM corners GROUP BY vid) c
 """
 
 
+
+
+_WEDGES_SQL = (
+    "SELECT l_partkey AS src, 100000 + l_suppkey AS dst, "
+    "CAST(1 + CAST(MIN(l_quantity) AS BIGINT) % 3 AS DOUBLE) AS w "
+    "FROM lineitem GROUP BY l_partkey, l_suppkey"
+)
+
+_WGRAPH_PRELUDE = f"""
+WITH wedges AS MATERIALIZED ({_WEDGES_SQL}),
+symw AS MATERIALIZED (SELECT src, dst, w FROM wedges UNION ALL SELECT dst AS src, src AS dst, w FROM wedges),
+verts AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM wedges UNION SELECT dst FROM wedges))
+"""
+
+
+def _bfs_sql(k: int, source: int = 0) -> str:
+    """k BFS frontier-expansion rounds over the symmetric view; depth per
+    vertex, -1 when unreached (matches engine bfs on the undirected view)."""
+    ctes = [f"f0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS vid, 0 AS depth)",
+            "a0 AS MATERIALIZED (SELECT * FROM f0)"]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"f{i} AS MATERIALIZED (SELECT DISTINCT e.dst AS vid, {i} AS depth "
+            f"FROM sym e JOIN f{i-1} f ON e.src = f.vid "
+            f"WHERE e.dst NOT IN (SELECT vid FROM a{i-1}))"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT * FROM a{i-1} UNION ALL SELECT * FROM f{i})"
+        )
+    return (
+        _GRAPH_PRELUDE + ", " + ",\n".join(ctes)
+        + f"\nSELECT v.vid, CAST(COALESCE(a.depth, -1) AS BIGINT) AS depth "
+        f"FROM verts v LEFT JOIN a{k} a ON v.vid = a.vid"
+    )
+
+
+def _sssp_sql(k: int, source: int = 0) -> str:
+    """k min-plus (frontier Bellman-Ford) rounds over the weighted
+    symmetric bipartite graph; micro-distance, -1 when unreached."""
+    ctes = [f"d0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = {source} THEN 0.0 ELSE NULL END AS dist FROM verts)"]
+    for i in range(1, k + 1):
+        p = f"d{i-1}"
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT v.vid, "
+            f"CASE WHEN v.dist IS NULL THEN m.nd "
+            f"WHEN m.nd IS NULL THEN v.dist "
+            f"ELSE LEAST(v.dist, m.nd) END AS dist "
+            f"FROM {p} v LEFT JOIN (SELECT e.dst AS vid, MIN(c.dist + e.w) AS nd "
+            f"FROM symw e JOIN {p} c ON e.src = c.vid AND c.dist IS NOT NULL "
+            f"GROUP BY e.dst) m ON v.vid = m.vid)"
+        )
+    return (
+        _WGRAPH_PRELUDE + ", " + ",\n".join(ctes)
+        + f"\nSELECT vid, CAST(COALESCE(ROUND(dist * 1e6), -1) AS BIGINT) AS dist_micro FROM d{k}"
+    )
+
+
+def _kcore_peel_sql(k: int, rounds: int) -> str:
+    """`rounds` peel iterations removing vertices with undirected degree
+    < k (stabilizes well before `rounds` on this graph) → surviving vids."""
+    ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
+    for i in range(1, rounds + 1):
+        p = f"e{i-1}"
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM {p} GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {p} e "
+            f"JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src)"
+        )
+    return (
+        _GRAPH_PRELUDE + ", " + ",\n".join(ctes)
+        + f"\nSELECT DISTINCT src AS vid FROM e{rounds}"
+    )
+
+
+def _hits_sql(k: int) -> str:
+    """k exact HITS rounds (auth = A^T hub_norm; hub = A auth; both
+    max-normalized per round; final sum-normalize) on the bipartite graph."""
+    ctes = ["h0 AS MATERIALIZED (SELECT vid, 1.0 AS hub FROM verts)"]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT v.vid, COALESCE(s.na, 0.0) AS auth "
+            f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, SUM(h.hub) AS na "
+            f"FROM edges e JOIN h{i-1} h ON e.src = h.vid GROUP BY e.dst) s ON v.vid = s.vid)"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT v.vid, COALESCE(s.nh, 0.0) AS hub "
+            f"FROM verts v LEFT JOIN (SELECT e.src AS vid, SUM(a.auth) AS nh "
+            f"FROM edges e JOIN a{i} a ON e.dst = a.vid GROUP BY e.src) s ON v.vid = s.vid)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT vid, hub / (SELECT MAX(hub) FROM hr{i}) AS hub FROM hr{i})"
+        )
+        ctes.append(
+            f"an{i} AS MATERIALIZED (SELECT vid, auth / (SELECT MAX(auth) FROM a{i}) AS auth FROM a{i})"
+        )
+    return (
+        _GRAPH_PRELUDE + ", " + ",\n".join(ctes)
+        + f"\nSELECT h.vid, "
+        f"CAST(ROUND(h.hub / (SELECT SUM(hub) FROM h{k}) * 1e6) AS BIGINT) AS hub_micro, "
+        f"CAST(ROUND(a.auth / (SELECT SUM(auth) FROM an{k}) * 1e6) AS BIGINT) AS auth_micro "
+        f"FROM h{k} h JOIN an{k} a ON h.vid = a.vid"
+    )
+
+
+def _eigen_sql(k: int) -> str:
+    """k eigenvector rounds: x' = (x + A^T x) / ||.||_2 (directed: pull
+    along incoming edges of the bipartite graph)."""
+    ctes = ["x0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM params) AS x FROM verts)"]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"xr{i} AS MATERIALIZED (SELECT v.vid, v.x + COALESCE(s.p, 0.0) AS x "
+            f"FROM x{i-1} v LEFT JOIN (SELECT e.dst AS vid, SUM(c.x) AS p "
+            f"FROM edges e JOIN x{i-1} c ON e.src = c.vid GROUP BY e.dst) s ON v.vid = s.vid)"
+        )
+        ctes.append(
+            f"x{i} AS MATERIALIZED (SELECT vid, x / (SELECT SQRT(SUM(x*x)) FROM xr{i}) AS x FROM xr{i})"
+        )
+    return (
+        _GRAPH_PRELUDE + ", " + ",\n".join(ctes)
+        + f"\nSELECT vid, CAST(ROUND(x * 1e6) AS BIGINT) AS x_micro FROM x{k}"
+    )
+
+
+def _katz_sql(k: int, alpha: float = 0.1, beta: float = 1.0) -> str:
+    """k Katz rounds x' = alpha·A^T x + beta, final L2 normalize."""
+    ctes = ["x0 AS MATERIALIZED (SELECT vid, 0.0 AS x FROM verts)"]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"x{i} AS MATERIALIZED (SELECT v.vid, {alpha} * COALESCE(s.p, 0.0) + {beta} AS x "
+            f"FROM x{i-1} v LEFT JOIN (SELECT e.dst AS vid, SUM(c.x) AS p "
+            f"FROM edges e JOIN x{i-1} c ON e.src = c.vid GROUP BY e.dst) s ON v.vid = s.vid)"
+        )
+    return (
+        _GRAPH_PRELUDE + ", " + ",\n".join(ctes)
+        + f"\nSELECT vid, CAST(ROUND(x / (SELECT SQRT(SUM(x*x)) FROM x{k}) * 1e6) AS BIGINT) AS x_micro FROM x{k}"
+    )
+
+
+_LCC_SQL = _TRIANGLES_SQL.replace(
+    "SELECT v.vid, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS tricnt",
+    "SELECT v.vid, CAST(ROUND(CASE WHEN d.deg >= 2 THEN "
+    "2.0 * COALESCE(c.cnt, 0) / (d.deg * (d.deg - 1)) ELSE 0.0 END * 1e6) AS BIGINT) AS lcc_micro",
+).replace(
+    "FROM verts v LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM corners GROUP BY vid) c ON v.vid = c.vid",
+    "FROM verts v LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM corners GROUP BY vid) c ON v.vid = c.vid "
+    "JOIN deg d ON v.vid = d.vid",
+)
+
+_TRANSITIVITY_SQL = f"""
+WITH tri_edges AS MATERIALIZED ({_TRI_EDGES_SQL}),
+und AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst FROM tri_edges WHERE src <> dst
+        UNION SELECT dst AS src, src AS dst FROM tri_edges WHERE src <> dst)),
+deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src),
+ori AS MATERIALIZED (SELECT u.src, u.dst FROM und u JOIN deg ds ON u.src = ds.vid JOIN deg dd ON u.dst = dd.vid
+        WHERE dd.deg < ds.deg OR (dd.deg = ds.deg AND u.dst < u.src)),
+tris AS (SELECT COUNT(*) AS t FROM ori e1
+         JOIN ori e2 ON e1.dst = e2.src
+         JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+w AS (SELECT SUM(deg * (deg - 1) / 2.0) AS wedges FROM deg)
+SELECT CAST(ROUND(3.0 * (SELECT t FROM tris) / (SELECT wedges FROM w) * 1e6) AS BIGINT) AS transitivity_micro
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -210,6 +398,94 @@ def _q_triangles(spark, sf_dir):
     from graphscope_spark import triangles
 
     return triangles(_graph(spark, sf_dir, tri=True)).select("vid", "tricnt")
+
+
+
+def _q_bfs(spark, sf_dir):
+    from graphscope_spark import bfs
+
+    g = _graph_und(spark, sf_dir)
+    return bfs(g, source=0)
+
+
+def _q_sssp_8rounds(spark, sf_dir):
+    from graphscope_spark.operators.traversal import SSSPJob
+    from graphscope_spark.runtime.superstep import SuperstepRunner
+
+    g = _wgraph(spark, sf_dir)
+    job = SSSPJob(g, source=0, weight_col="w")
+    state, _ = SuperstepRunner(spark).run(job, max_steps=8)
+    return state.select(
+        "vid",
+        F.when(F.col("dist") == float("inf"), F.lit(-1))
+        .otherwise(F.round(F.col("dist") * 1e6)).cast("long").alias("dist_micro"),
+    )
+
+
+def _q_degree_centrality(spark, sf_dir):
+    from graphscope_spark import degree_centrality
+
+    g = _graph(spark, sf_dir)
+    return degree_centrality(g, "both").select(
+        "vid", F.round(F.col("centrality") * 1e6).cast("long").alias("centrality_micro"))
+
+
+def _q_kcore3(spark, sf_dir):
+    from graphscope_spark import kcore
+
+    return kcore(_graph(spark, sf_dir), k=3).select("vid")
+
+
+def _q_lcc(spark, sf_dir):
+    from graphscope_spark import lcc
+
+    return lcc(_graph(spark, sf_dir, tri=True)).select(
+        "vid", F.round(F.col("lcc") * 1e6).cast("long").alias("lcc_micro"))
+
+
+def _q_transitivity(spark, sf_dir):
+    from graphscope_spark import transitivity
+
+    t = transitivity(_graph(spark, sf_dir, tri=True))
+    return spark.createDataFrame(
+        [(int(round(t * 1e6)),)], "transitivity_micro LONG")
+
+
+def _q_hits_3r(spark, sf_dir):
+    from graphscope_spark import hits
+
+    g = _graph(spark, sf_dir)
+    return hits(g, tolerance=-1.0, max_round=3, normalized=True).select(
+        "vid",
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_micro"),
+        F.round(F.col("auth") * 1e6).cast("long").alias("auth_micro"),
+    )
+
+
+def _q_eigenvector_3r(spark, sf_dir):
+    from graphscope_spark import eigenvector_centrality
+
+    g = _graph(spark, sf_dir)
+    return eigenvector_centrality(g, tolerance=0.0, max_round=3).select(
+        "vid", F.round(F.col("centrality") * 1e6).cast("long").alias("x_micro"))
+
+
+def _q_katz_3r(spark, sf_dir):
+    from graphscope_spark import katz_centrality
+
+    g = _graph(spark, sf_dir)
+    return katz_centrality(g, tolerance=0.0, max_round=3).select(
+        "vid", F.round(F.col("centrality") * 1e6).cast("long").alias("x_micro"))
+
+
+def _q_closeness_10src(spark, sf_dir):
+    from graphscope_spark import closeness_centrality
+
+    g = _graph_und(spark, sf_dir)
+    sources = [r["vid"] for r in
+               g.vertices.select("vid").orderBy("vid").limit(10).collect()]
+    return closeness_centrality(g, sources=sources).select(
+        "vid", F.round(F.col("closeness") * 1e6).cast("long").alias("closeness_micro"))
 
 
 # ---- relational surface (GIE operator inventory, SURVEY.md §2.D) ----------
@@ -377,6 +653,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": _q_wcc,
         "cdlp_2rounds": _q_cdlp_2rounds,
         "triangles": _q_triangles,
+        "bfs": _q_bfs,
+        "sssp_8rounds": _q_sssp_8rounds,
+        "degree_centrality": _q_degree_centrality,
+        "kcore_3": _q_kcore3,
+        "lcc": _q_lcc,
+        "transitivity": _q_transitivity,
+        "hits_3r": _q_hits_3r,
+        "eigenvector_3r": _q_eigenvector_3r,
+        "katz_3r": _q_katz_3r,
+        "closeness_10src": _q_closeness_10src,
         "rel_project_filter": _q_project_filter,
         "rel_groupby_aggs": _q_groupby_aggs,
         "rel_join_3way": _q_join_3way,
@@ -410,6 +696,25 @@ def oracle_sql() -> dict[str, str]:
         "wcc": _wcc_sql(14),
         "cdlp_2rounds": _cdlp_sql(2),
         "triangles": _TRIANGLES_SQL,
+        "bfs": _bfs_sql(12),
+        "sssp_8rounds": _sssp_sql(8),
+        "degree_centrality": (
+            f"WITH edges AS MATERIALIZED ({_EDGES_SQL}), "
+            "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION SELECT dst FROM edges)), "
+            "n AS (SELECT COUNT(*) AS n FROM verts) "
+            "SELECT v.vid, CAST(ROUND(CAST(COALESCE(o.od, 0) + COALESCE(i.idg, 0) AS DOUBLE) "
+            "/ ((SELECT n FROM n) - 1) * 1e6) AS BIGINT) AS centrality_micro "
+            "FROM verts v "
+            "LEFT JOIN (SELECT src, COUNT(*) AS od FROM edges GROUP BY src) o ON v.vid = o.src "
+            "LEFT JOIN (SELECT dst, COUNT(*) AS idg FROM edges GROUP BY dst) i ON v.vid = i.dst"
+        ),
+        "kcore_3": _kcore_peel_sql(3, rounds=10),
+        "lcc": _LCC_SQL,
+        "transitivity": _TRANSITIVITY_SQL,
+        "hits_3r": _hits_sql(3),
+        "eigenvector_3r": _eigen_sql(3),
+        "katz_3r": _katz_sql(3),
+        # closeness_10src: multi-source BFS loop — rows-only check.
         "rel_project_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, "
             "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "

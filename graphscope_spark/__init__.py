@@ -18,18 +18,38 @@ Public surface:
 
 from graphscope_spark.graph import LinkGraph
 from graphscope_spark.session import build_session
-from graphscope_spark.operators.pagerank import pagerank
-from graphscope_spark.operators.wcc import wcc
-from graphscope_spark.operators.cdlp import cdlp
-from graphscope_spark.operators.triangles import triangles
+from graphscope_spark.operators import (
+    all_pairs_shortest_path_length,
+    avg_clustering,
+    bfs,
+    cdlp,
+    closeness_centrality,
+    core_numbers,
+    degree_centrality,
+    eigenvector_centrality,
+    hits,
+    katz_centrality,
+    kcore,
+    kshell,
+    lcc,
+    msbfs,
+    pagerank,
+    sssp,
+    transitivity,
+    triangle_count,
+    triangles,
+    wcc,
+)
 
 __all__ = [
     "LinkGraph",
     "build_session",
-    "pagerank",
-    "wcc",
-    "cdlp",
-    "triangles",
+    "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
+    "bfs", "sssp", "msbfs", "all_pairs_shortest_path_length",
+    "closeness_centrality",
+    "degree_centrality", "eigenvector_centrality", "katz_centrality", "hits",
+    "kcore", "kshell", "core_numbers",
+    "lcc", "avg_clustering", "transitivity",
 ]
 
 __version__ = "0.1.0"

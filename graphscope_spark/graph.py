@@ -63,7 +63,11 @@ def assign_dense_ids(
 class LinkGraph:
     """A directed (or undirected) graph over two DataFrames.
 
-    ``edges``: (src: long, dst: long) — dense vertex ids.
+    ``edges``: (src: long, dst: long [, properties...]) — dense vertex ids.
+    With ``directed=False`` the caller must supply an already-symmetric
+    edge set (both orientations present) — mirroring the reference, where
+    undirected CSR fragments store each edge in both adjacency lists
+    (docs/analytical_engine/performance_tuning.md:42-84).
     ``vertices``: (vid: long [, oid, properties...]); derived from edges if
     not given.
 
@@ -83,8 +87,11 @@ class LinkGraph:
         self.spark = spark
         self.directed = directed
         self.num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+        prop_cols = [c for c in edges.columns if c not in ("src", "dst")]
+        self.edge_prop_cols = prop_cols
         self.edges = (
-            edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+            edges.select(F.col("src").cast("long"), F.col("dst").cast("long"),
+                         *[F.col(c) for c in prop_cols])
             .repartition(self.num_partitions, "src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -178,7 +185,8 @@ class LinkGraph:
         """
         if self._sym_edges is None:
             if self.directed:
-                e = self.edges.union(self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+                ed = self.edges.select("src", "dst")
+                e = ed.union(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
                 self._sym_edges = e.repartition(self.num_partitions, "src").persist(
                     StorageLevel.MEMORY_AND_DISK
                 )

@@ -2,10 +2,23 @@ from graphscope_spark.operators.pagerank import PageRankJob, pagerank
 from graphscope_spark.operators.wcc import WCCJob, wcc
 from graphscope_spark.operators.cdlp import CDLPJob, cdlp
 from graphscope_spark.operators.triangles import triangles, triangle_count
+from graphscope_spark.operators.traversal import (
+    bfs, sssp, msbfs, all_pairs_shortest_path_length, closeness_centrality,
+)
+from graphscope_spark.operators.centrality import (
+    degree_centrality, eigenvector_centrality, katz_centrality, hits,
+)
+from graphscope_spark.operators.cores import kcore, kshell, core_numbers
+from graphscope_spark.operators.clustering import lcc, avg_clustering, transitivity
 
 __all__ = [
     "pagerank", "PageRankJob",
     "wcc", "WCCJob",
     "cdlp", "CDLPJob",
     "triangles", "triangle_count",
+    "bfs", "sssp", "msbfs", "all_pairs_shortest_path_length",
+    "closeness_centrality",
+    "degree_centrality", "eigenvector_centrality", "katz_centrality", "hits",
+    "kcore", "kshell", "core_numbers",
+    "lcc", "avg_clustering", "transitivity",
 ]

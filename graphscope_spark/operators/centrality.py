@@ -1,0 +1,298 @@
+"""Centrality algorithms: degree, eigenvector, Katz, HITS.
+
+Reference semantics (reproduced exactly, file:line cited per function):
+- degree_centrality: gs::DegreeCentrality
+  (/root/reference/analytical_engine/apps/centrality/degree/degree_centrality.h:41-67):
+  centrality = degree / (n-1), degree ∈ {in, out, in+out}.
+- eigenvector_centrality: gs::EigenvectorCentrality
+  (/root/reference/analytical_engine/apps/centrality/eigenvector/eigenvector_centrality.h:54-167):
+  init x = 1/n; per round x'[v] = x[v] + Σ_{u∈in(v)} x[u]·w (out-adj on
+  undirected); L2-normalize; stop when Σ|x'−x| < n·tol or max_round.
+- katz_centrality: gs::KatzCentrality
+  (/root/reference/analytical_engine/apps/centrality/katz/katz_centrality.h:52-190):
+  init x = 0; per round x'[v] = alpha·Σ_{u∈in(v)} x[u]·w + beta; stop when
+  Σ|x'−x| < n·tol or max_round; if normalized, final x /= sqrt(Σx²).
+- hits: gs::HITS (/root/reference/analytical_engine/apps/hits/hits.h:47-201):
+  per round auth[v] = Σ_{u∈in(v)} hub[u]; hub[u] = Σ_{v∈out(u)} auth[v];
+  divide hub and auth by their global MAX; eps = Σ|hub − hub_prev|; stop
+  when eps ≤ tol (unscaled) or max_round; if normalized, divide each by
+  its global sum at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
+
+
+def degree_centrality(graph: LinkGraph, centrality_type: str = "both") -> DataFrame:
+    """(vid, centrality) = degree/(n-1); type ∈ in|out|both."""
+    n = graph.num_vertices
+    if centrality_type == "out":
+        deg = graph.out_degrees()
+    elif centrality_type == "in":
+        deg = graph.in_degrees()
+    elif centrality_type == "both":
+        o = graph.out_degrees().withColumnRenamed("deg", "od")
+        i = graph.in_degrees().withColumnRenamed("deg", "id_")
+        deg = o.join(i, "vid").select(
+            "vid", (F.col("od") + F.col("id_")).alias("deg"))
+    else:
+        raise ValueError(centrality_type)
+    return deg.select(
+        "vid", (F.col("deg") / F.lit(float(n - 1))).alias("centrality"))
+
+
+class _PullJob(SuperstepJob):
+    """Shared shape for eigenvector/Katz: x' = f(A^T x) with convergence on
+    L1 delta, pulled along incoming edges (directed) / neighbors
+    (undirected). State co-partitioned with edges; one exchange/step."""
+
+    def __init__(self, graph: LinkGraph):
+        self.graph = graph
+        # pull along in-edges ⇒ message flows src→dst of the stored edge
+        self.msg_edges = graph.edges.select("src", "dst") if graph.directed \
+            else graph.sym_edges().select("src", "dst")
+
+    def _pulled(self, state: DataFrame) -> DataFrame:
+        msgs = self.msg_edges.join(
+            state.select("vid", "x").hint("shuffle_hash"),
+            self.msg_edges["src"] == F.col("vid"),
+        ).select("dst", "x")
+        return msgs.groupBy("dst").agg(F.sum("x").alias("pulled"))
+
+
+class EigenvectorJob(_PullJob):
+    name = "eigenvector_centrality"
+
+    def __init__(self, graph: LinkGraph, tolerance: float = 1e-6,
+                 max_round: int = 100):
+        super().__init__(graph)
+        self.tolerance = tolerance
+        self.max_round = max_round
+
+    def config(self) -> dict:
+        return {"algo": self.name, "tol": self.tolerance, "max_round": self.max_round}
+
+    def init(self, spark: SparkSession):
+        n = self.graph.num_vertices
+        state = self.graph.vertices.select("vid", F.lit(1.0 / n).alias("x"))
+        return state, {"n": n, "norm": 1.0}
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        n = scalars["n"]
+        # previous round's L2 normalization applied as a carried scalar
+        # (numerically identical to normalizing in place; keeps the state
+        # materialization single-pass)
+        s = 1.0 / scalars["norm"]
+        xn = state.select("vid", (F.col("x") * F.lit(s)).alias("x"))
+        pulled = self._pulled(xn).hint("shuffle_hash")
+        obs = Observation()
+        raw = (
+            xn.join(pulled, xn["vid"] == pulled["dst"], "left")
+            .select(
+                xn["vid"],
+                (xn["x"] + F.coalesce("pulled", F.lit(0.0))).alias("x"),
+                xn["x"].alias("x_prev"),
+            )
+            .observe(obs, F.sum(F.col("x") * F.col("x")).alias("ss"))
+        )
+
+        def finalize(st: DataFrame):
+            norm = float(obs.get["ss"]) ** 0.5
+            if norm <= 0:
+                raise ValueError("zero eigenvector norm")
+            # delta check needs the new norm → one light pass over the
+            # cached 3-column state (the reference's NormAndCheckTerm)
+            delta = st.agg(
+                F.sum(F.abs(F.col("x") / F.lit(norm) - F.col("x_prev"))).alias("d")
+            ).first()["d"]
+            sc = {"n": n, "norm": norm, "delta": float(delta)}
+            return sc, delta < n * self.tolerance or step_no >= self.max_round
+
+        return raw, finalize
+
+    @staticmethod
+    def result(state: DataFrame, scalars: dict) -> DataFrame:
+        norm = scalars["norm"]
+        return state.select(
+            "vid", (F.col("x") / F.lit(norm)).alias("centrality"))
+
+
+def eigenvector_centrality(graph: LinkGraph, tolerance: float = 1e-6,
+                           max_round: int = 100,
+                           runner: SuperstepRunner | None = None) -> DataFrame:
+    job = EigenvectorJob(graph, tolerance, max_round)
+    runner = runner or SuperstepRunner(graph.spark)
+    state, scalars = runner.run(job, max_steps=max_round)
+    return EigenvectorJob.result(state, scalars)
+
+
+class KatzJob(_PullJob):
+    name = "katz_centrality"
+
+    def __init__(self, graph: LinkGraph, alpha: float = 0.1, beta: float = 1.0,
+                 tolerance: float = 1e-6, max_round: int = 100,
+                 normalized: bool = True):
+        super().__init__(graph)
+        self.alpha = alpha
+        self.beta = beta
+        self.tolerance = tolerance
+        self.max_round = max_round
+        self.normalized = normalized
+
+    def config(self) -> dict:
+        return {"algo": self.name, "alpha": self.alpha, "beta": self.beta,
+                "tol": self.tolerance, "max_round": self.max_round,
+                "normalized": self.normalized}
+
+    def init(self, spark: SparkSession):
+        state = self.graph.vertices.select("vid", F.lit(0.0).alias("x"))
+        return state, {"n": self.graph.num_vertices, "ss": 0.0}
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        n = scalars["n"]
+        pulled = self._pulled(state).hint("shuffle_hash")
+        obs = Observation()
+        new_state = (
+            state.join(pulled, state["vid"] == pulled["dst"], "left")
+            .select(
+                state["vid"],
+                (F.lit(self.alpha) * F.coalesce("pulled", F.lit(0.0))
+                 + F.lit(self.beta)).alias("x"),
+                F.col("x").alias("x_prev"),
+            )
+            .observe(
+                obs,
+                F.sum(F.abs(F.col("x") - F.col("x_prev"))).alias("delta"),
+                F.sum(F.col("x") * F.col("x")).alias("ss"),
+            )
+            .drop("x_prev")
+        )
+
+        def finalize(st: DataFrame):
+            row = obs.get
+            delta = float(row["delta"])
+            sc = {"n": n, "delta": delta, "ss": float(row["ss"])}
+            return sc, delta < n * self.tolerance or step_no >= self.max_round
+
+        return new_state, finalize
+
+
+def katz_centrality(graph: LinkGraph, alpha: float = 0.1, beta: float = 1.0,
+                    tolerance: float = 1e-6, max_round: int = 100,
+                    normalized: bool = True,
+                    runner: SuperstepRunner | None = None) -> DataFrame:
+    job = KatzJob(graph, alpha, beta, tolerance, max_round, normalized)
+    runner = runner or SuperstepRunner(graph.spark)
+    state, scalars = runner.run(job, max_steps=max_round)
+    if normalized:
+        s = 1.0 / (scalars["ss"] ** 0.5)
+        return state.select("vid", (F.col("x") * F.lit(s)).alias("centrality"))
+    return state.select("vid", F.col("x").alias("centrality"))
+
+
+class HITSJob(SuperstepJob):
+    name = "hits"
+
+    def __init__(self, graph: LinkGraph, tolerance: float = 0.01,
+                 max_round: int = 100, normalized: bool = True):
+        self.graph = graph
+        self.tolerance = tolerance
+        self.max_round = max_round
+        self.normalized = normalized
+        self.edges = graph.edges.select("src", "dst")
+
+    def config(self) -> dict:
+        return {"algo": self.name, "tol": self.tolerance,
+                "max_round": self.max_round, "normalized": self.normalized}
+
+    def init(self, spark: SparkSession):
+        state = self.graph.vertices.select(
+            "vid", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth"))
+        return state, {"max_h": 1.0, "max_a": 1.0}
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        # state carries RAW hub/auth; the previous round's max-normalization
+        # (the reference's Normalize stage, hits.h:133-153) is applied by
+        # scaling with the carried scalar — numerically identical, keeps the
+        # state materialization single-pass
+        s_h = 1.0 / scalars.get("max_h", 1.0)
+        # auth[v] = Σ_{u→v} hub_norm[u]
+        a_msg = (
+            self.edges.join(
+                state.select("vid", (F.col("hub") * F.lit(s_h)).alias("hubn"))
+                .hint("shuffle_hash"),
+                self.edges["src"] == F.col("vid"))
+            .groupBy("dst").agg(F.sum("hubn").alias("na"))
+        )
+        with_auth = (
+            state.join(a_msg.hint("shuffle_hash"), state["vid"] == a_msg["dst"], "left")
+            .select(state["vid"],
+                    (state["hub"] * F.lit(s_h)).alias("hub_prev"),
+                    F.coalesce("na", F.lit(0.0)).alias("auth"))
+        )
+        # hub[u] = Σ_{u→v} auth[v]  (pull along reversed edges)
+        h_msg = (
+            self.edges.join(
+                with_auth.select("vid", "auth").hint("shuffle_hash"),
+                self.edges["dst"] == F.col("vid"))
+            .groupBy("src").agg(F.sum("auth").alias("nh"))
+        )
+        obs = Observation()
+        new_state = (
+            with_auth.join(h_msg.hint("shuffle_hash"),
+                           with_auth["vid"] == h_msg["src"], "left")
+            .select(
+                with_auth["vid"],
+                F.coalesce("nh", F.lit(0.0)).alias("hub"),
+                with_auth["auth"],
+                with_auth["hub_prev"],
+            )
+            .observe(
+                obs,
+                F.max("hub").alias("max_h"),
+                F.max("auth").alias("max_a"),
+            )
+        )
+
+        def finalize(st: DataFrame):
+            row = obs.get
+            max_h, max_a = float(row["max_h"]), float(row["max_a"])
+            sc = {"max_h": max_h, "max_a": max_a}
+            # normalize by max + eps vs previous hub — needs one more light
+            # pass over the cached state (the reference's Normalize stage)
+            eps = st.agg(F.sum(F.abs(
+                F.col("hub") / F.lit(max_h if max_h else 1.0) - F.col("hub_prev")
+            )).alias("e")).first()["e"]
+            sc["eps"] = float(eps)
+            return sc, eps <= self.tolerance or step_no >= self.max_round
+
+        return new_state, finalize
+
+
+def hits(graph: LinkGraph, tolerance: float = 0.01, max_round: int = 100,
+         normalized: bool = True,
+         runner: SuperstepRunner | None = None) -> DataFrame:
+    """(vid, hub, auth) per the reference's HITS."""
+    job = HITSJob(graph, tolerance, max_round, normalized)
+    runner = runner or SuperstepRunner(graph.spark)
+    state, sc = runner.run(job, max_steps=max_round)
+    max_h = sc.get("max_h") or 1.0
+    max_a = sc.get("max_a") or 1.0
+    out = state.select(
+        "vid",
+        (F.col("hub") / F.lit(max_h)).alias("hub"),
+        (F.col("auth") / F.lit(max_a)).alias("auth"),
+    )
+    if normalized:
+        sums = out.agg(F.sum("hub").alias("sh"), F.sum("auth").alias("sa")).first()
+        sh = sums["sh"] or 1.0
+        sa = sums["sa"] or 1.0
+        out = out.select(
+            "vid", (F.col("hub") / F.lit(sh)).alias("hub"),
+            (F.col("auth") / F.lit(sa)).alias("auth"))
+    return out

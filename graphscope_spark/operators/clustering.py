@@ -1,0 +1,56 @@
+"""Clustering coefficients: per-vertex LCC, average clustering, transitivity.
+
+Reference semantics (all over the simple undirected view):
+- lcc: grape::LCC (LDBC Graphalytics spec; registry
+  /root/reference/coordinator/gscoordinator/builtin/app/.gs_conf.yaml:87),
+  golden fixture `p2p-31-LCC`: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+  0 when deg < 2.
+- clustering / avg_clustering: gs::AvgClustering
+  (/root/reference/analytical_engine/apps/clustering/avg_clustering.h):
+  mean of lcc over all vertices.
+- transitivity: gs::Transitivity
+  (/root/reference/analytical_engine/apps/clustering/transitivity.h):
+  3·triangles / open+closed wedges, wedges = Σ_v deg(v)·(deg(v)−1)/2.
+
+All built from the triangle operator's per-vertex counts
+(degree-ordered-orientation join plan, operators/triangles.py) plus the
+cached undirected degree table — no extra shuffles beyond those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.operators.triangles import triangle_list, triangles
+
+
+def lcc(graph: LinkGraph) -> DataFrame:
+    """(vid, lcc) — local clustering coefficient."""
+    tri = triangles(graph)
+    deg = graph.und_degrees()
+    return (
+        tri.join(deg, "vid")
+        .select(
+            "vid",
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.col("tricnt") / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0.0)).alias("lcc"),
+        )
+    )
+
+
+def avg_clustering(graph: LinkGraph) -> float:
+    """Mean local clustering coefficient (scalar)."""
+    return float(lcc(graph).agg(F.avg("lcc")).first()[0] or 0.0)
+
+
+def transitivity(graph: LinkGraph) -> float:
+    """3·triangles / wedges (scalar)."""
+    n_tri = triangle_list(graph).count()
+    wedges = graph.und_degrees().agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w")
+    ).first()["w"] or 0
+    return 3.0 * n_tri / float(wedges) if wedges else 0.0

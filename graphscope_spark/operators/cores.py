@@ -1,0 +1,94 @@
+"""K-core decomposition: k-core membership, k-shell, core numbers.
+
+Reference semantics:
+- kcore: gs::KCore (/root/reference/analytical_engine/apps/kcore/kcore.h:40-130):
+  iterative peel on the undirected view — repeatedly remove vertices with
+  current degree < k (each removal decrements its neighbors' degrees)
+  until stable; result = surviving vertices (the k-core).
+- kshell: gs::KShell (/root/reference/analytical_engine/apps/kshell/kshell.h):
+  vertices in the k-core but not the (k+1)-core.
+- core numbers (NetworkX core_number): max k such that v is in the k-core —
+  computed by ascending peel phases; every vertex removed while peeling
+  with threshold k gets core number k-1... (phase semantics below: a
+  vertex surviving the k-peel but not the (k+1)-peel has core k).
+
+Spark shape: the peel loop is degree-recompute + filter — each round one
+aggregation over the remaining edge set; the frontier-style optimization
+(only neighbors of removed vertices change degree) is kept implicitly by
+AQE since the removed set shrinks fast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import LinkGraph
+
+
+def _peel(edges: DataFrame, k: int, spark) -> DataFrame:
+    """Remove vertices with degree < k until stable; returns the surviving
+    symmetric edge set. ``edges`` must be the symmetric simple view."""
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    while True:
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src").persist(
+            StorageLevel.MEMORY_AND_DISK)
+        n_removed = deg.count() - keep.count()
+        if n_removed == 0:
+            keep.unpersist()
+            return edges
+        pruned = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        pruned = pruned.localCheckpoint(eager=True)
+        edges.unpersist()
+        keep.unpersist()
+        edges = pruned
+
+
+def kcore(graph: LinkGraph, k: int) -> DataFrame:
+    """Vertices of the k-core → (vid)."""
+    surv = _peel(graph.und_edges(), k, graph.spark)
+    return surv.select(F.col("src").alias("vid")).distinct()
+
+
+def kshell(graph: LinkGraph, k: int) -> DataFrame:
+    """Vertices with core number exactly k → (vid)."""
+    core_k = kcore(graph, k)
+    core_k1 = kcore(graph, k + 1)
+    return core_k.join(core_k1, "vid", "left_anti")
+
+
+def core_numbers(graph: LinkGraph) -> DataFrame:
+    """(vid, core) for every vertex — ascending peel phases; isolated
+    vertices (or those peeled at k=1) get core 0, etc."""
+    spark = graph.spark
+    all_v = graph.vertices.select("vid")
+    edges = graph.und_edges()
+    results = []  # (DataFrame of vids, core value) pieces
+    k = 1
+    prev_survivors = all_v
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    while True:
+        surv_edges = _peel(edges, k, spark)
+        survivors = surv_edges.select(F.col("src").alias("vid")).distinct() \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        dropped = prev_survivors.join(survivors, "vid", "left_anti") \
+            .select("vid", F.lit(k - 1).alias("core"))
+        results.append(dropped.localCheckpoint(eager=True))
+        if survivors.isEmpty():
+            survivors.unpersist()
+            break
+        prev_survivors = survivors
+        edges = surv_edges
+        k += 1
+        if k > 10_000:  # safety
+            raise RuntimeError("core_numbers did not terminate")
+    out = results[0]
+    for piece in results[1:]:
+        out = out.unionByName(piece)
+    return out

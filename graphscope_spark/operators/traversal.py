@@ -1,0 +1,217 @@
+"""Traversal algorithms: BFS, SSSP, multi-source BFS (closeness / APSP).
+
+Reference semantics:
+- BFS: grape::BFS via python wrapper ``bfs(graph, src=0)``
+  (/root/reference/python/graphscope/analytical/app/bfs.py:29); per-vertex
+  depth from the source, following outgoing edges on directed graphs and
+  the symmetric neighborhood on undirected; unreachable vertices keep the
+  init value (we emit -1).
+- SSSP: gs::SSSPProjected
+  (/root/reference/analytical_engine/apps/projected/sssp_projected.h:63-181):
+  init dist[src]=0 else +inf; iterate min-plus relaxation along outgoing
+  edges until no distance changes (frontier empty); unweighted edges count
+  1 per hop (python wrapper ``sssp(graph, src=0, weight=None)``,
+  app/sssp.py:32). Unreachable → +inf (we emit NULL→-1 on export).
+
+Spark shape per superstep (both): frontier semi-join against the edge
+table (broadcast when the frontier is small — FLASH's sparse EdgeMap,
+reference apps/flash/api.h:269-356) → min-aggregate by dst → left join
+onto state; convergence metrics ride the state materialization as
+observed metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
+
+_INF = float("inf")
+
+
+class SSSPJob(SuperstepJob):
+    """Min-dist relaxation; BFS is the weight≡1 special case."""
+
+    name = "sssp"
+
+    def __init__(self, graph: LinkGraph, source: int, weight_col: str | None = None,
+                 sparse_threshold: float = 0.05):
+        self.graph = graph
+        self.source = source
+        self.weight_col = weight_col
+        self.sparse_threshold = sparse_threshold
+        if weight_col is None:
+            self.msg_edges = (graph.edges if graph.directed else graph.sym_edges()) \
+                .select("src", "dst", F.lit(1.0).alias("w"))
+        else:
+            we = graph.edges.select(
+                "src", "dst", F.col(weight_col).cast("double").alias("w"))
+            if not graph.directed:
+                # stored undirected edges may hold one orientation per pair;
+                # relaxation must run both ways with the same weight
+                we = we.unionByName(
+                    we.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst"), "w"))
+            self.msg_edges = we
+
+    def config(self) -> dict:
+        return {"algo": self.name, "source": self.source,
+                "weight_col": self.weight_col}
+
+    def init(self, spark: SparkSession):
+        state = self.graph.vertices.select(
+            "vid",
+            F.when(F.col("vid") == self.source, F.lit(0.0))
+            .otherwise(F.lit(_INF)).alias("dist"),
+            (F.col("vid") == self.source).alias("changed"),
+        )
+        return state, {"frontier": 1}
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        sparse = scalars["frontier"] < self.sparse_threshold * self.graph.num_vertices
+        hint = "broadcast" if sparse else "shuffle_hash"
+        frontier = state.filter(F.col("changed")).select("vid", "dist").hint(hint)
+        relax = (
+            self.msg_edges.join(frontier, self.msg_edges["src"] == frontier["vid"])
+            .select("dst", (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("dst").agg(F.min("nd").alias("nd"))
+            .hint(hint)
+        )
+        obs = Observation()
+        new_state = (
+            state.join(relax, state["vid"] == relax["dst"], "left")
+            .select(
+                state["vid"],
+                F.least(state["dist"], F.coalesce("nd", state["dist"])).alias("dist"),
+                F.coalesce(F.col("nd") < state["dist"], F.lit(False)).alias("changed"),
+            )
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"))
+        )
+
+        def finalize(st: DataFrame):
+            changed = obs.get["c"] or 0
+            return {"frontier": int(changed)}, changed == 0
+
+        return new_state, finalize
+
+
+def sssp(graph: LinkGraph, source: int, weight_col: str | None = None,
+         runner: SuperstepRunner | None = None, resume: bool = False) -> DataFrame:
+    """Single-source shortest paths → (vid, dist); unreachable = Infinity."""
+    job = SSSPJob(graph, source, weight_col=weight_col)
+    runner = runner or SuperstepRunner(graph.spark)
+    state, _ = runner.run(job, resume=resume)
+    return state.select("vid", "dist")
+
+
+def bfs(graph: LinkGraph, source: int,
+        runner: SuperstepRunner | None = None) -> DataFrame:
+    """BFS depth from source → (vid, depth); unreachable = -1."""
+    d = sssp(graph, source, weight_col=None, runner=runner)
+    return d.select(
+        "vid",
+        F.when(F.col("dist") == float("inf"), F.lit(-1))
+        .otherwise(F.col("dist")).cast("long").alias("depth"),
+    )
+
+
+class MSBFSJob(SuperstepJob):
+    """Multi-source BFS over (source, vid) pair-state — the engine's
+    building block for closeness centrality and all-pairs shortest path
+    length (reference apps/apsp/all_pairs_shortest_path_length.h:30-144
+    runs one BFS per source; here all sources advance in one superstep
+    loop, a cross-source frontier batched into the same shuffle)."""
+
+    name = "msbfs"
+
+    def __init__(self, graph: LinkGraph, sources: list[int], reverse: bool = False):
+        self.graph = graph
+        self.sources = sorted(sources)
+        self.reverse = reverse
+        e = graph.edges if graph.directed else graph.sym_edges()
+        if reverse and graph.directed:
+            e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        self.msg_edges = e
+
+    def config(self) -> dict:
+        return {"algo": self.name, "sources": self.sources, "reverse": self.reverse}
+
+    def init(self, spark: SparkSession):
+        src_df = spark.createDataFrame(
+            [(int(s),) for s in self.sources], "source LONG"
+        )
+        state = src_df.select(
+            "source", F.col("source").alias("vid"), F.lit(0).alias("depth")
+        )
+        return state, {"frontier": len(self.sources), "depth": 0}
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        # frontier = pairs discovered at the previous depth
+        frontier = state.filter(F.col("depth") == step_no - 1).select("source", "vid")
+        nxt = (
+            self.msg_edges.join(frontier, self.msg_edges["src"] == frontier["vid"])
+            .select("source", F.col("dst").alias("vid"))
+            .distinct()
+            .join(state.select("source", "vid"), ["source", "vid"], "left_anti")
+            .select("source", "vid", F.lit(step_no).alias("depth"))
+        )
+        obs = Observation()
+        new_state = state.unionByName(
+            nxt.observe(obs, F.count(F.lit(1)).alias("c"))
+        )
+
+        def finalize(st: DataFrame):
+            grew = obs.get["c"] or 0
+            return {"frontier": int(grew), "depth": step_no}, grew == 0
+
+        return new_state, finalize
+
+
+def msbfs(graph: LinkGraph, sources: list[int], reverse: bool = False,
+          runner: SuperstepRunner | None = None) -> DataFrame:
+    """(source, vid, depth) for every reached pair."""
+    runner = runner or SuperstepRunner(graph.spark)
+    state, _ = runner.run(MSBFSJob(graph, sources, reverse=reverse))
+    return state
+
+
+def all_pairs_shortest_path_length(graph: LinkGraph, sources: list[int] | None = None,
+                                   runner: SuperstepRunner | None = None) -> DataFrame:
+    """(source, vid, depth) — reference all_pairs_shortest_path_length
+    (yaml:220). ``sources=None`` uses every vertex (small graphs only —
+    at scale pass a sample of landmark sources)."""
+    if sources is None:
+        sources = [r["vid"] for r in graph.vertices.select("vid").collect()]
+    return msbfs(graph, sources, runner=runner)
+
+
+def closeness_centrality(graph: LinkGraph, sources: list[int] | None = None,
+                         wf_improved: bool = True,
+                         runner: SuperstepRunner | None = None) -> DataFrame:
+    """Closeness via multi-source BFS, Wasserman-Faust corrected
+    (reference apps/centrality/closeness/closeness_centrality.h:30-143
+    follows NetworkX: cc(v) = ((r-1)/totsp) * ((r-1)/(n-1)) where r =
+    vertices that can REACH v, computed over incoming paths; on
+    undirected graphs in/out coincide). Here each listed source
+    contributes its distances; centrality is computed for the sources'
+    reachable sets over the sym view when undirected."""
+    n = graph.num_vertices
+    # directed: BFS along REVERSED edges from v gives d(u → v), the
+    # incoming distances NX closeness uses
+    d = msbfs(graph, sources if sources is not None
+              else [r["vid"] for r in graph.vertices.select("vid").collect()],
+              reverse=True)
+    agg = d.groupBy("source").agg(
+        F.sum("depth").alias("totsp"), F.count("*").alias("r")
+    )
+    cc = agg.select(
+        F.col("source").alias("vid"),
+        F.when(
+            (F.col("totsp") > 0) & (F.lit(n) > 1),
+            ((F.col("r") - 1) / F.col("totsp"))
+            * (((F.col("r") - 1) / F.lit(float(n - 1))) if wf_improved else F.lit(1.0)),
+        ).otherwise(F.lit(0.0)).alias("closeness"),
+    )
+    return cc

@@ -99,3 +99,174 @@ def triangles_oracle(vertices, edges):
                     tricnt[v] += 1
                     tricnt[w] += 1
     return tricnt
+
+
+def sssp_oracle(vertices, wedges, source):
+    """Dijkstra over (u, v, w) triples as the engine sees them (already
+    symmetrized for undirected). Unreachable = inf."""
+    import heapq
+
+    adj = defaultdict(list)
+    for u, v, w in wedges:
+        adj[u].append((v, w))
+    dist = {v: float("inf") for v in vertices}
+    dist[source] = 0.0
+    pq = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist[u]:
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def bfs_oracle(vertices, edges, source):
+    from collections import deque
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    depth = {v: -1 for v in vertices}
+    depth[source] = 0
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if depth[v] == -1:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    return depth
+
+
+def eigenvector_oracle(vertices, in_edges, tol=1e-6, max_round=100):
+    """Reference eigenvector_centrality.h:54-167: x' = x + A^T x, L2
+    normalize, stop on L1 delta < n*tol. ``in_edges``: (u, v) meaning u
+    contributes to v."""
+    import math
+
+    n = len(vertices)
+    x = {v: 1.0 / n for v in vertices}
+    inn = defaultdict(list)
+    for u, v in in_edges:
+        inn[v].append(u)
+    for _ in range(max_round):
+        xr = {v: x[v] + sum(x[u] for u in inn[v]) for v in vertices}
+        norm = math.sqrt(sum(val * val for val in xr.values()))
+        xn = {v: xr[v] / norm for v in vertices}
+        delta = sum(abs(xn[v] - x[v]) for v in vertices)
+        x = xn
+        if delta < n * tol:
+            break
+    return x
+
+
+def katz_oracle(vertices, in_edges, alpha=0.1, beta=1.0, tol=1e-6,
+                max_round=100, normalized=True):
+    """Reference katz_centrality.h:52-190."""
+    import math
+
+    n = len(vertices)
+    x = {v: 0.0 for v in vertices}
+    inn = defaultdict(list)
+    for u, v in in_edges:
+        inn[v].append(u)
+    for _ in range(max_round):
+        xn = {v: alpha * sum(x[u] for u in inn[v]) + beta for v in vertices}
+        delta = sum(abs(xn[v] - x[v]) for v in vertices)
+        x = xn
+        if delta < n * tol:
+            break
+    if normalized:
+        s = 1.0 / math.sqrt(sum(v * v for v in x.values()))
+        x = {k: v * s for k, v in x.items()}
+    return x
+
+
+def hits_oracle(vertices, edges, tol=0.01, max_round=100, normalized=True):
+    """Reference hits.h:47-201: auth = A^T hub; hub = A auth; max-normalize
+    both; eps on hub; final sum-normalize."""
+    inn = defaultdict(list)
+    out = defaultdict(list)
+    for u, v in edges:
+        inn[v].append(u)
+        out[u].append(v)
+    hub = {v: 1.0 for v in vertices}
+    auth = {v: 0.0 for v in vertices}
+    for _ in range(max_round):
+        hub_last = hub
+        auth = {v: sum(hub_last[u] for u in inn[v]) for v in vertices}
+        hub = {u: sum(auth[v] for v in out[u]) for u in vertices}
+        mh = max(hub.values()) or 1.0
+        ma = max(auth.values()) or 1.0
+        hub = {k: v / mh for k, v in hub.items()}
+        auth = {k: v / ma for k, v in auth.items()}
+        eps = sum(abs(hub[v] - hub_last[v]) for v in vertices)
+        if eps <= tol:
+            break
+    if normalized:
+        sh = sum(hub.values()) or 1.0
+        sa = sum(auth.values()) or 1.0
+        hub = {k: v / sh for k, v in hub.items()}
+        auth = {k: v / sa for k, v in auth.items()}
+    return hub, auth
+
+
+def core_number_oracle(vertices, edges):
+    """Core numbers by the peel definition: ascending k; a vertex removed
+    during the k-peel (deg<k cascade) has core number k-1."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    remaining = set(vertices)
+    deg = {v: len(adj[v]) for v in vertices}
+    core = {}
+    k = 1
+    while remaining:
+        while True:
+            drop = [v for v in remaining if deg[v] < k]
+            if not drop:
+                break
+            for v in drop:
+                remaining.discard(v)
+                core[v] = k - 1
+                for u in adj[v]:
+                    if u in remaining:
+                        deg[u] -= 1
+        k += 1
+    return core
+
+
+def closeness_oracle(vertices, edges, wf_improved=True):
+    """NX closeness (incoming distances on directed graphs)."""
+    from collections import deque
+
+    radj = defaultdict(list)
+    for u, v in edges:
+        radj[v].append(u)  # reverse adjacency
+    n = len(vertices)
+    out = {}
+    for v in vertices:
+        depth = {v: 0}
+        q = deque([v])
+        while q:
+            x = q.popleft()
+            for u in radj[x]:
+                if u not in depth:
+                    depth[u] = depth[x] + 1
+                    q.append(u)
+        totsp = sum(depth.values())
+        r = len(depth)
+        if totsp > 0 and n > 1:
+            cc = (r - 1) / totsp
+            if wf_improved:
+                cc *= (r - 1) / (n - 1)
+        else:
+            cc = 0.0
+        out[v] = cc
+    return out
