@@ -635,6 +635,81 @@ def _q_sample_det(spark, sf_dir):
     )
 
 
+
+# ---- training-data pipeline surface (documents / embeddings) --------------
+
+def _q_exact_dedup(spark, sf_dir):
+    from graphscope_spark.functions import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), key_col="text",
+                       id_col="doc_id").select("doc_id", "text")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from graphscope_spark.functions import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    ).select("id_a", "id_b",
+             F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro"))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from graphscope_spark.functions import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    ).select("id_a", "id_b",
+             F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro"))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from graphscope_spark.functions import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)         .select("id_a", "id_b", "hamming")
+
+
+def _q_text_stats(spark, sf_dir):
+    from graphscope_spark.functions import fingerprint, quality_score, token_count
+
+    d = quality_score(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        fingerprint(F.col("text")).alias("fp"),
+        F.round(F.col("quality") * 1e6).cast("long").alias("quality_micro"),
+    )
+
+
+def _q_langid(spark, sf_dir):
+    from graphscope_spark.functions import langid
+
+    return langid(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def _q_ann_topk(spark, sf_dir):
+    from graphscope_spark.functions import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, qs, k=5).select("query_id", "vec_id", "rank")
+
+
+def _q_ivf_topk(spark, sf_dir):
+    from graphscope_spark.functions import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, qs, k=5, nbits=6, nprobe_ham=1)         .select("query_id", "vec_id", "rank")
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    from graphscope_spark.functions import decode_image_stub, media_table
+
+    media = media_table(_t(spark, sf_dir, "documents"))
+    return decode_image_stub(media).select("media_id", "n_bytes", "sha256")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -674,6 +749,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_topk": _q_window_topk,
         "rel_case_extract": _q_case_extract,
         "rel_sample_det": _q_sample_det,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "text_stats": _q_text_stats,
+        "langid": _q_langid,
+        "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
+        "multimodal_decode": _q_multimodal_decode,
     }
 
 
@@ -775,5 +859,78 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_sample_det": (
             "SELECT event_id, user_id, event_type FROM events WHERE event_id % 97 = 0"
+        ),
+        "exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "ngram_jaccard_pairs": (
+            r"""WITH toks AS MATERIALIZED (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+            sh AS MATERIALIZED (
+              SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
+            inv AS MATERIALIZED (
+              SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+                     COUNT(*) AS inter
+              FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+                   CAST(ROUND(CAST(inter AS DOUBLE) / (size_a + size_b - inter) * 1e6) AS BIGINT) AS jaccard_micro
+            FROM shared WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.2"""
+        ),
+        # minhash_lsh_pairs / simhash_pairs: xxhash64-based — rows-only.
+        "text_stats": (
+            r"""WITH toks AS (
+              SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+            base AS (
+              SELECT doc_id, len(t) AS n_tok,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(t, s2 -> CAST(ascii(s2)*1000 + 7*length(s2) AS BIGINT))),
+                  (a, b) -> (a*1000003 + b) % 2147483647) AS fp,
+                len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+                length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+                length(text) AS total
+              FROM toks)
+            SELECT doc_id, n_tok, fp,
+              CAST(ROUND((
+                LEAST(n_tok / 100.0, 1.0) * 0.4
+                + (CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END) * 0.2
+                + (CASE WHEN total > 0 THEN CAST(alnum AS DOUBLE) / total ELSE 0.0 END) * 0.2
+                + LEAST((CASE WHEN n_tok > 0 THEN CAST(alnum AS DOUBLE) / n_tok ELSE 0.0 END) / 8.0, 1.0) * 0.2
+              ) * 1e6) AS BIGINT) AS quality_micro
+            FROM base"""
+        ),
+        "langid": (
+            r"""WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+            sc AS (
+              SELECT doc_id,
+                len(list_filter(t, x -> x IN ('the','and','of','is','a','to'))) AS s_en,
+                len(list_filter(t, x -> x IN ('der','die','und','ist','ein','zu'))) AS s_de,
+                len(list_filter(t, x -> x IN ('le','la','et','est','un','de'))) AS s_fr
+              FROM toks)
+            SELECT doc_id, CASE
+              WHEN GREATEST(s_en, s_de, s_fr) = 0 THEN 'und'
+              WHEN s_de = GREATEST(s_en, s_de, s_fr) THEN 'de'
+              WHEN s_en = GREATEST(s_en, s_de, s_fr) THEN 'en'
+              ELSE 'fr' END AS lang_pred
+            FROM sc"""
+        ),
+        "ann_topk": (
+            "SELECT query_id, vec_id, rank FROM ("
+            "SELECT a.vec_id AS query_id, b.vec_id AS vec_id, "
+            "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, "
+            "b.vec_id ASC) AS rank "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
+            "WHERE a.vec_id < 10) WHERE rank <= 5"
+        ),
+        # ivf_topk: approximate — rows-only.
+        "multimodal_decode": (
+            "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
+            "sha256(text) AS sha256 FROM documents"
         ),
     }

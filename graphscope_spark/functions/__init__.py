@@ -1,0 +1,41 @@
+"""Training-data pipeline operators over document / embedding tables.
+
+These extend the reference's analytical surface with the operations a
+large-scale corpus pipeline needs (dedup, similarity search, text
+analysis, multimodal plumbing) — expressed JVM-side in
+``pyspark.sql.functions`` wherever possible, Arrow-batched pandas UDFs
+where not, never per-row Python.
+"""
+
+from graphscope_spark.functions.text import (
+    fingerprint,
+    langid,
+    quality_score,
+    token_count,
+    tokenize,
+)
+from graphscope_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from graphscope_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_sim,
+    ivf_topk,
+)
+from graphscope_spark.functions.multimodal import (
+    decode_image_stub,
+    media_table,
+    sample_frames_stub,
+)
+
+__all__ = [
+    "tokenize", "token_count", "quality_score", "langid", "fingerprint",
+    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "simhash", "simhash_pairs",
+    "cosine_sim", "brute_force_topk", "ivf_topk",
+    "media_table", "decode_image_stub", "sample_frames_stub",
+]

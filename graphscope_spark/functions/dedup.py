@@ -1,0 +1,192 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design: every variant is candidate-generation-by-key + verify —
+no all-pairs comparison ever materializes. At 100 TB the bucket keys
+(hash / band / simhash-block) are the shuffle keys; bucket skew (a
+boilerplate shingle shared by millions of docs) is handled by capping
+candidate fan-out per bucket (``max_bucket`` — buckets larger than the
+cap are dropped exactly like stop-shingles in production dedup
+pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact content (hash-groupBy —
+    two-level: group on xxhash64(content) first so the wide content column
+    never shuffles, then resolve rare collisions on the content itself)."""
+    h = df.select(id_col, F.xxhash64(key_col).alias("_h"), key_col)
+    return (
+        h.groupBy("_h", key_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, key_col)
+    )
+
+
+def _shingles(col, n: int = 3):
+    """Token n-gram shingles → array<string>."""
+    toks = F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Near-duplicate pairs by exact token-n-gram Jaccard ≥ threshold.
+
+    Candidates = pairs sharing ≥1 shingle (inverted-index self-join on the
+    shingle key); Jaccard from shared-count + per-doc distinct-shingle
+    counts — the |A∪B| = |A|+|B|−|A∩B| identity, so no per-pair set ops.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
+        .withColumn("size", F.size("sh"))
+    )
+    inv = sh.select("id", "size", F.explode("sh").alias("s"))
+    # stop-shingle cap: drop buckets larger than max_bucket (hub mitigation)
+    bucket_sizes = inv.groupBy("s").agg(F.count("*").alias("bc"))
+    inv = inv.join(
+        bucket_sizes.filter(F.col("bc") <= max_bucket).select("s"), "s", "left_semi"
+    )
+    a = inv.select(F.col("s"), F.col("id").alias("id_a"), F.col("size").alias("size_a"))
+    b = inv.select(F.col("s"), F.col("id").alias("id_b"), F.col("size").alias("size_b"))
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_sigs(df: DataFrame, text_col: str, id_col: str,
+                  num_hashes: int, n: int):
+    """(id, array<long> signature): sig[i] = min over shingles of
+    (a_i·xxhash64(shingle) + b_i) mod p — the classic affine family, all
+    JVM-side (explode → groupBy min per hash index)."""
+    p = 2_147_483_647
+    coeffs = [((2 * i + 1) * 2_654_435_761 % p, (i * 40_503 + 17) % p)
+              for i in range(num_hashes)]
+    sh = df.select(F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("s"))
+    sh = sh.select("id", F.pmod(F.xxhash64("s"), F.lit(p)).alias("h"))
+    sigs = sh.groupBy("id").agg(
+        *[F.min(F.pmod(F.col("h") * a + b, F.lit(p))).alias(f"m{i}")
+          for i, (a, b) in enumerate(coeffs)]
+    )
+    return sigs.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.5,
+                      max_bucket: int = 1000) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified by exact
+    Jaccard: shingle → 32-perm signature → 8 bands of 4 → band-bucket
+    self-join → exact-Jaccard filter ≥ threshold.
+
+    Returns (id_a, id_b, jaccard). The verify step makes the output a
+    deterministic SUBSET of ``ngram_jaccard_pairs`` (candidates LSH may
+    miss are the recall tradeoff — measured in tests).
+    """
+    rows = num_hashes // bands
+    sigs = _minhash_sigs(df, text_col, id_col, num_hashes, n)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias("key"))
+        for b in range(bands)
+    ]
+    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")) \
+        .select("id", "bk.band", "bk.key")
+    sizes = buckets.groupBy("band", "key").agg(F.count("*").alias("bc"))
+    buckets = buckets.join(
+        sizes.filter(F.col("bc") <= max_bucket).select("band", "key"),
+        ["band", "key"], "left_semi")
+    a = buckets.select("band", "key", F.col("id").alias("id_a"))
+    b = buckets.select("band", "key", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0,
+                                max_bucket=max_bucket)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """(id, simhash): sign-sum of per-token xxhash64 bits. JVM-side:
+    explode tokens → per-bit ±1 sums → reassemble the 64-bit key."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+    bit_sums = toks.groupBy("id").agg(
+        *[F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) != 0, 1)
+                .otherwise(-1)).alias(f"b{i}")
+          for i in range(bits)]
+    )
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        # bit 63 is the sign bit: 1<<63 overflows LongType (ANSI), use the
+        # negative literal; bitwiseOR assembles without overflow
+        bit_lit = F.lit(-(2 ** 63) if i == 63 else (1 << i)).cast("long")
+        key = key.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, bit_lit).otherwise(F.lit(0).cast("long")))
+    return bit_sums.select("id", key.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
+    Candidate generation: split the 64-bit key into (max_hamming+1)
+    16-bit blocks — any pair within distance ≤ max_hamming shares at
+    least one exact block (pigeonhole) → block-bucket join, then exact
+    Hamming verify via bit_count(xor)."""
+    s = simhash(df, text_col, id_col)
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = s.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright("simhash", i * width)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+            for i in range(nblocks)
+        ])).alias("bk"),
+    ).select("id", "simhash", "bk.blk", "bk.key")
+    a = blocks.select("blk", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = blocks.select("blk", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,107 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with the
+decode / feature-extract stages as Arrow-batched ``mapInPandas`` stubs.
+
+The image/audio libraries are not in this container, so the *decode*
+bodies are deterministic fakes clearly marked STUB — but every Spark-side
+concern is real and tested: schemas (binary + struct metadata), batch
+iteration shape, partition-preserving pipelining, output schema
+declaration, and the pattern a real decoder drops into (replace
+``_fake_decode`` with PIL/ffmpeg and nothing else changes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id LONG, payload BINARY, "
+    "meta STRUCT<format: STRING, width: INT, height: INT, n_frames: INT>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id LONG, n_bytes LONG, sha256 STRING, "
+    "mean_byte DOUBLE, feature ARRAY<DOUBLE>"
+)
+
+FRAME_SCHEMA = "media_id LONG, frame_no INT, frame_sha256 STRING"
+
+
+def media_table(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Derive a media table from a text corpus for plumbing tests: payload
+    = UTF-8 bytes of the text (an opaque binary column), metadata struct
+    populated deterministically from the payload length."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            (F.octet_length(payload) % 640 + 1).cast("int").alias("width"),
+            (F.octet_length(payload) % 480 + 1).cast("int").alias("height"),
+            (F.octet_length(payload) % 16 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB: stands in for an image decode (PIL.Image.open etc.).
+    Deterministic features derived from the raw bytes."""
+    arr = bytearray(payload)
+    mean = float(sum(arr)) / len(arr) if arr else 0.0
+    return {
+        "mean_byte": mean,
+        "feature": [float(b) for b in hashlib.sha256(payload).digest()[:8]],
+    }
+
+
+def decode_image_stub(media: DataFrame) -> DataFrame:
+    """Batch decode via ``mapInPandas`` — Arrow transfers the binary
+    column zero-copy per batch; the loop body is where a real decoder
+    (NOT in this container) would run. Raises NotImplementedError if the
+    caller asks for a real decode."""
+
+    def decode(batches):
+        for pdf in batches:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "sha256": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
+                "mean_byte": [f["mean_byte"] for f in feats],
+                "feature": [f["feature"] for f in feats],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(decode, FEATURE_SCHEMA)
+
+
+def sample_frames_stub(media: DataFrame, every: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame index
+    (per metadata ``n_frames``), payload sliced deterministically — the
+    shape of an ffmpeg frame extractor without the codec."""
+
+    def sample(batches):
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame_sha256": []}
+            for mid, payload, n_frames in zip(
+                    pdf["media_id"], pdf["payload"], pdf["n_frames"]):
+                for fr in range(0, int(n_frames), every):
+                    chunk = payload[fr::max(1, int(n_frames))]
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(fr)
+                    out["frame_sha256"].append(hashlib.sha256(bytes(chunk)).hexdigest())
+            yield pd.DataFrame(out)
+
+    flat = media.select("media_id", "payload", F.col("meta.n_frames").alias("n_frames"))
+    return flat.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def real_decode(media: DataFrame) -> DataFrame:  # pragma: no cover
+    """The non-stub path — requires PIL/ffmpeg, absent in this container."""
+    raise NotImplementedError(
+        "image/audio decode libraries are not available in this environment; "
+        "use decode_image_stub (same Spark plumbing, fake decode body)")

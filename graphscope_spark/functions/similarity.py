@@ -1,0 +1,88 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk`` — exact cosine top-k: query set × corpus join with
+  the dot product as a JVM-side ``zip_with``/``aggregate`` fold (no UDF).
+  The baseline; at scale restrict the query side, broadcast it.
+- ``ivf_topk`` — IVF-style bucketed ANN: coarse-quantize every vector by
+  the sign pattern of its first ``nbits`` dimensions (a deterministic,
+  data-independent code — an LSH hyperplane family aligned to the axes);
+  probe the query's own cell plus all cells at Hamming distance ≤
+  ``nprobe_ham``. Search cost drops ~2^nbits-fold; recall measured in
+  tests against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in
+    double with a sequential left fold (deterministic order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query → (query_id, vec_id, sim, rank).
+
+    The (small) query side is broadcast; ties break on neighbor id so the
+    result is fully deterministic. Self-matches are excluded.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _cell(vec: Column, nbits: int) -> Column:
+    """Sign-pattern coarse code of the first nbits dimensions."""
+    code = F.lit(0)
+    for i in range(nbits):
+        code = code + F.when(vec[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return code.cast("int")
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             nbits: int = 6, nprobe_ham: int = 1) -> DataFrame:
+    """Approximate top-k: search only cells within Hamming distance
+    ``nprobe_ham`` of the query's sign-pattern cell."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
+                      _cell(F.col(vec_col), nbits).alias("cell"))
+    probe_deltas = [0] + [sum(1 << i for i in bits)
+                          for d in range(1, nprobe_ham + 1)
+                          for bits in combinations(range(nbits), d)]
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       _cell(F.col(vec_col), nbits).alias("qcell"))
+        .select("query_id", "qv",
+                F.explode(F.array(*[F.col("qcell").bitwiseXOR(F.lit(d)) for d in probe_deltas]))
+                .alias("cell"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,90 @@
+"""Text analysis: tokenization, counting, quality, language ID,
+fingerprinting — all JVM-side column expressions (whole-stage codegen),
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic arithmetic token hash reproducible in ANSI SQL:
+# ascii(first char)·1000 + 7·length  (mod M in the rolling combine)
+_ROLL_MULT = 1_000_003
+_ROLL_MOD = 2_147_483_647
+
+
+def tokenize(col) -> Column:
+    """Whitespace tokenizer → array<string> (empty tokens dropped)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    """Number of whitespace tokens (BPE-ish refinement: punctuation splits
+    are already whitespace-delimited in this corpus)."""
+    return F.size(tokenize(col))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  stopwords: tuple[str, ...] = (
+                      "the", "a", "of", "and", "to", "in", "is", "it")) -> DataFrame:
+    """Heuristic document quality: length, mean token length, stopword
+    ratio, alphanumeric ratio → score in [0,1]. Columns appended."""
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    alnum = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", ""))
+    total = F.length(F.col(text_col))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    alnum_ratio = F.when(total > 0, alnum / total).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0, (alnum / n_tok)).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.2
+        + alnum_ratio * 0.2
+        + F.least(mean_tok_len / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        alnum_ratio.alias("alnum_ratio"),
+        score.alias("quality"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "a", "to"),
+    "de": ("der", "die", "und", "ist", "ein", "zu"),
+    "fr": ("le", "la", "et", "est", "un", "de"),
+}
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: count marker hits per language, pick
+    the max (ties → lexicographically smallest language code, 'und' when
+    no marker hits). A deterministic n-gram-style heuristic that stays in
+    one explode + aggregate."""
+    toks = df.select("*", F.explode(tokenize(F.col(text_col))).alias("_tok"))
+    scores = [
+        F.sum(F.when(F.col("_tok").isin(*marks), 1).otherwise(0)).alias(f"_s_{lang}")
+        for lang, marks in _LANG_MARKERS.items()
+    ]
+    agg = toks.groupBy(*df.columns).agg(*scores)
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in _LANG_MARKERS])
+    lang_expr = F.when(best == 0, F.lit("und"))
+    for lang in sorted(_LANG_MARKERS):
+        lang_expr = lang_expr.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+    return agg.select(*df.columns, lang_expr.alias("lang_pred"))
+
+
+def fingerprint(col, mult: int = _ROLL_MULT, mod: int = _ROLL_MOD) -> Column:
+    """Rolling-hash document fingerprint: left fold of
+    h = (h·mult + ascii(tok)·1000 + 7·len(tok)) mod M over the token
+    stream. Pure arithmetic → reproducible in any ANSI SQL engine."""
+    toks = tokenize(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda h, t: (h * mult + F.ascii(t) * 1000 + 7 * F.length(t)) % mod,
+    )

@@ -1,0 +1,185 @@
+"""Pipeline operators: text analysis, dedup, similarity, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions import (
+    brute_force_topk,
+    decode_image_stub,
+    exact_dedup,
+    fingerprint,
+    ivf_topk,
+    langid,
+    media_table,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    sample_frames_stub,
+    simhash_pairs,
+    token_count,
+)
+
+VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "the and of is to in lambda mu nu xi").split()
+
+
+def _mk_docs(n=60, seed=5):
+    """Deterministic docs with planted near-duplicate pairs."""
+    rnd = random.Random(seed)
+    docs = []
+    for i in range(n):
+        toks = [VOCAB[rnd.randrange(len(VOCAB))] for _ in range(30)]
+        docs.append((i, " ".join(toks)))
+    # planted dups: 100..: copy of doc i with small edits
+    for j, (i, text) in enumerate(docs[:10]):
+        toks = text.split()
+        toks[3] = "changed"
+        docs.append((100 + j, " ".join(toks)))
+    # exact dup
+    docs.append((200, docs[0][1]))
+    return docs
+
+
+def _jaccard(a: str, b: str, n=3):
+    ta, tb = a.split(), b.split()
+    sa = {" ".join(ta[i:i + n]) for i in range(len(ta) - n + 1)}
+    sb = {" ".join(tb[i:i + n]) for i in range(len(tb) - n + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(_mk_docs(), "doc_id LONG, text STRING")
+
+
+def test_exact_dedup(spark, docs_df):
+    out = exact_dedup(docs_df).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 0 in ids and 200 not in ids  # doc 200 duplicates doc 0
+    assert len(out) == docs_df.count() - 1
+
+
+def test_ngram_jaccard_pairs(spark, docs_df):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs_df, threshold=0.5).collect()}
+    docs = dict(_mk_docs())
+    want = {}
+    items = sorted(docs)
+    for x in range(len(items)):
+        for y in range(x + 1, len(items)):
+            j = _jaccard(docs[items[x]], docs[items[y]])
+            if j >= 0.5:
+                want[(items[x], items[y])] = j
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
+
+
+def test_minhash_lsh_recall(spark, docs_df):
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs_df, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(docs_df, threshold=0.5).collect()}
+    assert lsh <= exact  # verify step guarantees precision 1.0
+    assert len(lsh) >= 0.8 * len(exact), (len(lsh), len(exact))  # recall
+
+
+def test_simhash_pairs(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs_df, max_hamming=3).collect()}
+    # exact duplicate must be at distance 0
+    assert pairs.get((0, 200)) == 0
+    # planted near-dups are close in simhash space more often than chance
+    planted = sum(1 for j in range(10) if (j, 100 + j) in pairs)
+    assert planted >= 5
+
+
+def test_text_analysis(spark, docs_df):
+    rows = docs_df.select("doc_id", token_count("text").alias("tc"),
+                          fingerprint(F.col("text")).alias("fp")).collect()
+    docs = dict(_mk_docs())
+    for r in rows:
+        assert r["tc"] == len(docs[r["doc_id"]].split())
+        # independent fingerprint oracle
+        h = 0
+        for t in docs[r["doc_id"]].split():
+            h = (h * 1_000_003 + ord(t[0]) * 1000 + 7 * len(t)) % 2_147_483_647
+        assert r["fp"] == h, r["doc_id"]
+    q = quality_score(docs_df).collect()
+    for r in q:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_tokens"] == len(docs[r["doc_id"]].split())
+    lang = langid(docs_df).collect()
+    for r in lang:
+        toks = docs[r["doc_id"]].split()
+        en = sum(t in ("the", "and", "of", "is", "a", "to") for t in toks)
+        assert r["lang_pred"] == ("en" if en > 0 else "und"), r["doc_id"]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rnd = random.Random(11)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def test_brute_force_topk(spark, emb_df):
+    rows = emb_df.collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    queries = emb_df.filter(F.col("vec_id") < 5)
+    got = brute_force_topk(emb_df, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["sim"]))
+    for q in range(5):
+        sims = sorted(((cos(vecs[q], v), -i) for i, v in vecs.items() if i != q),
+                      reverse=True)
+        want = [(-negi, s) for s, negi in sims[:5]]
+        gotq = sorted(by_q[q])
+        assert [g[1] for g in gotq] == [w[0] for w in want]
+        for (rk, vid, sim), (wvid, wsim) in zip(gotq, want):
+            assert abs(sim - wsim) < 1e-9
+
+
+def test_ivf_topk_recall(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb_df, queries, k=5).collect()
+    approx = ivf_topk(emb_df, queries, k=5, nbits=4, nprobe_ham=1).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall  # probing 1-ham cells of a 4-bit code
+
+
+def test_multimodal_stubs(spark, docs_df):
+    media = media_table(docs_df.limit(20))
+    feats = decode_image_stub(media).collect()
+    docs = dict(_mk_docs())
+    assert len(feats) == 20
+    for r in feats:
+        payload = docs[r["media_id"]].encode()
+        assert r["n_bytes"] == len(payload)
+        assert r["sha256"] == hashlib.sha256(payload).hexdigest()
+        assert len(r["feature"]) == 8
+        assert abs(r["mean_byte"] - sum(payload) / len(payload)) < 1e-9
+    frames = sample_frames_stub(media).collect()
+    assert len(frames) > 0
+    meta = {r["media_id"]: r["meta"]["n_frames"] for r in media.collect()}
+    from collections import Counter
+
+    per_media = Counter(r["media_id"] for r in frames)
+    for mid, cnt in per_media.items():
+        assert cnt == len(range(0, meta[mid], 4))
