@@ -636,6 +636,44 @@ def _q_sample_det(spark, sf_dir):
 
 
 
+
+def _q_assortativity(spark, sf_dir):
+    from graphscope_spark.operators.assortativity import degree_assortativity_coefficient
+
+    r = degree_assortativity_coefficient(_graph(spark, sf_dir), "out", "in")
+    return spark.createDataFrame([(int(round(r * 1e6)),)], "assort_micro LONG")
+
+
+def _q_avg_degree_connectivity(spark, sf_dir):
+    from graphscope_spark.operators.assortativity import average_degree_connectivity
+
+    return average_degree_connectivity(_graph(spark, sf_dir)).select(
+        "deg", F.round(F.col("avg_nbr_deg") * 1e6).cast("long").alias("adc_micro"))
+
+
+def _q_node_boundary(spark, sf_dir):
+    from graphscope_spark.operators.assortativity import node_boundary
+
+    g = _graph(spark, sf_dir)
+    s = g.vertices.select("vid").filter(F.col("vid") < 500)
+    return node_boundary(g, s).select("vid")
+
+
+def _q_edge_boundary(spark, sf_dir):
+    from graphscope_spark.operators.assortativity import edge_boundary
+
+    g = _graph(spark, sf_dir)
+    s = g.vertices.select("vid").filter(F.col("vid") < 500)
+    return edge_boundary(g, s).select("src", "dst")
+
+
+def _q_sssp_avg_length(spark, sf_dir):
+    from graphscope_spark.operators.paths import sssp_average_length
+
+    r = sssp_average_length(_graph_und(spark, sf_dir), source=0)
+    return spark.createDataFrame([(int(round(r * 1e6)),)], "avg_len_micro LONG")
+
+
 # ---- training-data pipeline surface (documents / embeddings) --------------
 
 def _q_exact_dedup(spark, sf_dir):
@@ -758,6 +796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
+        "assortativity": _q_assortativity,
+        "avg_degree_connectivity": _q_avg_degree_connectivity,
+        "node_boundary": _q_node_boundary,
+        "edge_boundary": _q_edge_boundary,
+        "sssp_avg_length": _q_sssp_avg_length,
     }
 
 
@@ -932,5 +975,33 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": (
             "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
             "sha256(text) AS sha256 FROM documents"
+        ),
+        "assortativity": (
+            f"WITH edges AS MATERIALIZED ({_EDGES_SQL}), "
+            "od AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), "
+            "idg AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst) "
+            "SELECT CAST(ROUND(CORR(CAST(od.d AS DOUBLE), CAST(idg.d AS DOUBLE)) * 1e6) AS BIGINT) AS assort_micro "
+            "FROM edges e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst"
+        ),
+        "avg_degree_connectivity": (
+            _GRAPH_PRELUDE + ", "
+            "udeg AS MATERIALIZED (SELECT src AS vid, COUNT(DISTINCT dst) AS deg FROM sym GROUP BY src), "
+            "pv AS (SELECT e.src, ud.deg AS sdeg, AVG(dd.deg) AS knn "
+            "FROM sym e JOIN udeg ud ON e.src = ud.vid JOIN udeg dd ON e.dst = dd.vid "
+            "GROUP BY e.src, ud.deg) "
+            "SELECT sdeg AS deg, CAST(ROUND(AVG(knn) * 1e6) AS BIGINT) AS adc_micro FROM pv GROUP BY sdeg"
+        ),
+        "node_boundary": (
+            f"WITH edges AS MATERIALIZED ({_EDGES_SQL}) "
+            "SELECT DISTINCT dst AS vid FROM edges WHERE src < 500 AND dst >= 500"
+        ),
+        "edge_boundary": (
+            f"WITH edges AS MATERIALIZED ({_EDGES_SQL}) "
+            "SELECT src, dst FROM edges WHERE src < 500 AND dst >= 500"
+        ),
+        "sssp_avg_length": (
+            "SELECT CAST(ROUND(avg_d * 1e6) AS BIGINT) AS avg_len_micro FROM ("
+            "SELECT AVG(CAST(depth AS DOUBLE)) AS avg_d FROM ("
+            + _bfs_sql(12) + ") WHERE depth > 0)"
         ),
     }

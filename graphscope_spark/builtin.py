@@ -1,0 +1,94 @@
+"""Builtin-algorithm registry — the rebuild of the reference's algo
+dispatch surface.
+
+The reference registers 116 algorithms in
+/root/reference/coordinator/gscoordinator/builtin/app/.gs_conf.yaml and
+dispatches ``RUN_APP`` by algo name (grape_instance.cc:314-346). Here the
+registry maps those names (including the aliases the Python client
+exposes) onto the library's functions, so reference call sites port
+1:1::
+
+    from graphscope_spark.builtin import run
+    scores = run("pagerank_nx", graph, alpha=0.85, max_iter=100, tol=1e-6)
+
+Names not in the registry raise KeyError listing what IS supported —
+the honest coverage statement (FLASH/matching/measurement families are
+documented out-of-scope in SURVEY.md §2.B).
+"""
+
+from __future__ import annotations
+
+from graphscope_spark import operators as ops
+from graphscope_spark.graph import LinkGraph
+
+_REGISTRY = {
+    # ranking (yaml:2-33, 226-233, 123)
+    "pagerank": ops.pagerank, "pagerank_nx": ops.pagerank,
+    "pagerank_directed": ops.pagerank,
+    "hits": ops.hits,
+    "voterank": None,  # filled below (different module)
+    # traversal (yaml:34-49, 103-122, 150, 198, 220)
+    "bfs": ops.bfs, "bfs_generic": ops.bfs,
+    "sssp": ops.sssp, "sssp_projected": ops.sssp,
+    "all_pairs_shortest_path_length": ops.all_pairs_shortest_path_length,
+    # components (yaml:50-78)
+    "wcc": ops.wcc, "wcc_projected": ops.wcc, "wcc_auto": ops.wcc,
+    "wcc_opt": ops.wcc,
+    # community (yaml:79-86)
+    "cdlp": ops.cdlp, "lpa": ops.cdlp,
+    # clustering (yaml:87-102, 168-191)
+    "lcc": ops.lcc,
+    "triangles": ops.triangles,
+    "clustering": ops.lcc,
+    "avg_clustering": ops.avg_clustering,
+    "transitivity": ops.transitivity,
+    # cores (yaml:156-167)
+    "kcore": ops.kcore, "kshell": ops.kshell,
+    # centrality (yaml:131-149, 214-219, 286-298)
+    "degree_centrality": ops.degree_centrality,
+    "eigenvector_centrality": ops.eigenvector_centrality,
+    "katz_centrality": ops.katz_centrality,
+    "closeness_centrality": ops.closeness_centrality,
+}
+
+
+def _late_bindings():
+    from graphscope_spark.operators.assortativity import (
+        average_degree_connectivity,
+        degree_assortativity_coefficient,
+        edge_boundary,
+        node_boundary,
+    )
+    from graphscope_spark.operators.paths import (
+        is_simple_path,
+        sssp_average_length,
+        sssp_has_path,
+        voterank,
+    )
+
+    _REGISTRY.update({
+        "voterank": voterank,
+        "sssp_average_length": sssp_average_length,
+        "sssp_has_path": sssp_has_path,
+        "is_simple_path": is_simple_path,
+        "degree_assortativity_coefficient": degree_assortativity_coefficient,
+        "average_degree_connectivity": average_degree_connectivity,
+        "node_boundary": node_boundary,
+        "edge_boundary": edge_boundary,
+    })
+
+
+_late_bindings()
+
+
+def algorithms() -> list[str]:
+    return sorted(k for k, v in _REGISTRY.items() if v is not None)
+
+
+def run(algo: str, graph: LinkGraph, **params):
+    """Dispatch by reference algorithm name (RUN_APP analogue)."""
+    fn = _REGISTRY.get(algo)
+    if fn is None:
+        raise KeyError(
+            f"algorithm {algo!r} is not implemented; available: {algorithms()}")
+    return fn(graph, **params)

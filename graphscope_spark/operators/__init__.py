@@ -22,3 +22,22 @@ __all__ = [
     "kcore", "kshell", "core_numbers",
     "lcc", "avg_clustering", "transitivity",
 ]
+
+from graphscope_spark.operators.assortativity import (  # noqa: E402
+    average_degree_connectivity,
+    degree_assortativity_coefficient,
+    edge_boundary,
+    node_boundary,
+)
+from graphscope_spark.operators.paths import (  # noqa: E402
+    is_simple_path,
+    sssp_average_length,
+    sssp_has_path,
+    voterank,
+)
+
+__all__ += [
+    "degree_assortativity_coefficient", "average_degree_connectivity",
+    "node_boundary", "edge_boundary",
+    "sssp_average_length", "sssp_has_path", "is_simple_path", "voterank",
+]

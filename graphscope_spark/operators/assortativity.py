@@ -1,0 +1,82 @@
+"""Assortativity & boundary operators.
+
+Reference:
+- degree_assortativity_coefficient
+  (/root/reference/analytical_engine/apps/assortativity/degree_assortativity_coefficient.h,
+  registry yaml:234): Pearson correlation of endpoint degrees over edges
+  (NetworkX semantics; degree type selectable on directed graphs).
+- average_degree_connectivity
+  (/root/reference/analytical_engine/apps/assortativity/average_degree_connectivity.h,
+  yaml:254): for each degree k, the mean degree of neighbors of degree-k
+  vertices.
+- node_boundary / edge_boundary
+  (/root/reference/analytical_engine/apps/boundary/{node,edge}_boundary.h,
+  yaml:242-248): NetworkX boundary semantics over a vertex subset.
+
+All are single-pass join/agg plans: endpoint-degree joins are two hash
+joins against the (small, pre-aggregated) degree table — broadcast when
+it fits, never a shuffle of the edge table itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+
+
+def _endpoint_degrees(graph: LinkGraph, x: str = "out", y: str = "in") -> DataFrame:
+    """(sdeg, ddeg) per edge: degree of src (type x) × degree of dst (type y)."""
+    pick = {"out": graph.out_degrees, "in": graph.in_degrees,
+            "und": graph.und_degrees}
+    sdeg = pick[x]().select(F.col("vid").alias("src"), F.col("deg").alias("sdeg"))
+    ddeg = pick[y]().select(F.col("vid").alias("dst"), F.col("deg").alias("ddeg"))
+    e = graph.edges.select("src", "dst") if graph.directed else graph.edges.select("src", "dst")
+    return e.join(sdeg, "src").join(ddeg, "dst").select("sdeg", "ddeg")
+
+
+def degree_assortativity_coefficient(graph: LinkGraph, x: str = "out",
+                                     y: str = "in") -> float:
+    """Pearson correlation of (deg_x(src), deg_y(dst)) over edges. On an
+    undirected LinkGraph (symmetric edge set) pass x=y='und' for the
+    NetworkX undirected coefficient."""
+    row = _endpoint_degrees(graph, x, y).agg(
+        F.corr("sdeg", "ddeg").alias("r")).first()
+    return float(row["r"]) if row["r"] is not None else float("nan")
+
+
+def average_degree_connectivity(graph: LinkGraph) -> DataFrame:
+    """(deg, avg_nbr_deg): mean neighbor degree over the symmetric
+    neighborhood, grouped by vertex degree (undirected semantics)."""
+    deg = graph.und_degrees()
+    sym = graph.sym_edges() if graph.directed else graph.edges.select("src", "dst")
+    sd = deg.select(F.col("vid").alias("src"), F.col("deg").alias("sdeg"))
+    dd = deg.select(F.col("vid").alias("dst"), F.col("deg").alias("ddeg"))
+    per_vertex = (
+        sym.join(sd, "src").join(dd, "dst")
+        .groupBy("src", "sdeg").agg(F.avg("ddeg").alias("knn"))
+    )
+    return per_vertex.groupBy(F.col("sdeg").alias("deg")).agg(
+        F.avg("knn").alias("avg_nbr_deg"))
+
+
+def node_boundary(graph: LinkGraph, s: DataFrame) -> DataFrame:
+    """Vertices NOT in ``s`` with an in-edge from ``s`` (NX node_boundary
+    over the stored edge direction). ``s``: DataFrame(vid)."""
+    sv = s.select("vid")
+    return (
+        graph.edges.join(sv.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .select(F.col("dst").alias("vid")).distinct()
+        .join(sv, "vid", "left_anti")
+    )
+
+
+def edge_boundary(graph: LinkGraph, s: DataFrame) -> DataFrame:
+    """Edges (src, dst) with src ∈ s and dst ∉ s."""
+    sv = s.select("vid")
+    return (
+        graph.edges.select("src", "dst")
+        .join(sv.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(sv.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+    )

@@ -1,0 +1,131 @@
+"""Pregel user-program API + builtin registry + assortativity/paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark import LinkGraph, wcc
+from graphscope_spark.builtin import algorithms, run
+from graphscope_spark.operators.assortativity import (
+    average_degree_connectivity,
+    degree_assortativity_coefficient,
+    edge_boundary,
+    node_boundary,
+)
+from graphscope_spark.operators.paths import (
+    is_simple_path,
+    sssp_average_length,
+    sssp_has_path,
+    voterank,
+)
+from graphscope_spark.pregel import PregelProgram, run_pregel
+
+
+@pytest.fixture(scope="module")
+def g(spark, small_graph):
+    vertices, edges = small_graph
+    vdf = spark.createDataFrame([(v,) for v in vertices], "vid LONG")
+    edf = spark.createDataFrame(edges, "src LONG, dst LONG")
+    return LinkGraph(spark, edf, vertices=vdf, directed=True, num_partitions=4)
+
+
+def test_pregel_wcc_parity(g):
+    prog = PregelProgram(
+        init_value=F.col("vid"),
+        message=lambda e: e.select(e["dst"], e["value"].alias("msg")),
+        combine=F.min,
+        update=lambda old, msg: F.least(old, F.coalesce(msg, old)),
+    )
+    got = {r["vid"]: r["value"] for r in run_pregel(g, prog).collect()}
+    want = {r["vid"]: r["comp"] for r in wcc(g).collect()}
+    assert got == want
+
+
+def test_builtin_registry(g):
+    assert "pagerank_nx" in algorithms()
+    ranks = run("pagerank_nx", g, tol=1e-6).collect()
+    assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-6
+    with pytest.raises(KeyError):
+        run("flash_msf", g)
+
+
+def test_assortativity_and_boundary(g, small_graph, spark):
+    vertices, edges = small_graph
+    from collections import Counter
+
+    od = Counter(u for u, _ in edges)
+    idg = Counter(v for _, v in edges)
+    xs = [od[u] for u, v in edges]
+    ys = [idg[v] for u, v in edges]
+    import statistics
+
+    mx, my = statistics.mean(xs), statistics.mean(ys)
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / (len(xs) - 1)
+    r_want = cov / (statistics.stdev(xs) * statistics.stdev(ys))
+    r_got = degree_assortativity_coefficient(g, "out", "in")
+    assert abs(r_got - r_want) < 1e-9
+
+    adc = {r["deg"]: r["avg_nbr_deg"] for r in average_degree_connectivity(g).collect()}
+    assert all(v > 0 for v in adc.values())
+
+    s = spark.createDataFrame([(v,) for v in range(0, 50)], "vid LONG")
+    nb = {r["vid"] for r in node_boundary(g, s).collect()}
+    want_nb = {v for u, v in edges if u < 50 and v >= 50}
+    assert nb == want_nb
+    eb = {(r["src"], r["dst"]) for r in edge_boundary(g, s).collect()}
+    assert eb == {(u, v) for u, v in edges if u < 50 and v >= 50}
+
+
+def test_paths_and_voterank(g, small_graph):
+    vertices, edges = small_graph
+    eset = set(edges)
+    u, v = edges[0]
+    assert is_simple_path(g, [u, v])
+    assert not is_simple_path(g, [u, u])
+    # a 2-hop path if one exists
+    nxt = next(((v, w) for (x, w) in edges if x == v and w not in (u, v)), None)
+    if nxt:
+        assert is_simple_path(g, [u, v, nxt[1]]) == ((v, nxt[1]) in eset)
+    from tests.oracles import bfs_oracle
+
+    depth = bfs_oracle(vertices, edges, 0)
+    reach = [d for v2, d in depth.items() if d > 0]
+    if reach:
+        import statistics
+        assert abs(sssp_average_length(g, 0) - statistics.mean(reach)) < 1e-9
+        tgt = next(v2 for v2, d in depth.items() if d > 0)
+        assert sssp_has_path(g, 0, tgt)
+    unreach = [v2 for v2, d in depth.items() if d == -1 and v2 != 0]
+    if unreach:
+        assert not sssp_has_path(g, 0, unreach[0])
+
+    seeds = voterank(g, num_seeds=5)
+    assert len(seeds) == 5 and len(set(seeds)) == 5
+    # independent oracle: NX voterank with min-vid tie-break
+    from collections import defaultdict
+
+    sym = defaultdict(list)
+    for a, b in edges:
+        sym[a].append(b)
+        sym[b].append(a)
+    und = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            und[a].add(b)
+            und[b].add(a)
+    avg_k = sum(len(s2) for s2 in und.values()) / len(vertices)
+    ability = {v2: 1.0 for v2 in vertices}
+    want = []
+    for _ in range(5):
+        score = defaultdict(float)
+        for a in vertices:
+            for b in sym[a]:
+                score[b] += ability[a]
+        cand = [(s2, v2) for v2, s2 in score.items() if v2 not in want]
+        best = max(cand, key=lambda t: (t[0], -t[1]))
+        want.append(best[1])
+        ability[best[1]] = 0.0
+        for b in sym[best[1]]:
+            ability[b] = max(0.0, ability[b] - 1.0 / avg_k)
+    assert seeds == want
