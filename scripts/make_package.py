@@ -1,0 +1,32 @@
+"""Build dist/graphscope_spark.zip for spark-submit --py-files.
+
+Usage: python scripts/make_package.py  →  dist/graphscope_spark.zip
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out_dir: str = None) -> str:
+    out_dir = out_dir or os.path.join(ROOT, "dist")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "graphscope_spark.zip")
+    pkg = os.path.join(ROOT, "graphscope_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, ROOT)
+                    z.write(full, rel)
+    return out
+
+
+if __name__ == "__main__":
+    print(build())

@@ -1,0 +1,66 @@
+"""spark-submit entry point: run a builtin algorithm over an edge table.
+
+    spark-submit --py-files dist/graphscope_spark.zip scripts/run_algo.py \
+        --algo pagerank_nx --edges /path/edges.parquet --output /path/out \
+        --param alpha=0.85 --param tol=1e-6
+
+On a cluster the same command works with --master yarn/k8s and N
+executors; the engine's partitioning follows
+spark.sparkContext.defaultParallelism.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _parse_param(kv: str):
+    k, v = kv.split("=", 1)
+    for cast in (int, float):
+        try:
+            return k, cast(v)
+        except ValueError:
+            continue
+    if v in ("true", "false"):
+        return k, v == "true"
+    return k, v
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", required=True)
+    ap.add_argument("--edges", required=True, help="parquet with src,dst[,props]")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--undirected", action="store_true")
+    ap.add_argument("--param", action="append", default=[])
+    ap.add_argument("--checkpoint-dir", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from graphscope_spark.builtin import run
+    from graphscope_spark.graph import LinkGraph
+
+    spark = SparkSession.builder.appName(f"gs-{args.algo}").getOrCreate()
+    t0 = time.time()
+    edges = spark.read.parquet(args.edges)
+    graph = LinkGraph(spark, edges, directed=not args.undirected)
+    params = dict(_parse_param(p) for p in args.param)
+    result = run(args.algo, graph, **params)
+
+    meta = {"algo": args.algo, "params": params}
+    if hasattr(result, "write"):
+        result.write.mode("overwrite").parquet(args.output)
+        meta["rows"] = spark.read.parquet(args.output).count()
+    else:  # scalar / list results
+        meta["result"] = result
+    meta["wall_sec"] = time.time() - t0
+    print(json.dumps(meta))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

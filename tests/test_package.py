@@ -1,0 +1,49 @@
+"""Packaging: the spark-submit --py-files path (north-rule ship shape)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def test_zip_contains_package(tmp_path):
+    sys.path.insert(0, str(ROOT / "scripts"))
+    from make_package import build
+
+    out = build(str(tmp_path))
+    names = zipfile.ZipFile(out).namelist()
+    assert "graphscope_spark/__init__.py" in names
+    assert "graphscope_spark/operators/pagerank.py" in names
+    assert all(n.endswith(".py") for n in names)
+
+
+def test_spark_submit_py_files(tmp_path, spark):
+    """Run wcc via spark-submit --py-files on a freshly built zip — the
+    exact deployment shape the north rule requires."""
+    sys.path.insert(0, str(ROOT / "scripts"))
+    from make_package import build
+
+    zip_path = build(str(tmp_path))
+    edges = tmp_path / "edges.parquet"
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "src LONG, dst LONG"
+    ).coalesce(1).write.parquet(str(edges))
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, str(ROOT / "scripts" / "run_algo.py"),
+         "--algo", "wcc", "--edges", str(edges), "--output", str(out)],
+        capture_output=True, text=True, timeout=240, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    meta = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert meta["rows"] == 5
