@@ -59,6 +59,9 @@ def _late_bindings():
         edge_boundary,
         node_boundary,
     )
+    from graphscope_spark.operators.louvain import louvain
+    from graphscope_spark.operators.scc import scc
+    from graphscope_spark.operators.traversal import sssp_path
     from graphscope_spark.operators.paths import (
         is_simple_path,
         sssp_average_length,
@@ -75,6 +78,9 @@ def _late_bindings():
         "average_degree_connectivity": average_degree_connectivity,
         "node_boundary": node_boundary,
         "edge_boundary": edge_boundary,
+        "louvain": louvain,
+        "scc": scc, "flash_scc": scc,
+        "sssp_path": sssp_path,
     })
 
 

@@ -41,3 +41,9 @@ __all__ += [
     "node_boundary", "edge_boundary",
     "sssp_average_length", "sssp_has_path", "is_simple_path", "voterank",
 ]
+
+from graphscope_spark.operators.scc import scc  # noqa: E402
+from graphscope_spark.operators.louvain import louvain, modularity  # noqa: E402
+from graphscope_spark.operators.traversal import sssp_path  # noqa: E402
+
+__all__ += ["scc", "louvain", "modularity", "sssp_path"]

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import LinkGraph
+from graphscope_spark.runtime.truncate import truncate
 
 
 def _peel(edges: DataFrame, k: int, spark) -> DataFrame:
@@ -44,7 +45,7 @@ def _peel(edges: DataFrame, k: int, spark) -> DataFrame:
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .select("src", "dst")
         )
-        pruned = pruned.localCheckpoint(eager=True)
+        pruned = truncate(pruned)
         edges.unpersist()
         keep.unpersist()
         edges = pruned
@@ -79,7 +80,7 @@ def core_numbers(graph: LinkGraph) -> DataFrame:
             .persist(StorageLevel.MEMORY_AND_DISK)
         dropped = prev_survivors.join(survivors, "vid", "left_anti") \
             .select("vid", F.lit(k - 1).alias("core"))
-        results.append(dropped.localCheckpoint(eager=True))
+        results.append(truncate(dropped))
         if survivors.isEmpty():
             survivors.unpersist()
             break

@@ -39,12 +39,19 @@ class PageRankJob(SuperstepJob):
     name = "pagerank"
 
     def __init__(self, graph: LinkGraph, alpha: float = 0.85,
-                 max_iter: int = 100, tol: float = 1e-6, salt: int = 0):
+                 max_iter: int = 100, tol: float = 1e-6, salt: int = 0,
+                 init_ranks: DataFrame | None = None):
         self.graph = graph
         self.alpha = alpha
         self.max_iter = max_iter
         self.tol = tol
         self.salt = salt
+        # Ingress-style warm start (reference
+        # docs/analytical_engine/ingress.md:1-28 — memoization-path
+        # incrementalization): seed from a previous run's (vid, rank) so a
+        # slightly-changed graph re-converges in few supersteps instead of
+        # from 1/n. Missing vertices (new files) start at 1/n.
+        self.init_ranks = init_ranks
         # messages flow along stored edges (u→v ⇒ u's share reaches v);
         # an undirected LinkGraph already stores both directions.
         self.msg_edges = graph.edges if graph.directed else graph.sym_edges()
@@ -58,13 +65,24 @@ class PageRankJob(SuperstepJob):
         g = self.graph
         n = g.num_vertices
         p = 1.0 / n
-        state = g.out_degrees().select(
-            "vid", "deg", F.lit(p).alias("rank")
-        )
-        dangling_vnum = state.filter(F.col("deg") == 0).count()
+        if self.init_ranks is None:
+            state = g.out_degrees().select(
+                "vid", "deg", F.lit(p).alias("rank")
+            )
+            dangling_vnum = state.filter(F.col("deg") == 0).count()
+            dangling_sum = self.alpha * p * dangling_vnum
+        else:
+            prev = self.init_ranks.select("vid", F.col("rank").alias("r0"))
+            state = (
+                g.out_degrees().join(prev, "vid", "left")
+                .select("vid", "deg", F.coalesce("r0", F.lit(p)).alias("rank"))
+            )
+            dangling_sum = self.alpha * float(
+                state.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+            )
         scalars = {
             "n": n,
-            "dangling_sum": self.alpha * p * dangling_vnum,
+            "dangling_sum": dangling_sum,
             "eps": float("inf"),
         }
         return state, scalars
@@ -130,9 +148,11 @@ def pagerank(
     salt: int = 0,
     runner: SuperstepRunner | None = None,
     resume: bool = False,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Run PageRank to convergence; returns (vid, rank)."""
-    job = PageRankJob(graph, alpha=alpha, max_iter=max_iter, tol=tol, salt=salt)
+    job = PageRankJob(graph, alpha=alpha, max_iter=max_iter, tol=tol, salt=salt,
+                      init_ranks=init_ranks)
     runner = runner or SuperstepRunner(graph.spark)
     state, _ = runner.run(job, max_steps=max_iter + 1, resume=resume)
     return state.select("vid", "rank")

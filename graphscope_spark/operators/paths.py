@@ -21,6 +21,7 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import LinkGraph
 from graphscope_spark.operators.traversal import sssp
+from graphscope_spark.runtime.truncate import truncate
 
 
 def sssp_average_length(graph: LinkGraph, source: int,
@@ -94,7 +95,8 @@ def voterank(graph: LinkGraph, num_seeds: int = 10) -> list[int]:
                     F.col("ability") - F.coalesce("_d", F.lit(0.0)), F.lit(0.0)))
                 .alias("ability"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        new_ability = truncate(new_ability)
         ability.unpersist()
         ability = new_ability
     ability.unpersist()

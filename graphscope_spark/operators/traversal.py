@@ -106,6 +106,62 @@ def sssp(graph: LinkGraph, source: int, weight_col: str | None = None,
     return state.select("vid", "dist")
 
 
+class SSSPPathJob(SSSPJob):
+    """SSSP carrying predecessor pointers — the shortest-path TREE of
+    gs::SSSPPath (/root/reference/analytical_engine/apps/sssp/
+    sssp_path.h:30-131, output lines = [predecessor, node, dist]).
+    Predecessor ties break to the smallest parent vid (the reference
+    keeps arrival order — nondeterministic; we fix it)."""
+
+    name = "sssp_path"
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        sparse = scalars["frontier"] < self.sparse_threshold * self.graph.num_vertices
+        hint = "broadcast" if sparse else "shuffle_hash"
+        frontier = state.filter(F.col("changed")).select("vid", "dist").hint(hint)
+        relax = (
+            self.msg_edges.join(frontier, self.msg_edges["src"] == frontier["vid"])
+            .select("dst",
+                    F.struct((F.col("dist") + F.col("w")).alias("nd"),
+                             F.col("src").alias("par")).alias("cand"))
+            .groupBy("dst").agg(F.min("cand").alias("cand"))
+            .hint(hint)
+        )
+        obs = Observation()
+        better = F.col("cand.nd") < state["dist"]
+        new_state = (
+            state.join(relax, state["vid"] == relax["dst"], "left")
+            .select(
+                state["vid"],
+                F.when(better, F.col("cand.nd")).otherwise(state["dist"]).alias("dist"),
+                F.when(better, F.col("cand.par")).otherwise(state["parent"]).alias("parent"),
+                F.coalesce(better, F.lit(False)).alias("changed"),
+            )
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"))
+        )
+
+        def finalize(st: DataFrame):
+            changed = obs.get["c"] or 0
+            return {"frontier": int(changed)}, changed == 0
+
+        return new_state, finalize
+
+    def init(self, spark: SparkSession):
+        state, scalars = super().init(spark)
+        return state.select("vid", "dist", F.lit(None).cast("long").alias("parent"),
+                            "changed"), scalars
+
+
+def sssp_path(graph: LinkGraph, source: int, weight_col: str | None = None,
+              runner: SuperstepRunner | None = None) -> DataFrame:
+    """Shortest-path tree → (vid, dist, parent); parent NULL at the
+    source and unreached vertices."""
+    job = SSSPPathJob(graph, source, weight_col=weight_col)
+    runner = runner or SuperstepRunner(graph.spark)
+    state, _ = runner.run(job)
+    return state.select("vid", "dist", "parent")
+
+
 def bfs(graph: LinkGraph, source: int,
         runner: SuperstepRunner | None = None) -> DataFrame:
     """BFS depth from source → (vid, depth); unreachable = -1."""

@@ -41,6 +41,13 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InjectRuntimeFilter (bloom-filter injection) goes pathological on
+        # iterative self-referential join plans — measured 4×-per-round
+        # optimizer-time growth in the Louvain local-move loop (constant
+        # plan size, 0.8s → 130s/round). Runtime filters only help large
+        # scan-side reduction, which our in-memory superstep loops never
+        # have; re-enable per-query for scan-heavy ETL if needed.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
         # Arrow for pandas UDFs / toPandas (the engine's only Python path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -270,3 +270,58 @@ def closeness_oracle(vertices, edges, wf_improved=True):
             cc = 0.0
         out[v] = cc
     return out
+
+
+def scc_oracle(vertices, edges):
+    """Iterative Tarjan; labels = min vid per SCC."""
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comps = []
+    counter = [0]
+    for root in vertices:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    out = {}
+    for comp in comps:
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return out

@@ -1,0 +1,78 @@
+"""Louvain: determinism, partition validity, modularity quality."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark import LinkGraph
+from graphscope_spark.operators.louvain import _sym_weighted, louvain, modularity
+
+
+def planted_partition(n_comms=6, size=20, p_in=0.5, p_out=0.02, seed=9):
+    rnd = random.Random(seed)
+    n = n_comms * size
+    edges = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            same = i // size == j // size
+            if rnd.random() < (p_in if same else p_out):
+                edges.add((i, j))
+    return list(range(n)), sorted(edges)
+
+
+@pytest.fixture(scope="module")
+def pg(spark):
+    vertices, edges = planted_partition()
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+                  num_partitions=4)
+    return g, vertices, edges
+
+
+def _py_modularity(edges, labels):
+    sym = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    m2 = len(sym)
+    inw = {}
+    tot = {}
+    for u, v in sym:
+        tot[labels[u]] = tot.get(labels[u], 0) + 1
+        if labels[u] == labels[v]:
+            inw[labels[u]] = inw.get(labels[u], 0) + 1
+    return sum(inw.get(c, 0) / m2 - (t / m2) ** 2 for c, t in tot.items())
+
+
+def test_louvain_quality_and_determinism(pg):
+    g, vertices, edges = pg
+    r1 = {r["vid"]: r["community"]
+          for r in louvain(g, max_levels=3, max_rounds=8).collect()}
+    # valid partition over all vertices
+    assert set(r1) == set(vertices)
+    # deterministic
+    r2 = {r["vid"]: r["community"]
+          for r in louvain(g, max_levels=3, max_rounds=8).collect()}
+    assert r1 == r2
+    # label = min member vid
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for v, c in r1.items():
+        members[c].append(v)
+    for c, vs in members.items():
+        assert c == min(vs)
+    # quality: planted partition has Q≈0.6; demand ≥ 0.45 and ≥ ground-truth-0.15
+    q = _py_modularity(edges, r1)
+    truth = {v: v // 20 for v in vertices}
+    q_truth = _py_modularity(edges, truth)
+    assert q >= 0.45, (q, q_truth)
+    assert q >= q_truth - 0.15
+
+
+def test_modularity_matches_python(pg):
+    g, vertices, edges = pg
+    truth = {v: v // 20 for v in vertices}
+    lab = g.spark.createDataFrame(list(truth.items()), "vid LONG, comm LONG")
+    q_spark = modularity(_sym_weighted(g, None), lab)
+    assert abs(q_spark - _py_modularity(edges, truth)) < 1e-9

@@ -1,0 +1,83 @@
+"""SCC, shortest-path tree, warm-start PageRank."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark import LinkGraph, pagerank
+from graphscope_spark.operators.scc import scc
+from graphscope_spark.operators.traversal import sssp_path
+from graphscope_spark.runtime.superstep import SuperstepRunner
+from tests import oracles
+
+
+def _cyclic_graph(n=120, seed=3):
+    """Directed graph with several nontrivial SCCs: ring blocks + random
+    cross edges."""
+    rnd = random.Random(seed)
+    edges = set()
+    for b in range(0, n, 12):  # rings of 12
+        size = min(12, n - b)
+        for i in range(size):
+            edges.add((b + i, b + (i + 1) % size))
+    for _ in range(n):
+        edges.add((rnd.randrange(n), rnd.randrange(n)))
+    edges = {(u, v) for u, v in edges if u != v}
+    return list(range(n)), sorted(edges)
+
+
+def test_scc(spark):
+    vertices, edges = _cyclic_graph()
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+                  num_partitions=4)
+    got = {r["vid"]: r["scc"] for r in scc(g).collect()}
+    want = oracles.scc_oracle(vertices, edges)
+    assert got == want
+
+
+def test_sssp_path_tree(spark, small_graph):
+    vertices, edges = small_graph
+    rnd = random.Random(7)
+    wedges = [(u, v, float(rnd.randint(1, 10))) for u, v in edges]
+    g = LinkGraph(spark, spark.createDataFrame(wedges, "src LONG, dst LONG, weight DOUBLE"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+                  num_partitions=4)
+    rows = sssp_path(g, 0, weight_col="weight").collect()
+    dist = {r["vid"]: r["dist"] for r in rows}
+    parent = {r["vid"]: r["parent"] for r in rows}
+    want = oracles.sssp_oracle(vertices, wedges, 0)
+    assert dist == want
+    w = {(u, v): wt for u, v, wt in wedges}
+    assert parent[0] is None
+    for v, p in parent.items():
+        if v == 0 or dist[v] == float("inf"):
+            assert p is None
+        else:
+            # tree property: parent edge is tight
+            assert (p, v) in w and abs(dist[p] + w[(p, v)] - dist[v]) < 1e-9, (v, p)
+
+
+def test_pagerank_warm_start(spark, small_graph):
+    vertices, edges = small_graph
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+                  num_partitions=4)
+    r1 = SuperstepRunner(spark)
+    cold = pagerank(g, tol=1e-6, runner=r1)
+    cold_iters = len(r1.history)
+    cold_ranks = {r["vid"]: r["rank"] for r in cold.collect()}
+    # warm start from the converged ranks: must re-converge almost
+    # immediately and to the same values
+    seed = spark.createDataFrame(list(cold_ranks.items()), "vid LONG, rank DOUBLE")
+    r2 = SuperstepRunner(spark)
+    warm = pagerank(g, tol=1e-6, runner=r2, init_ranks=seed)
+    warm_iters = len(r2.history)
+    assert warm_iters <= max(2, cold_iters // 4)
+    for r in warm.collect():
+        # both runs stopped within eps<tol·n of the fixpoint — they can
+        # differ from EACH OTHER by up to ~2·tol per vertex
+        assert abs(r["rank"] - cold_ranks[r["vid"]]) < 5e-6
