@@ -674,6 +674,31 @@ def _q_sssp_avg_length(spark, sf_dir):
     return spark.createDataFrame([(int(round(r * 1e6)),)], "avg_len_micro LONG")
 
 
+
+def _q_scc(spark, sf_dir):
+    from graphscope_spark.operators.scc import scc
+
+    return scc(_graph(spark, sf_dir)).select("vid", "scc")
+
+
+def _q_louvain(spark, sf_dir):
+    from graphscope_spark.operators.louvain import louvain
+
+    return louvain(_graph(spark, sf_dir, tri=True), max_levels=2,
+                   max_rounds=6).select("vid", "community")
+
+
+def _q_modularity_cdlp(spark, sf_dir):
+    from graphscope_spark import cdlp
+    from graphscope_spark.operators.louvain import modularity
+
+    g = _graph(spark, sf_dir)
+    labels = cdlp(g, max_round=2).withColumnRenamed("label", "comm")
+    sym = g.sym_edges().select("src", "dst", F.lit(1.0).alias("w"))
+    q = modularity(sym, labels)
+    return spark.createDataFrame([(int(round(q * 1e6)),)], "q_micro LONG")
+
+
 # ---- training-data pipeline surface (documents / embeddings) --------------
 
 def _q_exact_dedup(spark, sf_dir):
@@ -801,6 +826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_boundary": _q_node_boundary,
         "edge_boundary": _q_edge_boundary,
         "sssp_avg_length": _q_sssp_avg_length,
+        "scc": _q_scc,
+        "louvain": _q_louvain,
+        "modularity_cdlp": _q_modularity_cdlp,
     }
 
 
@@ -1003,5 +1031,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ROUND(avg_d * 1e6) AS BIGINT) AS avg_len_micro FROM ("
             "SELECT AVG(CAST(depth AS DOUBLE)) AS avg_d FROM ("
             + _bfs_sql(12) + ") WHERE depth > 0)"
+        ),
+        # scc: the part->supplier graph is a DAG — every vertex is its own
+        # SCC; the oracle checks the engine merges nothing.
+        "scc": (
+            f"WITH edges AS MATERIALIZED ({_EDGES_SQL}) "
+            "SELECT vid, vid AS scc FROM (SELECT DISTINCT vid FROM "
+            "(SELECT src AS vid FROM edges UNION SELECT dst FROM edges))"
+        ),
+        # louvain: non-canonical partition — rows-only.
+        "modularity_cdlp": (
+            _cdlp_sql(2).replace("SELECT vid, label FROM l2", "") + ", "
+            + """lab AS MATERIALIZED (SELECT vid, label AS c FROM l2),
+            je AS (SELECT ls.c AS cs, ld.c AS cd FROM sym e
+                   JOIN lab ls ON e.src = ls.vid JOIN lab ld ON e.dst = ld.vid),
+            m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM je),
+            pc AS (SELECT cs, SUM(CASE WHEN cs = cd THEN 1.0 ELSE 0.0 END) AS inw,
+                   CAST(COUNT(*) AS DOUBLE) AS tot FROM je GROUP BY cs)
+            SELECT CAST(ROUND(SUM(inw / (SELECT m FROM m2)
+                   - (tot / (SELECT m FROM m2)) * (tot / (SELECT m FROM m2))) * 1e6) AS BIGINT) AS q_micro
+            FROM pc"""
         ),
     }
