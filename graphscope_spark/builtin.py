@@ -59,6 +59,7 @@ def _late_bindings():
         edge_boundary,
         node_boundary,
     )
+    from graphscope_spark.operators.betweenness import betweenness_centrality
     from graphscope_spark.operators.louvain import louvain
     from graphscope_spark.operators.scc import scc
     from graphscope_spark.operators.traversal import sssp_path
@@ -79,6 +80,8 @@ def _late_bindings():
         "node_boundary": node_boundary,
         "edge_boundary": edge_boundary,
         "louvain": louvain,
+        "betweenness_centrality": betweenness_centrality,
+        "betweenness_centrality_generic": betweenness_centrality,
         "scc": scc, "flash_scc": scc,
         "sssp_path": sssp_path,
     })

@@ -47,3 +47,7 @@ from graphscope_spark.operators.louvain import louvain, modularity  # noqa: E402
 from graphscope_spark.operators.traversal import sssp_path  # noqa: E402
 
 __all__ += ["scc", "louvain", "modularity", "sssp_path"]
+
+from graphscope_spark.operators.betweenness import betweenness_centrality  # noqa: E402
+
+__all__ += ["betweenness_centrality"]

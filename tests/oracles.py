@@ -325,3 +325,46 @@ def scc_oracle(vertices, edges):
         for v in comp:
             out[v] = m
     return out
+
+
+def betweenness_oracle(vertices, edges, directed=True, normalized=True):
+    """Brandes exact betweenness (endpoints excluded)."""
+    from collections import deque
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        if not directed:
+            adj[v].append(u)
+    bc = {v: 0.0 for v in vertices}
+    n = len(vertices)
+    for s in vertices:
+        stack = []
+        pred = defaultdict(list)
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        delta = defaultdict(float)
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    if not directed:
+        bc = {v: x / 2.0 for v, x in bc.items()}
+    if normalized and n > 2:
+        scale = (1.0 if directed else 2.0) / ((n - 1) * (n - 2))
+        bc = {v: x * scale for v, x in bc.items()}
+    return bc
