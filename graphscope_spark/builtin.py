@@ -60,6 +60,7 @@ def _late_bindings():
         node_boundary,
     )
     from graphscope_spark.operators.betweenness import betweenness_centrality
+    from graphscope_spark.operators.sampling import all_simple_paths, sampling_path
     from graphscope_spark.operators.louvain import louvain
     from graphscope_spark.operators.scc import scc
     from graphscope_spark.operators.traversal import sssp_path
@@ -84,6 +85,8 @@ def _late_bindings():
         "betweenness_centrality_generic": betweenness_centrality,
         "scc": scc, "flash_scc": scc,
         "sssp_path": sssp_path,
+        "all_simple_paths": all_simple_paths,
+        "sampling_path": sampling_path,
     })
 
 

@@ -51,3 +51,8 @@ __all__ += ["scc", "louvain", "modularity", "sssp_path"]
 from graphscope_spark.operators.betweenness import betweenness_centrality  # noqa: E402
 
 __all__ += ["betweenness_centrality"]
+
+from graphscope_spark.operators.sampling import all_simple_paths, sampling_path  # noqa: E402
+from graphscope_spark.operators.lpa_u2i import lpa_u2i  # noqa: E402
+
+__all__ += ["all_simple_paths", "sampling_path", "lpa_u2i"]

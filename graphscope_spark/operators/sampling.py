@@ -1,0 +1,91 @@
+"""Path sampling + simple-path enumeration.
+
+Reference:
+- sampling_path: in-repo app exercised by the reference CI
+  (/root/reference/analytical_engine/test/app_tests.sh:246-264) —
+  sample fixed-length paths from the graph. Here: deterministic seeded
+  random walks — each walk picks its next edge by
+  xxhash64(seed, walk_id, step) % degree, so results are reproducible at
+  any parallelism (Spark-side, one join per step, no RNG state).
+- all_simple_paths (/root/reference/analytical_engine/apps/simple_path/
+  all_simple_paths.h:30-279, registry yaml:278): enumerate all simple
+  paths source→target up to a cutoff. Here: breadth-wise frontier of
+  partial paths held in an array column; one join + array_contains
+  filter per depth (the reference recurses per-vertex; the DataFrame
+  form batches the whole frontier per depth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.runtime.truncate import truncate
+
+
+def sampling_path(graph: LinkGraph, num_paths: int = 100, length: int = 3,
+                  seed: int = 42) -> DataFrame:
+    """(walk_id, path: array<long>) — `num_paths` seeded random walks of
+    up to `length` edges (walks stop early at sinks)."""
+    spark = graph.spark
+    # adjacency with a per-source neighbor index for deterministic choice
+    adj = graph.edges.select("src", "dst").distinct()
+    adj = adj.withColumn(
+        "nbr_idx",
+        F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1,
+    )
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    adj = truncate(adj.join(deg, "src")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    n = graph.num_vertices
+    starts = (
+        spark.range(num_paths)
+        .select(F.col("id").alias("walk_id"))
+        .join(F.broadcast(
+            graph.vertices.select("vid").withColumn(
+                "rn", F.row_number().over(Window.orderBy("vid")) - 1)),
+            F.pmod(F.xxhash64(F.col("walk_id") + seed), F.lit(n)) == F.col("rn"))
+        .select("walk_id", F.array("vid").alias("path"), F.col("vid").alias("cur"))
+    )
+    state = truncate(starts)
+    for step in range(length):
+        choice = F.pmod(F.xxhash64(F.col("walk_id") + seed, F.lit(step + 7)),
+                        F.col("deg"))
+        nxt = (
+            state.join(adj, state["cur"] == adj["src"])
+            .filter(F.col("nbr_idx") == choice)
+            .select("walk_id", F.concat("path", F.array("dst")).alias("path"),
+                    F.col("dst").alias("cur"))
+        )
+        ended = state.join(nxt.select("walk_id"), "walk_id", "left_anti")
+        state = truncate(nxt.unionByName(ended))
+    return state.select("walk_id", "path")
+
+
+def all_simple_paths(graph: LinkGraph, source: int, target: int,
+                     cutoff: int = 5) -> DataFrame:
+    """(path: array<long>) — every simple path source→target with ≤
+    `cutoff` edges."""
+    spark = graph.spark
+    edges = graph.edges.select("src", "dst").distinct() \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = truncate(spark.createDataFrame(
+        [([int(source)], int(source))], "path ARRAY<BIGINT>, cur LONG"))
+    found = None
+    for _ in range(cutoff):
+        expanded = (
+            frontier.join(edges, frontier["cur"] == edges["src"])
+            .filter(~F.array_contains("path", F.col("dst")))
+            .select(F.concat("path", F.array("dst")).alias("path"),
+                    F.col("dst").alias("cur"))
+        )
+        expanded = truncate(expanded)
+        hits = expanded.filter(F.col("cur") == target).select("path")
+        found = hits if found is None else found.unionByName(hits)
+        frontier = expanded.filter(F.col("cur") != target)
+        if frontier.isEmpty():
+            break
+    return truncate(found) if found is not None else spark.createDataFrame(
+        [], "path ARRAY<BIGINT>")

@@ -1,0 +1,114 @@
+"""lpa_u2i, sampling_path, all_simple_paths."""
+
+from __future__ import annotations
+
+import random
+
+from graphscope_spark import LinkGraph
+from graphscope_spark.operators.lpa_u2i import lpa_u2i
+from graphscope_spark.operators.sampling import all_simple_paths, sampling_path
+
+
+def _bipartite(nu=20, ni=10, seed=3):
+    rnd = random.Random(seed)
+    edges = set()
+    for u in range(nu):
+        for _ in range(rnd.randint(1, 4)):
+            edges.add((u, 1000 + rnd.randrange(ni), float(rnd.randint(1, 5))))
+    # seed labels: first 5 users clamped to 1/0, rest fractional
+    props = {u: (1.0 if u < 3 else (0.0 if u < 5 else round(rnd.random(), 3) or 0.5),
+                 round(rnd.random(), 3) or 0.5) for u in range(nu)}
+    return sorted(edges), props
+
+
+def _oracle_u2i(edges, props, max_round=10):
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    ine = defaultdict(list)
+    for u, i, w in edges:
+        out[u].append((i, w))
+        ine[i].append((u, w))
+    od = {u: len(v) for u, v in out.items()}
+    idg = {i: len(v) for v, i in [(v, i) for i, v in ine.items()]}
+    idg = {i: len(v) for i, v in ine.items()}
+    nsum = {u: sum(idg[i] for i, _ in out[u]) for u in out}
+    P = 2
+    ulab = {u: list(p) for u, p in props.items()}
+    ilab = {}
+    for step in range(2, max_round + 1):
+        if step % 2 == 0:
+            ilab = {i: [sum(ulab[u][k] * w for u, w in ine[i]) for k in range(P)]
+                    for i in ine}
+        else:
+            for u in list(ulab):
+                if u not in out:
+                    continue
+                tmp = [sum(ilab.get(i, [0.0] * P)[k] * w for i, w in out[u])
+                       for k in range(P)]
+                for k in range(P):
+                    p = ulab[u][k]
+                    if p in (0.0, 1.0) or nsum.get(u, od.get(u, 0)) == od.get(u, 0):
+                        continue
+                    ulab[u][k] = (tmp[k] - od[u] * p) / (nsum[u] - od[u])
+    return ulab
+
+
+def test_lpa_u2i(spark):
+    edges, props = _bipartite()
+    u = spark.createDataFrame(
+        [(u, p0, p1) for u, (p0, p1) in sorted(props.items())],
+        "vid LONG, w0 DOUBLE, w1 DOUBLE")
+    e = spark.createDataFrame(edges, "src LONG, dst LONG, weight DOUBLE")
+    got = {r["vid"]: (r["w0"], r["w1"])
+           for r in lpa_u2i(spark, u, e, ["w0", "w1"], max_round=10).collect()}
+    want = _oracle_u2i(edges, props, max_round=10)
+    assert set(got) == set(want)
+    for uu in want:
+        for k in range(2):
+            assert abs(got[uu][k] - want[uu][k]) < 1e-9, (uu, k)
+
+
+def test_sampling_path_deterministic(spark, tiny_graph):
+    vertices, edges = tiny_graph
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+                  num_partitions=2)
+    p1 = sorted((r["walk_id"], tuple(r["path"]))
+                for r in sampling_path(g, num_paths=20, length=3).collect())
+    p2 = sorted((r["walk_id"], tuple(r["path"]))
+                for r in sampling_path(g, num_paths=20, length=3).collect())
+    assert p1 == p2 and len(p1) == 20
+    eset = set(edges)
+    for _, path in p1:
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in eset
+
+
+def test_all_simple_paths(spark, tiny_graph):
+    vertices, edges = tiny_graph
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+                  num_partitions=2)
+    got = {tuple(r["path"]) for r in all_simple_paths(g, 0, 3, cutoff=5).collect()}
+    # oracle DFS
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+
+    want = set()
+
+    def dfs(node, path):
+        if len(path) > 6:
+            return
+        if node == 3:
+            want.add(tuple(path))
+            return
+        for nb in adj[node]:
+            if nb not in path:
+                dfs(nb, path + [nb])
+
+    dfs(0, [0])
+    assert got == want and len(want) > 0
