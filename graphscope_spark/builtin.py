@@ -61,6 +61,7 @@ def _late_bindings():
     )
     from graphscope_spark.operators.betweenness import betweenness_centrality
     from graphscope_spark.operators.sampling import all_simple_paths, sampling_path
+    from graphscope_spark.operators.traversal import diameter_approx, eccentricity
     from graphscope_spark.operators.louvain import louvain
     from graphscope_spark.operators.scc import scc
     from graphscope_spark.operators.traversal import sssp_path
@@ -86,6 +87,9 @@ def _late_bindings():
         "scc": scc, "flash_scc": scc,
         "sssp_path": sssp_path,
         "all_simple_paths": all_simple_paths,
+        "eccentricity": eccentricity,
+        "flash_diameter_approx": diameter_approx,
+        "diameter_approx": diameter_approx,
         "sampling_path": sampling_path,
     })
 

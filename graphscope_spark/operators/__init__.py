@@ -56,3 +56,7 @@ from graphscope_spark.operators.sampling import all_simple_paths, sampling_path 
 from graphscope_spark.operators.lpa_u2i import lpa_u2i  # noqa: E402
 
 __all__ += ["all_simple_paths", "sampling_path", "lpa_u2i"]
+
+from graphscope_spark.operators.traversal import diameter_approx, eccentricity  # noqa: E402
+
+__all__ += ["eccentricity", "diameter_approx"]

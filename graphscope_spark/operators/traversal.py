@@ -271,3 +271,30 @@ def closeness_centrality(graph: LinkGraph, sources: list[int] | None = None,
         ).otherwise(F.lit(0.0)).alias("closeness"),
     )
     return cc
+
+
+def eccentricity(graph: LinkGraph, sources: list[int] | None = None,
+                 runner: SuperstepRunner | None = None) -> DataFrame:
+    """(vid, ecc) — max finite BFS depth from each listed source over the
+    stored direction (sym view when undirected)."""
+    if sources is None:
+        sources = [r["vid"] for r in graph.vertices.select("vid").collect()]
+    d = msbfs(graph, sources, runner=runner)
+    return d.groupBy(F.col("source").alias("vid")).agg(
+        F.max("depth").alias("ecc"))
+
+
+def diameter_approx(graph: LinkGraph, num_pivots: int = 16,
+                    seed: int = 42) -> int:
+    """Lower-bound diameter estimate: max eccentricity over `num_pivots`
+    hash-sampled pivots (the reference's flash_diameter_approx,
+    /root/reference/analytical_engine/apps/flash/measurement/
+    diameter_approx.h, uses BFS from sampled sources the same way)."""
+    n = graph.num_vertices
+    pivots = [
+        r["vid"] for r in graph.vertices.select("vid")
+        .withColumn("h", F.pmod(F.xxhash64(F.col("vid") + seed), F.lit(max(1, n))))
+        .orderBy("h").limit(num_pivots).collect()
+    ]
+    row = eccentricity(graph, sources=pivots).agg(F.max("ecc")).first()
+    return int(row[0]) if row and row[0] is not None else 0

@@ -143,3 +143,20 @@ def test_closeness_sampled(g, small_graph):
     want = oracles.closeness_oracle(vertices, edges)
     for v in sources:
         assert abs(got[v] - want[v]) < 1e-12, v
+
+
+def test_eccentricity_and_diameter(spark, tiny_graph):
+    from graphscope_spark.operators.traversal import diameter_approx, eccentricity
+    from graphscope_spark import LinkGraph
+
+    vertices, edges = tiny_graph
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+                  num_partitions=2)
+    ecc = {r["vid"]: r["ecc"] for r in eccentricity(g, sources=vertices).collect()}
+    want = {}
+    for s in vertices:
+        depth = oracles.bfs_oracle(vertices, edges, s)
+        want[s] = max(d for d in depth.values() if d >= 0)
+    assert ecc == want
+    assert diameter_approx(g, num_pivots=len(vertices)) == max(want.values())
