@@ -17,15 +17,30 @@ from pyspark.sql import functions as F
 
 def exact_dedup(df: DataFrame, key_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-id representative per exact content (hash-groupBy —
-    two-level: group on xxhash64(content) first so the wide content column
-    never shuffles, then resolve rare collisions on the content itself)."""
-    h = df.select(id_col, F.xxhash64(key_col).alias("_h"), key_col)
-    return (
-        h.groupBy("_h", key_col)
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col, key_col)
+    """Keep the min-id representative per exact content.
+
+    Two-phase so the wide content column never enters a groupBy key:
+    phase 1 groups on xxhash64(content) carrying only ids (narrow
+    shuffle); hashes seen once elect their doc directly. Phase 2 resolves
+    only colliding hashes (count > 1 — duplicates or the vanishingly rare
+    64-bit collision) by re-grouping JUST those docs on the content
+    itself. The final semi-join keeps winner rows from the original table
+    without ever aggregating content.
+    """
+    ids = df.select(F.col(id_col).alias("_id"), F.xxhash64(key_col).alias("_h"))
+    per_hash = ids.groupBy("_h").agg(
+        F.min("_id").alias("_rep"), F.count("*").alias("_cnt"))
+    singles = per_hash.filter(F.col("_cnt") == 1).select(F.col("_rep").alias("_id"))
+    multi_h = per_hash.filter(F.col("_cnt") > 1).select("_h")
+    multi = (
+        df.select(F.col(id_col).alias("_id"), F.xxhash64(key_col).alias("_h"),
+                  F.col(key_col))
+        .join(multi_h, "_h", "left_semi")
+        .groupBy("_h", key_col).agg(F.min("_id").alias("_id"))
+        .select("_id")
     )
+    winners = singles.unionByName(multi).withColumnRenamed("_id", id_col)
+    return df.join(winners, id_col, "left_semi").select(id_col, key_col)
 
 
 def _shingles(col, n: int = 3):
@@ -107,7 +122,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
     Returns (id_a, id_b, jaccard). The verify step makes the output a
     deterministic SUBSET of ``ngram_jaccard_pairs`` (candidates LSH may
-    miss are the recall tradeoff — measured in tests).
+    miss are the recall tradeoff — measured in tests). Verify cost is
+    O(|candidates|): each candidate pair joins to its two (distinct)
+    shingle arrays and Jaccard comes from ``array_intersect`` — the exact
+    inverted-index self-join is never run, so LSH's candidate pruning is
+    the actual work saved at scale.
     """
     rows = num_hashes // bands
     sigs = _minhash_sigs(df, text_col, id_col, num_hashes, n)
@@ -129,13 +148,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0,
-                                max_bucket=max_bucket)
-    return (
-        cand.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    sh = df.select(F.col(id_col).alias("id"),
+                   _shingles(F.col(text_col), n).alias("sh"))
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+                  "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+              "id_b")
+        .select("id_a", "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+                F.size("sh_a").alias("size_a"), F.size("sh_b").alias("size_b"))
+        .select("id_a", "id_b",
+                (F.col("inter")
+                 / (F.col("size_a") + F.col("size_b") - F.col("inter")))
+                .alias("jaccard"))
     )
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -4,9 +4,11 @@
   the dot product as a JVM-side ``zip_with``/``aggregate`` fold (no UDF).
   The baseline; at scale restrict the query side, broadcast it.
 - ``ivf_topk`` — IVF-style bucketed ANN: coarse-quantize every vector by
-  the sign pattern of its first ``nbits`` dimensions (a deterministic,
-  data-independent code — an LSH hyperplane family aligned to the axes);
-  probe the query's own cell plus all cells at Hamming distance ≤
+  the sign pattern of its projections onto ``nbits`` seeded pseudo-random
+  hyperplanes spanning the FULL dimensionality (classic random-hyperplane
+  LSH — deterministic coefficients derived from (plane, dim, seed), so
+  the code is reproducible at any parallelism and needs no training
+  pass); probe the query's own cell plus all cells at Hamming distance ≤
   ``nprobe_ham``. Search cost drops ~2^nbits-fold; recall measured in
   tests against the brute-force baseline.
 """
@@ -51,27 +53,49 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def _cell(vec: Column, nbits: int) -> Column:
-    """Sign-pattern coarse code of the first nbits dimensions."""
+def hyperplane_coef(plane: int, dim: int, seed: int = 42) -> float:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1).
+
+    A 32-bit avalanche mix of (plane, dim, seed) — good enough spread for
+    sign-LSH, reproducible in any engine (DuckDB oracles inline the same
+    literals)."""
+    h = (plane * 73_856_093) ^ (dim * 19_349_663) ^ (seed * 83_492_791)
+    h &= 0xFFFFFFFF
+    h = (h ^ (h >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+    h = (h ^ (h >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+    h ^= h >> 16
+    return h / 2_147_483_648.0 - 1.0
+
+
+def _cell(vec: Column, nbits: int, dim: int, seed: int = 42) -> Column:
+    """Sign pattern of projections onto ``nbits`` seeded hyperplanes over
+    the full vector (JVM-side fold, no UDF)."""
     code = F.lit(0)
     for i in range(nbits):
-        code = code + F.when(vec[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        coeffs = F.array(*[F.lit(hyperplane_coef(i, j, seed)) for j in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0), lambda acc, x: acc + x)
+        code = code + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return code.cast("int")
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             nbits: int = 6, nprobe_ham: int = 1) -> DataFrame:
+             nbits: int = 6, nprobe_ham: int = 1, dim: int | None = None,
+             seed: int = 42) -> DataFrame:
     """Approximate top-k: search only cells within Hamming distance
-    ``nprobe_ham`` of the query's sign-pattern cell."""
+    ``nprobe_ham`` of the query's random-hyperplane cell."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
-                      _cell(F.col(vec_col), nbits).alias("cell"))
+                      _cell(F.col(vec_col), nbits, dim, seed).alias("cell"))
     probe_deltas = [0] + [sum(1 << i for i in bits)
                           for d in range(1, nprobe_ham + 1)
                           for bits in combinations(range(nbits), d)]
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       _cell(F.col(vec_col), nbits).alias("qcell"))
+                       _cell(F.col(vec_col), nbits, dim, seed).alias("qcell"))
         .select("query_id", "qv",
                 F.explode(F.array(*[F.col("qcell").bitwiseXOR(F.lit(d)) for d in probe_deltas]))
                 .alias("cell"))

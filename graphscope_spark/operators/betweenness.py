@@ -10,10 +10,14 @@ batches ALL sources through each phase simultaneously: pair-state
 (cross-source work shares one shuffle), then dependencies sweep back one
 depth level per superstep.
 
-``sources=None`` uses every vertex (exact betweenness; small graphs);
-pass a sample of pivots for the standard approximation at scale.
-Normalization follows NetworkX: directed 1/((n−1)(n−2)), undirected
-2/((n−1)(n−2)), with endpoint exclusion as in Brandes.
+``sources=None`` samples ``num_pivots`` hash-chosen pivots (the standard
+Brandes-subset approximation — the only mode that survives at scale);
+pass ``sources="all"`` explicitly for exact betweenness on small graphs,
+or an explicit pivot list. Normalization follows NetworkX: directed
+1/((n−1)(n−2)), undirected 2/((n−1)(n−2)), endpoint exclusion as in
+Brandes; with a proper pivot subset the estimate is extrapolated by
+n/k exactly like NetworkX's ``k=`` sampling (its ``_rescale`` applies
+n/k whenever scale is non-None, i.e. normalized or undirected).
 """
 
 from __future__ import annotations
@@ -23,25 +27,29 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import LinkGraph
-from graphscope_spark.runtime.truncate import truncate
+from graphscope_spark.operators.traversal import resolve_sources
+from graphscope_spark.runtime.truncate import Truncator
 
 
-def betweenness_centrality(graph: LinkGraph, sources: list[int] | None = None,
-                           normalized: bool = True) -> DataFrame:
-    """(vid, betweenness). Exact when ``sources`` is None."""
+def betweenness_centrality(graph: LinkGraph,
+                           sources: list[int] | str | None = None,
+                           normalized: bool = True,
+                           num_pivots: int = 16, seed: int = 42) -> DataFrame:
+    """(vid, betweenness). Sampled-pivot estimate by default; exact with
+    ``sources="all"``."""
     spark = graph.spark
     n = graph.num_vertices
-    if sources is None:
-        sources = [r["vid"] for r in graph.vertices.select("vid").collect()]
+    sources = resolve_sources(graph, sources, num_pivots, seed)
+    t = Truncator()
     # undirected LinkGraphs store the symmetric edge set already
     edges = graph.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
 
     src_df = spark.createDataFrame([(int(s),) for s in sources], "source LONG")
     # ---- forward: levels with path counts --------------------------------
     # state rows: (source, vid, depth, sigma)
-    settled = truncate(src_df.select(
+    settled = t(src_df.select(
         "source", F.col("source").alias("vid"),
-        F.lit(0).alias("depth"), F.lit(1.0).alias("sigma")))
+        F.lit(0).alias("depth"), F.lit(1.0).alias("sigma")), "settled")
     frontier = settled
     depth = 0
     while True:
@@ -53,17 +61,19 @@ def betweenness_centrality(graph: LinkGraph, sources: list[int] | None = None,
             .join(settled.select("source", "vid"), ["source", "vid"], "left_anti")
             .select("source", "vid", F.lit(depth).alias("depth"), "sigma")
         )
-        nxt = truncate(nxt)
+        nxt = t(nxt, "frontier")
         if nxt.isEmpty():
             break
-        settled = truncate(settled.unionByName(nxt))
+        settled = t(settled.unionByName(nxt), "settled")
         frontier = nxt
     max_depth = depth - 1
 
     # ---- backward: dependency accumulation, deepest level first ----------
     # delta(v) = Σ_{w ∈ succ(v)} sigma(v)/sigma(w) · (1 + delta(w))
-    delta = truncate(settled.select(
-        "source", "vid", "depth", "sigma", F.lit(0.0).alias("delta")))
+    delta = t(settled.select(
+        "source", "vid", "depth", "sigma", F.lit(0.0).alias("delta")), "delta")
+    t.free("settled")
+    t.free("frontier")
     for d in range(max_depth, 0, -1):
         lower = delta.filter(F.col("depth") == d).select(
             "source", F.col("vid").alias("w"),
@@ -75,14 +85,15 @@ def betweenness_centrality(graph: LinkGraph, sources: list[int] | None = None,
             .select("source", F.col("src").alias("vid"), "contrib_per_sigma")
             .groupBy("source", "vid").agg(F.sum("contrib_per_sigma").alias("c"))
         )
-        delta = truncate(
+        delta = t(
             delta.join(contribs, ["source", "vid"], "left")
             .select(
                 "source", "vid", "depth", "sigma",
                 F.when(F.col("depth") == d - 1,
                        F.col("delta") + F.col("sigma") * F.coalesce("c", F.lit(0.0)))
                 .otherwise(F.col("delta")).alias("delta"),
-            )
+            ),
+            "delta",
         )
 
     bc = (
@@ -96,5 +107,11 @@ def betweenness_centrality(graph: LinkGraph, sources: list[int] | None = None,
     if normalized and n > 2:
         scale = (1.0 if graph.directed else 2.0) / ((n - 1) * (n - 2))
         out = out.select("vid", (F.col("betweenness") * scale).alias("betweenness"))
+    # NetworkX k-sample extrapolation: n/k whenever a scale applied
+    # (normalized, or the undirected 1/2) and sources is a proper subset
+    if 0 < len(sources) < n and (normalized or not graph.directed):
+        out = out.select(
+            "vid",
+            (F.col("betweenness") * (n / len(sources))).alias("betweenness"))
     edges.unpersist()
     return out

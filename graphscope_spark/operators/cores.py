@@ -25,29 +25,37 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import LinkGraph
-from graphscope_spark.runtime.truncate import truncate
+from graphscope_spark.runtime.truncate import Truncator, free_truncated, truncate
 
 
-def _peel(edges: DataFrame, k: int, spark) -> DataFrame:
+def _peel(edges: DataFrame, k: int, spark, t: Truncator | None = None) -> DataFrame:
     """Remove vertices with degree < k until stable; returns the surviving
-    symmetric edge set. ``edges`` must be the symmetric simple view."""
+    symmetric edge set. ``edges`` must be the symmetric simple view.
+
+    One driver action per round: the degree table is persisted and a
+    single aggregate yields both the total and surviving vertex counts
+    (the old two-``count()`` form doubled the job count of the whole
+    ascending-peel ``core_numbers`` loop)."""
+    t = t or Truncator()
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     while True:
-        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("src").persist(
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist(
             StorageLevel.MEMORY_AND_DISK)
-        n_removed = deg.count() - keep.count()
-        if n_removed == 0:
-            keep.unpersist()
+        row = deg.agg(
+            F.count("*").alias("tot"),
+            F.sum((F.col("deg") >= k).cast("long")).alias("kept")).first()
+        if (row["tot"] or 0) == (row["kept"] or 0):
+            deg.unpersist()
             return edges
+        keep = deg.filter(F.col("deg") >= k).select("src")
         pruned = (
             edges.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .select("src", "dst")
         )
-        pruned = truncate(pruned)
+        pruned = t(pruned, "peel_edges")
         edges.unpersist()
-        keep.unpersist()
+        deg.unpersist()
         edges = pruned
 
 
@@ -70,19 +78,22 @@ def core_numbers(graph: LinkGraph) -> DataFrame:
     spark = graph.spark
     all_v = graph.vertices.select("vid")
     edges = graph.und_edges()
+    t = Truncator()  # shared peel_edges slot chains frees across _peel calls
     results = []  # (DataFrame of vids, core value) pieces
     k = 1
     prev_survivors = all_v
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     while True:
-        surv_edges = _peel(edges, k, spark)
-        survivors = surv_edges.select(F.col("src").alias("vid")).distinct() \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        surv_edges = _peel(edges, k, spark, t)
+        survivors = truncate(
+            surv_edges.select(F.col("src").alias("vid")).distinct())
         dropped = prev_survivors.join(survivors, "vid", "left_anti") \
             .select("vid", F.lit(k - 1).alias("core"))
         results.append(truncate(dropped))
+        if prev_survivors is not all_v:
+            free_truncated(prev_survivors)
         if survivors.isEmpty():
-            survivors.unpersist()
+            free_truncated(survivors)
+            t.close()
             break
         prev_survivors = survivors
         edges = surv_edges

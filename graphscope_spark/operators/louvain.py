@@ -28,8 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import LinkGraph
-from graphscope_spark.runtime.truncate import truncate
-from graphscope_spark.runtime.truncate import truncate
+from graphscope_spark.runtime.truncate import Truncator, free_truncated, truncate
 
 
 def _sym_weighted(graph: LinkGraph, weight_col: str | None) -> DataFrame:
@@ -69,17 +68,18 @@ def modularity(edges_sym: DataFrame, labels: DataFrame,
 
 
 def _local_moves(edges: DataFrame, comm: DataFrame, m2: float,
-                 max_rounds: int, spark) -> DataFrame:
+                 max_rounds: int, spark, t: Truncator | None = None) -> DataFrame:
     """Synchronous local-move phase; returns (vid, comm)."""
     # vertex strength k_i INCLUDES self-loop weight (a super-vertex's
     # self-loop is its community's internal mass — the aggregated
     # symmetric edge (c,c) already carries both directions); only the
     # move-candidate edges (w_ic terms) exclude self-loops, since that
     # weight moves with the vertex and cancels in the argmax
+    t = t or Truncator()
     k = edges.groupBy("src").agg(F.sum("w").alias("k")) \
         .withColumnRenamed("src", "vid").persist(StorageLevel.MEMORY_AND_DISK)
     edges = edges.filter(F.col("src") != F.col("dst"))
-    comm = truncate(comm)
+    comm = t(comm, "comm")
     for rnd in range(1, max_rounds + 1):
         lab = comm
         cs = lab.withColumnRenamed("vid", "src").withColumnRenamed("comm", "cs")
@@ -125,9 +125,10 @@ def _local_moves(edges: DataFrame, comm: DataFrame, m2: float,
         n_moves = moves.count()
         if n_moves == 0:
             break
-        comm = truncate(
+        comm = t(
             comm.join(moves, "vid", "left")
-            .select("vid", F.coalesce("newc", F.col("comm")).alias("comm"))
+            .select("vid", F.coalesce("newc", F.col("comm")).alias("comm")),
+            "comm",
         )
     k.unpersist()
     return comm
@@ -145,6 +146,7 @@ def louvain(graph: LinkGraph, weight_col: str | None = None,
     if not m2:
         return graph.vertices.select("vid", F.col("vid").alias("community"))
     # mapping original vid → current community (composed across levels)
+    t = Truncator()
     mapping = truncate(
         graph.vertices.select("vid", F.col("vid").alias("comm")))
     lvl_edges = edges
@@ -152,8 +154,9 @@ def louvain(graph: LinkGraph, weight_col: str | None = None,
     for _level in range(max_levels):
         verts = lvl_edges.select(F.col("src").alias("vid")).distinct()
         comm = _local_moves(lvl_edges, verts.select("vid", F.col("vid").alias("comm")),
-                            m2, max_rounds, spark)
-        # compose onto the original mapping
+                            m2, max_rounds, spark, t)
+        # compose onto the original mapping (manual frees — on the
+        # no-improvement break the OLD mapping may be the keeper)
         new_mapping = truncate(
             mapping.join(comm.select(F.col("vid").alias("comm"),
                                      F.col("comm").alias("c2")),
@@ -164,8 +167,12 @@ def louvain(graph: LinkGraph, weight_col: str | None = None,
         if q - prev_q <= min_gain:
             # this level did not improve — keep the previous partition
             if q > prev_q:
+                free_truncated(mapping)
                 mapping = new_mapping
+            else:
+                free_truncated(new_mapping)
             break
+        free_truncated(mapping)
         mapping = new_mapping
         prev_q = q
         # aggregate: communities become vertices (keep self-loops — they
@@ -177,9 +184,11 @@ def louvain(graph: LinkGraph, weight_col: str | None = None,
             .groupBy(F.col("ns").alias("src"), F.col("nd").alias("dst"))
             .agg(F.sum("w").alias("w"))
         )
-        lvl_edges = truncate(lvl_edges)
+        lvl_edges = t(lvl_edges, "lvl_edges")
     # deterministic labels: min original vid per community
     rep = mapping.groupBy("comm").agg(F.min("vid").alias("community"))
     out = mapping.join(rep, "comm").select("vid", "community")
     edges.unpersist()
+    t.free("lvl_edges")
+    t.free("comm")
     return out

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from graphscope_spark.runtime.truncate import truncate
+from graphscope_spark.runtime.truncate import Truncator, free_truncated, truncate
 
 
 def lpa_u2i(spark: SparkSession, u: DataFrame, edges: DataFrame,
@@ -36,9 +36,10 @@ def lpa_u2i(spark: SparkSession, u: DataFrame, edges: DataFrame,
     e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("i"),
                      F.col(weight_col).cast("double").alias("w")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    ulab = truncate(u.select(F.col("vid").alias("u"),
-                             *[F.col(c).cast("double").alias(f"p{k}")
-                               for k, c in enumerate(prop_cols)]))
+    trunc = Truncator()
+    ulab = trunc(u.select(F.col("vid").alias("u"),
+                      *[F.col(c).cast("double").alias(f"p{k}")
+                        for k, c in enumerate(prop_cols)]), "ulab")
     # degrees (constant): out_deg(u), in_deg(i), nbr_in_deg_sum(u)
     out_deg = e.groupBy("u").agg(F.count("*").alias("od"))
     in_deg = e.groupBy("i").agg(F.count("*").alias("idg"))
@@ -49,11 +50,12 @@ def lpa_u2i(spark: SparkSession, u: DataFrame, edges: DataFrame,
     ilab = None
     for step in range(2, max_round + 1):
         if step % 2 == 0:  # u2i
-            ilab = truncate(
+            ilab = trunc(
                 e.join(ulab, "u")
                 .groupBy("i")
                 .agg(*[F.sum(F.col(f"p{k}") * F.col("w")).alias(f"p{k}")
-                       for k in range(P)])
+                       for k in range(P)]),
+                "ilab",
             )
         else:  # i2u
             tmp = (
@@ -75,7 +77,9 @@ def lpa_u2i(spark: SparkSession, u: DataFrame, edges: DataFrame,
                                / (F.col("nsum") - F.col("od")))
                     .alias(f"p{k}")
                 )
-            ulab = truncate(upd.select("u", *new_cols))
+            ulab = trunc(upd.select("u", *new_cols), "ulab")
     e.unpersist()
+    trunc.free("ilab")
+    free_truncated(consts)
     return ulab.select(F.col("u").alias("vid"),
                        *[F.col(f"p{k}").alias(c) for k, c in enumerate(prop_cols)])

@@ -21,7 +21,7 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import LinkGraph
 from graphscope_spark.operators.traversal import sssp
-from graphscope_spark.runtime.truncate import truncate
+from graphscope_spark.runtime.truncate import Truncator
 
 
 def sssp_average_length(graph: LinkGraph, source: int,
@@ -68,6 +68,7 @@ def voterank(graph: LinkGraph, num_seeds: int = 10) -> list[int]:
     n = graph.num_vertices
     avg_k = (graph.und_degrees().agg(F.avg("deg")).first()[0] or 1.0)
     discount = 1.0 / avg_k
+    t = Truncator()
     ability = graph.vertices.select(
         "vid", F.lit(1.0).alias("ability")).persist(StorageLevel.MEMORY_AND_DISK)
     elected: list[int] = []
@@ -96,8 +97,9 @@ def voterank(graph: LinkGraph, num_seeds: int = 10) -> list[int]:
                 .alias("ability"),
             )
         )
-        new_ability = truncate(new_ability)
+        new_ability = t(new_ability, "ability")
         ability.unpersist()
         ability = new_ability
     ability.unpersist()
+    t.close()
     return elected

@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from graphscope_spark.graph import LinkGraph
-from graphscope_spark.runtime.truncate import truncate
+from graphscope_spark.graph import LinkGraph, assign_dense_ids
+from graphscope_spark.runtime.truncate import Truncator, free_truncated, truncate
 
 
 def sampling_path(graph: LinkGraph, num_paths: int = 100, length: int = 3,
@@ -31,6 +31,7 @@ def sampling_path(graph: LinkGraph, num_paths: int = 100, length: int = 3,
     up to `length` edges (walks stop early at sinks)."""
     spark = graph.spark
     # adjacency with a per-source neighbor index for deterministic choice
+    # (per-src window only — partitions by src, never a global sort)
     adj = graph.edges.select("src", "dst").distinct()
     adj = adj.withColumn(
         "nbr_idx",
@@ -40,16 +41,19 @@ def sampling_path(graph: LinkGraph, num_paths: int = 100, length: int = 3,
     adj = truncate(adj.join(deg, "src")).persist(StorageLevel.MEMORY_AND_DISK)
 
     n = graph.num_vertices
+    # dense 0..n-1 vertex ranks via the two-level per-partition numbering
+    # (same primitive as the vid map build — no global window)
+    ranked = assign_dense_ids(
+        graph.vertices.select("vid"), "vid", graph.num_partitions, vid_col="rn")
     starts = (
         spark.range(num_paths)
         .select(F.col("id").alias("walk_id"))
-        .join(F.broadcast(
-            graph.vertices.select("vid").withColumn(
-                "rn", F.row_number().over(Window.orderBy("vid")) - 1)),
-            F.pmod(F.xxhash64(F.col("walk_id") + seed), F.lit(n)) == F.col("rn"))
+        .join(ranked,
+              F.pmod(F.xxhash64(F.col("walk_id") + seed), F.lit(n)) == F.col("rn"))
         .select("walk_id", F.array("vid").alias("path"), F.col("vid").alias("cur"))
     )
-    state = truncate(starts)
+    t = Truncator()
+    state = t(starts, "state")
     for step in range(length):
         choice = F.pmod(F.xxhash64(F.col("walk_id") + seed, F.lit(step + 7)),
                         F.col("deg"))
@@ -60,7 +64,9 @@ def sampling_path(graph: LinkGraph, num_paths: int = 100, length: int = 3,
                     F.col("dst").alias("cur"))
         )
         ended = state.join(nxt.select("walk_id"), "walk_id", "left_anti")
-        state = truncate(nxt.unionByName(ended))
+        state = t(nxt.unionByName(ended), "state")
+    free_truncated(adj)
+    adj.unpersist()
     return state.select("walk_id", "path")
 
 
@@ -73,6 +79,9 @@ def all_simple_paths(graph: LinkGraph, source: int, target: int,
         .persist(StorageLevel.MEMORY_AND_DISK)
     frontier = truncate(spark.createDataFrame(
         [([int(source)], int(source))], "path ARRAY<BIGINT>, cur LONG"))
+    # ``found`` lazily unions slices of EVERY depth's expanded checkpoint,
+    # so intermediates stay live until the final copy, then all freed
+    intermediates = [frontier]
     found = None
     for _ in range(cutoff):
         expanded = (
@@ -82,10 +91,15 @@ def all_simple_paths(graph: LinkGraph, source: int, target: int,
                     F.col("dst").alias("cur"))
         )
         expanded = truncate(expanded)
+        intermediates.append(expanded)
         hits = expanded.filter(F.col("cur") == target).select("path")
         found = hits if found is None else found.unionByName(hits)
         frontier = expanded.filter(F.col("cur") != target)
         if frontier.isEmpty():
             break
-    return truncate(found) if found is not None else spark.createDataFrame(
+    out = truncate(found) if found is not None else spark.createDataFrame(
         [], "path ARRAY<BIGINT>")
+    for df in intermediates:
+        free_truncated(df)
+    edges.unpersist()
+    return out

@@ -24,13 +24,14 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import LinkGraph
-from graphscope_spark.runtime.truncate import truncate
+from graphscope_spark.runtime.truncate import Truncator, truncate
 
 
-def _minprop_fixpoint(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def _minprop_fixpoint(edges: DataFrame, labels: DataFrame,
+                      t: Truncator, slot: str) -> DataFrame:
     """Min-label propagation over ``edges`` restricted to the label set:
     labels (vid, lab) — push lab along src→dst until no change."""
-    labels = truncate(labels)
+    labels = t(labels, slot)
     while True:
         msgs = (
             edges.join(labels.withColumnRenamed("vid", "src")
@@ -43,7 +44,7 @@ def _minprop_fixpoint(edges: DataFrame, labels: DataFrame) -> DataFrame:
                     F.least(labels["lab"], F.coalesce("mlab", labels["lab"])).alias("lab"),
                     (F.coalesce(F.col("mlab") < labels["lab"], F.lit(False))).alias("chg"))
         )
-        new = truncate(new)
+        new = t(new, slot)
         changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
         labels = new.drop("chg")
         if changed == 0:
@@ -54,8 +55,9 @@ def scc(graph: LinkGraph) -> DataFrame:
     """(vid, scc) — scc = min vid of the strongly connected component."""
     edges_all = graph.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     redges_all = edges_all.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    t = Truncator()
     assigned = None  # (vid, scc)
-    active = truncate(graph.vertices.select("vid"))
+    active = t(graph.vertices.select("vid"), "active")
     guard = 0
     while active.count() > 0:
         guard += 1
@@ -63,19 +65,20 @@ def scc(graph: LinkGraph) -> DataFrame:
             raise RuntimeError("scc did not terminate")
         # restrict edges to the active set
         av = active
-        e = truncate(
+        e = t(
             edges_all.join(av.withColumnRenamed("vid", "src"), "src", "left_semi")
-            .join(av.withColumnRenamed("vid", "dst"), "dst", "left_semi"))
-        re = truncate(
+            .join(av.withColumnRenamed("vid", "dst"), "dst", "left_semi"), "e")
+        re = t(
             redges_all.join(av.withColumnRenamed("vid", "src"), "src", "left_semi")
-            .join(av.withColumnRenamed("vid", "dst"), "dst", "left_semi"))
+            .join(av.withColumnRenamed("vid", "dst"), "dst", "left_semi"), "re")
         # forward min-label fixpoint
-        fid = _minprop_fixpoint(e, active.select("vid", F.col("vid").alias("lab")))
+        fid = _minprop_fixpoint(
+            e, active.select("vid", F.col("vid").alias("lab")), t, "fid")
         # backward sweep from roots: a vertex joins scc=fid[v] when fid[v]'s
         # root reaches it backward through vertices of the same color
         root = fid.filter(F.col("vid") == F.col("lab")) \
             .select("vid", F.col("lab").alias("scc"))
-        member = truncate(root)  # (vid, scc) confirmed this pass
+        member = t(root, "member")  # (vid, scc) confirmed this pass
         frontier = member
         while True:
             cand = (
@@ -87,12 +90,16 @@ def scc(graph: LinkGraph) -> DataFrame:
                 .filter(F.col("scc") == F.col("flab"))
                 .select("vid", "scc")
             )
-            cand = truncate(cand)
+            cand = t(cand, "cand")
             if cand.count() == 0:
                 break
-            member = truncate(member.unionByName(cand))
+            member = t(member.unionByName(cand), "member")
             frontier = cand
-        assigned = member if assigned is None else truncate(assigned.unionByName(member))
-        active = truncate(active.join(member.select("vid"), "vid", "left_anti"))
+        assigned = t(member if assigned is None
+                     else assigned.unionByName(member), "assigned")
+        active = t(active.join(member.select("vid"), "vid", "left_anti"), "active")
     edges_all.unpersist()
-    return assigned.select("vid", "scc")
+    out = assigned.select("vid", "scc")
+    for slot in ("active", "e", "re", "fid", "member", "cand"):
+        t.free(slot)
+    return out

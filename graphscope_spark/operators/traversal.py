@@ -31,6 +31,33 @@ from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
 _INF = float("inf")
 
 
+def sample_pivots(graph: LinkGraph, k: int, seed: int = 42) -> list[int]:
+    """Deterministic hash-sampled pivot vertices (k rows to the driver —
+    never the full vertex set)."""
+    n = graph.num_vertices
+    return [
+        r["vid"] for r in graph.vertices.select("vid")
+        .withColumn("h", F.pmod(F.xxhash64(F.col("vid") + seed), F.lit(max(1, n))))
+        .orderBy("h", "vid").limit(k).collect()
+    ]
+
+
+def resolve_sources(graph: LinkGraph, sources, num_pivots: int = 16,
+                    seed: int = 42) -> list[int]:
+    """Source-list policy shared by every multi-source algorithm:
+    ``None`` → ``num_pivots`` sampled pivots (the scale-safe default);
+    ``"all"`` → every vertex (explicit opt-in — collects O(V) ids and
+    launches O(V·V) pair-state work, small graphs only); else the given
+    list."""
+    if isinstance(sources, str):
+        if sources != "all":
+            raise ValueError(f"sources must be a list, None, or 'all'; got {sources!r}")
+        return [r["vid"] for r in graph.vertices.select("vid").collect()]
+    if sources is None:
+        return sample_pivots(graph, num_pivots, seed)
+    return [int(s) for s in sources]
+
+
 class SSSPJob(SuperstepJob):
     """Min-dist relaxation; BFS is the weight≡1 special case."""
 
@@ -233,14 +260,14 @@ def msbfs(graph: LinkGraph, sources: list[int], reverse: bool = False,
     return state
 
 
-def all_pairs_shortest_path_length(graph: LinkGraph, sources: list[int] | None = None,
+def all_pairs_shortest_path_length(graph: LinkGraph,
+                                   sources: list[int] | str | None = "all",
                                    runner: SuperstepRunner | None = None) -> DataFrame:
     """(source, vid, depth) — reference all_pairs_shortest_path_length
-    (yaml:220). ``sources=None`` uses every vertex (small graphs only —
-    at scale pass a sample of landmark sources)."""
-    if sources is None:
-        sources = [r["vid"] for r in graph.vertices.select("vid").collect()]
-    return msbfs(graph, sources, runner=runner)
+    (yaml:220). All-pairs IS the operator's contract, so the default stays
+    ``"all"`` (O(V²) pair state — small graphs only); pass a landmark
+    sample for the scale path."""
+    return msbfs(graph, resolve_sources(graph, sources), runner=runner)
 
 
 def closeness_centrality(graph: LinkGraph, sources: list[int] | None = None,
@@ -252,13 +279,14 @@ def closeness_centrality(graph: LinkGraph, sources: list[int] | None = None,
     vertices that can REACH v, computed over incoming paths; on
     undirected graphs in/out coincide). Here each listed source
     contributes its distances; centrality is computed for the sources'
-    reachable sets over the sym view when undirected."""
+    reachable sets over the sym view when undirected.
+
+    ``sources=None`` samples pivots (scores for those vertices only);
+    ``sources="all"`` is the exact small-graph mode."""
     n = graph.num_vertices
     # directed: BFS along REVERSED edges from v gives d(u → v), the
     # incoming distances NX closeness uses
-    d = msbfs(graph, sources if sources is not None
-              else [r["vid"] for r in graph.vertices.select("vid").collect()],
-              reverse=True)
+    d = msbfs(graph, resolve_sources(graph, sources), reverse=True)
     agg = d.groupBy("source").agg(
         F.sum("depth").alias("totsp"), F.count("*").alias("r")
     )
@@ -273,13 +301,12 @@ def closeness_centrality(graph: LinkGraph, sources: list[int] | None = None,
     return cc
 
 
-def eccentricity(graph: LinkGraph, sources: list[int] | None = None,
+def eccentricity(graph: LinkGraph, sources: list[int] | str | None = None,
                  runner: SuperstepRunner | None = None) -> DataFrame:
     """(vid, ecc) — max finite BFS depth from each listed source over the
-    stored direction (sym view when undirected)."""
-    if sources is None:
-        sources = [r["vid"] for r in graph.vertices.select("vid").collect()]
-    d = msbfs(graph, sources, runner=runner)
+    stored direction (sym view when undirected). ``sources=None`` samples
+    pivots; ``"all"`` is the exact small-graph mode."""
+    d = msbfs(graph, resolve_sources(graph, sources), runner=runner)
     return d.groupBy(F.col("source").alias("vid")).agg(
         F.max("depth").alias("ecc"))
 

@@ -25,13 +25,71 @@ from pyspark.sql import DataFrame
 
 def truncate(df: DataFrame) -> DataFrame:
     """Eager localCheckpoint + stats reset; falls back to the plain
-    checkpoint if the internal constructor is unavailable."""
+    checkpoint if the internal constructor is unavailable.
+
+    The returned DataFrame carries its checkpoint block RDD ids in
+    ``_gs_ckpt_rdds`` so loops can free superseded state deterministically
+    (``Truncator``) instead of waiting on Python GC + ContextCleaner —
+    ``df.unpersist()`` does NOT free localCheckpoint blocks."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     ckpt = df.localCheckpoint(eager=True)
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    new_ids = sorted(int(i) for i in (after - before))
     try:
         spark = df.sparkSession
         jdf = ckpt._jdf
         fresh = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False)
-        return DataFrame(fresh, spark)
+        out = DataFrame(fresh, spark)
     except Exception:  # pragma: no cover - version-dependent fallback
-        return ckpt
+        out = ckpt
+    out._gs_ckpt_rdds = new_ids
+    return out
+
+
+def free_truncated(df: DataFrame | None) -> None:
+    """Unpersist the checkpoint block RDDs a ``truncate`` call created.
+    Only call once the data is provably dead (localCheckpoint destroys
+    lineage — a freed block cannot be recomputed)."""
+    if df is None:
+        return
+    ids = getattr(df, "_gs_ckpt_rdds", None)
+    if not ids:
+        return
+    sc = df.sparkSession.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+    df._gs_ckpt_rdds = []
+
+
+class Truncator:
+    """Per-slot lineage truncation with deterministic block reclamation.
+
+    ``t(df, slot)`` eagerly truncates ``df`` (materializing it — which may
+    read the slot's previous checkpoint blocks) and THEN frees the
+    previous checkpoint of that slot. Driver-loop algorithms keep at most
+    one live state per slot instead of accumulating one per iteration.
+    Call ``close()`` when the final results have been consumed (or copied
+    out by a further ``truncate``)."""
+
+    def __init__(self):
+        self._live: dict[str, DataFrame] = {}
+
+    def __call__(self, df: DataFrame, slot: str = "state") -> DataFrame:
+        out = truncate(df)
+        free_truncated(self._live.get(slot))
+        self._live[slot] = out
+        return out
+
+    def free(self, slot: str) -> None:
+        """Free a slot's live checkpoint now (data provably dead)."""
+        free_truncated(self._live.pop(slot, None))
+
+    def close(self) -> None:
+        for df in self._live.values():
+            free_truncated(df)
+        self._live.clear()

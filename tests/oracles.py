@@ -327,8 +327,10 @@ def scc_oracle(vertices, edges):
     return out
 
 
-def betweenness_oracle(vertices, edges, directed=True, normalized=True):
-    """Brandes exact betweenness (endpoints excluded)."""
+def betweenness_oracle(vertices, edges, directed=True, normalized=True,
+                       sources=None):
+    """Brandes betweenness (endpoints excluded); ``sources`` restricts the
+    per-source accumulation (no n/k rescale — callers apply it)."""
     from collections import deque
 
     adj = defaultdict(list)
@@ -338,7 +340,7 @@ def betweenness_oracle(vertices, edges, directed=True, normalized=True):
             adj[v].append(u)
     bc = {v: 0.0 for v in vertices}
     n = len(vertices)
-    for s in vertices:
+    for s in (vertices if sources is None else sources):
         stack = []
         pred = defaultdict(list)
         sigma = defaultdict(float)

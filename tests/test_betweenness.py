@@ -13,11 +13,36 @@ def test_betweenness_exact(spark):
     g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
                   vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
                   num_partitions=4)
-    got = {r["vid"]: r["betweenness"] for r in betweenness_centrality(g).collect()}
+    got = {r["vid"]: r["betweenness"]
+           for r in betweenness_centrality(g, sources="all").collect()}
     want = oracles.betweenness_oracle(vertices, edges, directed=True)
     assert set(got) == set(want)
     for v in vertices:
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_betweenness_default_sampled_extrapolates(spark):
+    # default sources=None samples pivots and scales by n/k (NX k-sample
+    # estimator); on a graph with <= num_pivots vertices the sample is the
+    # full set, so the default must equal the exact normalized result
+    vertices, edges = power_law_graph(n=14, m=40, seed=6, with_dangling=False)
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+                  num_partitions=2)
+    got = {r["vid"]: r["betweenness"] for r in betweenness_centrality(g).collect()}
+    want = oracles.betweenness_oracle(vertices, edges, directed=True)
+    for v in vertices:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    # proper subset: estimate = (n/k) * restricted-oracle, normalized
+    n = len(vertices)
+    sources = sorted(vertices)[:5]
+    est = {r["vid"]: r["betweenness"]
+           for r in betweenness_centrality(g, sources=sources).collect()}
+    scale = 1.0 / ((n - 1) * (n - 2)) * (n / len(sources))
+    restricted = oracles.betweenness_oracle(vertices, edges, directed=True,
+                                            normalized=False, sources=sources)
+    for v in vertices:
+        assert abs(est[v] - restricted[v] * scale) < 1e-9, v
 
 
 def test_betweenness_sampled_subset(spark):
