@@ -20,36 +20,58 @@ from graphscope_spark.graph import LinkGraph
 from graphscope_spark.session import build_session
 from graphscope_spark.operators import (
     all_pairs_shortest_path_length,
+    articlerank,
+    attribute_assortativity_coefficient,
     avg_clustering,
     bfs,
+    bridges,
     cdlp,
     closeness_centrality,
+    color,
     core_numbers,
     degree_centrality,
+    diamond_count,
     eigenvector_centrality,
+    fluid_community,
     hits,
+    k_center,
+    k_clique_count,
     katz_centrality,
     kcore,
     kshell,
     lcc,
+    minimum_spanning_forest,
     msbfs,
+    msf_weight,
+    numeric_assortativity_coefficient,
     pagerank,
+    ppr,
+    rectangle_count,
     sssp,
+    tailed_triangle_count,
+    three_path_count,
     transitivity,
     triangle_count,
     triangles,
     wcc,
 )
+from graphscope_spark.sources import load_csv_graph
 
 __all__ = [
     "LinkGraph",
     "build_session",
-    "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
+    "load_csv_graph",
+    "pagerank", "ppr", "articlerank", "wcc", "cdlp", "triangles", "triangle_count",
     "bfs", "sssp", "msbfs", "all_pairs_shortest_path_length",
     "closeness_centrality",
     "degree_centrality", "eigenvector_centrality", "katz_centrality", "hits",
     "kcore", "kshell", "core_numbers",
     "lcc", "avg_clustering", "transitivity",
+    "attribute_assortativity_coefficient", "numeric_assortativity_coefficient",
+    "rectangle_count", "diamond_count", "k_clique_count",
+    "tailed_triangle_count", "three_path_count",
+    "minimum_spanning_forest", "msf_weight",
+    "color", "fluid_community", "k_center", "bridges",
 ]
 
 __version__ = "0.1.0"

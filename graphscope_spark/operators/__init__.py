@@ -60,3 +60,34 @@ __all__ += ["all_simple_paths", "sampling_path", "lpa_u2i"]
 from graphscope_spark.operators.traversal import diameter_approx, eccentricity  # noqa: E402
 
 __all__ += ["eccentricity", "diameter_approx"]
+
+from graphscope_spark.operators.pagerank import (  # noqa: E402
+    ArticleRankJob,
+    PPRJob,
+    articlerank,
+    ppr,
+)
+from graphscope_spark.operators.assortativity import (  # noqa: E402
+    attribute_assortativity_coefficient,
+    numeric_assortativity_coefficient,
+)
+from graphscope_spark.operators.subgraph import (  # noqa: E402
+    diamond_count,
+    k_clique_count,
+    rectangle_count,
+    tailed_triangle_count,
+    three_path_count,
+)
+from graphscope_spark.operators.msf import minimum_spanning_forest, msf_weight  # noqa: E402
+from graphscope_spark.operators.coloring import color, fluid_community  # noqa: E402
+from graphscope_spark.operators.kcenter import k_center  # noqa: E402
+from graphscope_spark.operators.bridges import bridges  # noqa: E402
+
+__all__ += [
+    "ppr", "PPRJob", "articlerank", "ArticleRankJob",
+    "attribute_assortativity_coefficient", "numeric_assortativity_coefficient",
+    "rectangle_count", "diamond_count", "k_clique_count",
+    "tailed_triangle_count", "three_path_count",
+    "minimum_spanning_forest", "msf_weight",
+    "color", "fluid_community", "k_center", "bridges",
+]

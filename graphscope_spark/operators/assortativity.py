@@ -61,6 +61,59 @@ def average_degree_connectivity(graph: LinkGraph) -> DataFrame:
         F.avg("knn").alias("avg_nbr_deg"))
 
 
+def _edge_attr_pairs(graph: LinkGraph, attrs: DataFrame,
+                     attr_col: str) -> DataFrame:
+    """(sa, da) attribute pair per stored edge (both orientations are
+    already stored on an undirected LinkGraph, matching NX's double
+    counting)."""
+    a = attrs.select("vid", F.col(attr_col).alias("_a"))
+    return (
+        graph.edges.select("src", "dst")
+        .join(a.withColumnRenamed("vid", "src").withColumnRenamed("_a", "sa"), "src")
+        .join(a.withColumnRenamed("vid", "dst").withColumnRenamed("_a", "da"), "dst")
+        .select("sa", "da")
+    )
+
+
+def attribute_assortativity_coefficient(graph: LinkGraph, attrs: DataFrame,
+                                        attr_col: str = "attr") -> float:
+    """Categorical attribute assortativity (reference
+    analytical_engine/apps/assortativity/attribute_assortativity.h:35-99,
+    NetworkX semantics): with mixing matrix e[i][j] = fraction of edges
+    whose endpoints carry attributes (i, j),
+
+        r = (Σ_i e_ii − Σ_i a_i·b_i) / (1 − Σ_i a_i·b_i)
+
+    where a/b are row/column sums of e. One join + two aggregations —
+    never materializes the matrix wider than the distinct attribute set.
+    """
+    pairs = _edge_attr_pairs(graph, attrs, attr_col)
+    m = pairs.count()
+    if m == 0:
+        return float("nan")
+    cell = pairs.groupBy("sa", "da").agg((F.count("*") / m).alias("e"))
+    rows = cell.groupBy("sa").agg(F.sum("e").alias("a"))
+    cols = cell.groupBy("da").agg(F.sum("e").alias("b"))
+    tr = cell.filter(F.col("sa") == F.col("da")).agg(
+        F.sum("e").alias("t")).first()["t"] or 0.0
+    ab = rows.join(cols, rows["sa"] == cols["da"]).agg(
+        F.sum(F.col("a") * F.col("b")).alias("s")).first()["s"] or 0.0
+    if ab == 1.0:
+        return float("nan")
+    return float((tr - ab) / (1.0 - ab))
+
+
+def numeric_assortativity_coefficient(graph: LinkGraph, attrs: DataFrame,
+                                      attr_col: str = "attr") -> float:
+    """Numeric attribute assortativity (same reference header,
+    ctx.numeric=true): Pearson correlation of the endpoint attribute
+    values over edges."""
+    row = _edge_attr_pairs(graph, attrs, attr_col).agg(
+        F.corr(F.col("sa").cast("double"),
+               F.col("da").cast("double")).alias("r")).first()
+    return float(row["r"]) if row["r"] is not None else float("nan")
+
+
 def node_boundary(graph: LinkGraph, s: DataFrame) -> DataFrame:
     """Vertices NOT in ``s`` with an in-edge from ``s`` (NX node_boundary
     over the stored edge direction). ``s``: DataFrame(vid)."""

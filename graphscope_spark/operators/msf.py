@@ -1,0 +1,122 @@
+"""Minimum spanning forest — distributed Borůvka.
+
+Reference: gs::MSFFlash
+(/root/reference/analytical_engine/apps/flash/measurement/msf.h:34-66)
+computes the MSF weight by local Kruskal + a sequential merge reduction —
+a shape that caps out at one worker's memory. The rebuild uses Borůvka
+rounds instead, the textbook data-parallel MSF: every component picks its
+minimum outgoing edge (one aggregation), the picked edges join the
+forest, and components contract (HashMin fixpoint over the picked-edge
+graph, which is at most one edge per component and shrinks the component
+count ≥ 2× per round → O(log V) rounds of O(E) work).
+
+Determinism / correctness: edges are totally ordered by
+(weight, min_endpoint, max_endpoint), so equal weights cannot form
+cycles (the classic tie-breaking argument) and the forest is unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.runtime.truncate import Truncator
+
+
+def minimum_spanning_forest(graph: LinkGraph,
+                            weight_col: str | None = None) -> DataFrame:
+    """(src, dst, weight) rows of the minimum spanning forest (one tree
+    per connected component; src < dst canonical). ``weight_col=None``
+    means unit weights (any spanning forest is minimal; the
+    tie-break-ordered one is returned)."""
+    t = Truncator()
+    if weight_col is None:
+        e = graph.und_edges().filter(F.col("src") < F.col("dst")) \
+            .select("src", "dst", F.lit(1.0).alias("w"))
+    else:
+        e = (
+            graph.edges.filter(F.col("src") != F.col("dst"))
+            .select(F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                    F.col(weight_col).cast("double").alias("w"))
+            .groupBy("src", "dst").agg(F.min("w").alias("w"))
+        )
+    edges = t(e, "edges")
+
+    comp = t(graph.vertices.select("vid", F.col("vid").alias("comp")), "comp")
+    forest = None
+    guard = 0
+    while True:
+        guard += 1
+        if guard > 64:
+            raise RuntimeError("boruvka did not terminate")
+        # relabel endpoints by current component
+        ec = (
+            edges.join(comp.select(F.col("vid").alias("src"),
+                                   F.col("comp").alias("cs")), "src")
+            .join(comp.select(F.col("vid").alias("dst"),
+                              F.col("comp").alias("cd")), "dst")
+            .filter(F.col("cs") != F.col("cd"))
+        )
+        ec = t(ec, "ec")
+        if ec.isEmpty():
+            break
+        # min outgoing edge per component (total order kills weight ties)
+        cand = F.struct("w", "src", "dst", "cs", "cd")
+        picks = (
+            ec.select(F.col("cs").alias("c"), cand.alias("e"))
+            .unionByName(ec.select(F.col("cd").alias("c"), cand.alias("e")))
+            .groupBy("c").agg(F.min("e").alias("e"))
+            .select("e.w", "e.src", "e.dst", "e.cs", "e.cd")
+            .distinct()
+        )
+        picks = t(picks, "picks")
+        forest_piece = picks.select("src", "dst", F.col("w").alias("weight"))
+        forest = forest_piece if forest is None \
+            else forest.unionByName(forest_piece)
+        forest = t(forest, "forest")
+        # contract: HashMin fixpoint over the picked component pairs
+        # (≤ 1 edge per component; ≤ log V inner rounds)
+        pairs = picks.select(F.col("cs").alias("a"), F.col("cd").alias("b"))
+        pairs = pairs.unionByName(pairs.select(F.col("b").alias("a"),
+                                               F.col("a").alias("b")))
+        lab = t(picks.select(F.col("cs").alias("c")).unionByName(
+            picks.select(F.col("cd").alias("c"))).distinct()
+            .select("c", F.col("c").alias("lab")), "lab")
+        while True:
+            msgs = (
+                pairs.join(lab.withColumnRenamed("c", "a")
+                           .withColumnRenamed("lab", "alab"), "a")
+                .groupBy(F.col("b").alias("c")).agg(F.min("alab").alias("mlab"))
+            )
+            new_lab = (
+                lab.join(msgs, "c", "left")
+                .select("c", F.least("lab", F.coalesce("mlab", "lab")).alias("lab"),
+                        F.coalesce(F.col("mlab") < F.col("lab"), F.lit(False))
+                        .alias("chg"))
+            )
+            new_lab = t(new_lab, "lab")
+            changed = new_lab.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
+            lab = new_lab.drop("chg")
+            if changed == 0:
+                break
+        comp = t(
+            comp.join(lab.withColumnRenamed("c", "comp"), "comp", "left")
+            .select("vid", F.coalesce("lab", F.col("comp")).alias("comp")),
+            "comp",
+        )
+    out = t(forest, "out") if forest is not None else \
+        graph.spark.createDataFrame([], "src LONG, dst LONG, weight DOUBLE")
+    for slot in ("edges", "comp", "ec", "picks", "forest", "lab"):
+        t.free(slot)
+    return out
+
+
+def msf_weight(graph: LinkGraph, weight_col: str | None = None) -> float:
+    """Total minimum-spanning-forest weight (the reference app's
+    GlobalRes, msf.h:44)."""
+    row = minimum_spanning_forest(graph, weight_col).agg(
+        F.sum("weight").alias("s")).first()
+    return float(row["s"] or 0.0)

@@ -140,6 +140,141 @@ class PageRankJob(SuperstepJob):
         return new_state, finalize
 
 
+class PPRJob(SuperstepJob):
+    """Personalized PageRank — FLASH semantics (reference
+    analytical_engine/apps/flash/ranking/ppr.h:40-72): undirected (EU)
+    message flow, teleport mass 0.5 pinned to the source:
+
+      val_0[v]  = 1 if v == source else 0
+      val_t[v]  = 0.5 · Σ_{u ∈ N(v)} val_{t-1}[u]/deg(u)
+                  + (0.5 if v == source else 0)
+
+    for ``max_iters`` fixed rounds; deg = symmetric-neighborhood degree.
+    """
+
+    name = "ppr"
+
+    def __init__(self, graph: LinkGraph, source: int, max_iters: int = 10):
+        self.graph = graph
+        self.source = source
+        self.max_iters = max_iters
+        self.msg_edges = graph.sym_edges()
+
+    def config(self) -> dict:
+        return {"algo": self.name, "source": self.source,
+                "max_iters": self.max_iters}
+
+    def init(self, spark: SparkSession):
+        deg = self.msg_edges.groupBy(F.col("src").alias("vid")) \
+            .agg(F.count("*").alias("deg"))
+        state = (
+            self.graph.vertices.select("vid").join(deg, "vid", "left")
+            .select("vid", F.coalesce("deg", F.lit(0)).alias("deg"),
+                    F.when(F.col("vid") == self.source, F.lit(1.0))
+                    .otherwise(F.lit(0.0)).alias("rank"))
+        )
+        return state, {}
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        contrib = state.filter(F.col("deg") > 0).select(
+            "vid", (F.col("rank") / F.col("deg")).alias("c")
+        ).hint("shuffle_hash")
+        sums = (
+            self.msg_edges.join(contrib, self.msg_edges["src"] == contrib["vid"])
+            .groupBy("dst").agg(F.sum("c").alias("c"))
+        )
+        new_state = (
+            state.join(sums.hint("shuffle_hash"), state["vid"] == sums["dst"], "left")
+            .select(
+                state["vid"], state["deg"],
+                (F.lit(0.5) * F.coalesce(F.col("c"), F.lit(0.0))
+                 + F.when(state["vid"] == self.source, F.lit(0.5))
+                 .otherwise(F.lit(0.0))).alias("rank"),
+            )
+        )
+
+        def finalize(st: DataFrame):
+            return {}, step_no >= self.max_iters
+
+        return new_state, finalize
+
+
+def ppr(graph: LinkGraph, source: int, max_iters: int = 10,
+        runner: SuperstepRunner | None = None) -> DataFrame:
+    """Personalized PageRank from ``source`` → (vid, rank)."""
+    runner = runner or SuperstepRunner(graph.spark)
+    state, _ = runner.run(PPRJob(graph, source, max_iters=max_iters),
+                          max_steps=max_iters + 1)
+    return state.select("vid", "rank")
+
+
+class ArticleRankJob(SuperstepJob):
+    """ArticleRank — FLASH semantics (reference
+    analytical_engine/apps/flash/ranking/articlerank.h:42-74): directed
+    out-edge (ED) message flow, out-degree damped by the GLOBAL average
+    out-degree:
+
+      val_0[v] = 0
+      val_t[v] = damping · Σ_{u→v} val_{t-1}[u]/(outdeg(u) + avg_outdeg)
+                 + 1 − damping
+
+    for ``max_iters`` fixed rounds.
+    """
+
+    name = "articlerank"
+
+    def __init__(self, graph: LinkGraph, max_iters: int = 10,
+                 damping: float = 0.85):
+        self.graph = graph
+        self.max_iters = max_iters
+        self.damping = damping
+
+    def config(self) -> dict:
+        return {"algo": self.name, "max_iters": self.max_iters,
+                "damping": self.damping}
+
+    def init(self, spark: SparkSession):
+        g = self.graph
+        avg = g.num_edges / g.num_vertices
+        state = g.out_degrees().select(
+            "vid", "deg", F.lit(0.0).alias("rank"))
+        return state, {"avg_deg": avg}
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        avg = scalars["avg_deg"]
+        contrib = state.select(
+            "vid", (F.col("rank") / (F.col("deg") + F.lit(avg))).alias("c")
+        ).hint("shuffle_hash")
+        edges = self.graph.edges.select("src", "dst")
+        sums = (
+            edges.join(contrib, edges["src"] == contrib["vid"])
+            .groupBy("dst").agg(F.sum("c").alias("c"))
+        )
+        new_state = (
+            state.join(sums.hint("shuffle_hash"), state["vid"] == sums["dst"], "left")
+            .select(
+                state["vid"], state["deg"],
+                (F.lit(self.damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                 + F.lit(1.0 - self.damping)).alias("rank"),
+            )
+        )
+
+        def finalize(st: DataFrame):
+            return {"avg_deg": avg}, step_no >= self.max_iters
+
+        return new_state, finalize
+
+
+def articlerank(graph: LinkGraph, max_iters: int = 10, damping: float = 0.85,
+                runner: SuperstepRunner | None = None) -> DataFrame:
+    """ArticleRank → (vid, rank)."""
+    runner = runner or SuperstepRunner(graph.spark)
+    state, _ = runner.run(ArticleRankJob(graph, max_iters=max_iters,
+                                         damping=damping),
+                          max_steps=max_iters + 1)
+    return state.select("vid", "rank")
+
+
 def pagerank(
     graph: LinkGraph,
     alpha: float = 0.85,

@@ -1,0 +1,164 @@
+"""Subgraph counting — rectangles, diamonds, tailed triangles, 3-paths,
+k-cliques.
+
+Reference (FLASH subgraph suite, semantics reproduced exactly):
+- rectangle (4-cycle) counting:
+  /root/reference/analytical_engine/apps/flash/subgraph/rectangle.h:44-80 —
+  wedges u–m–o with o ≻ m and o ≻ u in the global (degree, id) order;
+  rectangles = Σ over endpoint pairs (u, o) of C(#wedges, 2).
+- diamond counting (4-cycle + chord):
+  /root/reference/analytical_engine/apps/flash/subgraph/diamond.h:46-84 —
+  Σ over edges (v, o) of C(|N(v) ∩ N(o)|, 2); each diamond is counted
+  once at its chord edge.
+- tailed triangle:
+  /root/reference/analytical_engine/apps/flash/subgraph/tailed-triangle.h:
+  45-85 — Σ over undirected edges e=(u,v) of p_e·(deg u − 2) +
+  p_e·(deg v − 2), halved; p_e = common-neighbor count of e.
+- 3-path: /root/reference/analytical_engine/apps/flash/subgraph/3-path.h:
+  42-76 — Σ over undirected edges of (deg u − 1)(deg v − 1) − p_e.
+- k-clique: /root/reference/analytical_engine/apps/flash/subgraph/
+  k-clique.h:44-90 — ordered enumeration over the degree-ordered
+  orientation (the reference recurses per vertex; here each extension
+  level is one batched join, so the whole frontier of partial cliques
+  shares a shuffle).
+
+Spark shapes: everything except rectangles reduces to the per-edge
+common-neighbor count p_e, derived from the oriented triangle list (no
+new joins beyond the triangle template). Rectangles enumerate ordered
+wedges — fan-out bounded by deg(center)·|N⁺(center)| with |N⁺| ≤ O(√E),
+the same bound the reference's per-vertex loops have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.operators.triangles import oriented_edges, triangle_list
+
+
+def _edge_common_neighbors(graph: LinkGraph) -> DataFrame:
+    """(lo, hi, p): per canonical undirected edge, the number of common
+    neighbors — equivalently the number of triangles through the edge."""
+    tris = triangle_list(graph)
+    # each triangle contributes to its three edges (canonicalized lo<hi)
+    edges3 = (
+        tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionAll(tris.select(F.col("b").alias("x"), F.col("c").alias("y")))
+        .unionAll(tris.select(F.col("a").alias("x"), F.col("c").alias("y")))
+        .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+    )
+    p = edges3.groupBy("lo", "hi").agg(F.count("*").alias("p"))
+    canon = (
+        graph.und_edges().filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
+    )
+    return canon.join(p, ["lo", "hi"], "left").select(
+        "lo", "hi", F.coalesce("p", F.lit(0)).cast("long").alias("p"))
+
+
+def _with_degrees(graph: LinkGraph, df: DataFrame) -> DataFrame:
+    deg = graph.und_degrees()
+    return (
+        df.join(deg.select(F.col("vid").alias("lo"), F.col("deg").alias("dlo")), "lo")
+        .join(deg.select(F.col("vid").alias("hi"), F.col("deg").alias("dhi")), "hi")
+    )
+
+
+def diamond_count(graph: LinkGraph) -> int:
+    """Number of diamonds (4-cycles with a chord), each counted once at
+    its chord: Σ_edges C(p_e, 2)."""
+    pe = _edge_common_neighbors(graph)
+    row = pe.agg(F.sum(F.col("p") * (F.col("p") - 1) / 2).alias("c")).first()
+    return int(row["c"] or 0)
+
+
+def tailed_triangle_count(graph: LinkGraph) -> int:
+    """Number of tailed triangles (triangle + pendant edge)."""
+    pe = _with_degrees(graph, _edge_common_neighbors(graph))
+    row = pe.agg(F.sum(
+        F.col("p") * ((F.col("dlo") - 2) + (F.col("dhi") - 2))).alias("c")
+    ).first()
+    return int((row["c"] or 0) // 2)
+
+
+def three_path_count(graph: LinkGraph) -> int:
+    """Number of simple 3-edge paths (FLASH counting convention)."""
+    pe = _with_degrees(graph, _edge_common_neighbors(graph))
+    row = pe.agg(F.sum(
+        (F.col("dlo") - 1) * (F.col("dhi") - 1) - F.col("p")).alias("c")
+    ).first()
+    return int(row["c"] or 0)
+
+
+def rectangle_count(graph: LinkGraph) -> int:
+    """Number of rectangles (chordless-or-not 4-cycles, each once)."""
+    und = graph.und_edges()
+    deg = graph.und_degrees()
+    # global order key: (deg, vid); o ≻ m and o ≻ u
+    key = lambda d, v: F.struct(F.col(d).alias("k1"), F.col(v).alias("k2"))  # noqa: E731
+    m_side = (
+        und.select(F.col("src").alias("m"), F.col("dst").alias("u"))
+        .join(deg.select(F.col("vid").alias("m"), F.col("deg").alias("dm")), "m")
+        .join(deg.select(F.col("vid").alias("u"), F.col("deg").alias("du")), "u")
+    )
+    o_side = (
+        und.select(F.col("src").alias("m"), F.col("dst").alias("o"))
+        .join(deg.select(F.col("vid").alias("m"), F.col("deg").alias("dm2")), "m")
+        .join(deg.select(F.col("vid").alias("o"), F.col("deg").alias("do")), "o")
+        .filter(key("do", "o") > key("dm2", "m"))  # o ≻ m
+        .select("m", "o", "do")
+    )
+    wedges = (
+        m_side.join(o_side, "m")
+        .filter(key("do", "o") > key("du", "u"))  # o ≻ u (implies o != u)
+        .select("u", "o")
+    )
+    w = wedges.groupBy("u", "o").agg(F.count("*").alias("w"))
+    row = w.agg(F.sum(F.col("w") * (F.col("w") - 1) / 2).alias("c")).first()
+    return int(row["c"] or 0)
+
+
+def k_clique_count(graph: LinkGraph, k: int = 4) -> int:
+    """Number of k-cliques (k ≥ 3), by ordered extension over the
+    degree-ordered orientation: a clique is enumerated once as its
+    ascending (deg, vid)-ordered member chain. Each level extends every
+    partial clique by one higher-ordered common neighbor in one batched
+    join + membership verification."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    # oriented_edges keeps src→dst with dst ≺ src; ascending pairs are
+    # (dst, src): lo → hi
+    asc = oriented_edges(graph).select(
+        F.col("dst").alias("lo"), F.col("src").alias("hi")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if k == 2:
+        n = asc.count()
+        asc.unpersist()
+        return n
+    cliques = asc.select(F.array("lo", "hi").alias("members"),
+                         F.col("hi").alias("last"))
+    for _ in range(k - 2):
+        cand = (
+            cliques.join(asc.withColumnRenamed("lo", "last"), "last")
+            .select("members", F.col("hi").alias("w"))
+        )
+        # w must be adjacent to every member except `last` (already its
+        # neighbor); all members ≺ w, so the pair (m, w) is ascending
+        pairs = cand.select(
+            "members", "w",
+            F.explode(F.slice("members", 1, F.size("members") - 1)).alias("m"))
+        ok = (
+            pairs.join(asc, (pairs["m"] == asc["lo"]) & (pairs["w"] == asc["hi"]),
+                       "left_semi")
+            .groupBy("members", "w").agg(F.count("*").alias("adj"))
+            .filter(F.col("adj") == F.size("members") - 1)
+        )
+        cliques = ok.select(
+            F.concat("members", F.array("w")).alias("members"),
+            F.col("w").alias("last"))
+    n = cliques.count()
+    asc.unpersist()
+    return n

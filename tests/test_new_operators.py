@@ -1,0 +1,372 @@
+"""Round-2 operators: ppr, articlerank, attribute/numeric assortativity,
+subgraph counting family, MSF, color, fluid community, k-center, bridges,
+CSV loader — each against an independent pure-Python oracle."""
+
+from __future__ import annotations
+
+import itertools
+import random
+from collections import defaultdict
+
+import pytest
+
+from graphscope_spark import LinkGraph
+from tests.conftest import power_law_graph
+
+
+def _mk(spark, vertices, edges, directed=True, parts=4):
+    return LinkGraph(
+        spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+        directed=directed, num_partitions=parts)
+
+
+@pytest.fixture(scope="module")
+def g60(spark):
+    vertices, edges = power_law_graph(n=60, m=240, seed=9, with_dangling=False)
+    return _mk(spark, vertices, edges), vertices, edges
+
+
+# ---- ranking --------------------------------------------------------------
+
+def test_ppr_matches_reference_iteration(spark, g60):
+    from graphscope_spark import ppr
+
+    g, vertices, edges = g60
+    source, iters = vertices[3], 5
+    # oracle: FLASH ppr.h — undirected flow, deg = symmetric degree
+    nbrs = defaultdict(list)
+    for u, v in edges:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    val = {v: (1.0 if v == source else 0.0) for v in vertices}
+    for _ in range(iters):
+        nxt = {}
+        for v in vertices:
+            s = sum(val[u] / len(nbrs[u]) for u in nbrs[v] if nbrs[u])
+            nxt[v] = 0.5 * s + (0.5 if v == source else 0.0)
+        val = nxt
+    got = {r["vid"]: r["rank"] for r in ppr(g, source, max_iters=iters).collect()}
+    for v in vertices:
+        assert abs(got[v] - val[v]) < 1e-9, v
+
+
+def test_articlerank_matches_reference_iteration(spark, g60):
+    from graphscope_spark import articlerank
+
+    g, vertices, edges = g60
+    iters, damping = 5, 0.85
+    outd = defaultdict(int)
+    inn = defaultdict(list)
+    for u, v in edges:
+        outd[u] += 1
+        inn[v].append(u)
+    avg = len(edges) / len(vertices)
+    val = {v: 0.0 for v in vertices}
+    for _ in range(iters):
+        val = {v: damping * sum(val[u] / (outd[u] + avg) for u in inn[v])
+               + 1 - damping for v in vertices}
+    got = {r["vid"]: r["rank"]
+           for r in articlerank(g, max_iters=iters, damping=damping).collect()}
+    for v in vertices:
+        assert abs(got[v] - val[v]) < 1e-9, v
+
+
+# ---- assortativity --------------------------------------------------------
+
+def test_attribute_assortativity(spark, g60):
+    from graphscope_spark import attribute_assortativity_coefficient
+
+    g, vertices, edges = g60
+    attr = {v: ["red", "green", "blue"][v % 3] for v in vertices}
+    attrs = spark.createDataFrame(
+        [(v, attr[v]) for v in vertices], "vid LONG, attr STRING")
+    got = attribute_assortativity_coefficient(g, attrs)
+    # NX formula oracle over the mixing matrix
+    cats = sorted(set(attr.values()))
+    idx = {c: i for i, c in enumerate(cats)}
+    e = [[0.0] * len(cats) for _ in cats]
+    for u, v in edges:
+        e[idx[attr[u]]][idx[attr[v]]] += 1.0 / len(edges)
+    tr = sum(e[i][i] for i in range(len(cats)))
+    a = [sum(row) for row in e]
+    b = [sum(e[i][j] for i in range(len(cats))) for j in range(len(cats))]
+    ab = sum(x * y for x, y in zip(a, b))
+    want = (tr - ab) / (1 - ab)
+    assert abs(got - want) < 1e-9
+
+
+def test_numeric_assortativity(spark, g60):
+    from graphscope_spark import numeric_assortativity_coefficient
+
+    g, vertices, edges = g60
+    attr = {v: float((v * 7) % 11) for v in vertices}
+    attrs = spark.createDataFrame(
+        [(v, attr[v]) for v in vertices], "vid LONG, attr DOUBLE")
+    got = numeric_assortativity_coefficient(g, attrs)
+    xs = [attr[u] for u, v in edges]
+    ys = [attr[v] for u, v in edges]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs) ** 0.5
+    vy = sum((y - my) ** 2 for y in ys) ** 0.5
+    want = cov / (vx * vy)
+    assert abs(got - want) < 1e-9
+
+
+# ---- subgraph counting ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def und_fixture(spark):
+    rnd = random.Random(7)
+    n = 24
+    edges = set()
+    while len(edges) < 70:
+        u, v = rnd.randrange(n), rnd.randrange(n)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    und = sorted(edges)
+    both = und + [(v, u) for u, v in und]
+    g = _mk(spark, list(range(n)), both, directed=False)
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    return g, list(range(n)), und, adj
+
+
+def test_rectangle_count(spark, und_fixture):
+    from graphscope_spark import rectangle_count
+
+    g, vertices, und, adj = und_fixture
+    # oracle: Σ_{u<o} C(codeg, 2) / 2 counts each 4-cycle twice (diagonals)
+    tot = 0
+    for u, o in itertools.combinations(vertices, 2):
+        c = len(adj[u] & adj[o])
+        tot += c * (c - 1) // 2
+    assert rectangle_count(g) == tot // 2
+
+
+def test_diamond_count(spark, und_fixture):
+    from graphscope_spark import diamond_count
+
+    g, vertices, und, adj = und_fixture
+    want = sum(len(adj[u] & adj[v]) * (len(adj[u] & adj[v]) - 1) // 2
+               for u, v in und)
+    assert diamond_count(g) == want
+
+
+def test_tailed_and_three_path(spark, und_fixture):
+    from graphscope_spark import tailed_triangle_count, three_path_count
+
+    g, vertices, und, adj = und_fixture
+    # tailed: per-vertex triangle participation × (deg − 2)
+    tri_at = defaultdict(int)
+    for a, b, c in itertools.combinations(vertices, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri_at[a] += 1
+            tri_at[b] += 1
+            tri_at[c] += 1
+    want_tailed = sum(tri_at[v] * (len(adj[v]) - 2) for v in vertices)
+    assert tailed_triangle_count(g) == want_tailed
+    # 3-paths: ordered walks a-b-c-d with 3 edges, all inner-distinct, /2
+    cnt = 0
+    for b, c in und:
+        for a in adj[b] - {c}:
+            for d in adj[c] - {b, a}:
+                cnt += 1
+    assert three_path_count(g) == cnt
+
+
+def test_k_clique_count(spark, und_fixture):
+    from graphscope_spark import k_clique_count, triangle_count
+
+    g, vertices, und, adj = und_fixture
+    assert k_clique_count(g, 3) == triangle_count(g)
+    want4 = sum(
+        1 for quad in itertools.combinations(vertices, 4)
+        if all(b in adj[a] for a, b in itertools.combinations(quad, 2)))
+    assert k_clique_count(g, 4) == want4
+
+
+# ---- MSF ------------------------------------------------------------------
+
+def test_msf_matches_kruskal(spark):
+    from graphscope_spark import minimum_spanning_forest, msf_weight
+
+    rnd = random.Random(13)
+    n = 40
+    edges = {}
+    while len(edges) < 90:
+        u, v = rnd.randrange(n), rnd.randrange(n)
+        if u != v:
+            edges[(min(u, v), max(u, v))] = None
+    # distinct weights → unique forest
+    weighted = [(u, v, float(i * 2 + 1))
+                for i, (u, v) in enumerate(sorted(edges))]
+    df = spark.createDataFrame(weighted, "src LONG, dst LONG, w DOUBLE")
+    g = LinkGraph(spark, df,
+                  vertices=spark.createDataFrame([(v,) for v in range(n)], "vid LONG"),
+                  directed=True, num_partitions=4)
+    got = {(r["src"], r["dst"], r["weight"])
+           for r in minimum_spanning_forest(g, "w").collect()}
+    # Kruskal oracle
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for u, v, w in sorted(weighted, key=lambda e: e[2]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            want.add((u, v, w))
+    assert got == want
+    assert abs(msf_weight(g, "w") - sum(w for _, _, w in want)) < 1e-9
+
+
+# ---- coloring / fluid -----------------------------------------------------
+
+def test_color_proper_and_deterministic(spark, g60):
+    from graphscope_spark import color
+
+    g, vertices, edges = g60
+    c1 = {r["vid"]: r["color"] for r in color(g).collect()}
+    c2 = {r["vid"]: r["color"] for r in color(g).collect()}
+    assert c1 == c2
+    und = {(min(u, v), max(u, v)) for u, v in edges}
+    for u, v in und:
+        assert c1[u] != c1[v], (u, v)
+    maxdeg = max(
+        len({x for e in und for x in e if v in e and x != v}) for v in vertices)
+    assert max(c1.values()) <= maxdeg
+
+
+def test_fluid_community(spark, g60):
+    from graphscope_spark import fluid_community
+
+    g, vertices, edges = g60
+    r1 = {r["vid"]: r["community"]
+          for r in fluid_community(g, num_communities=4).collect()}
+    r2 = {r["vid"]: r["community"]
+          for r in fluid_community(g, num_communities=4).collect()}
+    assert r1 == r2
+    labs = {v for v in r1.values() if v is not None}
+    assert labs and labs <= set(range(4))
+
+
+# ---- k-center -------------------------------------------------------------
+
+def test_k_center(spark, g60):
+    from collections import deque
+
+    from graphscope_spark import k_center
+
+    g, vertices, edges = g60
+    centers, dist_df = k_center(g, k=3)
+    assert len(centers) == 3 and len(set(centers)) == 3
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+
+    def bfs(src):
+        d = {src: 0}
+        q = deque([src])
+        while q:
+            x = q.popleft()
+            for y in nbrs[x]:
+                if y not in d:
+                    d[y] = d[x] + 1
+                    q.append(y)
+        return d
+
+    per_center = [bfs(c) for c in centers]
+    got = {r["vid"]: r["dist"] for r in dist_df.collect()}
+    for v in vertices:
+        ds = [d[v] for d in per_center if v in d]
+        want = min(ds) if ds else None
+        assert got[v] == want, (v, got[v], want)
+
+
+# ---- bridges --------------------------------------------------------------
+
+def test_bridges(spark):
+    from graphscope_spark import bridges
+
+    # hand-built: two triangles joined by a bridge, plus a pendant chain
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3),
+             (5, 6), (6, 7)]
+    g = _mk(spark, list(range(8)), edges)
+    got = {(r["src"], r["dst"]) for r in bridges(g).collect()}
+    assert got == {(2, 3), (5, 6), (6, 7)}
+
+
+def test_bridges_random_vs_oracle(spark):
+    from graphscope_spark import bridges
+
+    vertices, edges = power_law_graph(n=50, m=110, seed=21, with_dangling=False)
+    g = _mk(spark, vertices, edges)
+    got = {(r["src"], r["dst"]) for r in bridges(g).collect()}
+    # iterative Tarjan bridge oracle on the simple undirected view
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    disc, low = {}, {}
+    want = set()
+    timer = [0]
+    for root in vertices:
+        if root in disc or not adj[root]:
+            if root not in disc:
+                disc[root] = timer[0]
+                timer[0] += 1
+            continue
+        stack = [(root, None, iter(sorted(adj[root])))]
+        disc[root] = low[root] = timer[0]
+        timer[0] += 1
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in disc:
+                    disc[w] = low[w] = timer[0]
+                    timer[0] += 1
+                    stack.append((w, v, iter(sorted(adj[w]))))
+                    advanced = True
+                    break
+                elif w != parent:
+                    low[v] = min(low[v], disc[w])
+            if not advanced:
+                stack.pop()
+                if parent is not None:
+                    low[parent] = min(low[parent], low[v])
+                    if low[v] > disc[parent]:
+                        want.add((min(parent, v), max(parent, v)))
+    assert got == want
+
+
+# ---- CSV loader -----------------------------------------------------------
+
+def test_load_csv_graph(spark, tmp_path):
+    from graphscope_spark import load_csv_graph, wcc
+
+    ef = tmp_path / "edges.csv"
+    ef.write_text("src|dst|w\na|b|1\nb|c|2\nc|a|3\nx|y|4\n")
+    vf = tmp_path / "verts.csv"
+    vf.write_text("id\na\nb\nc\nx\ny\nz\n")
+    g = load_csv_graph(
+        spark,
+        f"{ef}#header_row=True&delimiter=|",
+        vfile=f"{vf}#header_row=True",
+        src_col="src", dst_col="dst", oid_col="id")
+    assert g.num_vertices == 6  # z is isolated but present
+    assert g.num_edges == 4
+    comps = wcc(g)
+    assert comps.select("comp").distinct().count() == 3  # abc, xy, z
