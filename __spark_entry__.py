@@ -131,6 +131,45 @@ def _pagerank_sql(k: int, alpha: float = 0.85) -> str:
     )
 
 
+def _pagerank_conv_sql(max_rounds: int = 50, alpha: float = 0.85,
+                       tol: float = 1e-6) -> str:
+    """PageRank to CONVERGENCE: unroll ``max_rounds`` rounds, track the
+    engine's eps = Σ|rank − prev| per round, and emit the state of the
+    FIRST round with eps < tol·n — exactly the engine's stopping rule, so
+    the oracle is valid at any scale factor whose convergence fits the
+    unroll budget (sf0.001: 44 rounds, sf0.01: 33)."""
+    ctes = [
+        "r0 AS MATERIALIZED (SELECT vid, deg, 1.0/(SELECT n FROM params) AS rank FROM deg)",
+        f"d0 AS MATERIALIZED (SELECT COALESCE({alpha} * (1.0/(SELECT n FROM params)) * COUNT(*), 0.0) AS ds FROM r0 WHERE deg = 0)",
+    ]
+    for i in range(1, max_rounds + 1):
+        p, d = f"r{i-1}", f"d{i-1}"
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid, v.deg, v.rank AS prev, "
+            f"{alpha} * COALESCE(s.msum, 0.0) + ({1.0 - alpha} + (SELECT ds FROM {d})) / (SELECT n FROM params) AS rank "
+            f"FROM {p} v LEFT JOIN (SELECT e.dst AS vid, SUM(r.rank / r.deg) AS msum "
+            f"FROM edges e JOIN {p} r ON e.src = r.vid AND r.deg > 0 GROUP BY e.dst) s ON v.vid = s.vid)"
+        )
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE({alpha} * SUM(rank), 0.0) AS ds FROM r{i} WHERE deg = 0)"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT {i} AS rnd, SUM(ABS(rank - prev)) AS eps FROM r{i})"
+        )
+    eps_union = " UNION ALL ".join(f"SELECT rnd, eps FROM e{i}"
+                                   for i in range(1, max_rounds + 1))
+    state_union = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, vid, rank FROM r{i}" for i in range(1, max_rounds + 1))
+    return (
+        _GRAPH_PRELUDE + ", " + ",\n".join(ctes)
+        + f""",
+epss AS MATERIALIZED ({eps_union}),
+kstar AS (SELECT MIN(rnd) AS k FROM epss WHERE eps < {tol} * (SELECT n FROM params))
+SELECT vid, CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_micro
+FROM ({state_union}) WHERE rnd = (SELECT k FROM kstar)"""
+    )
+
+
 def _wcc_sql(k: int) -> str:
     """k HashMin rounds (enough to reach the fixpoint on this graph; the
     Spark side runs to convergence — extra oracle rounds are no-ops)."""
@@ -718,10 +757,13 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
+    # sha2 hash mode: the whole LSH pipeline (signatures, band keys,
+    # buckets, verify) is recomputed verbatim by the DuckDB oracle;
+    # xxhash64 stays the default for the scale path
     from graphscope_spark.functions import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2
+        _t(spark, sf_dir, "documents"), threshold=0.2, hash_fn="sha2"
     ).select("id_a", "id_b",
              F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro"))
 
@@ -729,7 +771,9 @@ def _q_minhash_lsh(spark, sf_dir):
 def _q_simhash_pairs(spark, sf_dir):
     from graphscope_spark.functions import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)         .select("id_a", "id_b", "hamming")
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8,
+                         bits=60, hash_fn="sha2") \
+        .select("id_a", "id_b", "hamming")
 
 
 def _q_text_stats(spark, sf_dir):
@@ -771,6 +815,357 @@ def _q_multimodal_decode(spark, sf_dir):
 
     media = media_table(_t(spark, sf_dir, "documents"))
     return decode_image_stub(media).select("media_id", "n_bytes", "sha256")
+
+
+# ---------------------------------------------------------------------------
+# round-2 queries: new operators + value oracles for former rows-only checks
+# ---------------------------------------------------------------------------
+
+_P = 2_147_483_647
+
+# 60-bit sha256-based hash — identical in Spark (conv(substr(sha2)))
+# and DuckDB (fold over hex chars); see functions/dedup.py::_hash60
+def _h60_sql(col: str) -> str:
+    return (
+        "list_reduce(list_transform(range(1, 16), "
+        f"i -> CAST(strpos('0123456789abcdef', substr(sha256({col}), i, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a*16 + b)"
+    )
+
+
+_SHINGLE_PRELUDE = r"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))
+    ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks)"""
+
+
+def _minhash_sql(threshold: float, num_hashes: int = 32, bands: int = 8,
+                 max_bucket: int = 1000) -> str:
+    """Full MinHash+LSH pipeline in SQL (sha2 hash mode): signatures →
+    Horner band keys → bucket join (capped) → exact-Jaccard verify."""
+    from graphscope_spark.functions.dedup import minhash_coeffs
+
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"MIN((({a}::BIGINT * h + {b}) % {_P})) AS m{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes)))
+
+    def bkey(b: int) -> str:
+        acc = str(b)
+        for r in range(rows):
+            acc = f"(({acc}) * 1000003 + m{b * rows + r}) % {_P}"
+        return acc
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {bkey(b)} AS key FROM sig"
+        for b in range(bands))
+    return f"""{_SHINGLE_PRELUDE},
+hh AS MATERIALIZED (
+  SELECT doc_id, ({_h60_sql('s')}) % {_P} AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM hh GROUP BY doc_id),
+buckets AS MATERIALIZED ({band_rows}),
+sizes AS (SELECT band, key, COUNT(*) AS bc FROM buckets GROUP BY band, key),
+bk AS (SELECT b.* FROM buckets b JOIN sizes s USING (band, key) WHERE s.bc <= {max_bucket}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+ver AS (SELECT id_a, id_b,
+          len(list_intersect(x.shingles, y.shingles)) AS inter,
+          len(x.shingles) AS sa, len(y.shingles) AS sb
+        FROM cand JOIN sh x ON id_a = x.doc_id JOIN sh y ON id_b = y.doc_id)
+SELECT id_a, id_b,
+  CAST(ROUND(CAST(inter AS DOUBLE) / (sa + sb - inter) * 1e6) AS BIGINT) AS jaccard_micro
+FROM ver WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= {threshold}"""
+
+
+def _simhash_sql(max_hamming: int = 8, bits: int = 60) -> str:
+    """SimHash (sha2 mode, 60-bit) + pigeonhole block join in SQL."""
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits))
+    key_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(bits))
+    block_rows = " UNION ALL ".join(
+        f"SELECT doc_id, key, {i} AS blk, (key >> {i * width}) & {(1 << width) - 1} AS bkey FROM keys"
+        for i in range(nblocks))
+    return rf"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+  FROM documents),
+th AS MATERIALIZED (SELECT doc_id, {_h60_sql('t')} AS h FROM toks),
+bs AS MATERIALIZED (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
+keys AS MATERIALIZED (SELECT doc_id, {key_expr} AS key FROM bs),
+blocks AS MATERIALIZED ({block_rows})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  bit_count(xor(a.key, b.key)) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.key, b.key)) <= {max_hamming}"""
+
+
+def _ivf_sql(k: int = 5, nbits: int = 6, nprobe_ham: int = 1,
+             dim: int = 64, seed: int = 42) -> str:
+    """IVF ANN with the engine's seeded random-hyperplane quantizer —
+    coefficients inlined as literals, so DuckDB recomputes identical
+    cells, probes and ranks."""
+    from graphscope_spark.functions.similarity import hyperplane_coef
+
+    cell_terms = []
+    for i in range(nbits):
+        coeffs = ", ".join(repr(hyperplane_coef(i, j, seed)) for j in range(dim))
+        cell_terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{coeffs}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)")
+    cell = " + ".join(cell_terms)
+    deltas = [0] + [1 << i for i in range(nbits)] if nprobe_ham >= 1 else [0]
+    return f"""WITH cells AS MATERIALIZED (
+  SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell AS qcell
+      FROM cells WHERE vec_id < 10),
+probes AS (SELECT query_id, qv, xor(qcell::BIGINT, d)::INT AS cell
+           FROM q CROSS JOIN UNNEST({deltas}) AS t(d)),
+scored AS (
+  SELECT query_id, c.vec_id,
+         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+  FROM probes p JOIN cells c ON p.cell = c.cell AND p.query_id <> c.vec_id)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}"""
+
+
+def _msbfs_sql(rounds: int, num_sources: int = 10) -> str:
+    """(source, vid, depth) multi-source BFS over the symmetric view."""
+    out = [_GRAPH_PRELUDE + f""",
+srcs AS (SELECT vid AS source FROM verts ORDER BY vid LIMIT {num_sources}),
+b0 AS MATERIALIZED (SELECT source, source AS vid, 0 AS depth FROM srcs)"""]
+    for i in range(1, rounds + 1):
+        out.append(f""",
+b{i} AS MATERIALIZED (SELECT source, vid, MIN(depth) AS depth FROM (
+  SELECT source, vid, depth FROM b{i - 1}
+  UNION ALL
+  SELECT p.source, e.dst AS vid, p.depth + 1 AS depth
+  FROM b{i - 1} p JOIN sym e ON p.vid = e.src) GROUP BY source, vid)""")
+    return "".join(out), f"b{rounds}"
+
+
+def _closeness_sql(rounds: int = 8, num_sources: int = 10) -> str:
+    prelude, last = _msbfs_sql(rounds, num_sources)
+    return f"""{prelude}
+SELECT source AS vid, CAST(ROUND(CASE
+    WHEN totsp > 0 AND (SELECT n FROM params) > 1
+    THEN ((r - 1.0) / totsp) * ((r - 1.0) / ((SELECT n FROM params) - 1))
+    ELSE 0.0 END * 1e6) AS BIGINT) AS closeness_micro
+FROM (SELECT source, SUM(depth) AS totsp, COUNT(*) AS r FROM {last} GROUP BY source)"""
+
+
+def _ppr_sql(k: int, source: int = 1) -> str:
+    """FLASH personalized PageRank, unrolled (sym flow, 0.5 teleport)."""
+    out = [_GRAPH_PRELUDE + f""",
+sdeg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+p0 AS MATERIALIZED (
+  SELECT v.vid, COALESCE(d.deg, 0) AS deg,
+         CASE WHEN v.vid = {source} THEN 1.0 ELSE 0.0 END AS rank
+  FROM verts v LEFT JOIN sdeg d ON v.vid = d.vid)"""]
+    for i in range(1, k + 1):
+        out.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT s.vid, s.deg,
+         0.5 * COALESCE(m.c, 0.0)
+         + CASE WHEN s.vid = {source} THEN 0.5 ELSE 0.0 END AS rank
+  FROM p{i - 1} s LEFT JOIN (
+    SELECT e.dst, SUM(p.rank / p.deg) AS c
+    FROM sym e JOIN p{i - 1} p ON e.src = p.vid AND p.deg > 0
+    GROUP BY e.dst) m ON s.vid = m.dst)""")
+    out.append(f"""
+SELECT vid, CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_micro FROM p{k}""")
+    return "".join(out)
+
+
+def _articlerank_sql(k: int, damping: float = 0.85) -> str:
+    out = [_GRAPH_PRELUDE + """,
+od AS MATERIALIZED (SELECT v.vid, COUNT(e.src) AS deg FROM verts v
+  LEFT JOIN edges e ON e.src = v.vid GROUP BY v.vid),
+avgd AS (SELECT CAST((SELECT COUNT(*) FROM edges) AS DOUBLE)
+         / (SELECT n FROM params) AS a),
+a0 AS MATERIALIZED (SELECT vid, deg, 0.0 AS rank FROM od)"""]
+    for i in range(1, k + 1):
+        out.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT s.vid, s.deg,
+         {damping} * COALESCE(m.c, 0.0) + {1.0 - damping} AS rank
+  FROM a{i - 1} s LEFT JOIN (
+    SELECT e.dst, SUM(p.rank / (p.deg + (SELECT a FROM avgd))) AS c
+    FROM edges e JOIN a{i - 1} p ON e.src = p.vid
+    GROUP BY e.dst) m ON s.vid = m.dst)""")
+    out.append(f"""
+SELECT vid, CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_micro FROM a{k}""")
+    return "".join(out)
+
+
+_TRI_PRELUDE = f"""WITH tedges AS MATERIALIZED ({_TRI_EDGES_SQL}),
+tsym AS MATERIALIZED (SELECT src, dst FROM tedges UNION SELECT dst, src FROM tedges),
+tdeg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM tsym GROUP BY src),
+tcanon AS MATERIALIZED (SELECT src AS lo, dst AS hi FROM tedges)"""
+
+_SUBGRAPH_SQL = _TRI_PRELUDE + """,
+codeg AS MATERIALIZED (
+  SELECT a.dst AS u, b.dst AS o, COUNT(*) AS w
+  FROM tsym a JOIN tsym b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst),
+pe AS MATERIALIZED (
+  SELECT c.lo, c.hi, COALESCE(cd.w, 0) AS p, dl.deg AS dlo, dh.deg AS dhi
+  FROM tcanon c
+  LEFT JOIN codeg cd ON c.lo = cd.u AND c.hi = cd.o
+  JOIN tdeg dl ON c.lo = dl.vid JOIN tdeg dh ON c.hi = dh.vid),
+k4 AS (
+  SELECT COUNT(*) AS c FROM tcanon ab
+  JOIN tcanon ac ON ac.lo = ab.lo AND ac.hi > ab.hi
+  JOIN tcanon ad ON ad.lo = ab.lo AND ad.hi > ac.hi
+  JOIN tcanon bc ON bc.lo = ab.hi AND bc.hi = ac.hi
+  JOIN tcanon bd ON bd.lo = ab.hi AND bd.hi = ad.hi
+  JOIN tcanon cd ON cd.lo = ac.hi AND cd.hi = ad.hi)
+SELECT
+  CAST((SELECT SUM(w * (w - 1) / 2) FROM codeg) / 2 AS BIGINT) AS rectangles,
+  CAST((SELECT SUM(p * (p - 1) / 2) FROM pe) AS BIGINT) AS diamonds,
+  CAST((SELECT SUM(p * ((dlo - 2) + (dhi - 2))) FROM pe) / 2 AS BIGINT) AS tailed,
+  CAST((SELECT SUM((dlo - 1) * (dhi - 1) - p) FROM pe) AS BIGINT) AS three_paths,
+  (SELECT c FROM k4) AS k4_cliques"""
+
+
+def _color_sql(rounds: int = 4) -> str:
+    """Greedy-mex coloring unrolled: higher-((deg, vid))-neighbor colors
+    → mex; fixpoint reached within `rounds` on this graph (measured),
+    further rounds are no-ops."""
+    out = [_GRAPH_PRELUDE + """,
+udeg AS MATERIALIZED (SELECT src AS vid, COUNT(DISTINCT dst) AS deg FROM sym GROUP BY src),
+hi AS MATERIALIZED (
+  SELECT e.src AS hi_v, e.dst AS lo_v FROM (SELECT DISTINCT src, dst FROM sym) e
+  JOIN udeg ds ON e.src = ds.vid JOIN udeg dd ON e.dst = dd.vid
+  WHERE (ds.deg > dd.deg) OR (ds.deg = dd.deg AND e.src > e.dst)),
+c0 AS MATERIALIZED (SELECT vid, 0 AS c FROM verts)"""]
+    for i in range(1, rounds + 1):
+        out.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT v.vid, CASE WHEN u.used IS NULL THEN 0 ELSE
+    list_min(list_filter(range(0, len(u.used) + 1),
+                         x -> NOT list_contains(u.used, x))) END AS c
+  FROM verts v LEFT JOIN (
+    SELECT h.lo_v AS vid, list_distinct(LIST(p.c)) AS used
+    FROM hi h JOIN c{i - 1} p ON h.hi_v = p.vid GROUP BY h.lo_v) u
+  ON v.vid = u.vid)""")
+    out.append(f"""
+SELECT vid, c AS color FROM c{rounds}""")
+    return "".join(out)
+
+
+# unit-weight spanning forest invariant: |forest| = |V| − #components,
+# total weight = |forest| — value-checked through the WCC fixpoint CTE
+_MSF_STATS_SQL = _wcc_sql(14).replace(
+    "SELECT vid, comp FROM c14",
+    "SELECT CAST(COUNT(*) - COUNT(DISTINCT comp) AS BIGINT) AS n_edges, "
+    "CAST((COUNT(*) - COUNT(DISTINCT comp)) * 1000000 AS BIGINT) AS weight_micro "
+    "FROM c14")
+
+
+def _q_ppr_5r(spark, sf_dir):
+    from graphscope_spark import ppr
+
+    return ppr(_graph(spark, sf_dir), source=1, max_iters=5).select(
+        "vid", F.round(F.col("rank") * 1e6).cast("long").alias("rank_micro"))
+
+
+def _q_articlerank_5r(spark, sf_dir):
+    from graphscope_spark import articlerank
+
+    return articlerank(_graph(spark, sf_dir), max_iters=5).select(
+        "vid", F.round(F.col("rank") * 1e6).cast("long").alias("rank_micro"))
+
+
+def _q_attr_assortativity(spark, sf_dir):
+    from graphscope_spark import attribute_assortativity_coefficient
+
+    g = _graph(spark, sf_dir)
+    attrs = g.vertices.select(
+        "vid", F.concat(F.lit("c"), F.pmod("vid", F.lit(5))).alias("attr"))
+    r = attribute_assortativity_coefficient(g, attrs)
+    return spark.createDataFrame([(int(round(r * 1e6)),)], "assort_micro LONG")
+
+
+def _q_numeric_assortativity(spark, sf_dir):
+    from graphscope_spark import numeric_assortativity_coefficient
+
+    g = _graph(spark, sf_dir)
+    attrs = g.vertices.select(
+        "vid", F.pmod(F.col("vid") * 7, F.lit(11)).cast("double").alias("attr"))
+    r = numeric_assortativity_coefficient(g, attrs)
+    return spark.createDataFrame([(int(round(r * 1e6)),)], "num_assort_micro LONG")
+
+
+def _q_subgraph_counts(spark, sf_dir):
+    from graphscope_spark import (
+        diamond_count,
+        k_clique_count,
+        rectangle_count,
+        tailed_triangle_count,
+        three_path_count,
+    )
+
+    g = _graph(spark, sf_dir, tri=True)
+    row = (rectangle_count(g), diamond_count(g), tailed_triangle_count(g),
+           three_path_count(g), k_clique_count(g, 4))
+    return spark.createDataFrame(
+        [row],
+        "rectangles LONG, diamonds LONG, tailed LONG, three_paths LONG, k4_cliques LONG")
+
+
+def _q_msf_stats(spark, sf_dir):
+    from graphscope_spark import minimum_spanning_forest
+
+    f = minimum_spanning_forest(_graph(spark, sf_dir))
+    row = f.agg(F.count("*").alias("c"), F.sum("weight").alias("w")).first()
+    return spark.createDataFrame(
+        [(int(row["c"]), int(round((row["w"] or 0.0) * 1e6)))],
+        "n_edges LONG, weight_micro LONG")
+
+
+def _q_color(spark, sf_dir):
+    from graphscope_spark import color
+
+    return color(_graph(spark, sf_dir)).select("vid", "color")
+
+
+def _q_bridges(spark, sf_dir):
+    # composite graph with a non-trivial bridge set: supplier→nation star
+    # edges (bridges unless two same-nation suppliers are also linked in
+    # the co-purchase graph, which closes a cycle through the nation)
+    # unioned with the cyclic supplier co-purchase graph
+    from graphscope_spark import LinkGraph, bridges
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("src"),
+        (F.lit(200000) + F.col("s_nationkey")).alias("dst"))
+    e = _tri_edges(spark, sf_dir).unionByName(sup)
+    return bridges(LinkGraph(spark, e, directed=True)).select("src", "dst")
+
+
+def _q_kcenter_3(spark, sf_dir):
+    from graphscope_spark import k_center
+
+    _, dist = k_center(_graph_und(spark, sf_dir), k=3)
+    return dist.select("vid", F.coalesce("dist", F.lit(-1)).alias("dist"))
+
+
+def _q_fluid_4(spark, sf_dir):
+    from graphscope_spark import fluid_community
+
+    return fluid_community(_graph(spark, sf_dir, tri=True),
+                           num_communities=4).select(
+        "vid", F.coalesce("community", F.lit(-1)).alias("community"))
 
 
 # ---------------------------------------------------------------------------
@@ -829,6 +1224,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "louvain": _q_louvain,
         "modularity_cdlp": _q_modularity_cdlp,
+        "ppr_5r": _q_ppr_5r,
+        "articlerank_5r": _q_articlerank_5r,
+        "attr_assortativity": _q_attr_assortativity,
+        "numeric_assortativity": _q_numeric_assortativity,
+        "subgraph_counts": _q_subgraph_counts,
+        "msf_stats": _q_msf_stats,
+        "color": _q_color,
+        "bridges": _q_bridges,
+        "kcenter_3": _q_kcenter_3,
+        "fluid_4": _q_fluid_4,
     }
 
 
@@ -847,7 +1252,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS num_edges FROM edges"
         ),
         "pagerank_3iter": _pagerank_sql(3),
-        # pagerank_conv: convergence loop — not SQL-expressible; rows-only.
+        "pagerank_conv": _pagerank_conv_sql(max_rounds=50),
         "wcc": _wcc_sql(14),
         "cdlp_2rounds": _cdlp_sql(2),
         "triangles": _TRIANGLES_SQL,
@@ -869,7 +1274,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_3r": _hits_sql(3),
         "eigenvector_3r": _eigen_sql(3),
         "katz_3r": _katz_sql(3),
-        # closeness_10src: multi-source BFS loop — rows-only check.
+        "closeness_10src": _closeness_sql(rounds=14),
         "rel_project_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, "
             "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
@@ -952,7 +1357,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(CAST(inter AS DOUBLE) / (size_a + size_b - inter) * 1e6) AS BIGINT) AS jaccard_micro
             FROM shared WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.2"""
         ),
-        # minhash_lsh_pairs / simhash_pairs: xxhash64-based — rows-only.
+        "minhash_lsh_pairs": _minhash_sql(threshold=0.2),
+        "simhash_pairs": _simhash_sql(max_hamming=8, bits=60),
         "text_stats": (
             r"""WITH toks AS (
               SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
@@ -999,7 +1405,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
             "WHERE a.vec_id < 10) WHERE rank <= 5"
         ),
-        # ivf_topk: approximate — rows-only.
+        "ivf_topk": _ivf_sql(k=5, nbits=6, nprobe_ham=1, dim=64),
         "multimodal_decode": (
             "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
             "sha256(text) AS sha256 FROM documents"
@@ -1052,4 +1458,32 @@ def oracle_sql() -> dict[str, str]:
                    - (tot / (SELECT m FROM m2)) * (tot / (SELECT m FROM m2))) * 1e6) AS BIGINT) AS q_micro
             FROM pc"""
         ),
+        "ppr_5r": _ppr_sql(5, source=1),
+        "articlerank_5r": _articlerank_sql(5),
+        "attr_assortativity": (
+            f"WITH edges AS MATERIALIZED ({_EDGES_SQL}), "
+            "pairs AS (SELECT 'c' || CAST(src % 5 AS VARCHAR) AS sa, "
+            "'c' || CAST(dst % 5 AS VARCHAR) AS da FROM edges), "
+            "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM pairs), "
+            "cell AS (SELECT sa, da, COUNT(*) / (SELECT m FROM m) AS e FROM pairs GROUP BY sa, da), "
+            "tr AS (SELECT COALESCE(SUM(e), 0) AS t FROM cell WHERE sa = da), "
+            "ab AS (SELECT SUM(r.a * c.b) AS s FROM "
+            "(SELECT sa, SUM(e) AS a FROM cell GROUP BY sa) r JOIN "
+            "(SELECT da, SUM(e) AS b FROM cell GROUP BY da) c ON r.sa = c.da) "
+            "SELECT CAST(ROUND(((SELECT t FROM tr) - (SELECT s FROM ab)) "
+            "/ (1 - (SELECT s FROM ab)) * 1e6) AS BIGINT) AS assort_micro"
+        ),
+        "numeric_assortativity": (
+            f"WITH edges AS MATERIALIZED ({_EDGES_SQL}) "
+            "SELECT CAST(ROUND(CORR(CAST((src * 7) % 11 AS DOUBLE), "
+            "CAST((dst * 7) % 11 AS DOUBLE)) * 1e6) AS BIGINT) AS num_assort_micro "
+            "FROM edges"
+        ),
+        "subgraph_counts": _SUBGRAPH_SQL,
+        "msf_stats": _MSF_STATS_SQL,
+        "color": _color_sql(rounds=4),
+        # bridges: needs a spanning forest + cycle-space sweep — no
+        # loop-free SQL equivalent; pytest verifies vs a Tarjan oracle.
+        # kcenter_3 / fluid_4 / louvain: iterative argmax / hysteresis
+        # fixpoints — rows-only here, value-tested in pytest.
     }

@@ -11,8 +11,24 @@ pipelines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _hash60(col, hash_fn: str = "xxhash64") -> Column:
+    """Non-negative 60-bit hash of a string column.
+
+    ``xxhash64`` (default): fastest, JVM-native — the 100 TB path.
+    ``sha2``: first 15 hex chars of sha256 parsed base-16 — ~40× slower
+    but reproducible in ANY engine (DuckDB value oracles recompute it
+    exactly), so the full LSH pipeline is cross-checkable end to end.
+    """
+    if hash_fn == "xxhash64":
+        # clear the sign bit so both modes are non-negative
+        return F.xxhash64(col).bitwiseAND(F.lit((1 << 60) - 1))
+    if hash_fn == "sha2":
+        return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
 def exact_dedup(df: DataFrame, key_col: str = "text",
@@ -94,16 +110,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """The affine MinHash family (a_i, b_i) mod MINHASH_P — exported so
+    oracles can regenerate identical signatures."""
+    p = MINHASH_P
+    return [((2 * i + 1) * 2_654_435_761 % p, (i * 40_503 + 17) % p)
+            for i in range(num_hashes)]
+
+
 def _minhash_sigs(df: DataFrame, text_col: str, id_col: str,
-                  num_hashes: int, n: int):
+                  num_hashes: int, n: int, hash_fn: str = "xxhash64"):
     """(id, array<long> signature): sig[i] = min over shingles of
-    (a_i·xxhash64(shingle) + b_i) mod p — the classic affine family, all
+    (a_i·h(shingle) + b_i) mod p — the classic affine family, all
     JVM-side (explode → groupBy min per hash index)."""
-    p = 2_147_483_647
-    coeffs = [((2 * i + 1) * 2_654_435_761 % p, (i * 40_503 + 17) % p)
-              for i in range(num_hashes)]
+    p = MINHASH_P
+    coeffs = minhash_coeffs(num_hashes)
     sh = df.select(F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("s"))
-    sh = sh.select("id", F.pmod(F.xxhash64("s"), F.lit(p)).alias("h"))
+    sh = sh.select("id", F.pmod(_hash60(F.col("s"), hash_fn), F.lit(p)).alias("h"))
     sigs = sh.groupBy("id").agg(
         *[F.min(F.pmod(F.col("h") * a + b, F.lit(p))).alias(f"m{i}")
           for i, (a, b) in enumerate(coeffs)]
@@ -111,11 +137,23 @@ def _minhash_sigs(df: DataFrame, text_col: str, id_col: str,
     return sigs.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def band_key(sig_cols, band: int) -> Column:
+    """Deterministic bucket key for one LSH band: Horner fold of the
+    band's signature values mod MINHASH_P (reproducible in SQL engines;
+    rare key collisions only ADD candidates, which the exact-Jaccard
+    verify then rejects)."""
+    acc = F.lit(band).cast("long")
+    for c in sig_cols:
+        acc = F.pmod(acc * F.lit(1_000_003) + c, F.lit(MINHASH_P))
+    return acc
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
-                      max_bucket: int = 1000) -> DataFrame:
+                      max_bucket: int = 1000,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified by exact
     Jaccard: shingle → 32-perm signature → 8 bands of 4 → band-bucket
     self-join → exact-Jaccard filter ≥ threshold.
@@ -129,10 +167,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     the actual work saved at scale.
     """
     rows = num_hashes // bands
-    sigs = _minhash_sigs(df, text_col, id_col, num_hashes, n)
+    sigs = _minhash_sigs(df, text_col, id_col, num_hashes, n, hash_fn)
     band_cols = [
         F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias("key"))
+                 band_key([F.col("sig")[b * rows + r] for r in range(rows)], b)
+                 .alias("key"))
         for b in range(bands)
     ]
     buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")) \
@@ -167,13 +206,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
-    """(id, simhash): sign-sum of per-token xxhash64 bits. JVM-side:
-    explode tokens → per-bit ±1 sums → reassemble the 64-bit key."""
+            bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, simhash): sign-sum of per-token hash bits. JVM-side:
+    explode tokens → per-bit ±1 sums → reassemble the key.
+    ``hash_fn="sha2"`` limits usable bits to 60 (see ``_hash60``)."""
+    if hash_fn == "sha2" and bits > 60:
+        raise ValueError("sha2 mode provides 60 hash bits")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")).alias("t"),
-    ).select("id", F.xxhash64("t").alias("h"))
+    ).select("id", (F.xxhash64("t") if hash_fn == "xxhash64"
+                    else _hash60(F.col("t"), hash_fn)).alias("h"))
     bit_sums = toks.groupBy("id").agg(
         *[F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) != 0, 1)
                 .otherwise(-1)).alias(f"b{i}")
@@ -190,15 +233,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3, bits: int = 64,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
-    Candidate generation: split the 64-bit key into (max_hamming+1)
-    16-bit blocks — any pair within distance ≤ max_hamming shares at
+    Candidate generation: split the ``bits``-bit key into (max_hamming+1)
+    equal blocks — any pair within distance ≤ max_hamming shares at
     least one exact block (pigeonhole) → block-bucket join, then exact
     Hamming verify via bit_count(xor)."""
-    s = simhash(df, text_col, id_col)
+    s = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     nblocks = max_hamming + 1
-    width = 64 // nblocks
+    width = bits // nblocks
     blocks = s.select(
         "id", "simhash",
         F.explode(F.array(*[

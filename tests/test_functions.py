@@ -90,6 +90,27 @@ def test_minhash_lsh_recall(spark, docs_df):
     assert len(lsh) >= 0.8 * len(exact), (len(lsh), len(exact))  # recall
 
 
+def test_minhash_sha2_mode(spark, docs_df):
+    # portable-hash mode: same pipeline, engine-replicable hashes; verify
+    # step still guarantees precision 1.0 and recall stays useful
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs_df, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(docs_df, threshold=0.5,
+                                      hash_fn="sha2").collect()}
+    assert lsh <= exact
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_simhash_sha2_mode(spark, docs_df):
+    from graphscope_spark.functions import simhash_pairs as sp
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in sp(docs_df, max_hamming=3, bits=60,
+                         hash_fn="sha2").collect()}
+    assert pairs.get((0, 200)) == 0  # exact duplicate at distance 0
+
+
 def test_simhash_pairs(spark, docs_df):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in simhash_pairs(docs_df, max_hamming=3).collect()}
