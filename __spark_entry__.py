@@ -1063,7 +1063,179 @@ SELECT vid, c AS color FROM c{rounds}""")
     return "".join(out)
 
 
-# unit-weight spanning forest invariant: |forest| = |V| − #components,
+# directed mixed graph (modular mixing ⇒ cycles + mutual pairs) for the
+# directed-triangle variants
+_DIR_EDGES_SQL = (
+    "SELECT DISTINCT l_partkey % 97 AS src, (l_suppkey * 7) % 97 AS dst "
+    "FROM lineitem WHERE l_partkey % 97 <> (l_suppkey * 7) % 97"
+)
+
+_DIR_TRIANGLES_SQL = f"""WITH de AS MATERIALIZED ({_DIR_EDGES_SQL}),
+ud AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM
+  (SELECT src, dst FROM de UNION SELECT dst, src FROM de) GROUP BY src),
+acyc AS (SELECT COUNT(*) AS c FROM de sd
+  JOIN de sx ON sx.src = sd.src
+  JOIN de dx ON dx.src = sd.dst AND dx.dst = sx.dst),
+cyc AS (SELECT COUNT(*) AS c FROM de sd
+  JOIN de dx ON dx.src = sd.dst
+  JOIN de xs ON xs.src = dx.dst AND xs.dst = sd.src
+  JOIN ud dgs ON sd.src = dgs.src JOIN ud dgd ON sd.dst = dgd.src
+  JOIN ud dgx ON dx.dst = dgx.src
+  WHERE (dgx.deg, dx.dst) > (dgs.deg, sd.src)
+    AND (dgx.deg, dx.dst) > (dgd.deg, sd.dst)),
+mp AS MATERIALIZED (SELECT f.src AS a, f.dst AS b FROM de f
+  JOIN de r ON f.src = r.dst AND f.dst = r.src WHERE f.src < f.dst),
+intri AS (SELECT COUNT(*) AS c FROM mp
+  JOIN de ax ON ax.src = mp.a JOIN de bx ON bx.src = mp.b AND bx.dst = ax.dst),
+outtri AS (SELECT COUNT(*) AS c FROM mp
+  JOIN de xa ON xa.dst = mp.a JOIN de xb ON xb.dst = mp.b AND xb.src = xa.src)
+SELECT (SELECT c FROM acyc) AS acyclic, (SELECT c FROM cyc) AS cyclic,
+       (SELECT c FROM intri) AS in_tri, (SELECT c FROM outtri) AS out_tri"""
+
+
+def _mis_sql(rounds: int = 6) -> str:
+    """Luby-MIS unrolled; post-fixpoint rounds are no-ops (empty active
+    set ⇒ no winners ⇒ state unchanged)."""
+    out = [_GRAPH_PRELUDE + """,
+sdd AS MATERIALIZED (SELECT src, dst FROM sym GROUP BY src, dst),
+sdeg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM sdd GROUP BY src),
+m0 AS MATERIALIZED (
+  SELECT v.vid, COALESCE(d.deg, 0) * (SELECT CAST(n AS BIGINT) FROM params) + v.vid AS r,
+         FALSE AS in_mis, FALSE AS excluded
+  FROM verts v LEFT JOIN sdeg d ON v.vid = d.vid)"""]
+    for i in range(1, rounds + 1):
+        p = f"m{i - 1}"
+        out.append(f""",
+act{i} AS (SELECT vid, r FROM {p} WHERE NOT in_mis AND NOT excluded),
+nm{i} AS (SELECT e.dst AS vid, MIN(a.r) AS mr FROM sdd e
+          JOIN act{i} a ON e.src = a.vid GROUP BY e.dst),
+win{i} AS (SELECT a.vid FROM act{i} a LEFT JOIN nm{i} m ON a.vid = m.vid
+           WHERE m.mr IS NULL OR a.r < m.mr),
+lose{i} AS (SELECT DISTINCT e.dst AS vid FROM sdd e
+            JOIN win{i} w ON e.src = w.vid),
+m{i} AS MATERIALIZED (
+  SELECT s.vid, s.r,
+         s.in_mis OR (w.vid IS NOT NULL) AS in_mis,
+         s.excluded OR (l.vid IS NOT NULL AND w.vid IS NULL) AS excluded
+  FROM {p} s LEFT JOIN win{i} w ON s.vid = w.vid
+  LEFT JOIN lose{i} l ON s.vid = l.vid)""")
+    out.append(f"""
+SELECT vid, CAST(in_mis AS BIGINT) AS in_mis FROM m{rounds}""")
+    return "".join(out)
+
+
+def _mm_ctes(rounds: int) -> str:
+    """Mutual-max-proposal maximal matching CTE chain; final state
+    ``mm{rounds}`` (vid, mate). Post-fixpoint rounds are no-ops."""
+    out = [_GRAPH_PRELUDE + """,
+sdd AS MATERIALIZED (SELECT src, dst FROM sym GROUP BY src, dst),
+mm0 AS MATERIALIZED (SELECT vid, CAST(NULL AS BIGINT) AS mate FROM verts)"""]
+    for i in range(1, rounds + 1):
+        p = f"mm{i - 1}"
+        out.append(f""",
+un{i} AS (SELECT vid FROM {p} WHERE mate IS NULL),
+pr{i} AS (SELECT e.src AS vid, MAX(e.dst) AS p FROM sdd e
+          JOIN un{i} a ON e.src = a.vid JOIN un{i} b ON e.dst = b.vid
+          GROUP BY e.src),
+mu{i} AS (SELECT a.vid, a.p AS newmate FROM pr{i} a
+          JOIN pr{i} b ON a.p = b.vid AND b.p = a.vid),
+mm{i} AS MATERIALIZED (
+  SELECT s.vid, COALESCE(m.newmate, s.mate) AS mate
+  FROM {p} s LEFT JOIN mu{i} m ON s.vid = m.vid)""")
+    return "".join(out)
+
+
+def _mm_sql(rounds: int = 36) -> str:
+    return (_mm_ctes(rounds)
+            + f"\nSELECT vid, COALESCE(mate, -1) AS mate FROM mm{rounds}")
+
+
+def _min_edge_cover_sql(rounds: int = 36) -> str:
+    """Matching edges + min-(deg, vid) pendant edge per unmatched
+    non-isolated vertex (reference min-edge-cover.h construction)."""
+    return _mm_ctes(rounds) + f""",
+fin AS (SELECT vid, mate FROM mm{rounds}),
+sdeg2 AS (SELECT src AS vid, COUNT(*) AS deg FROM sdd GROUP BY src),
+medges AS (SELECT DISTINCT LEAST(vid, mate) AS src, GREATEST(vid, mate) AS dst
+           FROM fin WHERE mate IS NOT NULL),
+pend AS (SELECT LEAST(t.vid, t.mp.v) AS src, GREATEST(t.vid, t.mp.v) AS dst FROM (
+  SELECT e.src AS vid,
+         MIN({{'d': d.deg, 'v': e.dst}}) AS mp
+  FROM sdd e JOIN fin f ON e.src = f.vid AND f.mate IS NULL
+  JOIN sdeg2 d ON e.dst = d.vid
+  GROUP BY e.src) t)
+SELECT DISTINCT src, dst FROM (SELECT src, dst FROM medges
+                               UNION ALL SELECT src, dst FROM pend)"""
+
+
+def _min_vertex_cover_sql(rounds: int = 16) -> str:
+    """Threshold-halving greedy cover: round i picks remaining-degree ≥
+    max-threshold vertices (threshold_i = n >> (i+1)); final sweep takes
+    the min endpoint of every residual edge."""
+    out = [_GRAPH_PRELUDE + """,
+e0 AS MATERIALIZED (SELECT src, dst FROM sym GROUP BY src, dst),
+cov0 AS MATERIALIZED (SELECT vid FROM verts WHERE FALSE)"""]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        thr = (f"GREATEST(2, CAST(FLOOR((SELECT n FROM params) / {2 ** i}) AS BIGINT))"
+               if i == 1 else
+               f"CAST(FLOOR((SELECT n FROM params) / {2 ** i}) AS BIGINT)")
+        out.append(f""",
+pk{i} AS MATERIALIZED (
+  SELECT src AS vid FROM {p} GROUP BY src
+  HAVING COUNT(*) >= {thr} AND {thr} > 1),
+cov{i} AS MATERIALIZED (SELECT vid FROM cov{i - 1} UNION SELECT vid FROM pk{i}),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {p} e
+  WHERE e.src NOT IN (SELECT vid FROM pk{i})
+    AND e.dst NOT IN (SELECT vid FROM pk{i}))""")
+    out.append(f""",
+sweep AS (SELECT DISTINCT src AS vid FROM e{rounds} WHERE src < dst)
+SELECT vid FROM (SELECT vid FROM cov{rounds} UNION SELECT vid FROM sweep)""")
+    return "".join(out)
+
+
+def _mds_sql(rounds: int = 16) -> str:
+    """2-hop (deg, vid)-max election dominating set, unrolled."""
+    out = [_GRAPH_PRELUDE + """,
+sdd AS MATERIALIZED (SELECT src, dst FROM sym GROUP BY src, dst),
+sdeg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM sdd GROUP BY src),
+d0 AS MATERIALIZED (
+  SELECT v.vid, COALESCE(d.deg, 0) AS deg, FALSE AS dominated, FALSE AS in_set
+  FROM verts v LEFT JOIN sdeg d ON v.vid = d.vid)"""]
+    for i in range(1, rounds + 1):
+        p = f"d{i - 1}"
+        out.append(f""",
+act{i}d AS (SELECT vid, deg FROM {p} WHERE NOT dominated),
+nb1_{i} AS (SELECT e.dst AS vid, MAX({{'d': s.deg, 'v': s.vid}}) AS nm
+  FROM sdd e JOIN act{i}d s ON e.src = s.vid
+  WHERE e.dst IN (SELECT vid FROM act{i}d) GROUP BY e.dst),
+h1_{i} AS (SELECT a.vid,
+    CASE WHEN n.nm IS NOT NULL AND n.nm > {{'d': a.deg, 'v': a.vid}}
+         THEN n.nm ELSE {{'d': a.deg, 'v': a.vid}} END AS m
+  FROM act{i}d a LEFT JOIN nb1_{i} n ON a.vid = n.vid),
+nb2_{i} AS (SELECT e.dst AS vid, MAX(h.m) AS nm
+  FROM sdd e JOIN h1_{i} h ON e.src = h.vid
+  WHERE e.dst IN (SELECT vid FROM act{i}d) GROUP BY e.dst),
+h2_{i} AS (SELECT a1.vid,
+    CASE WHEN n.nm IS NOT NULL AND n.nm > a1.m THEN n.nm ELSE a1.m END AS m
+  FROM h1_{i} a1 LEFT JOIN nb2_{i} n ON a1.vid = n.vid),
+win{i}d AS (SELECT vid FROM h2_{i} WHERE m.v = vid),
+dom{i} AS (SELECT DISTINCT vid FROM (
+  SELECT e.dst AS vid FROM sdd e JOIN win{i}d w ON e.src = w.vid
+  UNION ALL SELECT vid FROM win{i}d)),
+d{i} AS MATERIALIZED (
+  SELECT s.vid, s.deg,
+         s.dominated OR (dm.vid IS NOT NULL) AS dominated,
+         s.in_set OR (w.vid IS NOT NULL) AS in_set
+  FROM {p} s LEFT JOIN dom{i} dm ON s.vid = dm.vid
+  LEFT JOIN win{i}d w ON s.vid = w.vid)""")
+    out.append(f"""
+SELECT vid FROM d{rounds} WHERE in_set""")
+    return "".join(out)
+
+
+# unit-weight spanning forest invariant: |forest| = |V| − components,
 # total weight = |forest| — value-checked through the WCC fixpoint CTE
 _MSF_STATS_SQL = _wcc_sql(14).replace(
     "SELECT vid, comp FROM c14",
@@ -1168,6 +1340,78 @@ def _q_fluid_4(spark, sf_dir):
         "vid", F.coalesce("community", F.lit(-1)).alias("community"))
 
 
+def _dir_graph(spark, sf_dir):
+    from graphscope_spark import LinkGraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = (li.select((F.col("l_partkey") % 97).alias("src"),
+                   ((F.col("l_suppkey") * 7) % 97).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    return LinkGraph(spark, e, directed=True)
+
+
+def _q_directed_triangles(spark, sf_dir):
+    from graphscope_spark import (
+        acyclic_triangle_count,
+        cyclic_triangle_count,
+        in_triangle_count,
+        out_triangle_count,
+    )
+
+    g = _dir_graph(spark, sf_dir)
+    row = (acyclic_triangle_count(g), cyclic_triangle_count(g),
+           in_triangle_count(g), out_triangle_count(g))
+    return spark.createDataFrame(
+        [row], "acyclic LONG, cyclic LONG, in_tri LONG, out_tri LONG")
+
+
+def _q_mis(spark, sf_dir):
+    from graphscope_spark import mis
+
+    return mis(_graph(spark, sf_dir)).select(
+        "vid", F.col("in_mis").cast("long").alias("in_mis"))
+
+
+def _q_maximal_matching(spark, sf_dir):
+    from graphscope_spark import maximal_matching
+
+    return maximal_matching(_graph(spark, sf_dir)).select(
+        "vid", F.coalesce("mate", F.lit(-1)).alias("mate"))
+
+
+def _q_min_edge_cover(spark, sf_dir):
+    from graphscope_spark import min_edge_cover
+
+    return min_edge_cover(_graph(spark, sf_dir)).select("src", "dst")
+
+
+def _q_min_vertex_cover(spark, sf_dir):
+    from graphscope_spark import min_vertex_cover
+
+    return min_vertex_cover(_graph(spark, sf_dir)).select("vid")
+
+
+def _q_min_dominating_set(spark, sf_dir):
+    from graphscope_spark import min_dominating_set
+
+    return min_dominating_set(_graph(spark, sf_dir)).select("vid")
+
+
+def _q_densest(spark, sf_dir):
+    from graphscope_spark import densest_subgraph_2approx
+
+    density, s = densest_subgraph_2approx(_graph(spark, sf_dir, tri=True))
+    nv = s.count()
+    return spark.createDataFrame(
+        [(int(round(density * 1e6)), nv)], "density_micro LONG, nv LONG")
+
+
+def _q_onion(spark, sf_dir):
+    from graphscope_spark import onion_layers
+
+    return onion_layers(_graph(spark, sf_dir)).select("vid", "layer")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1234,6 +1478,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": _q_bridges,
         "kcenter_3": _q_kcenter_3,
         "fluid_4": _q_fluid_4,
+        "directed_triangles": _q_directed_triangles,
+        "mis": _q_mis,
+        "maximal_matching": _q_maximal_matching,
+        "min_edge_cover": _q_min_edge_cover,
+        "min_vertex_cover": _q_min_vertex_cover,
+        "min_dominating_set": _q_min_dominating_set,
+        "densest_sub": _q_densest,
+        "onion_layers": _q_onion,
     }
 
 
@@ -1482,6 +1734,15 @@ def oracle_sql() -> dict[str, str]:
         "subgraph_counts": _SUBGRAPH_SQL,
         "msf_stats": _MSF_STATS_SQL,
         "color": _color_sql(rounds=4),
+        "directed_triangles": _DIR_TRIANGLES_SQL,
+        "mis": _mis_sql(rounds=6),
+        "maximal_matching": _mm_sql(rounds=36),
+        "min_edge_cover": _min_edge_cover_sql(rounds=36),
+        "min_vertex_cover": _min_vertex_cover_sql(rounds=16),
+        "min_dominating_set": _mds_sql(rounds=24),
+        # densest_sub / onion_layers: need the core-number fixpoint (data-
+        # dependent peel depth) — rows-only; pytest verifies both against
+        # the exact-peel core_numbers whose own oracle is green.
         # bridges: needs a spanning forest + cycle-space sweep — no
         # loop-free SQL equivalent; pytest verifies vs a Tarjan oracle.
         # kcenter_3 / fluid_4 / louvain: iterative argmax / hysteresis

@@ -19,6 +19,7 @@ Public surface:
 from graphscope_spark.graph import LinkGraph
 from graphscope_spark.session import build_session
 from graphscope_spark.operators import (
+    acyclic_triangle_count,
     all_pairs_shortest_path_length,
     articlerank,
     attribute_assortativity_coefficient,
@@ -29,21 +30,31 @@ from graphscope_spark.operators import (
     closeness_centrality,
     color,
     core_numbers,
+    cyclic_triangle_count,
     degree_centrality,
+    densest_subgraph_2approx,
     diamond_count,
     eigenvector_centrality,
     fluid_community,
     hits,
+    in_triangle_count,
     k_center,
     k_clique_count,
     katz_centrality,
     kcore,
     kshell,
     lcc,
+    maximal_matching,
+    min_dominating_set,
+    min_edge_cover,
+    min_vertex_cover,
     minimum_spanning_forest,
+    mis,
     msbfs,
     msf_weight,
     numeric_assortativity_coefficient,
+    onion_layers,
+    out_triangle_count,
     pagerank,
     ppr,
     rectangle_count,
@@ -72,6 +83,11 @@ __all__ = [
     "tailed_triangle_count", "three_path_count",
     "minimum_spanning_forest", "msf_weight",
     "color", "fluid_community", "k_center", "bridges",
+    "mis", "maximal_matching", "min_edge_cover", "min_vertex_cover",
+    "min_dominating_set",
+    "acyclic_triangle_count", "cyclic_triangle_count",
+    "in_triangle_count", "out_triangle_count",
+    "densest_subgraph_2approx", "onion_layers",
 ]
 
 __version__ = "0.1.0"

@@ -91,3 +91,27 @@ __all__ += [
     "minimum_spanning_forest", "msf_weight",
     "color", "fluid_community", "k_center", "bridges",
 ]
+
+from graphscope_spark.operators.matching import (  # noqa: E402
+    maximal_matching,
+    min_dominating_set,
+    min_edge_cover,
+    min_vertex_cover,
+    mis,
+)
+from graphscope_spark.operators.subgraph import (  # noqa: E402
+    acyclic_triangle_count,
+    cyclic_triangle_count,
+    densest_subgraph_2approx,
+    in_triangle_count,
+    out_triangle_count,
+)
+from graphscope_spark.operators.cores import onion_layers  # noqa: E402
+
+__all__ += [
+    "mis", "maximal_matching", "min_edge_cover", "min_vertex_cover",
+    "min_dominating_set",
+    "acyclic_triangle_count", "cyclic_triangle_count",
+    "in_triangle_count", "out_triangle_count",
+    "densest_subgraph_2approx", "onion_layers",
+]

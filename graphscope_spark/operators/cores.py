@@ -72,6 +72,69 @@ def kshell(graph: LinkGraph, k: int) -> DataFrame:
     return core_k.join(core_k1, "vid", "left_anti")
 
 
+def onion_layers(graph: LinkGraph) -> DataFrame:
+    """(vid, layer) — onion-layer ordering (reference gs::OnionFlash,
+    /root/reference/analytical_engine/apps/flash/core/
+    onion-layer-ordering.h:43-95): after the core-number fixpoint,
+    initialize d(v) = #neighbors with core ≥ core(v); round i assigns
+    layer i to every unranked vertex with d ≤ core, then unranked
+    SAME-core neighbors of newly ranked vertices decrement d by the
+    count ranked (the reference's check ``d.core == s.core && rank == -1``).
+    """
+    t = Truncator()
+    cores = truncate(core_numbers(graph))
+    und = graph.und_edges().persist(StorageLevel.MEMORY_AND_DISK)
+    cs = cores.select(F.col("vid").alias("src"), F.col("core").alias("score"))
+    cd = cores.select(F.col("vid").alias("dst"), F.col("core").alias("dcore"))
+    ce = und.join(cs, "src").join(cd, "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    d0 = (
+        ce.filter(F.col("score") >= F.col("dcore"))
+        .groupBy(F.col("dst").alias("vid")).agg(F.count("*").alias("d"))
+    )
+    state = t(
+        cores.join(d0, "vid", "left")
+        .select("vid", "core", F.coalesce("d", F.lit(0)).alias("d"),
+                F.lit(-1).alias("layer")),
+        "state")
+    i = 0
+    while True:
+        newly = state.filter((F.col("layer") == -1) & (F.col("d") <= F.col("core"))) \
+            .select("vid", F.col("core").alias("ncore"))
+        cnt = (
+            und.join(newly.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"), F.col("ncore"))
+            .agg(F.count("*").alias("dec"))
+        )
+        new_state = (
+            state
+            .join(newly.select("vid").withColumn("_n", F.lit(True)), "vid", "left")
+            .join(cnt, (state["vid"] == cnt["vid"])
+                  & (state["core"] == cnt["ncore"]), "left")
+            .select(
+                state["vid"], state["core"],
+                (state["d"] - F.when((state["layer"] == -1)
+                                     & F.col("_n").isNull(),
+                                     F.coalesce("dec", F.lit(0)))
+                 .otherwise(F.lit(0))).alias("d"),
+                F.when(F.col("_n").isNotNull(), F.lit(i))
+                .otherwise(state["layer"]).alias("layer"),
+            )
+        )
+        new_state = t(new_state, "state")
+        remaining = new_state.filter(F.col("layer") == -1).count()
+        state = new_state
+        i += 1
+        if remaining == 0:
+            break
+        if i > 100_000:
+            raise RuntimeError("onion_layers did not terminate")
+    ce.unpersist()
+    und.unpersist()
+    from graphscope_spark.runtime.truncate import free_truncated
+    free_truncated(cores)
+    return state.select("vid", "layer")
+
+
 def core_numbers(graph: LinkGraph) -> DataFrame:
     """(vid, core) for every vertex — ascending peel phases; isolated
     vertices (or those peeled at k=1) get core 0, etc."""

@@ -121,6 +121,120 @@ def rectangle_count(graph: LinkGraph) -> int:
     return int(row["c"] or 0)
 
 
+def _simple_directed(graph: LinkGraph) -> DataFrame:
+    return graph.edges.select("src", "dst") \
+        .filter(F.col("src") != F.col("dst")).distinct()
+
+
+def acyclic_triangle_count(graph: LinkGraph) -> int:
+    """Transitive (acyclic) directed triangles s→d, s→x, d→x — counted
+    once at the top edge (reference
+    apps/flash/subgraph/acyclic-triangle.h:46-70)."""
+    e = _simple_directed(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    n = (
+        e.alias("sd")
+        .join(e.alias("sx"), F.col("sd.src") == F.col("sx.src"))
+        .join(e.alias("dx"), (F.col("dx.src") == F.col("sd.dst"))
+              & (F.col("dx.dst") == F.col("sx.dst")))
+        .count()
+    )
+    e.unpersist()
+    return n
+
+
+def _order_key(graph: LinkGraph, col: str):
+    deg = graph.und_degrees()
+    return deg.select(F.col("vid").alias(col), F.col("deg").alias(f"deg_{col}"))
+
+
+def cyclic_triangle_count(graph: LinkGraph) -> int:
+    """Cyclic directed triangles s→d→x→s, counted once at the edge whose
+    missing corner x is the (degree, id)-max (reference
+    apps/flash/subgraph/cyclic-triangle.h:44-75)."""
+    e = _simple_directed(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = graph.und_degrees()
+    d_s = deg.select(F.col("vid").alias("s"), F.col("deg").alias("ds"))
+    d_d = deg.select(F.col("vid").alias("d"), F.col("deg").alias("dd"))
+    d_x = deg.select(F.col("vid").alias("x"), F.col("deg").alias("dx"))
+    tri = (
+        e.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .join(e.select(F.col("src").alias("d"), F.col("dst").alias("x")), "d")
+        .join(e.select(F.col("src").alias("x"), F.col("dst").alias("s")),
+              ["x", "s"], "left_semi")
+        .join(d_s, "s").join(d_d, "d").join(d_x, "x")
+        .filter(
+            (F.struct(F.col("dx").alias("k1"), F.col("x").alias("k2"))
+             > F.struct(F.col("ds").alias("k1"), F.col("s").alias("k2")))
+            & (F.struct(F.col("dx").alias("k1"), F.col("x").alias("k2"))
+               > F.struct(F.col("dd").alias("k1"), F.col("d").alias("k2"))))
+    )
+    n = tri.count()
+    e.unpersist()
+    return n
+
+
+def _mutual_pairs(e: DataFrame) -> DataFrame:
+    """(a, b) unordered mutual-edge pairs (a < b), both directions present."""
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+
+
+def in_triangle_count(graph: LinkGraph) -> int:
+    """Mutual pair {a,b} + common OUT-neighbor x (a→x, b→x) — the
+    reference's "in+" pattern (apps/flash/subgraph/in-triangle.h:47-75)."""
+    e = _simple_directed(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    mp = _mutual_pairs(e)
+    n = (
+        mp.join(e.select(F.col("src").alias("a"), F.col("dst").alias("x")), "a")
+        .join(e.select(F.col("src").alias("b"), F.col("dst").alias("x")),
+              ["b", "x"], "left_semi")
+        .count()
+    )
+    e.unpersist()
+    return n
+
+
+def out_triangle_count(graph: LinkGraph) -> int:
+    """Mutual pair {a,b} + common IN-neighbor x (x→a, x→b) — the
+    reference's "out+" pattern (apps/flash/subgraph/out-triangle.h:47-75)."""
+    e = _simple_directed(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    mp = _mutual_pairs(e)
+    n = (
+        mp.join(e.select(F.col("dst").alias("a"), F.col("src").alias("x")), "a")
+        .join(e.select(F.col("dst").alias("b"), F.col("src").alias("x")),
+              ["b", "x"], "left_semi")
+        .count()
+    )
+    e.unpersist()
+    return n
+
+
+def densest_subgraph_2approx(graph: LinkGraph) -> tuple[float, DataFrame]:
+    """(density, vertices) — the max-core subgraph, a 2-approximation of
+    the densest subgraph; density = average degree inside the subgraph,
+    matching the reference's GlobalRes (reference
+    apps/flash/subgraph/densest-sub-2-approx.h:45-95: per-vertex core
+    fixpoint, then ne/nv over the max-core set where ne counts each
+    internal edge at both endpoints)."""
+    from graphscope_spark.operators.cores import core_numbers
+
+    cores = core_numbers(graph)
+    kmax = cores.agg(F.max("core")).first()[0] or 0
+    s = cores.filter(F.col("core") == kmax).select("vid")
+    und = graph.und_edges()
+    ne = (
+        und.join(s.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(s.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        .count()
+    )
+    nv = s.count()
+    return (ne / nv if nv else 0.0), s
+
+
 def k_clique_count(graph: LinkGraph, k: int = 4) -> int:
     """Number of k-cliques (k ≥ 3), by ordered extension over the
     degree-ordered orientation: a clique is enumerated once as its
