@@ -1412,6 +1412,31 @@ def _q_onion(spark, sf_dir):
     return onion_layers(_graph(spark, sf_dir)).select("vid", "layer")
 
 
+def _bridgey_graph(spark, sf_dir):
+    """Star+co-purchase composite (see _q_bridges) — has cut vertices,
+    bridges, and non-trivial biconnected blocks."""
+    from graphscope_spark import LinkGraph
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("src"),
+        (F.lit(200000) + F.col("s_nationkey")).alias("dst"))
+    return LinkGraph(spark, _tri_edges(spark, sf_dir).unionByName(sup),
+                     directed=True)
+
+
+def _q_bcc(spark, sf_dir):
+    from graphscope_spark import biconnected_components
+
+    return biconnected_components(_bridgey_graph(spark, sf_dir)).select(
+        "src", "dst", "bcc")
+
+
+def _q_articulation_points(spark, sf_dir):
+    from graphscope_spark import articulation_points
+
+    return articulation_points(_bridgey_graph(spark, sf_dir)).select("vid")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1486,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_dominating_set": _q_min_dominating_set,
         "densest_sub": _q_densest,
         "onion_layers": _q_onion,
+        "bcc": _q_bcc,
+        "articulation_points": _q_articulation_points,
     }
 
 

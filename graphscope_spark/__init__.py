@@ -22,6 +22,8 @@ from graphscope_spark.operators import (
     acyclic_triangle_count,
     all_pairs_shortest_path_length,
     articlerank,
+    articulation_points,
+    biconnected_components,
     attribute_assortativity_coefficient,
     avg_clustering,
     bfs,
@@ -88,6 +90,7 @@ __all__ = [
     "acyclic_triangle_count", "cyclic_triangle_count",
     "in_triangle_count", "out_triangle_count",
     "densest_subgraph_2approx", "onion_layers",
+    "biconnected_components", "articulation_points",
 ]
 
 __version__ = "0.1.0"

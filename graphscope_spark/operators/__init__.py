@@ -107,6 +107,10 @@ from graphscope_spark.operators.subgraph import (  # noqa: E402
     out_triangle_count,
 )
 from graphscope_spark.operators.cores import onion_layers  # noqa: E402
+from graphscope_spark.operators.bcc import (  # noqa: E402
+    articulation_points,
+    biconnected_components,
+)
 
 __all__ += [
     "mis", "maximal_matching", "min_edge_cover", "min_vertex_cover",
@@ -114,4 +118,5 @@ __all__ += [
     "acyclic_triangle_count", "cyclic_triangle_count",
     "in_triangle_count", "out_triangle_count",
     "densest_subgraph_2approx", "onion_layers",
+    "biconnected_components", "articulation_points",
 ]

@@ -1,0 +1,138 @@
+"""Biconnected components + articulation points vs an iterative Tarjan
+oracle; bridges cross-check (single-edge components)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from graphscope_spark import LinkGraph
+from tests.conftest import power_law_graph
+
+
+def _mk(spark, vertices, edges, parts=4):
+    return LinkGraph(
+        spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+        num_partitions=parts)
+
+
+def tarjan_bcc(vertices, edges):
+    """Iterative Tarjan: returns (list of frozenset-of-canonical-edges,
+    set of articulation points) on the simple undirected view."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    disc, low = {}, {}
+    comps, arts = [], set()
+    timer = [0]
+    for root in vertices:
+        if root in disc:
+            continue
+        if not adj[root]:
+            disc[root] = timer[0]
+            timer[0] += 1
+            continue
+        stack = [(root, None, iter(sorted(adj[root])))]
+        disc[root] = low[root] = timer[0]
+        timer[0] += 1
+        estack = []
+        root_children = 0
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w == parent:
+                    continue
+                if w not in disc:
+                    if v == root:
+                        root_children += 1
+                    estack.append((min(v, w), max(v, w)))
+                    disc[w] = low[w] = timer[0]
+                    timer[0] += 1
+                    stack.append((w, v, iter(sorted(adj[w]))))
+                    advanced = True
+                    break
+                elif disc[w] < disc[v]:
+                    estack.append((min(v, w), max(v, w)))
+                    low[v] = min(low[v], disc[w])
+            if not advanced:
+                stack.pop()
+                if parent is not None:
+                    low[parent] = min(low[parent], low[v])
+                    if low[v] >= disc[parent]:
+                        if parent != root:
+                            arts.add(parent)
+                        comp = set()
+                        while estack:
+                            e = estack.pop()
+                            comp.add(e)
+                            if e == (min(parent, v), max(parent, v)):
+                                break
+                        comps.append(frozenset(comp))
+        if root_children >= 2:
+            arts.add(root)
+    return comps, arts
+
+
+@pytest.mark.parametrize("n,m,seed", [(10, 14, 1), (40, 70, 2),
+                                      (60, 120, 3), (60, 260, 4)])
+def test_bcc_and_articulation(spark, n, m, seed):
+    from graphscope_spark.operators.bcc import (
+        articulation_points,
+        biconnected_components,
+    )
+
+    vertices, edges = power_law_graph(n=n, m=m, seed=seed, with_dangling=False)
+    g = _mk(spark, vertices, edges)
+    rows = biconnected_components(g).collect()
+    got_groups = defaultdict(set)
+    for r in rows:
+        got_groups[r["bcc"]].add((r["src"], r["dst"]))
+    got = {frozenset(s) for s in got_groups.values()}
+    want_comps, want_arts = tarjan_bcc(vertices, edges)
+    assert got == set(want_comps), (len(got), len(want_comps))
+    got_arts = {r["vid"] for r in articulation_points(g).collect()}
+    assert got_arts == want_arts
+
+
+def test_bcc_bridges_consistency(spark):
+    from graphscope_spark import bridges
+    from graphscope_spark.operators.bcc import biconnected_components
+
+    vertices, edges = power_law_graph(n=50, m=110, seed=21, with_dangling=False)
+    g = _mk(spark, vertices, edges)
+    rows = biconnected_components(g).collect()
+    sizes = defaultdict(int)
+    members = defaultdict(list)
+    for r in rows:
+        sizes[r["bcc"]] += 1
+        members[r["bcc"]].append((r["src"], r["dst"]))
+    single = {members[b][0] for b, c in sizes.items() if c == 1}
+    br = {(r["src"], r["dst"]) for r in bridges(g).collect()}
+    assert single == br
+
+
+def test_bcc_hand_example(spark):
+    from graphscope_spark.operators.bcc import (
+        articulation_points,
+        biconnected_components,
+    )
+
+    # two triangles joined at a cut vertex 2, plus a pendant at 5
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (4, 5)]
+    g = _mk(spark, list(range(6)), edges)
+    rows = biconnected_components(g).collect()
+    groups = defaultdict(set)
+    for r in rows:
+        groups[r["bcc"]].add((r["src"], r["dst"]))
+    assert {frozenset(s) for s in groups.values()} == {
+        frozenset({(0, 1), (1, 2), (0, 2)}),
+        frozenset({(2, 3), (3, 4), (2, 4)}),
+        frozenset({(4, 5)}),
+    }
+    arts = {r["vid"] for r in articulation_points(g).collect()}
+    assert arts == {2, 4}
