@@ -131,8 +131,12 @@ class LinkGraph:
         endpoints.
         """
         num_partitions = num_partitions or spark.sparkContext.defaultParallelism
-        oids = oid_edges.select(F.col(src_col).alias("oid")).union(
-            oid_edges.select(F.col(dst_col).alias("oid"))
+        # per-side distinct BEFORE the union: the map-side combine of each
+        # distinct dedupes the (wide, string) oid column early, so the
+        # union that feeds the final distinct carries far fewer rows —
+        # one narrow pass instead of a second wide one at 100 TB
+        oids = oid_edges.select(F.col(src_col).alias("oid")).distinct().union(
+            oid_edges.select(F.col(dst_col).alias("oid")).distinct()
         )
         vmap = assign_dense_ids(oids, "oid", num_partitions).persist(StorageLevel.MEMORY_AND_DISK)
         e = (
