@@ -269,10 +269,11 @@ def section_c(extras: dict) -> None:
     n_lo, n_hi = 2, 8
     s0, t0 = _cpu_stat()
     ctl = [(_cpu_control(n_lo), _cpu_control(n_hi))]
-    t_lo_runs, t_hi_runs = [], []
-    for _ in range(2):
-        t_lo_runs.append(_pr_min_step(n_lo, steps=4))
-        t_hi_runs.append(_pr_min_step(n_hi, steps=10))
+    # N=2 steps are long and stable (23.2-23.7s across every measurement);
+    # N=8 steps are short and noisy (6.0-8.0s) — so one lo session and two
+    # hi sessions spends the repeat budget where the variance is
+    t_lo_runs = [_pr_min_step(n_lo, steps=4)]
+    t_hi_runs = [_pr_min_step(n_hi, steps=8) for _ in range(2)]
     ctl.append((_cpu_control(n_lo), _cpu_control(n_hi)))
     s1, t1 = _cpu_stat()
     t_lo, t_hi = min(t_lo_runs), min(t_hi_runs)
