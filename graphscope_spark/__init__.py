@@ -68,6 +68,27 @@ from graphscope_spark.operators import (
     triangles,
     wcc,
 )
+from graphscope_spark.operators import (
+    all_simple_paths,
+    articulation_points as articulation_points,
+    average_degree_connectivity,
+    betweenness_centrality,
+    degree_assortativity_coefficient,
+    diameter_approx,
+    eccentricity,
+    edge_boundary,
+    is_simple_path,
+    louvain,
+    lpa_u2i,
+    modularity,
+    node_boundary,
+    sampling_path,
+    scc,
+    sssp_average_length,
+    sssp_has_path,
+    sssp_path,
+    voterank,
+)
 from graphscope_spark.sources import load_csv_graph
 
 __all__ = [
@@ -91,6 +112,11 @@ __all__ = [
     "in_triangle_count", "out_triangle_count",
     "densest_subgraph_2approx", "onion_layers",
     "biconnected_components", "articulation_points",
+    "scc", "louvain", "modularity", "betweenness_centrality", "voterank",
+    "sssp_path", "sssp_average_length", "sssp_has_path", "is_simple_path",
+    "degree_assortativity_coefficient", "average_degree_connectivity",
+    "node_boundary", "edge_boundary", "eccentricity", "diameter_approx",
+    "all_simple_paths", "sampling_path", "lpa_u2i",
 ]
 
 __version__ = "0.1.0"

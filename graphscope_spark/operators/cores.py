@@ -166,4 +166,9 @@ def core_numbers(graph: LinkGraph) -> DataFrame:
     out = results[0]
     for piece in results[1:]:
         out = out.unionByName(piece)
+    # consolidate the per-level pieces into ONE checkpoint (a deep core
+    # decomposition would otherwise keep one block set per level alive)
+    out = truncate(out)
+    for piece in results:
+        free_truncated(piece)
     return out

@@ -1,0 +1,49 @@
+"""Checkpoint-block reclamation: driver-loop algorithms must not
+accumulate localCheckpoint block RDDs (ADVICE round 1: unpersist() never
+frees them; Truncator frees superseded slots deterministically)."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphscope_spark import LinkGraph
+from tests.conftest import power_law_graph
+
+
+def _persistent_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _mk(spark, n=60, m=240, seed=8):
+    vertices, edges = power_law_graph(n=n, m=m, seed=seed, with_dangling=False)
+    return LinkGraph(
+        spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+        num_partitions=2)
+
+
+@pytest.mark.parametrize("algo", ["scc", "louvain", "betweenness",
+                                  "core_numbers", "voterank", "mis"])
+def test_loop_algorithms_release_checkpoints(spark, algo):
+    import graphscope_spark as gs
+
+    g = _mk(spark)
+    before = _persistent_count(spark)
+    if algo == "scc":
+        gs.scc(g).count()
+    elif algo == "louvain":
+        gs.louvain(g, max_levels=2, max_rounds=4).count()
+    elif algo == "betweenness":
+        gs.betweenness_centrality(g, sources="all").count()
+    elif algo == "core_numbers":
+        gs.core_numbers(g).count()
+    elif algo == "voterank":
+        gs.voterank(g, num_seeds=5)
+    elif algo == "mis":
+        gs.mis(g).count()
+    after = _persistent_count(spark)
+    # a loop of k iterations used to leak ~k block sets; now at most a
+    # handful of live result/graph-cache entries may remain
+    leaked = after - before
+    assert leaked <= 6, f"{algo} leaked {leaked} persistent RDDs"
+    g.unpersist_all()
