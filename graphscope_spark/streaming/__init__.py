@@ -1,0 +1,12 @@
+from graphscope_spark.streaming.edges import (
+    read_edge_stream,
+    running_degrees,
+    streaming_exact_dedup,
+    windowed_degrees,
+)
+from graphscope_spark.streaming.incremental import IncrementalWCC
+
+__all__ = [
+    "read_edge_stream", "windowed_degrees", "streaming_exact_dedup",
+    "running_degrees", "IncrementalWCC",
+]

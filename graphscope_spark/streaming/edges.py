@@ -1,0 +1,98 @@
+"""Structured-Streaming surface: edge streams, windowed degree
+aggregation with late-data watermarks, streaming dedup, and a custom
+stateful operator (running degrees) on ``applyInPandasWithState``.
+
+The reference engine is batch-only; its incrementalization story is
+Ingress-style warm starts (docs/analytical_engine/ingress.md — covered
+by ``pagerank(init_ranks=...)``). A Spark-native rebuild gets true
+streams for free from Structured Streaming, so the engine exposes them
+first-class: the same DataFrame shapes the batch operators use, driven
+by ``readStream``/``writeStream``. At cluster scale the source becomes
+Kafka/files-on-object-store; everything below is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+EDGE_STREAM_SCHEMA = "src LONG, dst LONG, ts TIMESTAMP"
+
+
+def read_edge_stream(spark: SparkSession, path: str, fmt: str = "parquet",
+                     schema: str = EDGE_STREAM_SCHEMA) -> DataFrame:
+    """File-based edge stream (src, dst, ts). ``maxFilesPerTrigger=1``
+    keeps micro-batches aligned with arriving files — at scale this is a
+    Kafka topic with the same columns."""
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    return reader.format(fmt).load(path)
+
+
+def windowed_degrees(edges: DataFrame, window: str = "10 minutes",
+                     watermark: str = "20 minutes",
+                     direction: str = "out") -> DataFrame:
+    """Per-window out/in-degree counts with a late-data watermark:
+    events later than ``watermark`` behind the max seen ts are dropped
+    and the engine can emit finalized windows (append mode)."""
+    key = "src" if direction == "out" else "dst"
+    return (
+        edges.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col(key).alias("vid"))
+        .agg(F.count("*").alias("deg"))
+        .select(F.col("w.start").alias("window_start"), "vid", "deg")
+    )
+
+
+def streaming_exact_dedup(docs: DataFrame, key_col: str = "text",
+                          id_col: str = "doc_id",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup: first-seen row per content hash survives.
+    State is bounded by the watermark (dropDuplicatesWithinWatermark);
+    content itself never becomes a state key — only the 64-bit hash."""
+    hashed = docs.withColumn("_h", F.xxhash64(key_col))
+    try:
+        return hashed.withWatermark("ts", watermark) \
+            .dropDuplicatesWithinWatermark(["_h"]).drop("_h")
+    except Exception:  # pragma: no cover - older Spark fallback
+        return hashed.withWatermark("ts", watermark) \
+            .dropDuplicates(["_h"]).drop("_h")
+
+
+_RUN_DEG_OUT = StructType([
+    StructField("vid", LongType()),
+    StructField("deg", LongType()),
+])
+_RUN_DEG_STATE = StructType([StructField("deg", LongType())])
+
+
+def _running_deg_fn(key, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    (vid,) = key
+    deg = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        deg += len(pdf)
+    state.update((deg,))
+    yield pd.DataFrame({"vid": [vid], "deg": [deg]})
+
+
+def running_degrees(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """Cumulative per-vertex degree over the whole stream — a custom
+    stateful operator on ``applyInPandasWithState`` (Arrow-batched per
+    group, update-mode output; the state is one long per vertex)."""
+    key = "src" if direction == "out" else "dst"
+    return (
+        edges.select(F.col(key).alias("vid"))
+        .groupBy("vid")
+        .applyInPandasWithState(
+            _running_deg_fn, _RUN_DEG_OUT, _RUN_DEG_STATE,
+            "update", GroupStateTimeout.NoTimeout)
+    )

@@ -1,0 +1,115 @@
+"""Incremental connected components over an edge stream.
+
+The Ingress memoization story for WCC (reference
+docs/analytical_engine/ingress.md: re-run from previous state instead
+of from scratch) mapped onto Structured Streaming: per micro-batch of
+new edges, merge the components they touch and persist the label table.
+
+Per batch (foreachBatch):
+  1. load the previous (vid, comp) state (parquet; comp = min vid of
+     the component — the same labels batch ``wcc`` produces);
+  2. relabel the batch edges' endpoints with their current comp
+     (unseen vertices label themselves);
+  3. HashMin fixpoint over the COMPONENT-link graph only — one row per
+     distinct (comp_a, comp_b) pair in the batch, radically smaller
+     than the accumulated edge set;
+  4. apply the comp→comp mapping to the state, union new vertices,
+     write back (atomic directory swap).
+
+Invariant (tested): after any prefix of batches the state equals batch
+``wcc`` on the union of all edges seen — labels included, because
+min-label merging composes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IncrementalWCC:
+    """foreachBatch sink maintaining a (vid, comp) parquet state."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        self._live = os.path.join(state_dir, "live")
+        self._tmp = os.path.join(state_dir, "tmp")
+
+    # ---- state io ---------------------------------------------------------
+
+    def labels(self) -> DataFrame:
+        if os.path.exists(self._live):
+            return self.spark.read.parquet(self._live)
+        return self.spark.createDataFrame([], "vid LONG, comp LONG")
+
+    def _write(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self._tmp)
+        if os.path.exists(self._live):
+            shutil.rmtree(self._live)
+        os.replace(self._tmp, self._live)
+
+    # ---- the merge --------------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        e = batch.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        if e.isEmpty():
+            return
+        state = self.labels()
+        # current labels for the batch endpoints; unseen → own vid
+        ids = e.select(F.col("src").alias("vid")).union(
+            e.select(F.col("dst").alias("vid"))).distinct()
+        lab = (
+            ids.join(state, "vid", "left")
+            .select("vid", F.coalesce("comp", F.col("vid")).alias("comp"))
+        )
+        le = (
+            e.join(lab.withColumnRenamed("vid", "src")
+                   .withColumnRenamed("comp", "cs"), "src")
+            .join(lab.withColumnRenamed("vid", "dst")
+                  .withColumnRenamed("comp", "cd"), "dst")
+            .select("cs", "cd").filter(F.col("cs") != F.col("cd")).distinct()
+        )
+        # HashMin fixpoint over the component-link graph (tiny)
+        pairs = le.unionByName(le.select(F.col("cd").alias("cs"),
+                                         F.col("cs").alias("cd")))
+        m = lab.select(F.col("comp").alias("c")).distinct() \
+            .select("c", F.col("c").alias("root")).localCheckpoint(eager=True)
+        while True:
+            msgs = (
+                pairs.join(m.withColumnRenamed("c", "cs")
+                           .withColumnRenamed("root", "rs"), "cs")
+                .groupBy(F.col("cd").alias("c")).agg(F.min("rs").alias("mr"))
+            )
+            nm = (
+                m.join(msgs, "c", "left")
+                .select("c", F.least("root", F.coalesce("mr", "root")).alias("root"),
+                        F.coalesce(F.col("mr") < F.col("root"), F.lit(False))
+                        .alias("chg"))
+            ).localCheckpoint(eager=True)
+            changed = nm.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
+            m = nm.drop("chg")
+            if changed == 0:
+                break
+        mapping = m.filter(F.col("c") != F.col("root"))
+        new_state = (
+            state.unionByName(
+                lab.join(state.select("vid"), "vid", "left_anti"))
+            .join(mapping.withColumnRenamed("c", "comp"), "comp", "left")
+            .select("vid", F.coalesce("root", F.col("comp")).alias("comp"))
+        )
+        self._write(new_state)
+
+    # ---- streaming entry --------------------------------------------------
+
+    def attach(self, edge_stream: DataFrame, checkpoint_dir: str,
+               trigger_available_now: bool = True):
+        """writeStream with this sink; returns the StreamingQuery."""
+        w = edge_stream.writeStream.foreachBatch(self.process_batch) \
+            .option("checkpointLocation", checkpoint_dir)
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()

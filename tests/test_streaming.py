@@ -1,0 +1,114 @@
+"""Structured-Streaming surface: windowed degrees with watermark,
+streaming dedup, applyInPandasWithState running degrees, and incremental
+WCC equivalence with the batch operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from graphscope_spark import LinkGraph, wcc
+
+
+def _write_edge_batch(spark, path, rows, n):
+    df = spark.createDataFrame(rows, "src LONG, dst LONG, ts TIMESTAMP")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _ts(minute):
+    return dt.datetime(2026, 1, 1, 12, minute)
+
+
+@pytest.fixture()
+def edge_dir(spark, tmp_path):
+    p = str(tmp_path / "edges")
+    batches = [
+        [(0, 1, _ts(0)), (1, 2, _ts(1)), (0, 2, _ts(2))],
+        [(3, 4, _ts(11)), (4, 5, _ts(12)), (0, 3, _ts(13))],
+        [(6, 7, _ts(21)), (7, 8, _ts(22)), (8, 6, _ts(23))],
+    ]
+    for i, b in enumerate(batches):
+        _write_edge_batch(spark, p, b, i)
+    all_edges = [(s, d) for b in batches for s, d, _ in b]
+    return p, all_edges
+
+
+def test_windowed_degrees_and_running(spark, edge_dir, tmp_path):
+    from graphscope_spark.streaming import (
+        read_edge_stream,
+        running_degrees,
+        windowed_degrees,
+    )
+
+    path, all_edges = edge_dir
+    stream = read_edge_stream(spark, path)
+    q = (windowed_degrees(stream, window="10 minutes", watermark="5 minutes")
+         .writeStream.format("memory").queryName("wdeg")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM wdeg").collect()
+    got = {(r["window_start"].minute, r["vid"]): r["deg"] for r in rows}
+    # append mode emits only windows finalized by the watermark (max ts
+    # 12:23 − 5 min = 12:18 → the 12:00-12:10 window; later windows stay
+    # open). Window 12:00 holds batch 1: out-degrees 0→2, 1→1.
+    assert got.get((0, 0)) == 2
+    assert got.get((0, 1)) == 1
+    assert all(w == 0 for w, _ in got)  # open windows withheld
+
+    q2 = (running_degrees(read_edge_stream(spark, path))
+          .writeStream.format("memory").queryName("rdeg")
+          .outputMode("update").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    rows2 = spark.sql("SELECT vid, MAX(deg) AS deg FROM rdeg GROUP BY vid").collect()
+    got2 = {r["vid"]: r["deg"] for r in rows2}
+    from collections import Counter
+    want = Counter(s for s, _ in all_edges)
+    assert got2 == dict(want)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from graphscope_spark.streaming import streaming_exact_dedup
+
+    p = str(tmp_path / "docs")
+    rows = [(1, "alpha beta", _ts(0)), (2, "alpha beta", _ts(1)),
+            (3, "gamma", _ts(2)), (4, "gamma", _ts(30)), (5, "delta", _ts(31))]
+    spark.createDataFrame(rows, "doc_id LONG, text STRING, ts TIMESTAMP") \
+        .coalesce(1).write.mode("append").parquet(p)
+    stream = spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP") \
+        .parquet(p)
+    q = (streaming_exact_dedup(stream, watermark="10 minutes")
+         .writeStream.format("memory").queryName("sdedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ids = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM sdedup").collect()}
+    assert 1 in ids and 2 not in ids  # duplicate within watermark dropped
+    assert 3 in ids and 5 in ids
+
+
+def test_incremental_wcc_matches_batch(spark, tmp_path):
+    from graphscope_spark.streaming import IncrementalWCC, read_edge_stream
+
+    p = str(tmp_path / "edges")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalWCC(spark, state)
+
+    batches = [
+        [(0, 1, _ts(0)), (2, 3, _ts(1))],
+        [(4, 5, _ts(2)), (6, 7, _ts(3))],
+        [(1, 2, _ts(4)), (5, 6, _ts(5))],   # merges 0-1-2-3 and 4-5-6-7
+        [(7, 0, _ts(6))],                    # merges everything
+    ]
+    seen = []
+    for i, b in enumerate(batches):
+        _write_edge_batch(spark, p, b, i)
+        seen += [(s, d) for s, d, _ in b]
+        q = inc.attach(read_edge_stream(spark, p), ckpt)
+        q.awaitTermination(180)
+        got = {r["vid"]: r["comp"] for r in inc.labels().collect()}
+        g = LinkGraph(spark, spark.createDataFrame(seen, "src LONG, dst LONG"),
+                      num_partitions=2)
+        want = {r["vid"]: r["comp"] for r in wcc(g).collect()}
+        g.unpersist_all()
+        assert got == want, (i, got, want)
