@@ -86,7 +86,13 @@ class LinkGraph:
     ):
         self.spark = spark
         self.directed = directed
-        self.num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+        # default to spark.sql.shuffle.partitions, NOT defaultParallelism:
+        # shuffled joins require both sides partitioned to the SHUFFLE
+        # partition count — a mismatched edge cache gets silently
+        # re-exchanged every superstep (caught by test_plan_quality)
+        if num_partitions is None:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.num_partitions = num_partitions
         prop_cols = [c for c in edges.columns if c not in ("src", "dst")]
         self.edge_prop_cols = prop_cols
         self.edges = (

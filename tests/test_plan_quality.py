@@ -1,0 +1,103 @@
+"""Physical-plan regression guards: the properties that make the engine
+scale must survive refactors — one exchange per superstep, no broadcast
+of O(V) state, parquet pushdown, no cartesian products in the subgraph
+templates. Checked by parsing `.explain` output (the same spot checks
+BASELINE.md records, now enforced)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from graphscope_spark import LinkGraph
+from tests.conftest import power_law_graph
+
+
+def _formatted(df) -> str:
+    # public API: capture explain("formatted")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _mk(spark, n=2000, m=8000, seed=5, parts=None):
+    vertices, edges = power_law_graph(n=n, m=m, seed=seed)
+    return LinkGraph(
+        spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+        num_partitions=parts)
+
+
+def test_pagerank_step_single_exchange_no_state_broadcast(spark):
+    from graphscope_spark.operators.pagerank import PageRankJob
+    from graphscope_spark.runtime.superstep import SuperstepRunner
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # default partitioning (= shuffle partitions) → exchange-free joins
+        g = _mk(spark)
+        runner = SuperstepRunner(spark)
+        # run two steps so the state side is a truncated LogicalRDD with
+        # stable partitioning, then inspect the third step's plan
+        job = PageRankJob(g, tol=0.0, max_iter=100)
+        state, scalars = runner.run(job, max_steps=2)
+        raw, _fin = job.step(state, 3, scalars)
+        plan = _formatted(raw)
+        # the tree section: exactly one NEW exchange (the message groupBy);
+        # an exchange directly feeding the cached edge scan would mean the
+        # persisted edge partitioning is being thrown away every superstep
+        tree = plan.split("\n(1)")[0]
+        n_exchange = tree.count("Exchange")
+        cache_reshuffle = re.search(
+            r"Exchange \(\d+\)\n\s*[:+]?-? *\+?-? *InMemoryTableScan", plan)
+        assert "BroadcastExchange" not in plan, "O(V) state must not broadcast"
+        assert cache_reshuffle is None, f"edge cache re-exchanged:\n{tree}"
+        # 1 live exchange + possibly the cache-internal one (built once)
+        assert n_exchange <= 2, f"too many exchanges:\n{tree}"
+        g.unpersist_all()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_triangle_plan_no_cartesian(spark):
+    from graphscope_spark import triangles
+
+    g = _mk(spark, n=300, m=1500, seed=7)
+    plan = _formatted(triangles(g))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    g.unpersist_all()
+
+
+def test_subgraph_plans_no_cartesian(spark):
+    from graphscope_spark.operators.subgraph import (
+        _edge_common_neighbors,
+        oriented_edges,
+    )
+
+    g = _mk(spark, n=300, m=1500, seed=8)
+    for df in (oriented_edges(g), _edge_common_neighbors(g)):
+        plan = _formatted(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    g.unpersist_all()
+
+
+def test_parquet_pushdown(spark, tmp_path):
+    p = str(tmp_path / "li")
+    spark.range(0, 1000).selectExpr(
+        "id AS l_orderkey", "id % 7 AS l_quantity",
+        "CAST(id % 3 AS STRING) AS l_returnflag",
+        "id * 2 AS unused_wide_col").write.parquet(p)
+    df = (spark.read.parquet(p)
+          .filter("l_quantity > 3 AND l_returnflag = '1'")
+          .select("l_orderkey", "l_quantity"))
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan and "IsNotNull(l_quantity)" in plan
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "unused_wide_col" not in m.group(1), "column pruning failed"
