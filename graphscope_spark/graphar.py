@@ -1,0 +1,187 @@
+"""GraphAr-format graph save/load.
+
+Reference: GraphScope archives graphs through ``save_to(format=
+"graphar")`` (/root/reference/docs/storage_engine/graphar.md;
+python/graphscope/tests/unittest/test_graphar.py) using the Apache
+GraphAr layout:
+
+  <name>.graph.yml                   graph meta (prefix, vertex/edge ymls)
+  <label>.vertex.yml                 vertex meta (chunk_size, prop groups)
+  <src>_<label>_<dst>.edge.yml       edge meta (adj list type, chunk sizes)
+  vertex/<label>/<group>/chunk<i>    vertex property chunks (parquet,
+                                     chunk_size rows, ordered by id)
+  vertex/<label>/vertex_count        total vertex count (text)
+  edge/<triplet>/ordered_by_source/adj_list/part<i>/chunk<j>
+                                     CSR-ordered (src, dst) chunks, one
+                                     part per SOURCE vertex chunk
+  edge/<triplet>/ordered_by_source/offset/part<i>/chunk0
+                                     per-vertex cumulative edge offsets
+  edge/<triplet>/edge_count<i>       edge count per vertex chunk (text)
+
+The writer computes chunk assignment distributedly (chunk = id //
+chunk_size — ids are the engine's dense vids) and renames Spark's
+per-partition output files into the spec's ``chunk<j>`` names — on a
+cluster the rename loop runs against the Hadoop FileSystem API instead
+of ``os`` (same two lines).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+
+_VERSION = "gar/v1"
+
+
+def _write_single_chunks(df: DataFrame, part_col: str, out_dir: str,
+                         nested: bool = False,
+                         sort_cols: list[str] | None = None,
+                         max_records: int | None = None) -> None:
+    """Write one parquet FILE per ``part_col`` value, named chunk<i>
+    (or part<i>/chunk<j> when nested, split at ``max_records``) as the
+    spec requires."""
+    tmp = out_dir + "__tmp"
+    writer = (df.repartition(part_col)
+              .sortWithinPartitions(part_col, *(sort_cols or []))
+              .write.mode("overwrite").partitionBy(part_col))
+    if max_records:
+        writer = writer.option("maxRecordsPerFile", max_records)
+    writer.parquet(tmp)
+    os.makedirs(out_dir, exist_ok=True)
+    for d in sorted(glob.glob(os.path.join(tmp, f"{part_col}=*"))):
+        idx = int(d.rsplit("=", 1)[1])
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if nested:
+            pdir = os.path.join(out_dir, f"part{idx}")
+            os.makedirs(pdir, exist_ok=True)
+            for j, f in enumerate(files):
+                os.replace(f, os.path.join(pdir, f"chunk{j}"))
+        else:
+            # one chunk value → one file (repartition by the column)
+            os.replace(files[0], os.path.join(out_dir, f"chunk{idx}"))
+    shutil.rmtree(tmp)
+
+
+def save_graphar(graph: LinkGraph, path: str, name: str = "graph",
+                 vertex_label: str = "vertex", edge_label: str = "edge",
+                 vertex_chunk_size: int = 2 ** 18,
+                 edge_chunk_size: int = 2 ** 22) -> str:
+    """Archive a LinkGraph in GraphAr layout; returns the graph.yml path.
+    Vertex ids must be dense 0..n-1 (the engine's vid map guarantees it
+    for graphs built via ``from_oid_edges``/``build_import_graph``)."""
+    os.makedirs(path, exist_ok=True)
+    triplet = f"{vertex_label}_{edge_label}_{vertex_label}"
+
+    # ---- vertex chunks -------------------------------------------------
+    v = graph.vertices.select(
+        "vid", *[c for c in graph.vertices.columns if c != "vid"])
+    vdir = os.path.join(path, "vertex", vertex_label)
+    _write_single_chunks(
+        v.withColumn("_chunk", (F.col("vid") / vertex_chunk_size).cast("long")),
+        "_chunk", os.path.join(vdir, "id"))
+    n = graph.num_vertices
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "vertex_count"), "w") as f:
+        f.write(str(n))
+
+    # ---- edge chunks: CSR ordered by source ---------------------------
+    e = graph.edges.select("src", "dst") \
+        .withColumn("_part", (F.col("src") / vertex_chunk_size).cast("long"))
+    edir = os.path.join(path, "edge", triplet, "ordered_by_source")
+    _write_single_chunks(
+        e, "_part", os.path.join(edir, "adj_list"), nested=True,
+        sort_cols=["src", "dst"], max_records=edge_chunk_size)
+    # offsets: per source-vertex cumulative degree within its part
+    deg = (
+        graph.vertices.select("vid")
+        .join(e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("d")),
+              "vid", "left")
+        .select("vid", F.coalesce("d", F.lit(0)).alias("d"),
+                (F.col("vid") / vertex_chunk_size).cast("long").alias("_part"))
+    )
+    w = Window.partitionBy("_part").orderBy("vid")
+    offsets = deg.select("_part", "vid", F.sum("d").over(w).alias("offset"))
+    _write_single_chunks(offsets.drop("vid"), "_part",
+                         os.path.join(edir, "offset"), nested=True)
+    ecounts = {r["_part"]: r["c"] for r in
+               e.groupBy("_part").agg(F.count("*").alias("c")).collect()}
+    tdir = os.path.join(path, "edge", triplet)
+    for part in range((n + vertex_chunk_size - 1) // vertex_chunk_size or 1):
+        with open(os.path.join(tdir, f"edge_count{part}"), "w") as f:
+            f.write(str(int(ecounts.get(part, 0))))
+
+    # ---- yml meta ------------------------------------------------------
+    prop_cols = [c for c in graph.vertices.columns if c != "vid"]
+    vertex_yml = {
+        "label": vertex_label,
+        "chunk_size": vertex_chunk_size,
+        "prefix": f"vertex/{vertex_label}/",
+        "property_groups": [{
+            "file_type": "parquet",
+            "prefix": "id/",
+            "properties": [{"name": "vid", "data_type": "int64",
+                            "is_primary": True}]
+            + [{"name": c, "data_type": "string", "is_primary": False}
+               for c in prop_cols],
+        }],
+        "version": _VERSION,
+    }
+    edge_yml = {
+        "src_label": vertex_label,
+        "edge_label": edge_label,
+        "dst_label": vertex_label,
+        "chunk_size": edge_chunk_size,
+        "src_chunk_size": vertex_chunk_size,
+        "dst_chunk_size": vertex_chunk_size,
+        "directed": graph.directed,
+        "prefix": f"edge/{triplet}/",
+        "adj_lists": [{"ordered": True, "aligned_by": "src",
+                       "file_type": "parquet",
+                       "prefix": "ordered_by_source/"}],
+        "version": _VERSION,
+    }
+    graph_yml = {
+        "name": name,
+        "prefix": path if path.endswith("/") else path + "/",
+        "vertices": [f"{vertex_label}.vertex.yml"],
+        "edges": [f"{triplet}.edge.yml"],
+        "version": _VERSION,
+    }
+    with open(os.path.join(path, f"{vertex_label}.vertex.yml"), "w") as f:
+        yaml.safe_dump(vertex_yml, f, sort_keys=False)
+    with open(os.path.join(path, f"{triplet}.edge.yml"), "w") as f:
+        yaml.safe_dump(edge_yml, f, sort_keys=False)
+    gpath = os.path.join(path, f"{name}.graph.yml")
+    with open(gpath, "w") as f:
+        yaml.safe_dump(graph_yml, f, sort_keys=False)
+    return gpath
+
+
+def load_graphar(spark: SparkSession, graph_yml: str,
+                 num_partitions: int | None = None) -> LinkGraph:
+    """Load a GraphAr graph (as written by ``save_graphar``) back into a
+    LinkGraph from its <name>.graph.yml."""
+    with open(graph_yml) as f:
+        meta = yaml.safe_load(f)
+    prefix = meta["prefix"]
+    with open(os.path.join(prefix, meta["vertices"][0])) as f:
+        vmeta = yaml.safe_load(f)
+    with open(os.path.join(prefix, meta["edges"][0])) as f:
+        emeta = yaml.safe_load(f)
+    vdir = os.path.join(prefix, vmeta["prefix"],
+                        vmeta["property_groups"][0]["prefix"])
+    vertices = spark.read.parquet(*sorted(glob.glob(os.path.join(vdir, "chunk*"))))
+    adj = os.path.join(prefix, emeta["prefix"],
+                       emeta["adj_lists"][0]["prefix"], "adj_list")
+    chunks = sorted(glob.glob(os.path.join(adj, "part*", "chunk*")))
+    edges = spark.read.parquet(*chunks).select("src", "dst")
+    return LinkGraph(spark, edges, vertices=vertices.drop("_chunk"),
+                     directed=emeta.get("directed", True),
+                     num_partitions=num_partitions)

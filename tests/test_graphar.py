@@ -1,0 +1,69 @@
+"""GraphAr save/load: layout conformance + round trip."""
+
+from __future__ import annotations
+
+import os
+
+import yaml
+
+from graphscope_spark import LinkGraph, wcc
+from graphscope_spark.graphar import load_graphar, save_graphar
+from tests.conftest import power_law_graph
+
+
+def test_graphar_roundtrip_and_layout(spark, tmp_path):
+    vertices, edges = power_law_graph(n=300, m=1200, seed=6, with_dangling=False)
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices],
+                                                 "vid LONG"),
+                  num_partitions=4)
+    root = str(tmp_path / "gar")
+    yml = save_graphar(g, root, name="p2p", vertex_chunk_size=64,
+                       edge_chunk_size=256)
+
+    # --- layout: yml metadata + spec file naming -----------------------
+    meta = yaml.safe_load(open(yml))
+    assert meta["version"] == "gar/v1"
+    assert meta["vertices"] == ["vertex.vertex.yml"]
+    assert meta["edges"] == ["vertex_edge_vertex.edge.yml"]
+    vmeta = yaml.safe_load(open(os.path.join(root, "vertex.vertex.yml")))
+    assert vmeta["chunk_size"] == 64
+    assert int(open(os.path.join(root, "vertex/vertex/vertex_count")).read()) == 300
+    # 300 vertices / 64 per chunk → 5 chunk files named chunk0..4
+    vchunks = sorted(os.listdir(os.path.join(root, "vertex/vertex/id")))
+    assert vchunks == [f"chunk{i}" for i in range(5)]
+    # CSR parts per source-vertex chunk with offsets alongside
+    adir = os.path.join(root, "edge/vertex_edge_vertex/ordered_by_source")
+    parts = sorted(os.listdir(os.path.join(adir, "adj_list")))
+    assert parts and all(p.startswith("part") for p in parts)
+    assert sorted(os.listdir(os.path.join(adir, "offset"))) == parts
+    ecounts = sum(
+        int(open(os.path.join(root, "edge/vertex_edge_vertex", f)).read())
+        for f in os.listdir(os.path.join(root, "edge/vertex_edge_vertex"))
+        if f.startswith("edge_count"))
+    assert ecounts == len(edges)
+
+    # --- adjacency chunks are CSR-sorted -------------------------------
+    pdf = spark.read.parquet(
+        os.path.join(adir, "adj_list/part0/chunk0")).toPandas()
+    assert list(pdf["src"]) == sorted(pdf["src"])
+
+    # --- offsets are per-chunk cumulative degrees ----------------------
+    off = spark.read.parquet(
+        os.path.join(adir, "offset/part0/chunk0")).toPandas()
+    deg = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+    want_last = sum(deg.get(v, 0) for v in range(64))
+    assert off["offset"].max() == want_last
+
+    # --- round trip ----------------------------------------------------
+    g2 = load_graphar(spark, yml, num_partitions=4)
+    assert g2.num_vertices == 300 and g2.num_edges == len(edges)
+    got = {(r["src"], r["dst"]) for r in g2.edges.select("src", "dst").collect()}
+    assert got == set(edges)
+    c1 = {r["vid"]: r["comp"] for r in wcc(g).collect()}
+    c2 = {r["vid"]: r["comp"] for r in wcc(g2).collect()}
+    assert c1 == c2
+    g.unpersist_all()
+    g2.unpersist_all()
