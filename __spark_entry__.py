@@ -1235,6 +1235,153 @@ SELECT vid FROM d{rounds} WHERE in_set""")
     return "".join(out)
 
 
+def _hindex_core_ctes(rounds: int, sym_table: str, verts_table: str) -> str:
+    """CTE chain computing core numbers as the h-index fixpoint (Lü et
+    al.; the FLASH densest/onion apps use the same local update — it
+    converges to the exact peel's core numbers; post-fixpoint rounds are
+    no-ops because the update is monotone and stable). Final CTE:
+    ``core{rounds}`` (vid, c)."""
+    out = [f""",
+dd AS MATERIALIZED (SELECT src, dst FROM {sym_table} WHERE src <> dst GROUP BY src, dst),
+core0 AS MATERIALIZED (
+  SELECT v.vid, COALESCE(d.c, 0) AS c FROM {verts_table} v
+  LEFT JOIN (SELECT src AS vid, COUNT(*) AS c FROM dd GROUP BY src) d
+  ON v.vid = d.vid)"""]
+    for i in range(1, rounds + 1):
+        p = f"core{i - 1}"
+        out.append(f""",
+h{i} AS (SELECT vid, MAX(CASE WHEN cnb >= rn THEN rn ELSE 0 END) AS h FROM (
+  SELECT e.dst AS vid, LEAST(cd.c, cs.c) AS cnb,
+         ROW_NUMBER() OVER (PARTITION BY e.dst
+                            ORDER BY LEAST(cd.c, cs.c) DESC) AS rn
+  FROM dd e JOIN {p} cs ON e.src = cs.vid JOIN {p} cd ON e.dst = cd.vid)
+  GROUP BY vid),
+core{i} AS MATERIALIZED (
+  SELECT s.vid, LEAST(s.c, COALESCE(h.h, 0)) AS c
+  FROM {p} s LEFT JOIN h{i} h ON s.vid = h.vid)""")
+    return "".join(out)
+
+
+def _densest_sql(core_rounds: int = 30) -> str:
+    return (_TRI_PRELUDE
+            + _hindex_core_ctes(core_rounds, "tsym", "(SELECT vid FROM tdeg)")
+            + f""",
+kmax AS (SELECT MAX(c) AS k FROM core{core_rounds}),
+s AS (SELECT vid FROM core{core_rounds} WHERE c = (SELECT k FROM kmax)),
+ne AS (SELECT COUNT(*) AS e FROM dd
+       JOIN s a ON dd.src = a.vid JOIN s b ON dd.dst = b.vid),
+nv AS (SELECT COUNT(*) AS v FROM s)
+SELECT CAST(ROUND(CAST((SELECT e FROM ne) AS DOUBLE) / (SELECT v FROM nv) * 1e6) AS BIGINT) AS density_micro,
+       (SELECT v FROM nv) AS nv""")
+
+
+def _onion_sql(core_rounds: int = 24, rank_rounds: int = 8) -> str:
+    out = [_GRAPH_PRELUDE
+           + _hindex_core_ctes(core_rounds, "sym", "verts")]
+    cr = f"core{core_rounds}"
+    out.append(f""",
+od0 AS MATERIALIZED (
+  SELECT c.vid, c.c AS core,
+         COALESCE(d.d, 0) AS d, -1 AS layer
+  FROM {cr} c LEFT JOIN (
+    SELECT e.dst AS vid, COUNT(*) AS d
+    FROM dd e JOIN {cr} cs ON e.src = cs.vid JOIN {cr} cd ON e.dst = cd.vid
+    WHERE cs.c >= cd.c GROUP BY e.dst) d ON c.vid = d.vid)""")
+    for i in range(rank_rounds):
+        p = f"od{i}"
+        out.append(f""",
+nw{i} AS (SELECT vid, core FROM {p} WHERE layer = -1 AND d <= core),
+dec{i} AS (SELECT e.dst AS vid, n.core AS ncore, COUNT(*) AS dec
+  FROM dd e JOIN nw{i} n ON e.src = n.vid GROUP BY e.dst, n.core),
+od{i + 1} AS MATERIALIZED (
+  SELECT s.vid, s.core,
+         s.d - CASE WHEN s.layer = -1 AND w.vid IS NULL
+                    THEN COALESCE(dc.dec, 0) ELSE 0 END AS d,
+         CASE WHEN w.vid IS NOT NULL THEN {i} ELSE s.layer END AS layer
+  FROM {p} s LEFT JOIN nw{i} w ON s.vid = w.vid
+  LEFT JOIN dec{i} dc ON s.vid = dc.vid AND s.core = dc.ncore)""")
+    out.append(f"""
+SELECT vid, layer FROM od{rank_rounds}""")
+    return "".join(out)
+
+
+def _fluid_sql(num_communities: int = 4, rounds: int = 4) -> str:
+    """Fluid communities with explicit seeds (the num_communities
+    smallest vids), unrolled; post-fixpoint rounds are no-ops (strict-
+    improvement hysteresis keeps stable labels stable)."""
+    out = [_TRI_PRELUDE + f""",
+tverts AS MATERIALIZED (SELECT vid FROM tdeg),
+seeds AS MATERIALIZED (
+  SELECT vid, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS lab
+  FROM (SELECT vid FROM tverts ORDER BY vid LIMIT {num_communities})),
+f0 AS MATERIALIZED (
+  SELECT v.vid, s.lab FROM tverts v LEFT JOIN seeds s ON v.vid = s.vid)"""]
+    for i in range(1, rounds + 1):
+        p = f"f{i - 1}"
+        out.append(f""",
+cnt{i} AS (SELECT lab, COUNT(*) AS cnt FROM {p} WHERE lab IS NOT NULL GROUP BY lab),
+lb{i} AS (SELECT s.vid, s.lab, 1.0 / c.cnt AS d
+          FROM {p} s JOIN cnt{i} c ON s.lab = c.lab),
+dens{i} AS (SELECT vid, lab, SUM(d) AS d FROM (
+  SELECT vid, lab, d FROM lb{i}
+  UNION ALL
+  SELECT e.dst AS vid, l.lab, l.d FROM tsym e JOIN lb{i} l ON e.src = l.vid)
+  GROUP BY vid, lab),
+best{i} AS (SELECT vid, CAST(-(m.nl) AS INT) AS blab, m.d AS bd FROM (
+  SELECT vid, MAX({{'d': d, 'nl': -lab}}) AS m FROM dens{i} GROUP BY vid) t(vid, m)),
+f{i} AS MATERIALIZED (
+  SELECT s.vid, CASE
+    WHEN b.blab IS NOT NULL AND (s.lab IS NULL
+         OR b.bd > COALESCE(o.d, 0.0) + 1e-10) THEN b.blab
+    ELSE s.lab END AS lab
+  FROM {p} s LEFT JOIN best{i} b ON s.vid = b.vid
+  LEFT JOIN dens{i} o ON s.vid = o.vid AND s.lab = o.lab)""")
+    out.append(f"""
+SELECT vid, COALESCE(lab, -1) AS community FROM f{rounds}""")
+    return "".join(out)
+
+
+def _kcenter_sql(k: int = 3, rounds: int = 10) -> str:
+    """Greedy farthest-first k-center, fully unrolled: per center an
+    argmax CTE (data-dependent seed as a scalar subquery) + a BFS CTE
+    chain + a running-min distance merge — the engine's exact tie-breaks
+    ((deg, vid)-max first center, (dist, vid)-max next centers)."""
+    big = 1 << 62
+    out = [_GRAPH_PRELUDE + """,
+sdd AS MATERIALIZED (SELECT src, dst FROM sym GROUP BY src, dst),
+udeg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM sdd GROUP BY src),
+c1 AS MATERIALIZED (SELECT m.v AS c FROM (
+  SELECT MAX({'d': d.deg, 'v': v.vid}) AS m
+  FROM verts v JOIN udeg d ON v.vid = d.vid) t(m)),
+dis0 AS MATERIALIZED (SELECT vid, CAST(NULL AS BIGINT) AS dis FROM verts)"""]
+    for ci in range(1, k + 1):
+        out.append(f""",
+b{ci}_0 AS MATERIALIZED (SELECT (SELECT c FROM c{ci}) AS vid, 0 AS depth)""")
+        for r in range(1, rounds + 1):
+            p = f"b{ci}_{r - 1}"
+            out.append(f""",
+b{ci}_{r} AS MATERIALIZED (SELECT vid, MIN(depth) AS depth FROM (
+  SELECT vid, depth FROM {p}
+  UNION ALL
+  SELECT e.dst AS vid, f.depth + 1 AS depth
+  FROM {p} f JOIN sdd e ON f.vid = e.src) GROUP BY vid)""")
+        out.append(f""",
+dis{ci} AS MATERIALIZED (
+  SELECT s.vid, CASE
+    WHEN s.dis IS NULL THEN b.depth
+    WHEN b.depth IS NULL THEN s.dis
+    ELSE LEAST(s.dis, b.depth) END AS dis
+  FROM dis{ci - 1} s LEFT JOIN b{ci}_{rounds} b ON s.vid = b.vid)""")
+        if ci < k:
+            out.append(f""",
+c{ci + 1} AS MATERIALIZED (SELECT m.v AS c FROM (
+  SELECT MAX({{'d': COALESCE(dis, {big}), 'v': vid}}) AS m
+  FROM dis{ci}) t(m))""")
+    out.append(f"""
+SELECT vid, COALESCE(dis, -1) AS dist FROM dis{k}""")
+    return "".join(out)
+
+
 # unit-weight spanning forest invariant: |forest| = |V| − components,
 # total weight = |forest| — value-checked through the WCC fixpoint CTE
 _MSF_STATS_SQL = _wcc_sql(14).replace(
@@ -1333,10 +1480,15 @@ def _q_kcenter_3(spark, sf_dir):
 
 
 def _q_fluid_4(spark, sf_dir):
+    # explicit seeds (4 smallest vids) so the DuckDB oracle can replay
+    # the density rounds exactly (the default sampler hashes with
+    # xxhash64, which SQL engines lack)
     from graphscope_spark import fluid_community
 
-    return fluid_community(_graph(spark, sf_dir, tri=True),
-                           num_communities=4).select(
+    g = _graph(spark, sf_dir, tri=True)
+    seeds = [r["vid"] for r in
+             g.vertices.select("vid").orderBy("vid").limit(4).collect()]
+    return fluid_community(g, num_communities=4, seeds=seeds).select(
         "vid", F.coalesce("community", F.lit(-1)).alias("community"))
 
 
@@ -1761,15 +1913,16 @@ def oracle_sql() -> dict[str, str]:
         "subgraph_counts": _SUBGRAPH_SQL,
         "msf_stats": _MSF_STATS_SQL,
         "color": _color_sql(rounds=4),
+        "kcenter_3": _kcenter_sql(k=3, rounds=10),
+        "fluid_4": _fluid_sql(num_communities=4, rounds=4),
         "directed_triangles": _DIR_TRIANGLES_SQL,
         "mis": _mis_sql(rounds=6),
         "maximal_matching": _mm_sql(rounds=36),
         "min_edge_cover": _min_edge_cover_sql(rounds=36),
         "min_vertex_cover": _min_vertex_cover_sql(rounds=16),
         "min_dominating_set": _mds_sql(rounds=24),
-        # densest_sub / onion_layers: need the core-number fixpoint (data-
-        # dependent peel depth) — rows-only; pytest verifies both against
-        # the exact-peel core_numbers whose own oracle is green.
+        "densest_sub": _densest_sql(core_rounds=30),
+        "onion_layers": _onion_sql(core_rounds=24, rank_rounds=8),
         # bridges: needs a spanning forest + cycle-space sweep — no
         # loop-free SQL equivalent; pytest verifies vs a Tarjan oracle.
         # kcenter_3 / fluid_4 / louvain: iterative argmax / hysteresis

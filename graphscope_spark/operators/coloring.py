@@ -67,11 +67,15 @@ def color(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
 
 
 def fluid_community(graph: LinkGraph, num_communities: int = 10,
-                    max_rounds: int = 100, seed: int = 42) -> DataFrame:
+                    max_rounds: int = 100, seed: int = 42,
+                    seeds: list[int] | None = None) -> DataFrame:
     """(vid, community) — community = seed index 0..s-1, NULL for
-    vertices no community reached (disconnected from every seed)."""
+    vertices no community reached (disconnected from every seed).
+    ``seeds`` overrides the hash-sampled pivots with explicit seed
+    vertices (index = position in the sorted list)."""
     t = Truncator()
-    seeds = sample_pivots(graph, num_communities, seed)
+    if seeds is None:
+        seeds = sample_pivots(graph, num_communities, seed)
     spark = graph.spark
     seed_df = spark.createDataFrame(
         [(int(v), i) for i, v in enumerate(sorted(seeds))], "vid LONG, lab INT")
