@@ -12,8 +12,8 @@ exposes) onto the library's functions, so reference call sites port
     scores = run("pagerank_nx", graph, alpha=0.85, max_iter=100, tol=1e-6)
 
 Names not in the registry raise KeyError listing what IS supported —
-the honest coverage statement (FLASH/matching/measurement families are
-documented out-of-scope in SURVEY.md §2.B).
+the honest coverage statement (as of round 2 only ``dfs`` remains
+excluded; COVERAGE.md documents why).
 """
 
 from __future__ import annotations
@@ -91,6 +91,79 @@ def _late_bindings():
         "flash_diameter_approx": diameter_approx,
         "diameter_approx": diameter_approx,
         "sampling_path": sampling_path,
+    })
+    from graphscope_spark.operators.assortativity import (
+        attribute_assortativity_coefficient,
+        numeric_assortativity_coefficient,
+    )
+    from graphscope_spark.operators.bcc import (
+        articulation_points,
+        biconnected_components,
+    )
+    from graphscope_spark.operators.bridges import bridges
+    from graphscope_spark.operators.coloring import color, fluid_community
+    from graphscope_spark.operators.cores import core_numbers, onion_layers
+    from graphscope_spark.operators.kcenter import k_center
+    from graphscope_spark.operators.matching import (
+        maximal_matching,
+        min_dominating_set,
+        min_edge_cover,
+        min_vertex_cover,
+        mis,
+    )
+    from graphscope_spark.operators.msf import minimum_spanning_forest, msf_weight
+    from graphscope_spark.operators.pagerank import articlerank, ppr
+    from graphscope_spark.operators.subgraph import (
+        acyclic_triangle_count,
+        cyclic_triangle_count,
+        densest_subgraph_2approx,
+        diamond_count,
+        in_triangle_count,
+        k_clique_count,
+        out_triangle_count,
+        rectangle_count,
+        tailed_triangle_count,
+        three_path_count,
+    )
+
+    _REGISTRY.update({
+        # FLASH ranking (yaml:314-328)
+        "flash_ppr": ppr, "ppr": ppr,
+        "flash_articlerank": articlerank, "articlerank": articlerank,
+        # assortativity (yaml:262)
+        "attribute_assortativity_coefficient": attribute_assortativity_coefficient,
+        "numeric_assortativity_coefficient": numeric_assortativity_coefficient,
+        # FLASH connectivity (yaml:713-817)
+        "flash_bcc": biconnected_components, "bcc": biconnected_components,
+        "flash_cut_point": articulation_points,
+        "articulation_points": articulation_points,
+        "flash_bridge": bridges, "bridges": bridges,
+        # FLASH subgraph (yaml:482-572)
+        "flash_k_clique": k_clique_count, "k_clique": k_clique_count,
+        "flash_rectangle": rectangle_count, "rectangle": rectangle_count,
+        "flash_diamond": diamond_count, "diamond": diamond_count,
+        "flash_tailed_triangle": tailed_triangle_count,
+        "flash_3_path": three_path_count,
+        "flash_acyclic_triangle": acyclic_triangle_count,
+        "flash_cyclic_triangle": cyclic_triangle_count,
+        "flash_in_triangle": in_triangle_count,
+        "flash_out_triangle": out_triangle_count,
+        "flash_densest_sub_2_approx": densest_subgraph_2approx,
+        # FLASH measurement (yaml:447-481)
+        "flash_msf": minimum_spanning_forest, "msf": msf_weight,
+        "flash_k_center": k_center, "k_center": k_center,
+        # FLASH matching (yaml registry mm/mis/min_cover families)
+        "flash_mis": mis, "mis": mis,
+        "flash_mm": maximal_matching, "maximal_matching": maximal_matching,
+        "flash_min_edge_cover": min_edge_cover,
+        "flash_min_cover": min_vertex_cover,
+        "flash_min_dominating_set": min_dominating_set,
+        # FLASH clustering/core (yaml:615-649)
+        "flash_color": color, "color": color,
+        "flash_fluid_community": fluid_community,
+        "fluid_community": fluid_community,
+        "flash_onion": onion_layers, "onion_layers": onion_layers,
+        "core_numbers": core_numbers,
     })
 
 
