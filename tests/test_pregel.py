@@ -46,8 +46,10 @@ def test_builtin_registry(g):
     assert "pagerank_nx" in algorithms()
     ranks = run("pagerank_nx", g, tol=1e-6).collect()
     assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-6
+    # round 2: flash_msf & friends are implemented — only dfs remains out
+    assert "flash_msf" in algorithms() and "flash_bcc" in algorithms()
     with pytest.raises(KeyError):
-        run("flash_msf", g)
+        run("dfs", g)
 
 
 def test_assortativity_and_boundary(g, small_graph, spark):
