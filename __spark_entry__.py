@@ -1576,6 +1576,16 @@ def _bridgey_graph(spark, sf_dir):
                      directed=True)
 
 
+def _q_path_expand(spark, sf_dir):
+    from graphscope_spark import path_expand
+
+    g = _graph_und(spark, sf_dir)
+    sources = [r["vid"] for r in
+               g.vertices.select("vid").orderBy("vid").limit(5).collect()]
+    return path_expand(g, sources, min_hops=2, max_hops=3).select(
+        "source", "vid", "hops")
+
+
 def _q_bcc(spark, sf_dir):
     from graphscope_spark import biconnected_components
 
@@ -1665,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_layers": _q_onion,
         "bcc": _q_bcc,
         "articulation_points": _q_articulation_points,
+        "path_expand_2_3": _q_path_expand,
     }
 
 
@@ -1914,6 +1925,12 @@ def oracle_sql() -> dict[str, str]:
         "msf_stats": _MSF_STATS_SQL,
         "color": _color_sql(rounds=4),
         "kcenter_3": _kcenter_sql(k=3, rounds=10),
+        "path_expand_2_3": (
+            _msbfs_sql(rounds=3, num_sources=5)[0]
+            + f"\nSELECT source, vid, depth AS hops FROM "
+              f"{_msbfs_sql(rounds=3, num_sources=5)[1]} "
+              "WHERE depth BETWEEN 2 AND 3"
+        ),
         "fluid_4": _fluid_sql(num_communities=4, rounds=4),
         "directed_triangles": _DIR_TRIANGLES_SQL,
         "mis": _mis_sql(rounds=6),

@@ -82,6 +82,7 @@ from graphscope_spark.operators import (
     lpa_u2i,
     modularity,
     node_boundary,
+    path_expand,
     sampling_path,
     scc,
     sssp_average_length,
@@ -116,7 +117,7 @@ __all__ = [
     "sssp_path", "sssp_average_length", "sssp_has_path", "is_simple_path",
     "degree_assortativity_coefficient", "average_degree_connectivity",
     "node_boundary", "edge_boundary", "eccentricity", "diameter_approx",
-    "all_simple_paths", "sampling_path", "lpa_u2i",
+    "all_simple_paths", "sampling_path", "lpa_u2i", "path_expand",
 ]
 
 __version__ = "0.1.0"

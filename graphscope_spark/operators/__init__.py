@@ -57,9 +57,13 @@ from graphscope_spark.operators.lpa_u2i import lpa_u2i  # noqa: E402
 
 __all__ += ["all_simple_paths", "sampling_path", "lpa_u2i"]
 
-from graphscope_spark.operators.traversal import diameter_approx, eccentricity  # noqa: E402
+from graphscope_spark.operators.traversal import (  # noqa: E402
+    diameter_approx,
+    eccentricity,
+    path_expand,
+)
 
-__all__ += ["eccentricity", "diameter_approx"]
+__all__ += ["eccentricity", "diameter_approx", "path_expand"]
 
 from graphscope_spark.operators.pagerank import (  # noqa: E402
     ArticleRankJob,

@@ -311,6 +311,54 @@ def eccentricity(graph: LinkGraph, sources: list[int] | str | None = None,
         F.max("depth").alias("ecc"))
 
 
+def path_expand(graph: LinkGraph, sources: list[int], min_hops: int = 1,
+                max_hops: int = 2, mode: str = "vertex") -> DataFrame:
+    """GIE PathExpand (reference: the EdgeExpand/PathExpand physical
+    operators of the interactive engine,
+    /root/reference/interactive_engine/executor/ir/core — PathExpand is
+    EdgeExpand iterated with a hop range).
+
+    ``mode="vertex"``: (source, vid, hops) — vertices whose BFS distance
+    from the source lies in [min_hops, max_hops] (GIE's default
+    shortest-distance expansion; one msbfs, all sources batched).
+    ``mode="path"``: (path array<long>) — simple paths of length in the
+    range, breadth-batched like ``all_simple_paths``.
+    """
+    if mode == "vertex":
+        runner = SuperstepRunner(graph.spark)
+        state, _ = runner.run(MSBFSJob(graph, sources),
+                              max_steps=max_hops)
+        return state.filter((F.col("depth") >= min_hops)
+                            & (F.col("depth") <= max_hops)) \
+            .select("source", "vid", F.col("depth").alias("hops"))
+    if mode != "path":
+        raise ValueError("mode must be 'vertex' or 'path'")
+    spark = graph.spark
+    from graphscope_spark.runtime.truncate import Truncator
+    t = Truncator()
+    edges = graph.edges.select("src", "dst").distinct()
+    frontier = t(spark.createDataFrame(
+        [([int(s)], int(s)) for s in sources], "path ARRAY<BIGINT>, cur LONG"),
+        "frontier")
+    out = None
+    for hop in range(1, max_hops + 1):
+        expanded = t(
+            frontier.join(edges, frontier["cur"] == edges["src"])
+            .filter(~F.array_contains("path", F.col("dst")))
+            .select(F.concat("path", F.array("dst")).alias("path"),
+                    F.col("dst").alias("cur")),
+            "frontier")
+        if hop >= min_hops:
+            piece = expanded.select("path")
+            out = piece if out is None else out.unionByName(piece)
+            out = t(out, "out")
+        frontier = expanded
+        if frontier.isEmpty():
+            break
+    return out if out is not None else spark.createDataFrame(
+        [], "path ARRAY<BIGINT>")
+
+
 def diameter_approx(graph: LinkGraph, num_pivots: int = 16,
                     seed: int = 42) -> int:
     """Lower-bound diameter estimate: max eccentricity over `num_pivots`

@@ -112,3 +112,40 @@ def test_all_simple_paths(spark, tiny_graph):
 
     dfs(0, [0])
     assert got == want and len(want) > 0
+
+
+def test_path_expand(spark, tiny_graph):
+    from collections import deque
+
+    from graphscope_spark import path_expand
+
+    vertices, edges = tiny_graph
+    from graphscope_spark import LinkGraph
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+                  num_partitions=2)
+    got = {(r["source"], r["vid"], r["hops"])
+           for r in path_expand(g, [0, 5], 1, 2).collect()}
+    # oracle: BFS depths over directed edges
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    want = set()
+    for s in (0, 5):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj.get(x, []):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        want |= {(s, v, d) for v, d in dist.items() if 1 <= d <= 2}
+    assert got == want
+    # path mode: every returned path is a real simple walk in range
+    paths = [tuple(r["path"]) for r in
+             path_expand(g, [0], 1, 3, mode="path").collect()]
+    eset = set(edges)
+    for p in paths:
+        assert 2 <= len(p) <= 4 and len(set(p)) == len(p)
+        assert all((a, b) in eset for a, b in zip(p, p[1:]))
