@@ -136,39 +136,56 @@ def onion_layers(graph: LinkGraph) -> DataFrame:
 
 
 def core_numbers(graph: LinkGraph) -> DataFrame:
-    """(vid, core) for every vertex — ascending peel phases; isolated
-    vertices (or those peeled at k=1) get core 0, etc."""
-    spark = graph.spark
-    all_v = graph.vertices.select("vid")
-    edges = graph.und_edges()
-    t = Truncator()  # shared peel_edges slot chains frees across _peel calls
-    results = []  # (DataFrame of vids, core value) pieces
-    k = 1
-    prev_survivors = all_v
+    """(vid, core) for every vertex.
+
+    Computed as the h-index fixpoint (Lü et al. 2016, the same local
+    update FLASH's densest/onion apps iterate): start from the degree,
+    repeatedly set c(v) = min(c(v), h-index of neighbors' c) until
+    stable — converges to EXACTLY the peel decomposition's core numbers
+    in a handful of rounds regardless of core depth. The previous
+    ascending-peel implementation ran one peel loop PER core level
+    (~1000 sequential Spark jobs on a dense 1000-vertex co-purchase
+    graph); the fixpoint replaces that with O(rounds) joins."""
+    t = Truncator()
+    und = graph.und_edges().persist(StorageLevel.MEMORY_AND_DISK)
+    deg = und.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("c"))
+    state = t(
+        graph.vertices.select("vid").join(deg, "vid", "left")
+        .select("vid", F.coalesce("c", F.lit(0)).alias("c")), "state")
+    from pyspark.sql import Window
+    w = Window.partitionBy("vid").orderBy(F.desc("cnb"))
+    rounds = 0
     while True:
-        surv_edges = _peel(edges, k, spark, t)
-        survivors = truncate(
-            surv_edges.select(F.col("src").alias("vid")).distinct())
-        dropped = prev_survivors.join(survivors, "vid", "left_anti") \
-            .select("vid", F.lit(k - 1).alias("core"))
-        results.append(truncate(dropped))
-        if prev_survivors is not all_v:
-            free_truncated(prev_survivors)
-        if survivors.isEmpty():
-            free_truncated(survivors)
-            t.close()
+        rounds += 1
+        if rounds > 10_000:
+            raise RuntimeError("core_numbers did not converge")
+        nbr = (
+            und.join(state.select(F.col("vid").alias("src"),
+                                  F.col("c").alias("cs")), "src")
+            .join(state.select(F.col("vid").alias("dst"),
+                               F.col("c").alias("cd")), "dst")
+            .select(F.col("dst").alias("vid"),
+                    F.least("cs", "cd").alias("cnb"))
+        )
+        h = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .groupBy("vid")
+            .agg(F.max(F.when(F.col("cnb") >= F.col("rn"), F.col("rn"))
+                       .otherwise(0)).alias("h"))
+        )
+        new_state = (
+            state.join(h, "vid", "left")
+            .select("vid",
+                    F.least("c", F.coalesce("h", F.lit(0))).alias("c"),
+                    (F.least("c", F.coalesce("h", F.lit(0))) != F.col("c"))
+                    .alias("chg"))
+        )
+        new_state = t(new_state, "state")
+        changed = new_state.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
+        state = new_state.drop("chg")
+        if changed == 0:
             break
-        prev_survivors = survivors
-        edges = surv_edges
-        k += 1
-        if k > 10_000:  # safety
-            raise RuntimeError("core_numbers did not terminate")
-    out = results[0]
-    for piece in results[1:]:
-        out = out.unionByName(piece)
-    # consolidate the per-level pieces into ONE checkpoint (a deep core
-    # decomposition would otherwise keep one block set per level alive)
-    out = truncate(out)
-    for piece in results:
-        free_truncated(piece)
+    out = truncate(state.select("vid", F.col("c").alias("core")))
+    t.close()
+    und.unpersist()
     return out
