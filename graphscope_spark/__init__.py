@@ -60,6 +60,7 @@ from graphscope_spark.operators import (
     pagerank,
     ppr,
     rectangle_count,
+    subgraph_counts,
     sssp,
     tailed_triangle_count,
     three_path_count,
@@ -111,7 +112,7 @@ __all__ = [
     "min_dominating_set",
     "acyclic_triangle_count", "cyclic_triangle_count",
     "in_triangle_count", "out_triangle_count",
-    "densest_subgraph_2approx", "onion_layers",
+    "densest_subgraph_2approx", "onion_layers", "subgraph_counts",
     "biconnected_components", "articulation_points",
     "scc", "louvain", "modularity", "betweenness_centrality", "voterank",
     "sssp_path", "sssp_average_length", "sssp_has_path", "is_simple_path",

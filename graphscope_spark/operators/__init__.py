@@ -79,6 +79,7 @@ from graphscope_spark.operators.subgraph import (  # noqa: E402
     diamond_count,
     k_clique_count,
     rectangle_count,
+    subgraph_counts,
     tailed_triangle_count,
     three_path_count,
 )
@@ -90,7 +91,7 @@ from graphscope_spark.operators.bridges import bridges  # noqa: E402
 __all__ += [
     "ppr", "PPRJob", "articlerank", "ArticleRankJob",
     "attribute_assortativity_coefficient", "numeric_assortativity_coefficient",
-    "rectangle_count", "diamond_count", "k_clique_count",
+    "rectangle_count", "diamond_count", "k_clique_count", "subgraph_counts",
     "tailed_triangle_count", "three_path_count",
     "minimum_spanning_forest", "msf_weight",
     "color", "fluid_community", "k_center", "bridges",

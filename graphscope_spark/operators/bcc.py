@@ -187,11 +187,8 @@ def _bcc_labels(graph: LinkGraph):
     return tree, nt, lab, max_depth, t
 
 
-def biconnected_components(graph: LinkGraph) -> DataFrame:
-    """(src, dst, bcc) — canonical (src < dst) simple undirected edges
-    labeled by biconnected component (label = min tree-edge child vid in
-    the component)."""
-    tree, nt, lab, _, t = _bcc_labels(graph)
+def _bcc_edge_labels(tree, nt, lab) -> DataFrame:
+    """(src, dst, bcc) from a _bcc_labels result."""
     tree_out = (
         tree.filter(F.col("parent").isNotNull())
         .join(lab, "vid")
@@ -206,17 +203,11 @@ def biconnected_components(graph: LinkGraph) -> DataFrame:
         .join(lab.withColumnRenamed("vid", "dv"), "dv")
         .select(F.col("lo").alias("src"), F.col("hi").alias("dst"), "comp")
     )
-    out = truncate(tree_out.unionByName(nt_out)
-                   .withColumnRenamed("comp", "bcc"))
-    t.close()
-    return out
+    return tree_out.unionByName(nt_out).withColumnRenamed("comp", "bcc")
 
 
-def articulation_points(graph: LinkGraph) -> DataFrame:
-    """(vid) — cut vertices: roots with ≥2 distinct child-edge
-    components; non-roots with a child edge outside their own parent
-    edge's component."""
-    tree, nt, lab, _, t = _bcc_labels(graph)
+def _articulation_vids(tree, lab) -> DataFrame:
+    """(vid) cut vertices from a _bcc_labels result."""
     child_edges = tree.filter(F.col("parent").isNotNull()).select(
         "vid", "parent").join(lab, "vid")
     roots = (
@@ -234,6 +225,37 @@ def articulation_points(graph: LinkGraph) -> DataFrame:
         .filter(F.col("comp") != F.col("own_comp"))
         .select(F.col("parent").alias("vid")).distinct()
     )
-    out = truncate(roots.unionByName(nonroots).distinct())
+    return roots.unionByName(nonroots).distinct()
+
+
+def bcc_and_articulation(graph: LinkGraph) -> tuple[DataFrame, DataFrame]:
+    """((src, dst, bcc), (vid)) — both outputs from ONE _bcc_labels
+    pipeline run (BFS forest + preorder sweeps + aux-graph fixpoint are
+    the expensive multi-round part; callers needing both — e.g. the
+    contract's bcc + articulation_points over the same graph — pay it
+    once)."""
+    tree, nt, lab, _, t = _bcc_labels(graph)
+    edges = truncate(_bcc_edge_labels(tree, nt, lab))
+    artic = truncate(_articulation_vids(tree, lab))
+    t.close()
+    return edges, artic
+
+
+def biconnected_components(graph: LinkGraph) -> DataFrame:
+    """(src, dst, bcc) — canonical (src < dst) simple undirected edges
+    labeled by biconnected component (label = min tree-edge child vid in
+    the component)."""
+    tree, nt, lab, _, t = _bcc_labels(graph)
+    out = truncate(_bcc_edge_labels(tree, nt, lab))
+    t.close()
+    return out
+
+
+def articulation_points(graph: LinkGraph) -> DataFrame:
+    """(vid) — cut vertices: roots with ≥2 distinct child-edge
+    components; non-roots with a child edge outside their own parent
+    edge's component."""
+    tree, nt, lab, _, t = _bcc_labels(graph)
+    out = truncate(_articulation_vids(tree, lab))
     t.close()
     return out

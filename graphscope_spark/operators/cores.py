@@ -135,6 +135,36 @@ def onion_layers(graph: LinkGraph) -> DataFrame:
     return state.select("vid", "layer")
 
 
+def _h_index(nbr: DataFrame) -> DataFrame:
+    """(vid, h) — h-index of each vertex's ``cnb`` multiset, WITHOUT a
+    per-vertex window sort (a degree-d hub would funnel d rows into ONE
+    window partition every round — a straggler at scale). Instead:
+    histogram the capped neighbor values (map-side partial agg collapses
+    hub fan-in; ``cnb`` ≤ c(v) so the histogram has ≤ c(v)+1 buckets),
+    then fold the descending histogram JVM-side using the identity
+    h = max over entries of min(bucket, cumulative_count)."""
+    hist = nbr.groupBy("vid", "cnb").agg(F.count("*").alias("cnt"))
+    acc0 = F.struct(F.lit(0).cast("long").alias("cum"),
+                    F.lit(0).cast("long").alias("best"))
+    return (
+        hist.groupBy("vid")
+        .agg(F.reverse(F.array_sort(F.collect_list(
+            F.struct(F.col("cnb"), F.col("cnt"))))).alias("hs"))
+        .select(
+            "vid",
+            F.aggregate(
+                "hs", acc0,
+                lambda acc, x: F.struct(
+                    (acc["cum"] + x["cnt"]).alias("cum"),
+                    F.greatest(
+                        acc["best"],
+                        F.least(x["cnb"].cast("long"),
+                                acc["cum"] + x["cnt"])).alias("best")),
+            )["best"].cast("int").alias("h"),
+        )
+    )
+
+
 def core_numbers(graph: LinkGraph) -> DataFrame:
     """(vid, core) for every vertex.
 
@@ -152,8 +182,6 @@ def core_numbers(graph: LinkGraph) -> DataFrame:
     state = t(
         graph.vertices.select("vid").join(deg, "vid", "left")
         .select("vid", F.coalesce("c", F.lit(0)).alias("c")), "state")
-    from pyspark.sql import Window
-    w = Window.partitionBy("vid").orderBy(F.desc("cnb"))
     rounds = 0
     while True:
         rounds += 1
@@ -167,12 +195,7 @@ def core_numbers(graph: LinkGraph) -> DataFrame:
             .select(F.col("dst").alias("vid"),
                     F.least("cs", "cd").alias("cnb"))
         )
-        h = (
-            nbr.withColumn("rn", F.row_number().over(w))
-            .groupBy("vid")
-            .agg(F.max(F.when(F.col("cnb") >= F.col("rn"), F.col("rn"))
-                       .otherwise(0)).alias("h"))
-        )
+        h = _h_index(nbr)
         new_state = (
             state.join(h, "vid", "left")
             .select("vid",

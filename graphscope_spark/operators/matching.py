@@ -105,15 +105,19 @@ def mis(graph: LinkGraph) -> DataFrame:
     return state.select("vid", "in_mis")
 
 
-def maximal_matching(graph: LinkGraph) -> DataFrame:
+def maximal_matching(graph: LinkGraph,
+                     max_rounds: int | None = None) -> DataFrame:
     """(vid, mate) — mate NULL when unmatched; mutual-max-proposal
-    rounds until maximal."""
+    rounds until maximal (or until ``max_rounds``, giving a deterministic
+    partial matching — the bounded-round contract variant)."""
     t = Truncator()
     sym = _sym(graph).select("src", "dst").distinct() \
         .persist(StorageLevel.MEMORY_AND_DISK)
     state = t(graph.vertices.select(
         "vid", F.lit(None).cast("long").alias("mate")), "state")
-    while True:
+    rnd = 0
+    while max_rounds is None or rnd < max_rounds:
+        rnd += 1
         un = state.filter(F.col("mate").isNull()).select("vid")
         live = (
             sym.join(un.withColumnRenamed("vid", "src"), "src", "left_semi")
@@ -138,11 +142,12 @@ def maximal_matching(graph: LinkGraph) -> DataFrame:
     return state.select("vid", "mate")
 
 
-def min_edge_cover(graph: LinkGraph) -> DataFrame:
+def min_edge_cover(graph: LinkGraph,
+                   max_rounds: int | None = None) -> DataFrame:
     """(src, dst) canonical edges of an edge cover: maximal-matching
     edges + one incident edge per unmatched non-isolated vertex (its
     min-(deg, vid) neighbor)."""
-    mm = maximal_matching(graph)
+    mm = maximal_matching(graph, max_rounds=max_rounds)
     matched_edges = (
         mm.filter(F.col("mate").isNotNull())
         .select(F.least("vid", "mate").alias("src"),
@@ -203,9 +208,11 @@ def min_vertex_cover(graph: LinkGraph) -> DataFrame:
     return out
 
 
-def min_dominating_set(graph: LinkGraph) -> DataFrame:
+def min_dominating_set(graph: LinkGraph,
+                       max_rounds: int | None = None) -> DataFrame:
     """(vid) — parallel greedy dominating set: 2-hop (deg, vid)-max
-    election among undominated vertices per round."""
+    election among undominated vertices per round (``max_rounds`` caps
+    the rounds for the deterministic bounded contract variant)."""
     t = Truncator()
     sym = _sym(graph).select("src", "dst").distinct() \
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -215,7 +222,9 @@ def min_dominating_set(graph: LinkGraph) -> DataFrame:
         .select("vid", F.coalesce("deg", F.lit(0)).alias("deg"),
                 F.lit(False).alias("dominated"), F.lit(False).alias("in_set")),
         "state")
-    while True:
+    rnd = 0
+    while max_rounds is None or rnd < max_rounds:
+        rnd += 1
         active = state.filter(~F.col("dominated")).select("vid", "deg")
         if active.isEmpty():
             break

@@ -121,6 +121,27 @@ def rectangle_count(graph: LinkGraph) -> int:
     return int(row["c"] or 0)
 
 
+def subgraph_counts(graph: LinkGraph, k: int = 4) -> dict:
+    """All five FLASH subgraph-template counts sharing ONE per-edge
+    common-neighbor pipeline: diamond/tailed/3-path are different sums
+    over the same (lo, hi, p, dlo, dhi) table, so they ride a single
+    aggregate pass instead of recomputing the triangle list per count
+    (three separate pipelines fused into one)."""
+    pe = _with_degrees(graph, _edge_common_neighbors(graph))
+    row = pe.agg(
+        F.sum(F.col("p") * (F.col("p") - 1) / 2).alias("diamonds"),
+        F.sum(F.col("p") * ((F.col("dlo") - 2) + (F.col("dhi") - 2))).alias("tailed2"),
+        F.sum((F.col("dlo") - 1) * (F.col("dhi") - 1) - F.col("p")).alias("paths"),
+    ).first()
+    return {
+        "rectangles": rectangle_count(graph),
+        "diamonds": int(row["diamonds"] or 0),
+        "tailed": int(row["tailed2"] or 0) // 2,
+        "three_paths": int(row["paths"] or 0),
+        f"k{k}_cliques": k_clique_count(graph, k),
+    }
+
+
 def _simple_directed(graph: LinkGraph) -> DataFrame:
     return graph.edges.select("src", "dst") \
         .filter(F.col("src") != F.col("dst")).distinct()

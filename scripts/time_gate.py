@@ -1,0 +1,92 @@
+"""Time every contract query (Spark + DuckDB oracle) at a given SF dir, in
+queries() dict order — a local profile of the driver's correctness gate so we
+can see where its time budget goes. Usage:
+    python scripts/time_gate.py [sf_dir] [only_name ...]
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+_spec = importlib.util.spec_from_file_location(
+    "spark_entry", Path(__file__).resolve().parent.parent / "__spark_entry__.py")
+entry_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(entry_mod)
+
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false")
+         .appName("time_gate").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+
+qs = entry_mod.queries()
+oracles = entry_mod.oracle_sql()
+rows = []
+for name, q in qs.items():
+    if ONLY and name not in ONLY:
+        continue
+    t0 = time.time()
+    try:
+        sdf = q(spark, SF_DIR).toPandas()
+        n = sdf.shape[0]
+        ts = time.time() - t0
+        err = None
+    except Exception as ex:  # noqa: BLE001
+        ts, n, err = time.time() - t0, -1, str(ex)[:120]
+    to = 0.0
+    match = "-"
+    if name in oracles and err is None:
+        t0 = time.time()
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+            to = time.time() - t0
+            s = sdf[sorted(sdf.columns)].sort_values(
+                by=sorted(sdf.columns), ignore_index=True)
+            o = odf[sorted(odf.columns)].sort_values(
+                by=sorted(odf.columns), ignore_index=True)
+            if list(s.columns) != list(o.columns):
+                match = f"SCHEMA {list(s.columns)} vs {list(o.columns)}"
+            elif len(s) != len(o):
+                match = f"ROWS {len(s)} vs {len(o)}"
+            else:
+                ok = all(
+                    (abs(s[c].astype(float) - o[c].astype(float)) <= 1e-9).all()
+                    if str(s[c].dtype).startswith(("int", "float"))
+                    else (s[c].astype(str) == o[c].astype(str)).all()
+                    for c in s.columns)
+                match = "OK" if ok else "VALUES"
+        except Exception as ex:  # noqa: BLE001
+            err = "oracle: " + str(ex)[:120]
+            to = time.time() - t0
+    rows.append((name, ts, to, n, err))
+    print(f"{name:26s} spark={ts:7.2f}s oracle={to:7.2f}s rows={n:<7} {match}"
+          + (f"  ERR={err}" if err else ""), flush=True)
+
+tot_s = sum(r[1] for r in rows)
+tot_o = sum(r[2] for r in rows)
+print(f"\nTOTAL spark={tot_s:.1f}s oracle={tot_o:.1f}s  all={tot_s+tot_o:.1f}s")
+print("\nslowest:")
+for name, ts, to, n, err in sorted(rows, key=lambda r: -(r[1] + r[2]))[:15]:
+    print(f"  {name:26s} {ts+to:7.2f}s (spark {ts:.2f} / oracle {to:.2f})")
+Path("/tmp/gate_times.json").write_text(json.dumps(
+    [{"name": r[0], "spark": r[1], "oracle": r[2]} for r in rows]))
