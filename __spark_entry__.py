@@ -1176,9 +1176,57 @@ mp AS MATERIALIZED (SELECT f.src AS a, f.dst AS b FROM de f
 intri AS (SELECT COUNT(*) AS c FROM mp
   JOIN de ax ON ax.src = mp.a JOIN de bx ON bx.src = mp.b AND bx.dst = ax.dst),
 outtri AS (SELECT COUNT(*) AS c FROM mp
-  JOIN de xa ON xa.dst = mp.a JOIN de xb ON xb.dst = mp.b AND xb.src = xa.src)
+  JOIN de xa ON xa.dst = mp.a JOIN de xb ON xb.dst = mp.b AND xb.src = xa.src),
+mpo AS MATERIALIZED (SELECT f.src AS s, f.dst AS d FROM de f
+  JOIN de r ON f.src = r.dst AND f.dst = r.src),
+cplus AS (SELECT COUNT(*) AS c FROM mpo
+  JOIN de xs ON xs.dst = mpo.s JOIN de dx ON dx.src = mpo.d AND dx.dst = xs.src)
 SELECT (SELECT c FROM acyc) AS acyclic, (SELECT c FROM cyc) AS cyclic,
-       (SELECT c FROM intri) AS in_tri, (SELECT c FROM outtri) AS out_tri"""
+       (SELECT c FROM intri) AS in_tri, (SELECT c FROM outtri) AS out_tri,
+       (SELECT c FROM cplus) AS cycle_plus"""
+
+
+# Fagiolo directed clustering over the mixed mod-97 graph: b = direction
+# multiplicity per unordered support pair; c(v) = T(v)/(dt(dt−1) − 2·db)
+_LCC_DIRECTED_SQL = f"""WITH de AS MATERIALIZED ({_DIR_EDGES_SQL}),
+bb AS MATERIALIZED (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+  COUNT(*) AS b FROM de GROUP BY lo, hi),
+ends AS MATERIALIZED (SELECT lo AS vid, b FROM bb UNION ALL SELECT hi, b FROM bb),
+dt AS MATERIALIZED (SELECT vid, SUM(b) AS dt,
+  SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS db FROM ends GROUP BY vid),
+nb AS MATERIALIZED (SELECT lo AS u, hi AS v, b FROM bb
+  UNION ALL SELECT hi, lo, b FROM bb),
+tv AS MATERIALIZED (
+  SELECT n1.u AS vid, SUM(n1.b * n2.b * e.b) AS t
+  FROM nb n1 JOIN nb n2 ON n1.u = n2.u AND n1.v < n2.v
+  JOIN bb e ON e.lo = n1.v AND e.hi = n2.v
+  GROUP BY n1.u)
+SELECT d.vid, CAST(ROUND(CASE
+  WHEN d.dt * (d.dt - 1) - 2 * d.db > 0
+  THEN CAST(COALESCE(t.t, 0) AS DOUBLE) / (d.dt * (d.dt - 1) - 2 * d.db)
+  ELSE 0.0 END * 1e6) AS BIGINT) AS lcc_micro
+FROM dt d LEFT JOIN tv t ON d.vid = t.vid"""
+
+
+def _harmonic_sql(rounds: int = 14, num_sources: int = 10) -> str:
+    prelude, last = _msbfs_sql(rounds, num_sources)
+    return f"""{prelude}
+SELECT vid, CAST(ROUND(SUM(1.0 / depth) * 1e6) AS BIGINT) AS harmonic_micro
+FROM {last} WHERE depth > 0 GROUP BY vid"""
+
+
+_PATTERN_SQL = _TRI_SMALL_PRELUDE + """,
+codeg AS MATERIALIZED (
+  SELECT a.dst AS u, b.dst AS o, COUNT(*) AS w
+  FROM tsym a JOIN tsym b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst),
+pe AS MATERIALIZED (
+  SELECT c.lo, c.hi, COALESCE(cd.w, 0) AS p
+  FROM tcanon c LEFT JOIN codeg cd ON c.lo = cd.u AND c.hi = cd.o)
+SELECT
+  CAST((SELECT SUM(p) FROM pe) / 3 AS BIGINT) AS triangles,
+  CAST((SELECT SUM(w * (w - 1) / 2) FROM codeg) / 2 AS BIGINT) AS rectangles,
+  CAST((SELECT SUM(p * (p - 1) / 2) FROM pe) AS BIGINT) AS diamonds"""
 
 
 def _mis_sql(rounds: int = 6, prelude: str = _GRAPH_PRELUDE) -> str:
@@ -1761,6 +1809,7 @@ def _dir_graph(spark, sf_dir):
 def _q_directed_triangles(spark, sf_dir):
     from graphscope_spark import (
         acyclic_triangle_count,
+        cycle_plus_triangle_count,
         cyclic_triangle_count,
         in_triangle_count,
         out_triangle_count,
@@ -1768,9 +1817,47 @@ def _q_directed_triangles(spark, sf_dir):
 
     g = _dir_graph(spark, sf_dir)
     row = (acyclic_triangle_count(g), cyclic_triangle_count(g),
-           in_triangle_count(g), out_triangle_count(g))
+           in_triangle_count(g), out_triangle_count(g),
+           cycle_plus_triangle_count(g))
     return spark.createDataFrame(
-        [row], "acyclic LONG, cyclic LONG, in_tri LONG, out_tri LONG")
+        [row],
+        "acyclic LONG, cyclic LONG, in_tri LONG, out_tri LONG, cycle_plus LONG")
+
+
+def _q_lcc_directed(spark, sf_dir):
+    # directed clustering coefficient (Fagiolo / NX semantics) over the
+    # mixed mod-97 graph — reciprocal pairs give b=2 multiplicities
+    from graphscope_spark import lcc_directed
+
+    return lcc_directed(_dir_graph(spark, sf_dir)).select(
+        "vid", F.round(F.col("lcc") * 1e6).cast("long").alias("lcc_micro"))
+
+
+def _q_harmonic_10src(spark, sf_dir):
+    from graphscope_spark import harmonic_centrality
+
+    g = _graph_und(spark, sf_dir)
+    sources = [r["vid"] for r in
+               g.vertices.select("vid").orderBy("vid").limit(10).collect()]
+    return harmonic_centrality(g, sources=sources).select(
+        "vid", F.round(F.col("harmonic") * 1e6).cast("long").alias("harmonic_micro"))
+
+
+def _q_pattern_counts(spark, sf_dir):
+    # the general Pattern compiler (GIE algebra.proto:405) counting three
+    # shapes on the bounded co-purchase graph — same numbers the fixed
+    # templates produce, but via the pattern→join-plan path
+    from graphscope_spark import pattern_count
+
+    g = _tri_graph_small(spark, sf_dir)
+    tri = pattern_count(g, [("a", "b"), ("b", "c"), ("a", "c")], directed=False)
+    rect = pattern_count(
+        g, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], directed=False)
+    dia = pattern_count(
+        g, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        directed=False)
+    return spark.createDataFrame(
+        [(tri, rect, dia)], "triangles LONG, rectangles LONG, diamonds LONG")
 
 
 def _q_mis(spark, sf_dir):
@@ -1952,6 +2039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcc": _q_bcc,
         "articulation_points": _q_articulation_points,
         "path_expand_2_3": _q_path_expand,
+        "lcc_directed": _q_lcc_directed,
+        "harmonic_10src": _q_harmonic_10src,
+        "pattern_counts": _q_pattern_counts,
     }
 
 
@@ -2219,4 +2309,7 @@ def oracle_sql() -> dict[str, str]:
         "bcc": _bcc_invariants_sql(rounds=12),
         "articulation_points": _articulation_sql(rounds=12),
         "bridges": _bridges_sql(cc_rounds=12, bfs_rounds=12),
+        "lcc_directed": _LCC_DIRECTED_SQL,
+        "harmonic_10src": _harmonic_sql(rounds=14),
+        "pattern_counts": _PATTERN_SQL,
     }

@@ -62,6 +62,14 @@ from graphscope_spark.operators import (
     rectangle_count,
     subgraph_counts,
     sssp,
+    harmonic_centrality,
+    lcc_directed,
+    degeneracy,
+    dfs,
+    pattern_match,
+    pattern_count,
+    automorphism_count,
+    cycle_plus_triangle_count,
     tailed_triangle_count,
     three_path_count,
     transitivity,
@@ -119,6 +127,9 @@ __all__ = [
     "degree_assortativity_coefficient", "average_degree_connectivity",
     "node_boundary", "edge_boundary", "eccentricity", "diameter_approx",
     "all_simple_paths", "sampling_path", "lpa_u2i", "path_expand",
+    "harmonic_centrality", "lcc_directed", "degeneracy", "dfs",
+    "pattern_match", "pattern_count", "automorphism_count",
+    "cycle_plus_triangle_count",
 ]
 
 __version__ = "0.1.0"

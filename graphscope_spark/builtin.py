@@ -12,8 +12,8 @@ exposes) onto the library's functions, so reference call sites port
     scores = run("pagerank_nx", graph, alpha=0.85, max_iter=100, tol=1e-6)
 
 Names not in the registry raise KeyError listing what IS supported —
-the honest coverage statement (as of round 2 only ``dfs`` remains
-excluded; COVERAGE.md documents why).
+the honest coverage statement (as of round 3 ALL 116 yaml names
+dispatch; tests/test_registry_closure.py asserts the closure).
 """
 
 from __future__ import annotations
@@ -164,6 +164,86 @@ def _late_bindings():
         "fluid_community": fluid_community,
         "flash_onion": onion_layers, "onion_layers": onion_layers,
         "core_numbers": core_numbers,
+    })
+
+    # full .gs_conf.yaml closure (round 3): every reference registry name
+    # dispatches — the `flash_*` engine-variant suffixes (_2, _opt, _push,
+    # _pull, _log, _block, _union, ...) are alternate implementations of
+    # the SAME contract in the reference (different comm patterns on MPI);
+    # on Spark one plan serves them, so they alias the canonical operator.
+    from graphscope_spark.operators.centrality import harmonic_centrality
+    from graphscope_spark.operators.clustering import lcc, lcc_directed
+    from graphscope_spark.operators.cores import degeneracy, kcore
+    from graphscope_spark.operators.dfs import dfs
+    from graphscope_spark.operators.lpa_u2i import lpa_u2i
+    from graphscope_spark.operators.pattern import pattern_count, pattern_match
+    from graphscope_spark.operators.subgraph import cycle_plus_triangle_count
+    from graphscope_spark.operators.traversal import msbfs
+    from graphscope_spark.operators.triangles import triangle_count
+
+    def _lpau2i(graph, u=None, prop_cols=None, **kw):
+        """Adapter: gs::LPAU2I takes the bipartite graph's edges (with a
+        weight column) + u-side seed property frame."""
+        return lpa_u2i(graph.spark, u, graph.edges, prop_cols, **kw)
+
+    _REGISTRY.update({
+        # ranking variants (yaml:9-16 pagerank_push / pagerank_push_opt are
+        # delta-push comm variants of the same fixed-round contract)
+        "pagerank_push": ops.pagerank, "pagerank_push_opt": ops.pagerank,
+        "flash_pagerank": ops.pagerank,
+        # centrality (yaml flash_* family)
+        "flash_hits": ops.hits,
+        "flash_katz": ops.katz_centrality,
+        "flash_eigenvec": ops.eigenvector_centrality,
+        "flash_closeness": ops.closeness_centrality,
+        "flash_harmonic": harmonic_centrality,
+        "harmonic_centrality": harmonic_centrality,
+        "flash_bc": _REGISTRY["betweenness_centrality"],
+        # clustering
+        "lcc_directed": lcc_directed,
+        "flash_clustering_coeff": lcc,
+        "flash_triangle": triangle_count,
+        "flash_cycle_plus_triangle": cycle_plus_triangle_count,
+        "flash_tailed_triangle": _REGISTRY["flash_tailed_triangle"],
+        # traversal variants
+        "flash_bfs": ops.bfs, "flash_bfs_push": ops.bfs,
+        "flash_bfs_pull": ops.bfs, "flash_bfs_undirected": ops.bfs,
+        "flash_random_multi_bfs": msbfs,
+        "flash_sssp": ops.sssp, "flash_sssp_undirected": ops.sssp,
+        "flash_sssp_dlt_step": ops.sssp,
+        "flash_sssp_dlt_step_undirected": ops.sssp,
+        "dfs": dfs,
+        # components variants
+        "flash_cc": ops.wcc, "flash_cc_push": ops.wcc,
+        "flash_cc_pull": ops.wcc, "flash_cc_opt": ops.wcc,
+        "flash_cc_log": ops.wcc, "flash_cc_block": ops.wcc,
+        "flash_cc_union": ops.wcc,
+        "flash_scc_2": _REGISTRY["scc"],
+        "flash_bcc_2": _REGISTRY["flash_bcc"],
+        "flash_bridge_2": _REGISTRY["flash_bridge"],
+        "flash_cut_point_2": _REGISTRY["flash_cut_point"],
+        # community
+        "flash_lpa": ops.cdlp, "flash_lpa_by_color": ops.cdlp,
+        "flash_fluid_by_color": _REGISTRY["flash_fluid_community"],
+        "lpau2i": _lpau2i,
+        # cores
+        "flash_kcore": kcore, "flash_kcore_2": kcore,
+        "flash_kcore_search": kcore,
+        "flash_degeneracy": degeneracy, "degeneracy": degeneracy,
+        # matching variants
+        "flash_mm_opt": _REGISTRY["flash_mm"],
+        "flash_mm_opt_2": _REGISTRY["flash_mm"],
+        "flash_mis_2": _REGISTRY["flash_mis"],
+        "flash_min_dominating_set_2": _REGISTRY["flash_min_dominating_set"],
+        "flash_min_cover_greedy": _REGISTRY["flash_min_cover"],
+        "flash_min_cover_greedy_2": _REGISTRY["flash_min_cover"],
+        # misc variants
+        "flash_msf_block": _REGISTRY["flash_msf"],
+        "flash_diameter_approx_2": _REGISTRY["flash_diameter_approx"],
+        "flash_k_clique_2": _REGISTRY["flash_k_clique"],
+        # GIE Pattern surface (algebra.proto:405) — not a yaml algo but
+        # the general matching entrypoints belong on the dispatch surface
+        "pattern_match": pattern_match, "pattern_count": pattern_count,
     })
 
 

@@ -125,3 +125,20 @@ __all__ += [
     "densest_subgraph_2approx", "onion_layers",
     "biconnected_components", "articulation_points",
 ]
+
+from graphscope_spark.operators.centrality import harmonic_centrality  # noqa: E402
+from graphscope_spark.operators.clustering import lcc_directed  # noqa: E402
+from graphscope_spark.operators.cores import degeneracy  # noqa: E402
+from graphscope_spark.operators.dfs import dfs  # noqa: E402
+from graphscope_spark.operators.pattern import (  # noqa: E402
+    automorphism_count,
+    pattern_count,
+    pattern_match,
+)
+from graphscope_spark.operators.subgraph import cycle_plus_triangle_count  # noqa: E402
+
+__all__ += [
+    "harmonic_centrality", "lcc_directed", "degeneracy", "dfs",
+    "pattern_match", "pattern_count", "automorphism_count",
+    "cycle_plus_triangle_count",
+]

@@ -296,3 +296,29 @@ def hits(graph: LinkGraph, tolerance: float = 0.01, max_round: int = 100,
             "vid", (F.col("hub") / F.lit(sh)).alias("hub"),
             (F.col("auth") / F.lit(sa)).alias("auth"))
     return out
+
+
+def harmonic_centrality(graph: LinkGraph, sources=None,
+                        runner: SuperstepRunner | None = None) -> DataFrame:
+    """(vid, harmonic) — h(v) = Σ_{s reaching v, d>0} 1/d(s, v).
+
+    Reference: HarmonicFlash
+    (/root/reference/analytical_engine/apps/flash/centrality/harmonic.h:43-90):
+    sampled-source batched BFS over the undirected view (EU), each source
+    adding 1/depth to every vertex it reaches. Here the sampled sources
+    ride the existing multi-source-BFS superstep job (one cross-source
+    frontier shuffle per depth); ``sources=None`` samples pivots (the
+    scale path — the reference itself samples 500), ``"all"`` is the
+    exact small-graph mode. The sampled source contributes 1/d(s, v) to
+    each vertex v it reaches — forward BFS, so each vertex accumulates
+    its INCOMING distances from the sample (NX harmonic semantics);
+    undirected graphs walk the symmetric view, matching the reference's
+    EU."""
+    from graphscope_spark.operators.traversal import msbfs, resolve_sources
+
+    d = msbfs(graph, resolve_sources(graph, sources), runner=runner)
+    return (
+        d.filter(F.col("depth") > 0)
+        .groupBy("vid")
+        .agg(F.sum(1.0 / F.col("depth")).alias("harmonic"))
+    )

@@ -212,3 +212,12 @@ def core_numbers(graph: LinkGraph) -> DataFrame:
     t.close()
     und.unpersist()
     return out
+
+
+def degeneracy(graph: LinkGraph) -> int:
+    """Graph degeneracy = max core number (reference flash_degeneracy,
+    apps/flash/core/degeneracy-ordering.h:42-87 — the FLASH app runs the
+    same h-index core fixpoint ``core_numbers`` uses, then reports
+    max(core) as the degeneracy)."""
+    row = core_numbers(graph).agg(F.max("core").alias("m")).first()
+    return int(row["m"] or 0)

@@ -1,0 +1,68 @@
+"""Depth-first search preorder ranks.
+
+Reference: gs::DFS (/root/reference/analytical_engine/apps/dfs/dfs.h:48-180):
+a single token walks the graph — the current vertex visits its first
+unvisited out-neighbor in adjacency order (assigning rank = running
+preorder counter, parent = current), or backtracks to its parent when all
+out-neighbors are visited; the walk ends when the token returns to the
+source with nothing left. The reference passes the token between
+fragments by message; the output is the preorder rank per visited vertex.
+
+DFS is inherently sequential (the token is a single cursor — no
+data-parallel frontier exists), which is why the engine kept it out of
+the superstep family through round 2 (COVERAGE.md). This implementation
+is honest about that: the adjacency of the reachable region is collected
+to the driver (guarded by ``max_vertices``) and the walk runs there, with
+the deterministic ascending-vid neighbor order standing in for the
+reference's fragment adjacency order. Use for the reference's NX-compat
+surface on bounded graphs; it is NOT a 100 TB operator and says so.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+
+
+def dfs(graph: LinkGraph, source: int, max_vertices: int = 5_000_000) -> DataFrame:
+    """(vid, rank) — preorder DFS rank from ``source`` over out-edges
+    (ascending-vid neighbor order); unreached vertices get rank -1."""
+    if graph.num_vertices > max_vertices:
+        raise ValueError(
+            f"dfs is a sequential small-graph operator (|V|="
+            f"{graph.num_vertices} > max_vertices={max_vertices}); "
+            "raise max_vertices explicitly to force it")
+    e = graph.edges if graph.directed else graph.sym_edges()
+    rows = (e.select("src", "dst").filter(F.col("src") != F.col("dst"))
+            .distinct().collect())
+    adj: dict[int, list[int]] = {}
+    for r in rows:
+        adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+    for v in adj:
+        adj[v].sort()
+    rank = {int(source): 0}
+    # iterative walk with per-vertex next-neighbor cursor (the token)
+    cursor: dict[int, int] = {}
+    stack = [int(source)]
+    counter = 0
+    while stack:
+        v = stack[-1]
+        nbrs = adj.get(v, ())
+        i = cursor.get(v, 0)
+        while i < len(nbrs) and nbrs[i] in rank:
+            i += 1
+        cursor[v] = i
+        if i == len(nbrs):
+            stack.pop()
+            continue
+        u = nbrs[i]
+        counter += 1
+        rank[u] = counter
+        cursor[v] = i + 1
+        stack.append(u)
+    lut = graph.spark.createDataFrame(
+        [(v, r) for v, r in rank.items()], "vid LONG, rank LONG")
+    return (graph.vertices.select("vid").join(lut, "vid", "left")
+            .select("vid", F.coalesce("rank", F.lit(-1)).alias("rank")))

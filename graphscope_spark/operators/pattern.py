@@ -1,0 +1,128 @@
+"""General subgraph pattern matching — a pattern → join-plan compiler.
+
+Reference: the GIE ``Pattern`` operator
+(/root/reference/interactive_engine/executor/ir/proto/algebra.proto:405-436)
+accepts an arbitrary connected pattern graph and matches it against the
+data graph (the Rust IR compiles it to a worst-case-optimal join /
+ExpandIntersect plan). Here the same surface compiles to a Spark join
+plan over the (cached) edge table:
+
+- pattern = list of (u, v) variable pairs; ``directed=False`` matches
+  over the symmetric view, ``directed=True`` over stored edges.
+- edges are ordered greedily so every join after the first shares at
+  least one bound variable (no cartesian products ever — closing edges
+  of cycles become semi-join-shaped key lookups on two bound vars).
+- injectivity (isomorphic matching) = pairwise ``!=`` filters, applied
+  as soon as both variables are bound so pruning happens inside the
+  pipeline, not at the end.
+- ``pattern_count`` divides the homomorphic-injective match count by the
+  pattern's automorphism count (computed exactly by brute force over the
+  ≤ 8-variable pattern — driver-side, O(k!) on k pattern vars, nothing
+  to do with data scale) so each occurrence counts once — the same
+  quotient the fixed templates (triangle/rectangle/diamond) hard-code
+  via their symmetry-breaking predicates.
+
+Scale shape: k−1 shuffle-hash joins on vertex keys against the edge
+table — the plan Catalyst already optimizes (broadcast if tiny, AQE
+otherwise). The fixed templates in operators/subgraph.py remain as the
+hand-tuned fast paths; this is the general surface.
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import LinkGraph
+
+
+def _plan_order(pattern: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Greedy connected ordering: each edge after the first shares ≥1
+    already-bound variable (raises on disconnected patterns)."""
+    remaining = list(pattern)
+    ordered = [remaining.pop(0)]
+    bound = set(ordered[0])
+    while remaining:
+        for i, (u, v) in enumerate(remaining):
+            if u in bound or v in bound:
+                ordered.append(remaining.pop(i))
+                bound.update((u, v))
+                break
+        else:
+            raise ValueError(f"pattern is disconnected: {pattern}")
+    return ordered
+
+
+def automorphism_count(pattern: list[tuple[str, str]],
+                       directed: bool = False) -> int:
+    """Number of variable permutations mapping the pattern edge set onto
+    itself (undirected patterns compare unordered pairs)."""
+    vs = sorted({x for e in pattern for x in e})
+    if directed:
+        es = {tuple(e) for e in pattern}
+    else:
+        es = {frozenset(e) for e in pattern}
+    cnt = 0
+    for perm in permutations(vs):
+        m = dict(zip(vs, perm))
+        if directed:
+            pes = {(m[u], m[v]) for u, v in pattern}
+        else:
+            pes = {frozenset((m[u], m[v])) for u, v in pattern}
+        cnt += pes == es
+    return cnt
+
+
+def pattern_match(graph: LinkGraph, pattern: list[tuple[str, str]],
+                  directed: bool | None = None,
+                  injective: bool = True) -> DataFrame:
+    """One column per pattern variable; each row is a (by default
+    injective) homomorphism from the pattern into the graph."""
+    if directed is None:
+        directed = graph.directed
+    if directed:
+        e = graph.edges.select("src", "dst") \
+            .filter(F.col("src") != F.col("dst")).distinct()
+    else:
+        e = graph.und_edges()  # already the deduplicated symmetric view
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    ordered = _plan_order([tuple(p) for p in pattern])
+    pairs_done: set[frozenset] = set()
+
+    u0, v0 = ordered[0]
+    df = e.select(F.col("src").alias(u0), F.col("dst").alias(v0))
+    bound = [u0, v0]
+    if injective:
+        pairs_done.add(frozenset((u0, v0)))
+
+    for u, v in ordered[1:]:
+        if u in bound and v in bound:
+            # closing edge: key lookup on both endpoints
+            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)),
+                         [u, v], "left_semi")
+        elif u in bound:
+            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)), u)
+            bound.append(v)
+        else:
+            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)), v)
+            bound.append(u)
+        if injective:
+            for w in bound:
+                for x in bound:
+                    if w < x and frozenset((w, x)) not in pairs_done:
+                        df = df.filter(F.col(w) != F.col(x))
+                        pairs_done.add(frozenset((w, x)))
+    return df.select(*sorted(bound))
+
+
+def pattern_count(graph: LinkGraph, pattern: list[tuple[str, str]],
+                  directed: bool | None = None) -> int:
+    """Occurrences of the pattern (each subgraph counted once)."""
+    if directed is None:
+        directed = graph.directed
+    n = pattern_match(graph, pattern, directed=directed).count()
+    aut = automorphism_count([tuple(p) for p in pattern], directed=directed)
+    return n // aut

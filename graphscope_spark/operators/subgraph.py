@@ -234,6 +234,27 @@ def out_triangle_count(graph: LinkGraph) -> int:
     return n
 
 
+def cycle_plus_triangle_count(graph: LinkGraph) -> int:
+    """Σ over directed edges (s, d) whose reverse edge d→s also exists of
+    |in(s) ∩ out(d)| — each mutual edge contributes the number of x with
+    x→s and d→x closing a directed cycle d→x→s→d on top of the
+    reciprocal pair (reference
+    apps/flash/subgraph/cycle-plus-triangle.h:52-79: update2 counts, per
+    dense edge s→d with did ∈ s.in, the overlap of s.in and d.out)."""
+    e = _simple_directed(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mut = e.join(rev, ["src", "dst"], "left_semi") \
+        .select(F.col("src").alias("s"), F.col("dst").alias("d"))
+    n = (
+        mut.join(e.select(F.col("dst").alias("s"), F.col("src").alias("x")), "s")
+        .join(e.select(F.col("src").alias("d"), F.col("dst").alias("x")),
+              ["d", "x"], "left_semi")
+        .count()
+    )
+    e.unpersist()
+    return n
+
+
 def densest_subgraph_2approx(graph: LinkGraph) -> tuple[float, DataFrame]:
     """(density, vertices) — the max-core subgraph, a 2-approximation of
     the densest subgraph; density = average degree inside the subgraph,

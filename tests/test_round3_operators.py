@@ -1,0 +1,225 @@
+"""Round-3 operators: registry closure, lcc_directed, harmonic centrality,
+cycle-plus triangles, dfs, the general pattern compiler, degeneracy —
+each against an independent pure-Python oracle."""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import defaultdict
+from pathlib import Path
+
+import pytest
+
+from graphscope_spark import LinkGraph
+from tests.conftest import power_law_graph
+
+_YAML = Path("/root/reference/coordinator/gscoordinator/builtin/app/.gs_conf.yaml")
+
+
+def _mk(spark, vertices, edges, directed=True, parts=4):
+    return LinkGraph(
+        spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+        directed=directed, num_partitions=parts)
+
+
+@pytest.fixture(scope="module")
+def g60(spark):
+    vertices, edges = power_law_graph(n=60, m=240, seed=9, with_dangling=False)
+    return _mk(spark, vertices, edges), vertices, edges
+
+
+# ---- registry closure -----------------------------------------------------
+
+@pytest.mark.skipif(not _YAML.exists(), reason="reference yaml absent")
+def test_registry_covers_every_reference_algo():
+    """Every algo name the reference registers in .gs_conf.yaml (116)
+    dispatches through graphscope_spark.builtin.run — no exclusions left
+    (dfs landed in round 3)."""
+    from graphscope_spark.builtin import _REGISTRY
+
+    names = re.findall(r"algo: (\S+)", _YAML.read_text())
+    assert len(names) >= 116
+    missing = [n for n in names if n not in _REGISTRY or _REGISTRY[n] is None]
+    assert missing == []
+
+
+def test_registry_dispatches_alias(spark, g60):
+    from graphscope_spark.builtin import run
+
+    g, vertices, edges = g60
+    got = {r["vid"]: r["rank"] for r in run("dfs", g, source=vertices[0]).collect()}
+    assert got[vertices[0]] == 0
+    assert run("flash_degeneracy", g) == run("degeneracy", g)
+
+
+# ---- lcc_directed ---------------------------------------------------------
+
+def test_lcc_directed_matches_fagiolo_oracle(spark, g60):
+    from graphscope_spark import lcc_directed
+
+    g, vertices, edges = g60
+    B = defaultdict(int)
+    for s, d in edges:
+        B[(min(s, d), max(s, d))] += 1
+    nbr = defaultdict(dict)
+    for (u, v), b in B.items():
+        nbr[u][v] = b
+        nbr[v][u] = b
+    got = {r["vid"]: r["lcc"] for r in lcc_directed(g).collect()}
+    for u in vertices:
+        dt = sum(nbr[u].values())
+        db = sum(1 for b in nbr[u].values() if b == 2)
+        ns = list(nbr[u])
+        t = sum(nbr[u][v] * nbr[u][w] * nbr[v][w]
+                for i, v in enumerate(ns) for w in ns[i + 1:] if w in nbr[v])
+        den = dt * (dt - 1) - 2 * db
+        exp = t / den if den > 0 else 0.0
+        assert abs(got[u] - exp) < 1e-9, u
+
+
+# ---- harmonic -------------------------------------------------------------
+
+def test_harmonic_matches_bfs_oracle(spark, g60):
+    from graphscope_spark import harmonic_centrality
+
+    g, vertices, edges = g60
+    sources = sorted(vertices)[:8]
+    # oracle: forward BFS from each sampled source over the stored
+    # directed edges — vertex v accumulates 1/d(s, v)
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+    exp = defaultdict(float)
+    for s in sources:
+        dist = {s: 0}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        nxt.append(w)
+            frontier = nxt
+        for v, d in dist.items():
+            if d > 0:
+                exp[v] += 1.0 / d
+    got = {r["vid"]: r["harmonic"]
+           for r in harmonic_centrality(g, sources=sources).collect()}
+    assert set(got) == set(exp)
+    for v, e in exp.items():
+        assert abs(got[v] - e) < 1e-9, v
+
+
+# ---- cycle-plus triangles -------------------------------------------------
+
+def test_cycle_plus_matches_flash_semantics(spark):
+    from graphscope_spark import cycle_plus_triangle_count
+
+    rnd = random.Random(11)
+    edges = set()
+    while len(edges) < 500:
+        s, d = rnd.randrange(50), rnd.randrange(50)
+        if s != d:
+            edges.add((s, d))
+    g = _mk(spark, list(range(50)), sorted(edges))
+    exp = sum(1 for (s, d) in edges if (d, s) in edges
+              for x in range(50) if (x, s) in edges and (d, x) in edges)
+    assert cycle_plus_triangle_count(g) == exp
+
+
+# ---- dfs ------------------------------------------------------------------
+
+def test_dfs_matches_recursive_oracle(spark, g60):
+    from graphscope_spark import dfs
+
+    g, vertices, edges = g60
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    for u in adj:
+        adj[u].sort()
+    src = vertices[0]
+    rank = {src: 0}
+    ctr = [0]
+
+    def rec(v):
+        for u in adj[v]:
+            if u not in rank:
+                ctr[0] += 1
+                rank[u] = ctr[0]
+                rec(u)
+
+    rec(src)
+    got = {r["vid"]: r["rank"] for r in dfs(g, src).collect()}
+    for v in vertices:
+        assert got[v] == rank.get(v, -1), v
+
+
+def test_dfs_guards_large_graphs(spark, g60):
+    from graphscope_spark import dfs
+
+    g, vertices, _ = g60
+    with pytest.raises(ValueError):
+        dfs(g, vertices[0], max_vertices=10)
+
+
+# ---- pattern compiler -----------------------------------------------------
+
+def test_pattern_counts_match_fixed_templates(spark, g60):
+    from graphscope_spark import (
+        diamond_count,
+        k_clique_count,
+        pattern_count,
+        rectangle_count,
+        tailed_triangle_count,
+        three_path_count,
+        triangle_count,
+    )
+
+    g, _, _ = g60
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    rect = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    dia = rect + [("a", "c")]
+    p3 = [("a", "b"), ("b", "c"), ("c", "d")]
+    tail = tri + [("c", "d")]
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert pattern_count(g, tri, directed=False) == triangle_count(g)
+    assert pattern_count(g, rect, directed=False) == rectangle_count(g)
+    assert pattern_count(g, dia, directed=False) == diamond_count(g)
+    assert pattern_count(g, p3, directed=False) == three_path_count(g)
+    assert pattern_count(g, tail, directed=False) == tailed_triangle_count(g)
+    assert pattern_count(g, k4, directed=False) == k_clique_count(g, 4)
+
+
+def test_pattern_directed_and_automorphisms(spark, g60):
+    from graphscope_spark import automorphism_count, pattern_count
+
+    g, vertices, edges = g60
+    es = set(edges)
+    cyc = [("a", "b"), ("b", "c"), ("c", "a")]
+    assert automorphism_count(cyc, directed=True) == 3
+    assert automorphism_count(cyc, directed=False) == 6
+    exp = sum(1 for (a, b) in es for c in vertices
+              if (b, c) in es and (c, a) in es and len({a, b, c}) == 3) // 3
+    assert pattern_count(g, cyc, directed=True) == exp
+
+
+def test_pattern_rejects_disconnected(spark, g60):
+    from graphscope_spark import pattern_match
+
+    g, _, _ = g60
+    with pytest.raises(ValueError):
+        pattern_match(g, [("a", "b"), ("c", "d")])
+
+
+# ---- degeneracy -----------------------------------------------------------
+
+def test_degeneracy_is_max_core(spark, g60):
+    from graphscope_spark import core_numbers, degeneracy
+
+    g, _, _ = g60
+    cores = [r["core"] for r in core_numbers(g).collect()]
+    assert degeneracy(g) == max(cores)
