@@ -43,14 +43,20 @@ _VERSION = "gar/v1"
 def _write_single_chunks(df: DataFrame, part_col: str, out_dir: str,
                          nested: bool = False,
                          sort_cols: list[str] | None = None,
-                         max_records: int | None = None) -> None:
+                         max_records: int | None = None,
+                         drop_cols: list[str] | None = None) -> None:
     """Write one parquet FILE per ``part_col`` value, named chunk<i>
     (or part<i>/chunk<j> when nested, split at ``max_records``) as the
-    spec requires."""
+    spec requires. GraphAr is POSITIONAL (row i of chunk c is vertex
+    c·chunk_size+i), so callers must pass the id in ``sort_cols``;
+    ``drop_cols`` projects sort-only columns away after the sort (a
+    projection above the sort — row order is preserved into the file)."""
     tmp = out_dir + "__tmp"
-    writer = (df.repartition(part_col)
-              .sortWithinPartitions(part_col, *(sort_cols or []))
-              .write.mode("overwrite").partitionBy(part_col))
+    sorted_df = (df.repartition(part_col)
+                 .sortWithinPartitions(part_col, *(sort_cols or [])))
+    if drop_cols:
+        sorted_df = sorted_df.drop(*drop_cols)
+    writer = sorted_df.write.mode("overwrite").partitionBy(part_col)
     if max_records:
         writer = writer.option("maxRecordsPerFile", max_records)
     writer.parquet(tmp)
@@ -85,7 +91,7 @@ def save_graphar(graph: LinkGraph, path: str, name: str = "graph",
     vdir = os.path.join(path, "vertex", vertex_label)
     _write_single_chunks(
         v.withColumn("_chunk", (F.col("vid") / vertex_chunk_size).cast("long")),
-        "_chunk", os.path.join(vdir, "id"))
+        "_chunk", os.path.join(vdir, "id"), sort_cols=["vid"])
     n = graph.num_vertices
     os.makedirs(vdir, exist_ok=True)
     with open(os.path.join(vdir, "vertex_count"), "w") as f:
@@ -106,10 +112,19 @@ def save_graphar(graph: LinkGraph, path: str, name: str = "graph",
         .select("vid", F.coalesce("d", F.lit(0)).alias("d"),
                 (F.col("vid") / vertex_chunk_size).cast("long").alias("_part"))
     )
+    # spec layout: EXCLUSIVE prefix sums ordered by vertex id, with one
+    # terminal row per part carrying the part's total (chunk row count =
+    # vertices-in-chunk + 1, first entry 0) — offset[i]..offset[i+1] is
+    # vertex i's adjacency range
     w = Window.partitionBy("_part").orderBy("vid")
-    offsets = deg.select("_part", "vid", F.sum("d").over(w).alias("offset"))
-    _write_single_chunks(offsets.drop("vid"), "_part",
-                         os.path.join(edir, "offset"), nested=True)
+    prefix = deg.select(
+        "_part", "vid", (F.sum("d").over(w) - F.col("d")).alias("offset"))
+    totals = deg.groupBy("_part").agg(F.sum("d").alias("offset")).select(
+        "_part", ((F.col("_part") + 1) * vertex_chunk_size).alias("vid"),
+        "offset")
+    offsets = prefix.unionByName(totals)
+    _write_single_chunks(offsets, "_part", os.path.join(edir, "offset"),
+                         nested=True, sort_cols=["vid"], drop_cols=["vid"])
     ecounts = {r["_part"]: r["c"] for r in
                e.groupBy("_part").agg(F.count("*").alias("c")).collect()}
     tdir = os.path.join(path, "edge", triplet)

@@ -48,14 +48,24 @@ def test_graphar_roundtrip_and_layout(spark, tmp_path):
         os.path.join(adir, "adj_list/part0/chunk0")).toPandas()
     assert list(pdf["src"]) == sorted(pdf["src"])
 
-    # --- offsets are per-chunk cumulative degrees ----------------------
-    off = spark.read.parquet(
-        os.path.join(adir, "offset/part0/chunk0")).toPandas()
+    # --- vertex chunks are POSITIONAL: row i of chunk c = id c*64+i ----
+    for c in range(5):
+        vdf = spark.read.parquet(
+            os.path.join(root, "vertex/vertex/id", f"chunk{c}")).toPandas()
+        lo = c * 64
+        assert list(vdf["vid"]) == list(range(lo, min(lo + 64, 300))), c
+
+    # --- offsets are id-ordered EXCLUSIVE prefix sums, n_chunk+1 rows --
     deg = {}
     for s, d in edges:
         deg[s] = deg.get(s, 0) + 1
-    want_last = sum(deg.get(v, 0) for v in range(64))
-    assert off["offset"].max() == want_last
+    off = spark.read.parquet(
+        os.path.join(adir, "offset/part0/chunk0")).toPandas()
+    want = [0]
+    for v in range(64):
+        want.append(want[-1] + deg.get(v, 0))
+    assert list(off["offset"]) == want  # 65 rows, positional, starts at 0
+    assert list(off.columns) == ["offset"]
 
     # --- round trip ----------------------------------------------------
     g2 = load_graphar(spark, yml, num_partitions=4)
