@@ -154,6 +154,14 @@ class LinkGraph:
             )
             .select("src", "dst")
         )
+        if not directed:
+            # the LinkGraph contract requires undirected edge sets to be
+            # symmetric (both orientations stored, as the reference's
+            # undirected CSR does); inputs list each edge once, so mirror
+            # it here — distinct() keeps already-symmetric inputs stable
+            e = e.union(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
         return cls(spark, e, vertices=vmap, directed=directed, num_partitions=num_partitions)
 
     # ---- basic stats (REPORT_GRAPH, reference grape_instance.cc:353-359) --

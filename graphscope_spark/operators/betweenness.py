@@ -41,8 +41,9 @@ def betweenness_centrality(graph: LinkGraph,
     n = graph.num_vertices
     sources = resolve_sources(graph, sources, num_pivots, seed)
     t = Truncator()
-    # undirected LinkGraphs store the symmetric edge set already
-    edges = graph.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    # undirected LinkGraphs store each edge once — traverse both ways
+    edges = (graph.edges if graph.directed else graph.sym_edges()) \
+        .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
 
     src_df = spark.createDataFrame([(int(s),) for s in sources], "source LONG")
     # ---- forward: levels with path counts --------------------------------

@@ -69,29 +69,34 @@ def load_csv_graph(
         e = df.select(pick(df, src_col).cast("string").alias("src_oid"),
                       pick(df, dst_col).cast("string").alias("dst_oid"))
         edges = e if edges is None else edges.unionByName(e)
-    g = LinkGraph.from_oid_edges(spark, edges, directed=directed,
-                                 num_partitions=num_partitions)
-    if vfile:
-        vframes = [_read_csv(spark, u) for u in vfile.split(";") if u]
-        verts = None
-        for df in vframes:
-            v = df.select(pick(df, oid_col).cast("string").alias("oid"))
-            verts = v if verts is None else verts.unionByName(v)
-        # vertices present in the vertex file but isolated still appear:
-        # re-densify over the union of edge endpoints and vertex oids
-        from graphscope_spark.graph import assign_dense_ids
-        all_oids = verts.unionByName(
-            edges.select(F.col("src_oid").alias("oid"))).unionByName(
-            edges.select(F.col("dst_oid").alias("oid")))
-        nparts = num_partitions or spark.sparkContext.defaultParallelism
-        vmap = assign_dense_ids(all_oids, "oid", nparts)
-        e = (
-            edges.join(vmap.withColumnRenamed("vid", "src")
-                       .withColumnRenamed("oid", "src_oid"), "src_oid")
-            .join(vmap.withColumnRenamed("vid", "dst")
-                  .withColumnRenamed("oid", "dst_oid"), "dst_oid")
-            .select("src", "dst")
-        )
-        g = LinkGraph(spark, e, vertices=vmap.select("vid", "oid"),
-                      directed=directed, num_partitions=num_partitions)
-    return g
+    if not vfile:
+        return LinkGraph.from_oid_edges(spark, edges, directed=directed,
+                                        num_partitions=num_partitions)
+    # vfile branch: build the ONE dense-id map directly over vertex-file
+    # oids ∪ edge endpoints (isolated vertices still appear) — building a
+    # throwaway graph first would compute and cache a second vmap
+    vframes = [_read_csv(spark, u) for u in vfile.split(";") if u]
+    verts = None
+    for df in vframes:
+        v = df.select(pick(df, oid_col).cast("string").alias("oid"))
+        verts = v if verts is None else verts.unionByName(v)
+    from graphscope_spark.graph import assign_dense_ids
+    all_oids = verts.unionByName(
+        edges.select(F.col("src_oid").alias("oid"))).unionByName(
+        edges.select(F.col("dst_oid").alias("oid")))
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    vmap = assign_dense_ids(all_oids, "oid", nparts)
+    e = (
+        edges.join(vmap.withColumnRenamed("vid", "src")
+                   .withColumnRenamed("oid", "src_oid"), "src_oid")
+        .join(vmap.withColumnRenamed("vid", "dst")
+              .withColumnRenamed("oid", "dst_oid"), "dst_oid")
+        .select("src", "dst")
+    )
+    if not directed:
+        # LinkGraph's undirected contract: both orientations stored
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    return LinkGraph(spark, e, vertices=vmap.select("vid", "oid"),
+                     directed=directed, num_partitions=num_partitions)

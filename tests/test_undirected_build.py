@@ -1,0 +1,47 @@
+"""from_oid_edges / load_csv_graph honor the undirected contract.
+
+LinkGraph requires undirected edge sets to store BOTH orientations
+(graph.py:67-70, mirroring the reference's undirected CSR which stores
+each edge in both adjacency lists). The factories must symmetrize
+once-listed inputs — a regression here silently halves every undirected
+traversal (betweenness returned structurally-wrong values before the
+fix, since its forward BFS could only follow the stored orientation).
+"""
+
+from __future__ import annotations
+
+from graphscope_spark import LinkGraph
+from graphscope_spark.operators.betweenness import betweenness_centrality
+
+
+def _path4_graph(spark):
+    df = spark.createDataFrame(
+        [("0", "1"), ("1", "2"), ("2", "3")], "src_oid STRING, dst_oid STRING")
+    return LinkGraph.from_oid_edges(spark, df, directed=False)
+
+
+def test_from_oid_edges_undirected_symmetrizes(spark):
+    g = _path4_graph(spark)
+    edges = {(r.src, r.dst) for r in g.edges.select("src", "dst").collect()}
+    assert len(edges) == 6  # 3 input edges x both orientations
+    for s, d in list(edges):
+        assert (d, s) in edges
+
+
+def test_from_oid_edges_undirected_stable_when_input_symmetric(spark):
+    # already-symmetric input must not double up
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src_oid STRING, dst_oid STRING")
+    g = LinkGraph.from_oid_edges(spark, df, directed=False)
+    assert g.edges.count() == 4
+
+
+def test_undirected_betweenness_matches_networkx_semantics(spark):
+    # path 0-1-2-3: NX unnormalized undirected betweenness = [0, 2, 2, 0]
+    g = _path4_graph(spark)
+    oid = {r.vid: int(r.oid) for r in g.vertices.select("vid", "oid").collect()}
+    got = {oid[r.vid]: r.betweenness
+           for r in betweenness_centrality(
+               g, sources="all", normalized=False).collect()}
+    assert got == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
