@@ -29,6 +29,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphscope_spark.runtime.truncate import Truncator
+
 
 class IncrementalWCC:
     """foreachBatch sink maintaining a (vid, comp) parquet state."""
@@ -73,23 +75,25 @@ class IncrementalWCC:
                   .withColumnRenamed("comp", "cd"), "dst")
             .select("cs", "cd").filter(F.col("cs") != F.col("cd")).distinct()
         )
-        # HashMin fixpoint over the component-link graph (tiny)
+        # HashMin fixpoint over the component-link graph (tiny). Truncator
+        # slots reclaim each superseded checkpoint deterministically — a
+        # long-running sink would otherwise accumulate blocks every batch
+        t = Truncator()
         pairs = le.unionByName(le.select(F.col("cd").alias("cs"),
                                          F.col("cs").alias("cd")))
-        m = lab.select(F.col("comp").alias("c")).distinct() \
-            .select("c", F.col("c").alias("root")).localCheckpoint(eager=True)
+        m = t(lab.select(F.col("comp").alias("c")).distinct()
+              .select("c", F.col("c").alias("root")), "m")
         while True:
             msgs = (
                 pairs.join(m.withColumnRenamed("c", "cs")
                            .withColumnRenamed("root", "rs"), "cs")
                 .groupBy(F.col("cd").alias("c")).agg(F.min("rs").alias("mr"))
             )
-            nm = (
+            nm = t(
                 m.join(msgs, "c", "left")
                 .select("c", F.least("root", F.coalesce("mr", "root")).alias("root"),
                         F.coalesce(F.col("mr") < F.col("root"), F.lit(False))
-                        .alias("chg"))
-            ).localCheckpoint(eager=True)
+                        .alias("chg")), "m")
             changed = nm.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
             m = nm.drop("chg")
             if changed == 0:
@@ -101,7 +105,8 @@ class IncrementalWCC:
             .join(mapping.withColumnRenamed("c", "comp"), "comp", "left")
             .select("vid", F.coalesce("root", F.col("comp")).alias("comp"))
         )
-        self._write(new_state)
+        self._write(new_state)  # materializes before close() frees blocks
+        t.close()
 
     # ---- streaming entry --------------------------------------------------
 

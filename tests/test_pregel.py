@@ -46,10 +46,12 @@ def test_builtin_registry(g):
     assert "pagerank_nx" in algorithms()
     ranks = run("pagerank_nx", g, tol=1e-6).collect()
     assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-6
-    # round 2: flash_msf & friends are implemented — only dfs remains out
+    # round 2: flash_msf & friends; round 3: dfs dispatches too
     assert "flash_msf" in algorithms() and "flash_bcc" in algorithms()
+    ranks = {r["vid"]: r["rank"] for r in run("dfs", g, source=0).collect()}
+    assert ranks[0] == 0 and len(ranks) == g.num_vertices
     with pytest.raises(KeyError):
-        run("dfs", g)
+        run("not_an_algorithm", g)
 
 
 def test_assortativity_and_boundary(g, small_graph, spark):
