@@ -209,6 +209,33 @@ def _pagerank_sql(k: int, alpha: float = 0.85) -> str:
     )
 
 
+def _pagerank_push_sql(k: int, alpha: float = 0.85) -> str:
+    """k synchronized residual-push rounds (theta=0, PageRankPushJob):
+    p_i = p_{i-1} + r_{i-1};  r_i = alpha*push(r_{i-1}) +
+    alpha*dangling(r_{i-2})/n — the engine's one-round dangling carry
+    register (carry observed in round j is the dangling residual of the
+    state ENTERING round j, applied in round j+1). Result = p_k + r_k
+    as micro-ints."""
+    ctes = [
+        f"pp0 AS MATERIALIZED (SELECT vid, deg, 0.0 AS p, "
+        f"(1.0 - {alpha})/(SELECT n FROM params) AS r FROM deg)",
+    ]
+    for i in range(1, k + 1):
+        p = f"pp{i-1}"
+        dc = (f"(SELECT COALESCE(SUM(r), 0.0) FROM pp{i-2} WHERE deg = 0)"
+              if i >= 2 else "0.0")
+        ctes.append(
+            f"pp{i} AS MATERIALIZED (SELECT v.vid, v.deg, v.p + v.r AS p, "
+            f"{alpha} * COALESCE(s.msum, 0.0) + {alpha} * {dc} / (SELECT n FROM params) AS r "
+            f"FROM {p} v LEFT JOIN (SELECT e.dst AS vid, SUM(r.r / r.deg) AS msum "
+            f"FROM edges e JOIN {p} r ON e.src = r.vid AND r.deg > 0 GROUP BY e.dst) s ON v.vid = s.vid)"
+        )
+    return (
+        _GRAPH_PRELUDE + ", " + ",\n".join(ctes)
+        + f"\nSELECT vid, CAST(ROUND((p + r) * 1e6) AS BIGINT) AS rank_micro FROM pp{k}"
+    )
+
+
 def _pagerank_conv_sql(max_rounds: int = 50, alpha: float = 0.85,
                        tol: float = 1e-6) -> str:
     """PageRank to CONVERGENCE: unroll ``max_rounds`` rounds, track the
@@ -488,6 +515,18 @@ def _q_pagerank_3iter(spark, sf_dir):
     return state.select(
         "vid", F.round(F.col("rank") * 1e6).cast("long").alias("rank_micro")
     )
+
+
+def _q_pagerank_push_8r(spark, sf_dir):
+    from graphscope_spark.operators.pagerank import PageRankPushJob
+    from graphscope_spark.runtime.superstep import SuperstepRunner
+
+    g = _graph(spark, sf_dir)
+    job = PageRankPushJob(g, theta=0.0, max_rounds=8)
+    state, _ = SuperstepRunner(spark).run(job, max_steps=8)
+    return state.select(
+        "vid",
+        F.round((F.col("p") + F.col("r")) * 1e6).cast("long").alias("rank_micro"))
 
 
 def _q_pagerank_conv(spark, sf_dir):
@@ -1976,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
         "pagerank_3iter": _q_pagerank_3iter,
+        "pagerank_push_8r": _q_pagerank_push_8r,
         "pagerank_conv": _q_pagerank_conv,
         "wcc": _q_wcc,
         "cdlp_2rounds": _q_cdlp_2rounds,
@@ -2060,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS num_edges FROM edges"
         ),
         "pagerank_3iter": _pagerank_sql(3),
+        "pagerank_push_8r": _pagerank_push_sql(8),
         "pagerank_conv": _pagerank_conv_sql(max_rounds=50),
         "wcc": _wcc_sql(14),
         "cdlp_2rounds": _cdlp_sql(2),

@@ -187,9 +187,9 @@ def _late_bindings():
         return lpa_u2i(graph.spark, u, graph.edges, prop_cols, **kw)
 
     _REGISTRY.update({
-        # ranking variants (yaml:9-16 pagerank_push / pagerank_push_opt are
-        # delta-push comm variants of the same fixed-round contract)
-        "pagerank_push": ops.pagerank, "pagerank_push_opt": ops.pagerank,
+        # ranking variants (yaml:9-16): true residual-push delta engine
+        "pagerank_push": ops.pagerank_push,
+        "pagerank_push_opt": ops.pagerank_push,
         "flash_pagerank": ops.pagerank,
         # centrality (yaml flash_* family)
         "flash_hits": ops.hits,

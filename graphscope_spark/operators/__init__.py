@@ -136,9 +136,13 @@ from graphscope_spark.operators.pattern import (  # noqa: E402
     pattern_match,
 )
 from graphscope_spark.operators.subgraph import cycle_plus_triangle_count  # noqa: E402
+from graphscope_spark.operators.pagerank import (  # noqa: E402
+    PageRankPushJob,
+    pagerank_push,
+)
 
 __all__ += [
     "harmonic_centrality", "lcc_directed", "degeneracy", "dfs",
     "pattern_match", "pattern_count", "automorphism_count",
-    "cycle_plus_triangle_count",
+    "cycle_plus_triangle_count", "pagerank_push", "PageRankPushJob",
 ]

@@ -291,3 +291,106 @@ def pagerank(
     runner = runner or SuperstepRunner(graph.spark)
     state, _ = runner.run(job, max_steps=max_iter + 1, resume=resume)
     return state.select("vid", "rank")
+
+
+class PageRankPushJob(SuperstepJob):
+    """Residual (delta) push PageRank — the reference's ``pagerank_push`` /
+    ``pagerank_push_opt`` communication variants (registry
+    coordinator/gscoordinator/builtin/app/.gs_conf.yaml:9-16; the pull
+    NX-semantics engine is pagerank_networkx.h). Instead of every vertex
+    recomputing its rank from all in-neighbors each round, vertices hold a
+    RESIDUAL ``r`` and an ESTIMATE ``p``; a round retires each active
+    residual (r > theta) into ``p`` and pushes ``alpha·r/deg`` along
+    out-edges. Mass conservation gives p → exact NX PageRank:
+    p* = (1−alpha)/n · Σ_k (alpha·Mᵀ)^k 1.
+
+    Why a separate operator at 100 TB: the per-round join keys on the
+    ACTIVE set only, which shrinks geometrically — late rounds touch a
+    vanishing fraction of the edge table where the pull variant always
+    pays the full |E| shuffle. Dangling residual pushed in round i is
+    distributed uniformly in round i+1 (a one-round pipeline register,
+    same carry the pull job uses), keeping every round one Spark job.
+
+    Result rank = p + r (remaining residual folded in), so the truncation
+    error is bounded by the unretired mass; with theta=0 and k rounds the
+    output is exactly the k-term Neumann sum — deterministic, which is
+    what the contract oracle unrolls.
+    """
+
+    name = "pagerank_push"
+
+    def __init__(self, graph: LinkGraph, alpha: float = 0.85,
+                 theta: float = 1e-9, max_rounds: int = 100, salt: int = 0):
+        self.graph = graph
+        self.alpha = alpha
+        self.theta = theta
+        self.max_rounds = max_rounds
+        self.salt = salt
+        self.msg_edges = graph.edges if graph.directed else graph.sym_edges()
+
+    def config(self) -> dict:
+        return {"algo": self.name, "alpha": self.alpha, "theta": self.theta,
+                "max_rounds": self.max_rounds, "salt": self.salt,
+                "directed": self.graph.directed}
+
+    def init(self, spark: SparkSession):
+        g = self.graph
+        n = g.num_vertices
+        state = g.out_degrees().select(
+            "vid", "deg", F.lit(0.0).alias("p"),
+            F.lit((1.0 - self.alpha) / n).alias("r"))
+        return state, {"n": n, "dangling_carry": 0.0, "n_active": n}
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        n = scalars["n"]
+        base_d = self.alpha * scalars["dangling_carry"] / n
+        active = F.col("r") > self.theta
+
+        # push along out-edges from the ACTIVE frontier only — the join's
+        # state side shrinks with the frontier while the cached edge
+        # partitioning is reused (shuffle_hash, never broadcast O(V))
+        contrib = state.filter(active & (F.col("deg") > 0)).select(
+            "vid", (F.lit(self.alpha) * F.col("r") / F.col("deg")).alias("c")
+        ).hint("shuffle_hash")
+        msgs = self.msg_edges.join(
+            contrib, self.msg_edges["src"] == contrib["vid"]
+        ).select("dst", "c", "src")
+        sums = salted_sum(msgs, "dst", "c", salt=self.salt, salt_source="src")
+
+        obs = Observation()
+        new_state = (
+            state.join(sums.hint("shuffle_hash"), state["vid"] == sums["dst"], "left")
+            .select(
+                state["vid"], state["deg"],
+                (F.col("p") + F.when(active, F.col("r")).otherwise(F.lit(0.0))).alias("p"),
+                (F.when(active, F.lit(0.0)).otherwise(F.col("r"))
+                 + F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(base_d)).alias("r"),
+                F.when(active & (state["deg"] == 0), state["r"])
+                .otherwise(F.lit(0.0)).alias("_dang"),
+            )
+            .observe(obs,
+                     F.sum(F.col("_dang")).alias("dang"),
+                     F.sum((F.col("r") > self.theta).cast("long")).alias("nact"))
+            .drop("_dang")
+        )
+
+        def finalize(st: DataFrame):
+            row = obs.get
+            dang = float(row["dang"] or 0.0)
+            nact = int(row["nact"] or 0)
+            sc = {"n": n, "dangling_carry": dang, "n_active": nact}
+            done = (nact == 0 and dang == 0.0) or step_no >= self.max_rounds
+            return sc, done
+
+        return new_state, finalize
+
+
+def pagerank_push(graph: LinkGraph, alpha: float = 0.85, theta: float = 1e-9,
+                  max_rounds: int = 100, salt: int = 0,
+                  runner: SuperstepRunner | None = None) -> DataFrame:
+    """Residual-push PageRank → (vid, rank); rank = estimate + residual."""
+    job = PageRankPushJob(graph, alpha=alpha, theta=theta,
+                          max_rounds=max_rounds, salt=salt)
+    runner = runner or SuperstepRunner(graph.spark)
+    state, _ = runner.run(job, max_steps=max_rounds + 1)
+    return state.select("vid", (F.col("p") + F.col("r")).alias("rank"))

@@ -1,0 +1,81 @@
+"""Residual-push PageRank vs the pull engine and a pure-Python oracle."""
+
+from __future__ import annotations
+
+from graphscope_spark import LinkGraph
+from graphscope_spark.builtin import run
+from graphscope_spark.operators.pagerank import pagerank, pagerank_push
+from tests.conftest import power_law_graph
+
+
+def _graph(spark, n=120, m=480, seed=9, dangling=True):
+    vertices, edges = power_law_graph(n=n, m=m, seed=seed,
+                                      with_dangling=dangling)
+    return vertices, edges, LinkGraph(
+        spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+        num_partitions=4)
+
+
+def _push_oracle(vertices, edges, alpha, rounds, theta=0.0):
+    """Synchronized residual push with the one-round dangling carry."""
+    from collections import defaultdict
+    n = len(vertices)
+    deg = defaultdict(int)
+    out = defaultdict(list)
+    for u, v in edges:
+        deg[u] += 1
+        out[u].append(v)
+    p = {v: 0.0 for v in vertices}
+    r = {v: (1.0 - alpha) / n for v in vertices}
+    carry = 0.0
+    for _ in range(rounds):
+        base_d = alpha * carry / n
+        act = {v for v in vertices if r[v] > theta}
+        msgs = defaultdict(float)
+        carry = 0.0
+        for u in act:
+            if deg[u] > 0:
+                share = alpha * r[u] / deg[u]
+                for w in out[u]:
+                    msgs[w] += share
+            else:
+                carry += r[u]
+        for v in vertices:
+            p[v] += r[v] if v in act else 0.0
+            r[v] = (0.0 if v in act else r[v]) + msgs[v] + base_d
+    return {v: p[v] + r[v] for v in vertices}
+
+
+def test_push_matches_pull_to_convergence(spark):
+    _, _, g = _graph(spark)
+    pull = {x["vid"]: x["rank"] for x in pagerank(g, tol=1e-10).collect()}
+    push = {x["vid"]: x["rank"]
+            for x in pagerank_push(g, theta=1e-12, max_rounds=200).collect()}
+    assert set(pull) == set(push)
+    for v in pull:
+        assert abs(pull[v] - push[v]) < 1e-8, (v, pull[v], push[v])
+    # mass conservation: total rank == 1 up to the residual truncation
+    assert abs(sum(push.values()) - 1.0) < 1e-8
+
+
+def test_push_fixed_rounds_matches_oracle(spark):
+    vertices, edges, g = _graph(spark, n=60, m=200, seed=3)
+    got = {x["vid"]: x["rank"]
+           for x in pagerank_push(g, theta=0.0, max_rounds=8).collect()}
+    want = _push_oracle(vertices, edges, 0.85, rounds=8)
+    for v in vertices:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+
+def test_push_threshold_frontier_shrinks_and_registry_dispatch(spark):
+    vertices, edges, g = _graph(spark)
+    # theta prunes the frontier; result stays within the mass bound
+    got = {x["vid"]: x["rank"]
+           for x in run("pagerank_push_opt", g, theta=1e-6,
+                        max_rounds=100).collect()}
+    exact = {x["vid"]: x["rank"] for x in pagerank(g, tol=1e-12).collect()}
+    n = len(vertices)
+    # L1 error bounded by recycled truncated mass: n*theta/(1-alpha)
+    l1 = sum(abs(got[v] - exact[v]) for v in vertices)
+    assert l1 < n * 1e-6 / 0.15 + 1e-9

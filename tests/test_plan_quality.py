@@ -64,6 +64,29 @@ def test_pagerank_step_single_exchange_no_state_broadcast(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_pagerank_push_step_single_exchange_no_state_broadcast(spark):
+    from graphscope_spark.operators.pagerank import PageRankPushJob
+    from graphscope_spark.runtime.superstep import SuperstepRunner
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        g = _mk(spark)
+        runner = SuperstepRunner(spark)
+        job = PageRankPushJob(g, theta=1e-12, max_rounds=100)
+        state, scalars = runner.run(job, max_steps=2)
+        raw, _fin = job.step(state, 3, scalars)
+        plan = _formatted(raw)
+        tree = plan.split("\n(1)")[0]
+        cache_reshuffle = re.search(
+            r"Exchange \(\d+\)\n\s*[:+]?-? *\+?-? *InMemoryTableScan", plan)
+        assert "BroadcastExchange" not in plan, "O(V) state must not broadcast"
+        assert cache_reshuffle is None, f"edge cache re-exchanged:\n{tree}"
+        assert tree.count("Exchange") <= 2, f"too many exchanges:\n{tree}"
+        g.unpersist_all()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_triangle_plan_no_cartesian(spark):
     from graphscope_spark import triangles
 
