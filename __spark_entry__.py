@@ -932,6 +932,33 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qs, k=5, nbits=6, nprobe_ham=1)         .select("query_id", "vec_id", "rank")
 
 
+def _q_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the dedup-family sibling of
+    minhash_lsh_pairs). The synthetic embeddings are near-orthogonal (max
+    pairwise cosine ≈ 0.48), so the query first derives a deterministic
+    perturbed clone of every vector (vec_id + 100000, per-element additive
+    noise from a (position, vec_id) formula both engines can replay) —
+    clone pairs sit at cosine ≈ 0.95, giving the detector real near-dups
+    to find with wide margins on both sides of the 0.7 threshold."""
+    from graphscope_spark.functions import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # NB: perturb BEFORE renaming the id — an outer F.col("vec_id") inside
+    # the lambda binds to a same-named alias in the same select list, so
+    # renaming in one step would feed vec_id+100000 into the noise formula.
+    clone = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") + F.lit(0.02) *
+            (((i + F.lit(1)) * 37 + F.col("vec_id")) % 7 - 3).cast("double"),
+        ).alias("embedding"),
+    ).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    aug = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")).unionAll(clone)
+    return (cosine_neardup_pairs(aug, threshold=0.7, nbits=6, nprobe_ham=2, dim=64)
+            .select("id_a", "id_b"))
+
+
 def _q_multimodal_decode(spark, sf_dir):
     from graphscope_spark.functions import decode_image_stub, media_table
 
@@ -1058,6 +1085,44 @@ SELECT query_id, vec_id, rank FROM (
   SELECT query_id, vec_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
   FROM scored) WHERE rank <= {k}"""
+
+
+def _neardup_sql(threshold: float = 0.7, nbits: int = 6, nprobe_ham: int = 2,
+                 dim: int = 64, seed: int = 42) -> str:
+    """cosine_neardup_pairs in SQL: same augmented (original + perturbed
+    clone) table, same seeded hyperplane cells, same probe set, exact
+    cosine verify on candidates only."""
+    from itertools import combinations
+
+    from graphscope_spark.functions.similarity import hyperplane_coef
+
+    cell_terms = []
+    for i in range(nbits):
+        coeffs = ", ".join(repr(hyperplane_coef(i, j, seed)) for j in range(dim))
+        cell_terms.append(
+            f"(CASE WHEN list_dot_product(v, [{coeffs}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)")
+    cell = " + ".join(cell_terms)
+    deltas = [0] + [sum(1 << i for i in bits)
+                    for d in range(1, nprobe_ham + 1)
+                    for bits in combinations(range(nbits), d)]
+    return f"""WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+aug AS MATERIALIZED (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(1, {dim + 1}),
+                        i -> v[i] + 0.02 * (((i * 37 + vec_id) % 7) - 3))
+  FROM base),
+cells AS MATERIALIZED (SELECT vec_id, v, {cell} AS cell FROM aug),
+probes AS (SELECT vec_id AS id_a, xor(cell::BIGINT, d)::INT AS cell
+           FROM cells CROSS JOIN UNNEST({deltas}) AS t(d)),
+cand AS (SELECT DISTINCT id_a, c.vec_id AS id_b
+         FROM probes p JOIN cells c ON p.cell = c.cell AND p.id_a < c.vec_id)
+SELECT id_a, id_b
+FROM cand JOIN cells a ON id_a = a.vec_id JOIN cells b ON id_b = b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}"""
 
 
 def _msbfs_sql(rounds: int, num_sources: int = 10) -> str:
@@ -2049,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "cosine_neardup": _q_cosine_neardup,
         "multimodal_decode": _q_multimodal_decode,
         "assortativity": _q_assortativity,
         "avg_degree_connectivity": _q_avg_degree_connectivity,
@@ -2255,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a.vec_id < 10) WHERE rank <= 5"
         ),
         "ivf_topk": _ivf_sql(k=5, nbits=6, nprobe_ham=1, dim=64),
+        "cosine_neardup": _neardup_sql(threshold=0.7, nbits=6, nprobe_ham=2, dim=64),
         "multimodal_decode": (
             "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
             "sha256(text) AS sha256 FROM documents"

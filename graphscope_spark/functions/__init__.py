@@ -23,6 +23,7 @@ from graphscope_spark.functions.dedup import (
 )
 from graphscope_spark.functions.similarity import (
     brute_force_topk,
+    cosine_neardup_pairs,
     cosine_sim,
     ivf_topk,
 )
@@ -36,6 +37,6 @@ __all__ = [
     "tokenize", "token_count", "quality_score", "langid", "fingerprint",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash", "simhash_pairs",
-    "cosine_sim", "brute_force_topk", "ivf_topk",
+    "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
     "media_table", "decode_image_stub", "sample_frames_stub",
 ]

@@ -80,6 +80,63 @@ def _cell(vec: Column, nbits: int, dim: int, seed: int = 42) -> Column:
     return code.cast("int")
 
 
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.9,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         nbits: int = 6, nprobe_ham: int = 1,
+                         dim: int | None = None, seed: int = 42,
+                         max_bucket: int = 100_000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs → (id_a, id_b, sim).
+
+    The embedding-space sibling of ``minhash_lsh_pairs`` (the dedup family
+    the reference's data-prep pipelines need at corpus scale): sign-LSH
+    bucket candidates, exact cosine verify on candidates ONLY.
+
+    Scale shape — no all-pairs join anywhere:
+    - every vector is quantized once (``nbits``-bit random-hyperplane cell,
+      same deterministic quantizer as ``ivf_topk``);
+    - one side is expanded to its probe cells (own cell plus cells at
+      Hamming distance ≤ ``nprobe_ham``) and hash-joined on the narrow
+      (cell) key — candidate generation never shuffles the wide vectors;
+    - cells holding more than ``max_bucket`` vectors are dropped from both
+      sides (hub/degenerate-quantization guard, mirroring the stop-shingle
+      cap in ``minhash_lsh_pairs``);
+    - the exact cosine runs only on the deduplicated candidate pairs,
+      re-joined to the vectors by id.
+
+    Recall is that of sign-LSH at the chosen (nbits, nprobe_ham) — measured
+    in tests against the brute-force baseline; raise ``nprobe_ham`` (or
+    lower ``nbits``) to trade cost for recall.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cells = (
+        df.select(F.col(id_col).alias("_id"),
+                  _cell(F.col(vec_col), nbits, dim, seed).alias("cell"))
+    )
+    sizes = cells.groupBy("cell").count().filter(F.col("count") <= max_bucket)
+    cells = cells.join(sizes.select("cell"), "cell")
+    probe_deltas = [0] + [sum(1 << i for i in bits)
+                          for d in range(1, nprobe_ham + 1)
+                          for bits in combinations(range(nbits), d)]
+    probes = cells.select(
+        F.col("_id").alias("id_a"),
+        F.explode(F.array(*[F.col("cell").bitwiseXOR(F.lit(d))
+                            for d in probe_deltas])).alias("cell"))
+    cand = (
+        probes.join(cells.select(F.col("_id").alias("id_b"), "cell"), "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                cosine_sim(F.col("_va"), F.col("_vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              nbits: int = 6, nprobe_ham: int = 1, dim: int | None = None,

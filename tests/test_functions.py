@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from graphscope_spark.functions import (
     brute_force_topk,
+    cosine_neardup_pairs,
     decode_image_stub,
     exact_dedup,
     fingerprint,
@@ -183,6 +184,45 @@ def test_ivf_topk_recall(spark, emb_df):
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, recall  # probing 1-ham cells of a 4-bit code
+
+
+def test_cosine_neardup_pairs(spark, emb_df):
+    # plant true near-dups: a lightly perturbed clone of every vector
+    clone = emb_df.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x, i: x + F.lit(0.02) *
+                    (((i + F.lit(1)) * 37 + F.col("vec_id")) % 7 - 3)
+                    .cast("double")).alias("embedding"),
+    ).select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    aug = emb_df.unionAll(clone)
+
+    rows = aug.collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(x * x for x in b))
+
+    thr = 0.9
+    truth = {(i, j) for i in vecs for j in vecs
+             if i < j and cos(vecs[i], vecs[j]) >= thr}
+    assert len(truth) >= 70  # the 80 planted clone pairs dominate
+
+    got = cosine_neardup_pairs(aug, threshold=thr, nbits=4, nprobe_ham=2,
+                               dim=16).collect()
+    got_set = {(r["id_a"], r["id_b"]) for r in got}
+    # no false positives: every reported pair really is >= threshold
+    assert got_set <= truth
+    for r in got:
+        assert abs(r["sim"] - cos(vecs[r["id_a"]], vecs[r["id_b"]])) < 1e-9
+    # sign-LSH recall at (4 bits, ham<=2) on ~18-degree pairs
+    recall = len(got_set) / len(truth)
+    assert recall >= 0.9, recall
+    # a tiny bucket cap suppresses candidate generation entirely
+    capped = cosine_neardup_pairs(aug, threshold=thr, nbits=4, nprobe_ham=2,
+                                  dim=16, max_bucket=1).count()
+    assert capped == 0
 
 
 def test_multimodal_stubs(spark, docs_df):
