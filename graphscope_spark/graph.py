@@ -114,6 +114,8 @@ class LinkGraph:
         self._num_edges: int | None = None
         self._sym_edges: DataFrame | None = None
         self._und_edges: DataFrame | None = None
+        self._dir_simple_edges: DataFrame | None = None
+        self._oriented_edges: DataFrame | None = None
         self._out_degrees: DataFrame | None = None
         self._und_degrees: DataFrame | None = None
 
@@ -232,6 +234,45 @@ class LinkGraph:
             )
         return self._und_edges
 
+    def dir_simple_edges(self) -> DataFrame:
+        """Simple directed view: self-loops dropped, parallel edges
+        deduplicated, stored direction kept (PROJECT_TO_SIMPLE without
+        TO_UNDIRECTED). Cached at graph lifetime — directed pattern
+        matching re-joins this view k−1 times per pattern."""
+        if self._dir_simple_edges is None:
+            e = (
+                self.edges.filter(F.col("src") != F.col("dst"))
+                .select("src", "dst")
+                .distinct()
+            )
+            self._dir_simple_edges = e.repartition(self.num_partitions, "src").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        return self._dir_simple_edges
+
+    def oriented_edges(self) -> DataFrame:
+        """Degree-ordered orientation of the simple undirected view: edge
+        src→dst kept iff (deg(dst), dst) < (deg(src), src). The triangle /
+        subgraph-template / coloring family all join against this view —
+        cached at graph lifetime so repeated calls share one copy (each
+        used to persist-and-leak its own)."""
+        if self._oriented_edges is None:
+            und = self.und_edges()
+            deg = self.und_degrees()
+            dsrc = deg.select(F.col("vid").alias("src"), F.col("deg").alias("sdeg"))
+            ddst = deg.select(F.col("vid").alias("dst"), F.col("deg").alias("ddeg"))
+            self._oriented_edges = (
+                und.join(dsrc, "src")
+                .join(ddst, "dst")
+                .filter(
+                    (F.col("ddeg") < F.col("sdeg"))
+                    | ((F.col("ddeg") == F.col("sdeg")) & (F.col("dst") < F.col("src")))
+                )
+                .select("src", "dst")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        return self._oriented_edges
+
     def out_degrees(self) -> DataFrame:
         """(vid, deg) with zero rows for sink vertices included."""
         if self._out_degrees is None:
@@ -321,6 +362,7 @@ class LinkGraph:
 
     def unpersist_all(self) -> None:
         for df in (self.edges, self.vertices, self._sym_edges, self._und_edges,
+                   self._dir_simple_edges, self._oriented_edges,
                    self._out_degrees, self._und_degrees):
             if df is not None:
                 df.unpersist()

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import LinkGraph
 from graphscope_spark.operators.traversal import sample_pivots
@@ -40,7 +39,7 @@ def color(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
     always differ; colors are dense small ints per neighborhood."""
     t = Truncator()
     # oriented src→dst has src ≻ dst: group by dst = collect higher nbrs
-    hi = oriented_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    hi = oriented_edges(graph)  # graph-lifetime cached view
     state = t(graph.vertices.select("vid", F.lit(0).alias("c")), "state")
     for _ in range(max_rounds):
         nbr_colors = (
@@ -62,7 +61,6 @@ def color(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
         state = new_state.drop("chg")
         if changed == 0:
             break
-    hi.unpersist()
     return state.select("vid", F.col("c").alias("color"))
 
 

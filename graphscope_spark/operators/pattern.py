@@ -34,7 +34,6 @@ from itertools import permutations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import LinkGraph
 
@@ -83,12 +82,9 @@ def pattern_match(graph: LinkGraph, pattern: list[tuple[str, str]],
     injective) homomorphism from the pattern into the graph."""
     if directed is None:
         directed = graph.directed
-    if directed:
-        e = graph.edges.select("src", "dst") \
-            .filter(F.col("src") != F.col("dst")).distinct()
-    else:
-        e = graph.und_edges()  # already the deduplicated symmetric view
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # both views are graph-lifetime cached (freed by graph.unpersist_all) —
+    # a per-call persist here would leak one cached edge copy per match
+    e = graph.dir_simple_edges() if directed else graph.und_edges()
     ordered = _plan_order([tuple(p) for p in pattern])
     pairs_done: set[frozenset] = set()
 

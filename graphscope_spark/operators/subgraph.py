@@ -143,15 +143,16 @@ def subgraph_counts(graph: LinkGraph, k: int = 4) -> dict:
 
 
 def _simple_directed(graph: LinkGraph) -> DataFrame:
-    return graph.edges.select("src", "dst") \
-        .filter(F.col("src") != F.col("dst")).distinct()
+    """Graph-lifetime cached simple directed view (one build shared by
+    all four directed-triangle counts on the same graph)."""
+    return graph.dir_simple_edges()
 
 
 def acyclic_triangle_count(graph: LinkGraph) -> int:
     """Transitive (acyclic) directed triangles s→d, s→x, d→x — counted
     once at the top edge (reference
     apps/flash/subgraph/acyclic-triangle.h:46-70)."""
-    e = _simple_directed(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    e = _simple_directed(graph)
     n = (
         e.alias("sd")
         .join(e.alias("sx"), F.col("sd.src") == F.col("sx.src"))
@@ -159,7 +160,6 @@ def acyclic_triangle_count(graph: LinkGraph) -> int:
               & (F.col("dx.dst") == F.col("sx.dst")))
         .count()
     )
-    e.unpersist()
     return n
 
 
@@ -172,7 +172,7 @@ def cyclic_triangle_count(graph: LinkGraph) -> int:
     """Cyclic directed triangles s→d→x→s, counted once at the edge whose
     missing corner x is the (degree, id)-max (reference
     apps/flash/subgraph/cyclic-triangle.h:44-75)."""
-    e = _simple_directed(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    e = _simple_directed(graph)
     deg = graph.und_degrees()
     d_s = deg.select(F.col("vid").alias("s"), F.col("deg").alias("ds"))
     d_d = deg.select(F.col("vid").alias("d"), F.col("deg").alias("dd"))
@@ -190,7 +190,6 @@ def cyclic_triangle_count(graph: LinkGraph) -> int:
                > F.struct(F.col("dd").alias("k1"), F.col("d").alias("k2"))))
     )
     n = tri.count()
-    e.unpersist()
     return n
 
 
@@ -207,7 +206,7 @@ def _mutual_pairs(e: DataFrame) -> DataFrame:
 def in_triangle_count(graph: LinkGraph) -> int:
     """Mutual pair {a,b} + common OUT-neighbor x (a→x, b→x) — the
     reference's "in+" pattern (apps/flash/subgraph/in-triangle.h:47-75)."""
-    e = _simple_directed(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    e = _simple_directed(graph)
     mp = _mutual_pairs(e)
     n = (
         mp.join(e.select(F.col("src").alias("a"), F.col("dst").alias("x")), "a")
@@ -215,14 +214,13 @@ def in_triangle_count(graph: LinkGraph) -> int:
               ["b", "x"], "left_semi")
         .count()
     )
-    e.unpersist()
     return n
 
 
 def out_triangle_count(graph: LinkGraph) -> int:
     """Mutual pair {a,b} + common IN-neighbor x (x→a, x→b) — the
     reference's "out+" pattern (apps/flash/subgraph/out-triangle.h:47-75)."""
-    e = _simple_directed(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    e = _simple_directed(graph)
     mp = _mutual_pairs(e)
     n = (
         mp.join(e.select(F.col("dst").alias("a"), F.col("src").alias("x")), "a")
@@ -230,7 +228,6 @@ def out_triangle_count(graph: LinkGraph) -> int:
               ["b", "x"], "left_semi")
         .count()
     )
-    e.unpersist()
     return n
 
 
@@ -241,7 +238,7 @@ def cycle_plus_triangle_count(graph: LinkGraph) -> int:
     reciprocal pair (reference
     apps/flash/subgraph/cycle-plus-triangle.h:52-79: update2 counts, per
     dense edge s→d with did ∈ s.in, the overlap of s.in and d.out)."""
-    e = _simple_directed(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    e = _simple_directed(graph)
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mut = e.join(rev, ["src", "dst"], "left_semi") \
         .select(F.col("src").alias("s"), F.col("dst").alias("d"))
@@ -251,7 +248,6 @@ def cycle_plus_triangle_count(graph: LinkGraph) -> int:
               ["d", "x"], "left_semi")
         .count()
     )
-    e.unpersist()
     return n
 
 

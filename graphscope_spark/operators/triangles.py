@@ -21,33 +21,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import LinkGraph
 
 
 def oriented_edges(graph: LinkGraph) -> DataFrame:
     """Degree-ordered orientation of the simple undirected view: edge
-    src→dst kept iff (deg(dst), dst) < (deg(src), src)."""
-    und = graph.und_edges()
-    deg = graph.und_degrees()
-    dsrc = deg.select(F.col("vid").alias("src"), F.col("deg").alias("sdeg"))
-    ddst = deg.select(F.col("vid").alias("dst"), F.col("deg").alias("ddeg"))
-    return (
-        und.join(dsrc, "src")
-        .join(ddst, "dst")
-        .filter(
-            (F.col("ddeg") < F.col("sdeg"))
-            | ((F.col("ddeg") == F.col("sdeg")) & (F.col("dst") < F.col("src")))
-        )
-        .select("src", "dst")
-    )
+    src→dst kept iff (deg(dst), dst) < (deg(src), src). Graph-lifetime
+    cached (see LinkGraph.oriented_edges)."""
+    return graph.oriented_edges()
 
 
 def triangle_list(graph: LinkGraph) -> DataFrame:
     """All triangles, each exactly once, as (a, b, c) where a→b, b→c, a→c
     in the degree-ordered orientation."""
-    o = oriented_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    o = oriented_edges(graph)  # graph-lifetime cached view
     e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))

@@ -47,3 +47,34 @@ def test_loop_algorithms_release_checkpoints(spark, algo):
     leaked = after - before
     assert leaked <= 6, f"{algo} leaked {leaked} persistent RDDs"
     g.unpersist_all()
+
+def test_pattern_match_directed_releases_edges(spark):
+    """Directed pattern matching must reuse the graph-cached simple view —
+    no per-call persisted edge copy (each call used to leak one)."""
+    from graphscope_spark.operators.pattern import pattern_count
+
+    g = _mk(spark)
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    pattern_count(g, tri, directed=True)
+    before = _persistent_count(spark)
+    for _ in range(3):
+        pattern_count(g, tri, directed=True)
+    after = _persistent_count(spark)
+    assert after == before, f"pattern_match leaked {after - before} RDD(s)"
+    g.unpersist_all()
+
+
+def test_triangles_reuse_cached_orientation(spark):
+    """triangle family shares the graph-cached oriented view — repeated
+    calls must not register new persistent RDDs (each call used to
+    persist-and-leak its own oriented copy)."""
+    import graphscope_spark as gs
+
+    g = _mk(spark)
+    gs.triangles(g).count()  # builds the cached orientation once
+    before = _persistent_count(spark)
+    for _ in range(3):
+        gs.triangles(g).count()
+    after = _persistent_count(spark)
+    assert after == before, f"triangles leaked {after - before} RDD(s)"
+    g.unpersist_all()
