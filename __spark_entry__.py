@@ -505,6 +505,28 @@ def _q_graph_stats(spark, sf_dir):
     )
 
 
+def _q_property_graph_degree(spark, sf_dir):
+    """Labeled property-graph surface (reference Graph.add_vertices /
+    add_edges / project, framework/graph.py:477,553,816): build a
+    2-label graph (customer)-[places]->(orders), project away every
+    property, flatten to the analytical LinkGraph with label-namespaced
+    oids, and return per-vertex out-degree keyed by oid."""
+    from graphscope_spark import PropertyGraph
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    pg = (
+        PropertyGraph(spark)
+        .add_vertices(cust, "customer", vid_field="c_custkey")
+        .add_vertices(orders, "orders", vid_field="o_orderkey")
+        .add_edges(orders.select("o_custkey", "o_orderkey"), "places",
+                   src_label="customer", dst_label="orders")
+    )
+    g = pg.project(vertices={"customer": [], "orders": []},
+                   edges={"places": []}).to_link_graph()
+    return g.add_column(g.out_degrees()).select("oid", "deg")
+
+
 def _q_pagerank_3iter(spark, sf_dir):
     from graphscope_spark.operators.pagerank import PageRankJob
     from graphscope_spark.runtime.superstep import SuperstepRunner
@@ -2079,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
+        "property_graph_degree": _q_property_graph_degree,
         "pagerank_3iter": _q_pagerank_3iter,
         "pagerank_push_8r": _q_pagerank_push_8r,
         "pagerank_conv": _q_pagerank_conv,
@@ -2164,6 +2187,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT vid FROM "
             "(SELECT src AS vid FROM edges UNION SELECT dst FROM edges))) AS num_vertices, "
             "COUNT(*) AS num_edges FROM edges"
+        ),
+        "property_graph_degree": (
+            "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS oid, "
+            "CAST(COALESCE(cnt, 0) AS BIGINT) AS deg FROM customer "
+            "LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders "
+            "GROUP BY o_custkey) o ON c_custkey = o_custkey "
+            "UNION ALL "
+            "SELECT 'orders:' || CAST(o_orderkey AS VARCHAR), "
+            "CAST(0 AS BIGINT) FROM orders"
         ),
         "pagerank_3iter": _pagerank_sql(3),
         "pagerank_push_8r": _pagerank_push_sql(8),

@@ -99,10 +99,12 @@ from graphscope_spark.operators import (
     sssp_path,
     voterank,
 )
+from graphscope_spark.property_graph import PropertyGraph
 from graphscope_spark.sources import load_csv_graph
 
 __all__ = [
     "LinkGraph",
+    "PropertyGraph",
     "build_session",
     "load_csv_graph",
     "pagerank", "ppr", "articlerank", "wcc", "cdlp", "triangles", "triangle_count",

@@ -1,0 +1,100 @@
+"""PropertyGraph — the reference's labeled builder surface
+(python/graphscope/framework/graph.py:477,553,816; project_to_simple
+framework/app.py:45)."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphscope_spark import PropertyGraph
+
+
+@pytest.fixture()
+def modern(spark):
+    """The TinkerPop 'modern' graph: person/software vertices,
+    knows/created edges — the reference's own doc example shape."""
+    person = spark.createDataFrame(
+        [(1, "marko", 29), (2, "vadas", 27), (4, "josh", 32), (6, "peter", 35)],
+        "pid LONG, name STRING, age LONG")
+    software = spark.createDataFrame(
+        [(3, "lop", "java"), (5, "ripple", "java")],
+        "sid LONG, name STRING, lang STRING")
+    knows = spark.createDataFrame(
+        [(1, 2, 0.5), (1, 4, 1.0)], "s LONG, d LONG, weight DOUBLE")
+    created = spark.createDataFrame(
+        [(1, 3, 0.4), (4, 5, 1.0), (4, 3, 0.4), (6, 3, 0.2)],
+        "s LONG, d LONG, weight DOUBLE")
+    return (
+        PropertyGraph(spark)
+        .add_vertices(person, "person", vid_field="pid")
+        .add_vertices(software, "software", vid_field="sid")
+        .add_edges(knows, "knows", src_label="person", dst_label="person")
+        .add_edges(created, "created",
+                   src_label="person", dst_label="software")
+    )
+
+
+def test_schema_and_builder_persistence(spark, modern):
+    sch = modern.schema()
+    assert sch["vertex_labels"] == {"person": ["name", "age"],
+                                    "software": ["name", "lang"]}
+    assert sch["edge_labels"]["created"] == [
+        {"src": "person", "dst": "software", "properties": ["weight"]}]
+    # builders are persistent: the pre-add graph is unchanged
+    base = PropertyGraph(spark).add_vertices(
+        modern.vertices("person").select("id"), "person", vid_field="id")
+    g2 = base.add_edges(modern.edges("knows"), "knows",
+                        src_label="person", dst_label="person")
+    assert base.edge_labels == [] and g2.edge_labels == ["knows"]
+
+
+def test_add_same_label_extends(spark, modern):
+    extra = spark.createDataFrame([(7, "dave", 40)],
+                                  "pid LONG, name STRING, age LONG")
+    g = modern.add_vertices(extra, "person", vid_field="pid")
+    assert g.vertices("person").count() == 5
+    assert modern.vertices("person").count() == 4
+
+
+def test_project_prunes_labels_and_props(modern):
+    p = modern.project(vertices={"person": ["name"]}, edges={"knows": []})
+    sch = p.schema()
+    assert sch["vertex_labels"] == {"person": ["name"]}
+    assert sch["edge_labels"] == {
+        "knows": [{"src": "person", "dst": "person", "properties": []}]}
+    # projecting an edge whose endpoint label is dropped must fail
+    with pytest.raises(ValueError):
+        modern.project(vertices={"person": None}, edges={"created": None})
+
+
+def test_project_to_simple_runs_analytics(modern):
+    from graphscope_spark.operators.traversal import bfs  # noqa: F401  (import check)
+    import graphscope_spark as gs
+
+    g = modern.project(vertices={"person": []},
+                       edges={"knows": []}).project_to_simple()
+    deg = {r["oid"]: r["deg"]
+           for r in g.add_column(g.out_degrees()).select("oid", "deg").collect()}
+    assert deg == {"1": 2, "2": 0, "4": 0, "6": 0}
+    # full multi-label flatten keeps isolated vertices + namespaces oids
+    lg = modern.to_link_graph()
+    assert lg.num_vertices == 6
+    wcc = gs.wcc(lg)
+    assert wcc.select("comp").distinct().count() == 1  # modern is connected
+    oids = {r["oid"] for r in lg.vertices.select("oid").collect()}
+    assert "person:1" in oids and "software:3" in oids
+
+
+def test_project_to_simple_requires_single_labels(modern):
+    with pytest.raises(ValueError):
+        modern.project_to_simple()
+
+
+def test_field_positions(spark):
+    v = spark.createDataFrame([(10, "x")], "k LONG, p STRING")
+    e = spark.createDataFrame([(10, 10)], "a LONG, b LONG")
+    g = (PropertyGraph(spark)
+         .add_vertices(v, "n")             # vid_field=0 → k
+         .add_edges(e, "r", src_label="n", dst_label="n"))
+    assert g.vertices("n").columns == ["id", "p"]
+    assert g.edges("r").columns == ["src", "dst"]
