@@ -214,11 +214,16 @@ class PropertyGraph:
         return LinkGraph(spark, edges, vertices=vmap,
                          directed=self.directed, num_partitions=nparts)
 
-    def project_to_simple(self,
+    def project_to_simple(self, v_prop: str | None = None,
+                          e_prop: str | None = None,
                           num_partitions: int | None = None) -> LinkGraph:
         """The reference's implicit projection before every analytical
-        app (framework/app.py:45): requires exactly one vertex and one
-        edge label; oids stay un-namespaced (single id space)."""
+        app (framework/app.py:45; dag_utils.project_to_simple v_prop /
+        e_prop selectors :514): requires exactly one vertex and one edge
+        label; oids stay un-namespaced (single id space). ``e_prop``
+        carries one edge property onto the LinkGraph as ``w`` (the
+        weight column sssp-family operators consume); ``v_prop`` is
+        joined onto the vertex table as ``prop``."""
         if len(self._vertices) != 1 or len(self._edges) != 1:
             raise ValueError(
                 "project_to_simple needs exactly 1 vertex and 1 edge label "
@@ -230,8 +235,9 @@ class PropertyGraph:
         e = rels[0][2]
         for _, _, df in rels[1:]:
             e = e.unionByName(df)
+        wcols = [F.col(e_prop).cast("double").alias("w")] if e_prop else []
         e = e.select(F.col("src").alias("src_oid"),
-                     F.col("dst").alias("dst_oid"))
+                     F.col("dst").alias("dst_oid"), *wcols)
         (_, vdf), = self._vertices.items()
         oids = e.select(F.col("src_oid").alias("oid")).distinct().union(
             e.select(F.col("dst_oid").alias("oid")).distinct()).union(
@@ -243,11 +249,17 @@ class PropertyGraph:
             .join(vmap.withColumnRenamed("vid", "dst")
                   .withColumnRenamed("oid", "_doid"),
                   F.col("dst_oid") == F.col("_doid"))
-            .select("src", "dst")
+            .select("src", "dst", *(["w"] if e_prop else []))
         )
         if not self.directed:
             edges = edges.union(edges.select(F.col("dst").alias("src"),
-                                             F.col("src").alias("dst"))) \
+                                             F.col("src").alias("dst"),
+                                             *(["w"] if e_prop else []))) \
                 .distinct()
-        return LinkGraph(spark, edges, vertices=vmap,
+        verts = vmap
+        if v_prop:
+            verts = vmap.join(
+                vdf.select(F.col("id").alias("oid"),
+                           F.col(v_prop).alias("prop")), "oid", "left")
+        return LinkGraph(spark, edges, vertices=verts,
                          directed=self.directed, num_partitions=nparts)

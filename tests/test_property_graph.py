@@ -85,6 +85,28 @@ def test_project_to_simple_runs_analytics(modern):
     assert "person:1" in oids and "software:3" in oids
 
 
+def test_project_to_simple_prop_selectors(modern):
+    """v_prop/e_prop selectors (reference dag_utils.project_to_simple:514):
+    e_prop lands as the `w` weight column sssp consumes; v_prop joins onto
+    the vertex table as `prop`."""
+    from graphscope_spark.operators.traversal import sssp
+
+    g = (modern.project(vertices={"person": ["age"]},
+                        edges={"knows": ["weight"]})
+         .project_to_simple(v_prop="age", e_prop="weight"))
+    assert "w" in g.edges.columns
+    vrows = g.vertices.collect()
+    prop = {r["oid"]: r["prop"] for r in vrows}
+    assert prop == {"1": 29, "2": 27, "4": 32, "6": 35}
+    vid_of = {r["oid"]: r["vid"] for r in vrows}
+    dist = {r["vid"]: r["dist"]
+            for r in sssp(g, vid_of["1"], weight_col="w").collect()}
+    assert dist[vid_of["1"]] == 0.0
+    assert dist[vid_of["2"]] == 0.5
+    assert dist[vid_of["4"]] == 1.0
+    assert dist[vid_of["6"]] == float("inf")
+
+
 def test_project_to_simple_requires_single_labels(modern):
     with pytest.raises(ValueError):
         modern.project_to_simple()
