@@ -1986,6 +1986,46 @@ def _q_pattern_counts(spark, sf_dir):
         [(tri, rect, dia)], "triangles LONG, rectangles LONG, diamonds LONG")
 
 
+def _q_typed_pattern(spark, sf_dir):
+    # label-constrained Pattern over the PropertyGraph (GIE typed
+    # MatchSentences, algebra.proto:405-436): customer -placed-> order
+    # -uses-> supplier, with customer and supplier -located-> the SAME
+    # nation (the TPC-H local-supplier shape). `located` holds two typed
+    # relations — the matcher must scan only the one each pattern edge
+    # names; the (s)-located->(n) edge closes a cycle (semi-join path).
+    from graphscope_spark import PropertyGraph, property_pattern_match
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    pg = (
+        PropertyGraph(spark)
+        .add_vertices(cust, "customer", vid_field="c_custkey")
+        .add_vertices(orders.select("o_orderkey"), "orders",
+                      vid_field="o_orderkey")
+        .add_vertices(sup, "supplier", vid_field="s_suppkey")
+        .add_vertices(nat, "nation", vid_field="n_nationkey")
+        .add_edges(orders.select("o_custkey", "o_orderkey"), "placed",
+                   src_label="customer", dst_label="orders")
+        .add_edges(li.select("l_orderkey", "l_suppkey").distinct(), "uses",
+                   src_label="orders", dst_label="supplier")
+        .add_edges(cust.select("c_custkey", "c_nationkey"), "located",
+                   src_label="customer", dst_label="nation")
+        .add_edges(sup.select("s_suppkey", "s_nationkey"), "located",
+                   src_label="supplier", dst_label="nation")
+    )
+    m = property_pattern_match(
+        pg,
+        [("c", "placed", "o"), ("o", "uses", "s"),
+         ("c", "located", "n"), ("s", "located", "n")],
+        labels={"c": "customer", "o": "orders",
+                "s": "supplier", "n": "nation"})
+    return (m.groupBy(F.col("n").cast("long").alias("n_key"))
+            .agg(F.count(F.lit(1)).alias("matches")))
+
+
 def _q_mis(spark, sf_dir):
     from graphscope_spark import mis
 
@@ -2171,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcc_directed": _q_lcc_directed,
         "harmonic_10src": _q_harmonic_10src,
         "pattern_counts": _q_pattern_counts,
+        "typed_pattern": _q_typed_pattern,
     }
 
 
@@ -2452,4 +2493,16 @@ def oracle_sql() -> dict[str, str]:
         "lcc_directed": _LCC_DIRECTED_SQL,
         "harmonic_10src": _harmonic_sql(rounds=14),
         "pattern_counts": _PATTERN_SQL,
+        "typed_pattern": (
+            "WITH uses AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s "
+            "FROM lineitem) "
+            "SELECT CAST(c.c_nationkey AS BIGINT) AS n_key, "
+            "COUNT(*) AS matches "
+            "FROM orders ord "
+            "JOIN customer c ON ord.o_custkey = c.c_custkey "
+            "JOIN uses u ON u.o = ord.o_orderkey "
+            "JOIN supplier sup ON sup.s_suppkey = u.s "
+            "AND sup.s_nationkey = c.c_nationkey "
+            "GROUP BY 1"
+        ),
     }

@@ -69,6 +69,9 @@ from graphscope_spark.operators import (
     pattern_match,
     pattern_count,
     automorphism_count,
+    property_pattern_match,
+    property_pattern_count,
+    property_automorphism_count,
     cycle_plus_triangle_count,
     tailed_triangle_count,
     three_path_count,
@@ -131,6 +134,8 @@ __all__ = [
     "all_simple_paths", "sampling_path", "lpa_u2i", "path_expand",
     "harmonic_centrality", "lcc_directed", "degeneracy", "dfs",
     "pattern_match", "pattern_count", "automorphism_count",
+    "property_pattern_match", "property_pattern_count",
+    "property_automorphism_count",
     "cycle_plus_triangle_count",
 ]
 

@@ -134,6 +134,9 @@ from graphscope_spark.operators.pattern import (  # noqa: E402
     automorphism_count,
     pattern_count,
     pattern_match,
+    property_automorphism_count,
+    property_pattern_count,
+    property_pattern_match,
 )
 from graphscope_spark.operators.subgraph import cycle_plus_triangle_count  # noqa: E402
 from graphscope_spark.operators.pagerank import (  # noqa: E402
@@ -144,5 +147,7 @@ from graphscope_spark.operators.pagerank import (  # noqa: E402
 __all__ += [
     "harmonic_centrality", "lcc_directed", "degeneracy", "dfs",
     "pattern_match", "pattern_count", "automorphism_count",
+    "property_pattern_match", "property_pattern_count",
+    "property_automorphism_count",
     "cycle_plus_triangle_count", "pagerank_push", "PageRankPushJob",
 ]

@@ -31,6 +31,7 @@ hand-tuned fast paths; this is the general surface.
 from __future__ import annotations
 
 from itertools import permutations
+from typing import Mapping
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -121,4 +122,116 @@ def pattern_count(graph: LinkGraph, pattern: list[tuple[str, str]],
         directed = graph.directed
     n = pattern_match(graph, pattern, directed=directed).count()
     aut = automorphism_count([tuple(p) for p in pattern], directed=directed)
+    return n // aut
+
+
+# ---- label-constrained patterns over PropertyGraph ------------------------
+#
+# The GIE Pattern sentences carry vertex/edge label constraints
+# (algebra.proto:405-436 — Pattern.sentences[].binders expand typed edge
+# labels between typed vertex tags). Each typed pattern edge gets its own
+# candidate relation table, so label filtering happens at the SCAN, not as
+# a post-filter: at 100 TB a "person-knows-person" edge never reads the
+# "order-contains-part" parquet files at all.
+
+
+def _typed_candidates(pg, u_label: str, edge_label: str, v_label: str):
+    """All (src, dst) id pairs of `edge_label` relating u_label→v_label
+    (plus the reverse orientation when the graph is undirected)."""
+    parts = []
+    for s, d, df in pg._edges[edge_label]:
+        if (s, d) == (u_label, v_label):
+            parts.append(df.select("src", "dst"))
+        if not pg.directed and (d, s) == (u_label, v_label):
+            parts.append(df.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    if not parts:
+        raise ValueError(
+            f"edge label {edge_label!r} has no {u_label!r}->{v_label!r} "
+            "relation")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct() if len(parts) > 1 else out
+
+
+def property_automorphism_count(pattern: list[tuple[str, str, str]],
+                                labels: Mapping[str, str],
+                                directed: bool = True) -> int:
+    """Variable permutations preserving BOTH the typed edge set and every
+    variable's vertex label (label-preserving automorphisms)."""
+    vs = sorted({x for u, _, v in pattern for x in (u, v)})
+    if directed:
+        es = {(u, el, v) for u, el, v in pattern}
+    else:
+        es = {(frozenset((u, v)), el) for u, el, v in pattern}
+    cnt = 0
+    for perm in permutations(vs):
+        m = dict(zip(vs, perm))
+        if any(labels[x] != labels[m[x]] for x in vs):
+            continue
+        if directed:
+            pes = {(m[u], el, m[v]) for u, el, v in pattern}
+        else:
+            pes = {(frozenset((m[u], m[v])), el) for u, el, v in pattern}
+        cnt += pes == es
+    return cnt
+
+
+def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
+                           labels: Mapping[str, str],
+                           injective: bool = True) -> DataFrame:
+    """Typed pattern matching over a :class:`PropertyGraph`.
+
+    ``pattern`` is a list of ``(u, edge_label, v)`` triples;
+    ``labels`` maps every variable to its vertex label (the reference's
+    MatchSentence start/end tags are always typed). Returns one column
+    per variable holding the matched vertex id. Injectivity filters are
+    emitted only between same-label variables — different labels are
+    disjoint id spaces, so the filters would be dead weight.
+    """
+    tuples = [tuple(p) for p in pattern]
+    missing = {x for u, _, v in tuples for x in (u, v)} - set(labels)
+    if missing:
+        raise ValueError(f"variables without a vertex label: {sorted(missing)}")
+    cand = {(u, el, v): _typed_candidates(pg, labels[u], el, labels[v])
+            for u, el, v in tuples}
+    ordered = _plan_order([(u, v) for u, _, v in tuples])
+    by_pair = {(u, v): (u, el, v) for u, el, v in tuples}
+    pairs_done: set[frozenset] = set()
+
+    u0, v0 = ordered[0]
+    e0 = cand[by_pair[(u0, v0)]]
+    df = e0.select(F.col("src").alias(u0), F.col("dst").alias(v0))
+    bound = [u0, v0]
+    if injective:
+        pairs_done.add(frozenset((u0, v0)))
+
+    for u, v in ordered[1:]:
+        e = cand[by_pair[(u, v)]]
+        if u in bound and v in bound:
+            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)),
+                         [u, v], "left_semi")
+        elif u in bound:
+            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)), u)
+            bound.append(v)
+        else:
+            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)), v)
+            bound.append(u)
+        if injective:
+            for w in bound:
+                for x in bound:
+                    if (w < x and labels[w] == labels[x]
+                            and frozenset((w, x)) not in pairs_done):
+                        df = df.filter(F.col(w) != F.col(x))
+                        pairs_done.add(frozenset((w, x)))
+    return df.select(*sorted(bound))
+
+
+def property_pattern_count(pg, pattern: list[tuple[str, str, str]],
+                           labels: Mapping[str, str]) -> int:
+    """Occurrences of the typed pattern, each subgraph counted once."""
+    n = property_pattern_match(pg, pattern, labels).count()
+    aut = property_automorphism_count([tuple(p) for p in pattern],
+                                      labels, directed=pg.directed)
     return n // aut

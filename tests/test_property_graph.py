@@ -112,6 +112,57 @@ def test_project_to_simple_requires_single_labels(modern):
         modern.project_to_simple()
 
 
+def test_property_pattern_typed_path(modern):
+    """(a:person)-knows->(b:person)-created->(s:software): only josh (4,
+    known by marko) created anything → (1,4,3) and (1,4,5)."""
+    from graphscope_spark import property_pattern_match
+
+    rows = property_pattern_match(
+        modern, [("a", "knows", "b"), ("b", "created", "s")],
+        labels={"a": "person", "b": "person", "s": "software"}).collect()
+    assert sorted((r["a"], r["b"], r["s"]) for r in rows) == [
+        ("1", "4", "3"), ("1", "4", "5")]
+
+
+def test_property_pattern_same_label_injective(modern):
+    """Co-creation: (a)-created->(s)<-created-(b), a != b only between the
+    same-label pair; lop(3) is created by {1,4,6} → 3 unordered pairs."""
+    from graphscope_spark import (property_pattern_count,
+                                  property_pattern_match)
+
+    pat = [("a", "created", "s"), ("b", "created", "s")]
+    labels = {"a": "person", "b": "person", "s": "software"}
+    m = property_pattern_match(modern, pat, labels=labels)
+    assert m.count() == 6  # ordered injective pairs on lop
+    assert property_pattern_count(modern, pat, labels=labels) == 3
+
+
+def test_property_pattern_undirected_reverses_relations(spark, modern):
+    """On an undirected PropertyGraph a person->software relation also
+    matches software->person typed edges."""
+    from graphscope_spark import property_pattern_match
+
+    und = PropertyGraph(spark, directed=False)
+    und._vertices = dict(modern._vertices)
+    und._edges = {k: list(v) for k, v in modern._edges.items()}
+    rows = property_pattern_match(
+        und, [("s", "created", "p")],
+        labels={"s": "software", "p": "person"}).collect()
+    assert sorted((r["p"], r["s"]) for r in rows) == [
+        ("1", "3"), ("4", "3"), ("4", "5"), ("6", "3")]
+
+
+def test_property_pattern_errors(modern):
+    from graphscope_spark import property_pattern_match
+
+    with pytest.raises(ValueError):  # unlabeled variable
+        property_pattern_match(modern, [("a", "knows", "b")],
+                               labels={"a": "person"})
+    with pytest.raises(ValueError):  # no software-knows-software relation
+        property_pattern_match(modern, [("a", "knows", "b")],
+                               labels={"a": "software", "b": "software"})
+
+
 def test_field_positions(spark):
     v = spark.createDataFrame([(10, "x")], "k LONG, p STRING")
     e = spark.createDataFrame([(10, 10)], "a LONG, b LONG")
