@@ -2026,6 +2026,46 @@ def _q_typed_pattern(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("matches")))
 
 
+def _q_typed_pattern_where(spark, sf_dir):
+    # the same typed cycle with in-pattern predicates (GIE binder
+    # params.predicate): vertex where on customer mktsegment + edge_where
+    # on the placed relation's o_totalprice property — both applied at
+    # the candidate scans, before any pattern join
+    from graphscope_spark import PropertyGraph, property_pattern_match
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    pg = (
+        PropertyGraph(spark)
+        .add_vertices(cust, "customer", vid_field="c_custkey")
+        .add_vertices(orders.select("o_orderkey"), "orders",
+                      vid_field="o_orderkey")
+        .add_vertices(sup, "supplier", vid_field="s_suppkey")
+        .add_vertices(nat, "nation", vid_field="n_nationkey")
+        .add_edges(orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+                   "placed", src_label="customer", dst_label="orders")
+        .add_edges(li.select("l_orderkey", "l_suppkey").distinct(), "uses",
+                   src_label="orders", dst_label="supplier")
+        .add_edges(cust.select("c_custkey", "c_nationkey"), "located",
+                   src_label="customer", dst_label="nation")
+        .add_edges(sup.select("s_suppkey", "s_nationkey"), "located",
+                   src_label="supplier", dst_label="nation")
+    )
+    m = property_pattern_match(
+        pg,
+        [("c", "placed", "o"), ("o", "uses", "s"),
+         ("c", "located", "n"), ("s", "located", "n")],
+        labels={"c": "customer", "o": "orders",
+                "s": "supplier", "n": "nation"},
+        where={"c": "c_mktsegment = 'BUILDING'"},
+        edge_where={0: "o_totalprice >= 150000"})
+    return (m.groupBy(F.col("n").cast("long").alias("n_key"))
+            .agg(F.count(F.lit(1)).alias("matches")))
+
+
 def _q_mis(spark, sf_dir):
     from graphscope_spark import mis
 
@@ -2212,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_10src": _q_harmonic_10src,
         "pattern_counts": _q_pattern_counts,
         "typed_pattern": _q_typed_pattern,
+        "typed_pattern_where": _q_typed_pattern_where,
     }
 
 
@@ -2503,6 +2544,20 @@ def oracle_sql() -> dict[str, str]:
             "JOIN uses u ON u.o = ord.o_orderkey "
             "JOIN supplier sup ON sup.s_suppkey = u.s "
             "AND sup.s_nationkey = c.c_nationkey "
+            "GROUP BY 1"
+        ),
+        "typed_pattern_where": (
+            "WITH uses AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s "
+            "FROM lineitem) "
+            "SELECT CAST(c.c_nationkey AS BIGINT) AS n_key, "
+            "COUNT(*) AS matches "
+            "FROM orders ord "
+            "JOIN customer c ON ord.o_custkey = c.c_custkey "
+            "AND c.c_mktsegment = 'BUILDING' "
+            "JOIN uses u ON u.o = ord.o_orderkey "
+            "JOIN supplier sup ON sup.s_suppkey = u.s "
+            "AND sup.s_nationkey = c.c_nationkey "
+            "WHERE ord.o_totalprice >= 150000 "
             "GROUP BY 1"
         ),
     }

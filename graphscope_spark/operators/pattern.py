@@ -135,11 +135,19 @@ def pattern_count(graph: LinkGraph, pattern: list[tuple[str, str]],
 # "order-contains-part" parquet files at all.
 
 
-def _typed_candidates(pg, u_label: str, edge_label: str, v_label: str):
+def _typed_candidates(pg, u_label: str, edge_label: str, v_label: str,
+                      pred=None):
     """All (src, dst) id pairs of `edge_label` relating u_label→v_label
-    (plus the reverse orientation when the graph is undirected)."""
+    (plus the reverse orientation when the graph is undirected). An
+    optional edge-property predicate (the GIE binder's params.predicate)
+    filters each relation BEFORE the pair projection, so it sits on the
+    relation scan and Catalyst pushes it into the parquet read."""
+    if isinstance(pred, str):
+        pred = F.expr(pred)
     parts = []
     for s, d, df in pg._edges[edge_label]:
+        if pred is not None:
+            df = df.filter(pred)
         if (s, d) == (u_label, v_label):
             parts.append(df.select("src", "dst"))
         if not pg.directed and (d, s) == (u_label, v_label):
@@ -180,6 +188,8 @@ def property_automorphism_count(pattern: list[tuple[str, str, str]],
 
 def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
                            labels: Mapping[str, str],
+                           where: Mapping[str, object] | None = None,
+                           edge_where: Mapping[int, object] | None = None,
                            injective: bool = True) -> DataFrame:
     """Typed pattern matching over a :class:`PropertyGraph`.
 
@@ -189,26 +199,66 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
     per variable holding the matched vertex id. Injectivity filters are
     emitted only between same-label variables — different labels are
     disjoint id spaces, so the filters would be dead weight.
+
+    ``where`` maps a variable to a predicate (SQL string or Column) over
+    its vertex label's property columns; ``edge_where`` maps a pattern
+    edge INDEX to a predicate over that relation's edge properties (the
+    GIE binder's params.predicate). Both are applied at the candidate
+    scans — a filtered variable never enters a join, so at 100 TB the
+    selectivity lands on the parquet read, not on the match output.
     """
     tuples = [tuple(p) for p in pattern]
     missing = {x for u, _, v in tuples for x in (u, v)} - set(labels)
     if missing:
         raise ValueError(f"variables without a vertex label: {sorted(missing)}")
-    cand = {(u, el, v): _typed_candidates(pg, labels[u], el, labels[v])
-            for u, el, v in tuples}
-    ordered = _plan_order([(u, v) for u, _, v in tuples])
-    by_pair = {(u, v): (u, el, v) for u, el, v in tuples}
+    edge_where = dict(edge_where or {})
+    cand = [_typed_candidates(pg, labels[u], el, labels[v],
+                              pred=edge_where.get(i))
+            for i, (u, el, v) in enumerate(tuples)]
+    if where:
+        allowed = {}
+        for x, pred in where.items():
+            if x not in labels:
+                raise ValueError(f"where references unknown variable {x!r}")
+            vdf = pg._vertices[labels[x]]
+            pred = F.expr(pred) if isinstance(pred, str) else pred
+            allowed[x] = vdf.filter(pred).select("id")
+        for i, (u, _, v) in enumerate(tuples):
+            c = cand[i]
+            if u in allowed:
+                c = c.join(allowed[u].select(F.col("id").alias("src")),
+                           "src", "left_semi")
+            if v in allowed:
+                c = c.join(allowed[v].select(F.col("id").alias("dst")),
+                           "dst", "left_semi")
+            cand[i] = c
+    # greedy connected ordering over pattern-edge INDICES (parallel edges
+    # between the same variable pair keep their own candidate tables —
+    # every edge after the first becomes a closing semi-join)
+    remaining = list(range(len(tuples)))
+    ordered = [remaining.pop(0)]
+    bound_set = {tuples[ordered[0]][0], tuples[ordered[0]][2]}
+    while remaining:
+        for j, i in enumerate(remaining):
+            u, _, v = tuples[i]
+            if u in bound_set or v in bound_set:
+                ordered.append(remaining.pop(j))
+                bound_set.update((u, v))
+                break
+        else:
+            raise ValueError(f"pattern is disconnected: {pattern}")
     pairs_done: set[frozenset] = set()
 
-    u0, v0 = ordered[0]
-    e0 = cand[by_pair[(u0, v0)]]
-    df = e0.select(F.col("src").alias(u0), F.col("dst").alias(v0))
+    u0, _, v0 = tuples[ordered[0]]
+    df = cand[ordered[0]].select(F.col("src").alias(u0),
+                                 F.col("dst").alias(v0))
     bound = [u0, v0]
     if injective:
         pairs_done.add(frozenset((u0, v0)))
 
-    for u, v in ordered[1:]:
-        e = cand[by_pair[(u, v)]]
+    for i in ordered[1:]:
+        u, _, v = tuples[i]
+        e = cand[i]
         if u in bound and v in bound:
             df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)),
                          [u, v], "left_semi")
@@ -229,9 +279,20 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
 
 
 def property_pattern_count(pg, pattern: list[tuple[str, str, str]],
-                           labels: Mapping[str, str]) -> int:
-    """Occurrences of the typed pattern, each subgraph counted once."""
-    n = property_pattern_match(pg, pattern, labels).count()
-    aut = property_automorphism_count([tuple(p) for p in pattern],
-                                      labels, directed=pg.directed)
+                           labels: Mapping[str, str],
+                           where: Mapping[str, object] | None = None,
+                           edge_where: Mapping[int, object] | None = None) -> int:
+    """Occurrences of the typed pattern, each subgraph counted once.
+    Predicates fold into the automorphism typing (a predicated variable
+    or edge is not interchangeable with an unpredicated one), so the
+    quotient stays exact under where/edge_where."""
+    n = property_pattern_match(pg, pattern, labels,
+                               where=where, edge_where=edge_where).count()
+    w = dict(where or {})
+    ew = dict(edge_where or {})
+    eff_labels = {x: (lb, str(w.get(x))) for x, lb in labels.items()}
+    eff_pattern = [(u, (el, str(ew.get(i))), v)
+                   for i, (u, el, v) in enumerate(tuple(p) for p in pattern)]
+    aut = property_automorphism_count(eff_pattern, eff_labels,
+                                      directed=pg.directed)
     return n // aut

@@ -152,6 +152,57 @@ def test_property_pattern_undirected_reverses_relations(spark, modern):
         ("1", "3"), ("4", "3"), ("4", "5"), ("6", "3")]
 
 
+def test_property_pattern_predicates(modern):
+    """where (vertex-property) and edge_where (edge-property) predicates:
+    created weights are 1->3:0.4, 4->5:1.0, 4->3:0.4, 6->3:0.2."""
+    from graphscope_spark import property_pattern_match
+
+    pat = [("a", "created", "s")]
+    labels = {"a": "person", "s": "software"}
+    rows = property_pattern_match(modern, pat, labels=labels,
+                                  edge_where={0: "weight >= 0.4"}).collect()
+    assert sorted((r["a"], r["s"]) for r in rows) == [
+        ("1", "3"), ("4", "3"), ("4", "5")]
+    rows = property_pattern_match(modern, pat, labels=labels,
+                                  where={"a": "age >= 30"},
+                                  edge_where={0: "weight >= 0.4"}).collect()
+    assert sorted((r["a"], r["s"]) for r in rows) == [("4", "3"), ("4", "5")]
+
+
+def test_property_pattern_parallel_edges(spark):
+    """Two pattern edges between the SAME variable pair under different
+    edge labels keep separate candidate tables (the second becomes a
+    closing semi-join): knows AND endorses must BOTH hold."""
+    from graphscope_spark import property_pattern_match
+
+    p = spark.createDataFrame([(1,), (2,), (3,)], "pid LONG")
+    knows = spark.createDataFrame([(1, 2), (1, 3)], "s LONG, d LONG")
+    endorses = spark.createDataFrame([(1, 3), (2, 3)], "s LONG, d LONG")
+    pg = (PropertyGraph(spark)
+          .add_vertices(p, "person", vid_field="pid")
+          .add_edges(knows, "knows", src_label="person", dst_label="person")
+          .add_edges(endorses, "endorses",
+                     src_label="person", dst_label="person"))
+    rows = property_pattern_match(
+        pg, [("a", "knows", "b"), ("a", "endorses", "b")],
+        labels={"a": "person", "b": "person"}).collect()
+    assert sorted((r["a"], r["b"]) for r in rows) == [("1", "3")]
+
+
+def test_property_pattern_count_predicate_breaks_symmetry(modern):
+    """Co-creation with one side predicated: (a)-created->(s)<-created-(b)
+    with age>=30 on `a` only — a and b are no longer interchangeable, so
+    the automorphism quotient must be 1, not 2. lop(3) creators {1,4,6};
+    a in {4,6} (age>=30), b any other creator → 2+2 = 4 matches."""
+    from graphscope_spark import property_pattern_count
+
+    pat = [("a", "created", "s"), ("b", "created", "s")]
+    labels = {"a": "person", "b": "person", "s": "software"}
+    n = property_pattern_count(modern, pat, labels=labels,
+                               where={"a": "age >= 30"})
+    assert n == 4
+
+
 def test_property_pattern_errors(modern):
     from graphscope_spark import property_pattern_match
 
