@@ -145,3 +145,30 @@ def test_core_numbers_h_index_no_window(spark):
     got = {r["vid"]: r["core"] for r in core_numbers(g).collect()}
     assert got and min(got.values()) >= 0
     g.unpersist_all()
+
+
+def test_typed_pattern_predicates_reach_parquet_scan(spark, tmp_path):
+    """property_pattern_match where/edge_where predicates must land on the
+    parquet FileScan (PushedFilters), not as post-join filters, and the
+    compiled join plan must stay cartesian-free."""
+    from graphscope_spark import PropertyGraph, property_pattern_match
+
+    vp, ep = str(tmp_path / "people"), str(tmp_path / "knows")
+    spark.range(0, 500).selectExpr(
+        "id AS pid", "id % 90 AS age").write.parquet(vp)
+    spark.range(0, 2000).selectExpr(
+        "id % 500 AS s", "(id * 7) % 500 AS d",
+        "CAST(id % 10 AS DOUBLE) / 10 AS strength").write.parquet(ep)
+    pg = (PropertyGraph(spark)
+          .add_vertices(spark.read.parquet(vp), "person", vid_field="pid")
+          .add_edges(spark.read.parquet(ep), "knows",
+                     src_label="person", dst_label="person"))
+    df = property_pattern_match(
+        pg, [("a", "knows", "b"), ("b", "knows", "c")],
+        labels={"a": "person", "b": "person", "c": "person"},
+        where={"a": "age >= 30"}, edge_where={0: "strength >= 0.5"})
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(strength,0\.5\)", plan)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(age,30\)", plan)
