@@ -813,6 +813,23 @@ def _q_sample_det(spark, sf_dir):
     )
 
 
+def _q_rel_apply_subquery(spark, sf_dir):
+    """GIE Apply / correlated subtask (algebra.proto:385-404,
+    runtime operator/subtask/): a correlated scalar subquery per outer
+    row. Catalyst decorrelates it (RewriteCorrelatedScalarSubquery) into
+    an aggregate + join — the plan the reference's subtask operator
+    hand-builds with Pegasus streams. MAX keeps the comparison exact
+    (order-independent), so the oracle hash-matches."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_apply_customer")
+    return spark.sql(
+        "SELECT CAST(c1.c_nationkey AS BIGINT) AS n_key, "
+        "COUNT(*) AS top_balance_holders "
+        "FROM _apply_customer c1 "
+        "WHERE c1.c_acctbal = (SELECT MAX(c2.c_acctbal) "
+        "FROM _apply_customer c2 WHERE c2.c_nationkey = c1.c_nationkey) "
+        "GROUP BY c1.c_nationkey")
+
+
 
 
 def _q_assortativity(spark, sf_dir):
@@ -2209,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_topk": _q_window_topk,
         "rel_case_extract": _q_case_extract,
         "rel_sample_det": _q_sample_det,
+        "rel_apply_subquery": _q_rel_apply_subquery,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
@@ -2340,6 +2358,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer GROUP BY c_nationkey) c ON n_nationkey = c_nationkey"
         ),
         "rel_dedup": "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+        "rel_apply_subquery": (
+            "SELECT CAST(c1.c_nationkey AS BIGINT) AS n_key, "
+            "COUNT(*) AS top_balance_holders "
+            "FROM customer c1 "
+            "WHERE c1.c_acctbal = (SELECT MAX(c2.c_acctbal) "
+            "FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey) "
+            "GROUP BY c1.c_nationkey"
+        ),
         "rel_union_intersect": (
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P' "
             "INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'"
