@@ -955,6 +955,26 @@ def _q_langid(spark, sf_dir):
     return langid(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
 
+def _q_corpus_clean(spark, sf_dir):
+    """End-to-end corpus-cleaning pipeline — the composition a
+    pre-training data pipeline runs at 100 TB: inject deterministic
+    duplicates (a doc_id-shifted copy, so the dedup stage has real work),
+    language gate (en), quality floor (INTEGER micro threshold so Spark
+    and the DuckDB oracle round identically), exact dedup (min doc_id
+    survives — every injected copy must fall out), token counts on
+    survivors. One lazy plan end to end — no operator materializes."""
+    from graphscope_spark.functions import (exact_dedup, langid,
+                                            quality_score, token_count)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.union(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    en = langid(dup).filter(F.col("lang_pred") == "en")
+    good = quality_score(en).filter(
+        F.round(F.col("quality") * 1e6).cast("long") >= 500000)
+    kept = exact_dedup(good, key_col="text", id_col="doc_id")
+    return kept.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+
+
 def _q_ann_topk(spark, sf_dir):
     from graphscope_spark.functions import brute_force_topk
 
@@ -2233,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "text_stats": _q_text_stats,
         "langid": _q_langid,
+        "corpus_clean": _q_corpus_clean,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "cosine_neardup": _q_cosine_neardup,
@@ -2450,6 +2471,39 @@ def oracle_sql() -> dict[str, str]:
               WHEN s_en = GREATEST(s_en, s_de, s_fr) THEN 'en'
               ELSE 'fr' END AS lang_pred
             FROM sc"""
+        ),
+        "corpus_clean": (
+            r"""WITH docs AS MATERIALIZED (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000, text FROM documents),
+            toks AS MATERIALIZED (
+              SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM docs),
+            lang AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                  len(list_filter(t, x -> x IN ('the','and','of','is','a','to'))) AS s_en,
+                  len(list_filter(t, x -> x IN ('der','die','und','ist','ein','zu'))) AS s_de,
+                  len(list_filter(t, x -> x IN ('le','la','et','est','un','de'))) AS s_fr
+                FROM toks)
+              WHERE GREATEST(s_en, s_de, s_fr) > 0
+                AND s_de <> GREATEST(s_en, s_de, s_fr)
+                AND s_en = GREATEST(s_en, s_de, s_fr)),
+            base AS (
+              SELECT doc_id, text, len(t) AS n_tok,
+                len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+                length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+                length(text) AS total
+              FROM toks),
+            good AS (
+              SELECT b.doc_id, b.text, b.n_tok FROM base b JOIN lang USING (doc_id)
+              WHERE CAST(ROUND((
+                LEAST(n_tok / 100.0, 1.0) * 0.4
+                + (CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END) * 0.2
+                + (CASE WHEN total > 0 THEN CAST(alnum AS DOUBLE) / total ELSE 0.0 END) * 0.2
+                + LEAST((CASE WHEN n_tok > 0 THEN CAST(alnum AS DOUBLE) / n_tok ELSE 0.0 END) / 8.0, 1.0) * 0.2
+              ) * 1e6) AS BIGINT) >= 500000),
+            ded AS (SELECT MIN(doc_id) AS doc_id FROM good GROUP BY text)
+            SELECT g.doc_id, g.n_tok FROM good g JOIN ded USING (doc_id)"""
         ),
         "ann_topk": (
             "SELECT query_id, vec_id, rank FROM ("
