@@ -2103,6 +2103,33 @@ def _q_typed_pattern_where(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("matches")))
 
 
+def _q_typed_path_pattern(spark, sf_dir):
+    # hop-range path binder — PathExpand inside a Pattern sentence
+    # (algebra.proto:308-357 ExpandBase.path_expand): `next` chains each
+    # customer's orders by orderkey (deterministic successor relation),
+    # (o1)-[next*1..3]->(o2) counts reachable successors within rank
+    # distance 3 per order
+    from pyspark.sql import Window
+
+    from graphscope_spark import PropertyGraph, property_pattern_match
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    nxt = (orders.select("o_custkey", "o_orderkey",
+                         F.lead("o_orderkey").over(w).alias("nxt"))
+           .filter(F.col("nxt").isNotNull())
+           .select(F.col("o_orderkey").alias("s"), F.col("nxt").alias("d")))
+    pg = (PropertyGraph(spark)
+          .add_vertices(orders.select("o_orderkey"), "orders",
+                        vid_field="o_orderkey")
+          .add_edges(nxt, "next", src_label="orders", dst_label="orders"))
+    m = property_pattern_match(pg, [("o1", "next", "o2")],
+                               labels={"o1": "orders", "o2": "orders"},
+                               path_hops={0: (1, 3)})
+    return (m.groupBy(F.col("o1").cast("long").alias("o1_key"))
+            .agg(F.count(F.lit(1)).alias("n_reach")))
+
+
 def _q_mis(spark, sf_dir):
     from graphscope_spark import mis
 
@@ -2292,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_counts": _q_pattern_counts,
         "typed_pattern": _q_typed_pattern,
         "typed_pattern_where": _q_typed_pattern_where,
+        "typed_path_pattern": _q_typed_path_pattern,
     }
 
 
@@ -2638,6 +2666,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier sup ON sup.s_suppkey = u.s "
             "AND sup.s_nationkey = c.c_nationkey "
             "WHERE ord.o_totalprice >= 150000 "
+            "GROUP BY 1"
+        ),
+        "typed_path_pattern": (
+            "WITH ranked AS (SELECT o_custkey, o_orderkey, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rk "
+            "FROM orders) "
+            "SELECT CAST(a.o_orderkey AS BIGINT) AS o1_key, "
+            "COUNT(*) AS n_reach "
+            "FROM ranked a JOIN ranked b ON a.o_custkey = b.o_custkey "
+            "AND b.rk - a.rk BETWEEN 1 AND 3 "
             "GROUP BY 1"
         ),
     }

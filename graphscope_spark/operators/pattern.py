@@ -186,10 +186,35 @@ def property_automorphism_count(pattern: list[tuple[str, str, str]],
     return cnt
 
 
+def _hop_range(base: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Distinct (src, dst) pairs connected by a lo..hi-hop walk of
+    ``base`` edges — the PathExpand binder inside a Pattern sentence
+    (algebra.proto:308-357 ExpandBase.path_expand; GIE's vertex-mode
+    result, pair-distinct). hi is a small constant (the user's ``*1..3``),
+    so this is hi−1 self-joins with per-level distinct to bound growth;
+    each level is a plain key join the optimizer can broadcast or
+    shuffle-hash as sizes dictate."""
+    if not (1 <= lo <= hi):
+        raise ValueError(f"bad hop range {lo}..{hi}")
+    cur = base
+    acc = base if lo <= 1 else None
+    for k in range(2, hi + 1):
+        step = (cur.alias("l")
+                .join(base.alias("r"), F.col("l.dst") == F.col("r.src"))
+                .select(F.col("l.src").alias("src"),
+                        F.col("r.dst").alias("dst"))
+                .distinct())
+        cur = step
+        if k >= lo:
+            acc = step if acc is None else acc.unionByName(step)
+    return acc.distinct()
+
+
 def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
                            labels: Mapping[str, str],
                            where: Mapping[str, object] | None = None,
                            edge_where: Mapping[int, object] | None = None,
+                           path_hops: Mapping[int, tuple[int, int]] | None = None,
                            injective: bool = True) -> DataFrame:
     """Typed pattern matching over a :class:`PropertyGraph`.
 
@@ -206,15 +231,30 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
     GIE binder's params.predicate). Both are applied at the candidate
     scans — a filtered variable never enters a join, so at 100 TB the
     selectivity lands on the parquet read, not on the match output.
+
+    ``path_hops`` maps a pattern edge INDEX to ``(lo, hi)`` making it a
+    hop-range path binder (``(a)-[knows*lo..hi]->(b)``, PathExpand
+    inside a Pattern sentence): the candidate becomes the pair-distinct
+    lo..hi-hop reachability of that typed relation. Requires the edge's
+    endpoint labels to match (walks stay inside one relation type);
+    edge_where on the same index filters EVERY hop of the walk.
     """
     tuples = [tuple(p) for p in pattern]
     missing = {x for u, _, v in tuples for x in (u, v)} - set(labels)
     if missing:
         raise ValueError(f"variables without a vertex label: {sorted(missing)}")
     edge_where = dict(edge_where or {})
+    path_hops = dict(path_hops or {})
     cand = [_typed_candidates(pg, labels[u], el, labels[v],
                               pred=edge_where.get(i))
             for i, (u, el, v) in enumerate(tuples)]
+    for i, (lo, hi) in path_hops.items():
+        u, el, v = tuples[i]
+        if labels[u] != labels[v]:
+            raise ValueError(
+                f"path binder on edge {i} ({el!r}) needs matching endpoint "
+                f"labels, got {labels[u]!r} -> {labels[v]!r}")
+        cand[i] = _hop_range(cand[i], lo, hi)
     if where:
         allowed = {}
         for x, pred in where.items():

@@ -203,6 +203,40 @@ def test_property_pattern_count_predicate_breaks_symmetry(modern):
     assert n == 4
 
 
+def test_property_pattern_path_binder(spark, modern):
+    """Hop-range path binder ((a)-[next*2..3]->(b)): chain 1→2→3→4 gives
+    exactly the rank-distance-2..3 pairs; and a path binder composes with
+    a plain typed edge in the same pattern."""
+    from graphscope_spark import property_pattern_match
+
+    p = spark.createDataFrame([(i,) for i in range(1, 5)], "pid LONG")
+    nxt = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "s LONG, d LONG")
+    pg = (PropertyGraph(spark)
+          .add_vertices(p, "person", vid_field="pid")
+          .add_edges(nxt, "next", src_label="person", dst_label="person"))
+    rows = property_pattern_match(
+        pg, [("a", "next", "b")], labels={"a": "person", "b": "person"},
+        path_hops={0: (2, 3)}).collect()
+    assert sorted((r["a"], r["b"]) for r in rows) == [
+        ("1", "3"), ("1", "4"), ("2", "4")]
+    # composed: (a)-[knows*1..2]->(b)-created->(s) on modern
+    rows = property_pattern_match(
+        modern, [("a", "knows", "b"), ("b", "created", "s")],
+        labels={"a": "person", "b": "person", "s": "software"},
+        path_hops={0: (1, 2)}).collect()
+    assert sorted((r["a"], r["b"], r["s"]) for r in rows) == [
+        ("1", "4", "3"), ("1", "4", "5")]
+
+
+def test_property_pattern_path_binder_label_mismatch(modern):
+    from graphscope_spark import property_pattern_match
+
+    with pytest.raises(ValueError):
+        property_pattern_match(
+            modern, [("a", "created", "s")],
+            labels={"a": "person", "s": "software"}, path_hops={0: (1, 2)})
+
+
 def test_property_pattern_errors(modern):
     from graphscope_spark import property_pattern_match
 
