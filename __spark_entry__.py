@@ -2130,6 +2130,41 @@ def _q_typed_path_pattern(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_reach")))
 
 
+def _q_typed_shortest_pattern(spark, sf_dir):
+    # ShortestPathExpand binder: the order chain gets BOTH rank+1 and
+    # rank+2 edges under one label, so shortest distance between ranks
+    # r1<r2 is ceil((r2-r1)/2); shortest_hops (2,2) keeps exactly the
+    # rank-diff-3-or-4 pairs — an arbitrary-walk *2..2 would also keep
+    # rank-diff 2 (a 1-hop skip edge walked... no: 2-hop walks reach
+    # diff 2 via two next edges, but its shortest distance is 1 via the
+    # skip edge, so shortest semantics EXCLUDE it — that exclusion is
+    # what the oracle checks)
+    from pyspark.sql import Window
+
+    from graphscope_spark import PropertyGraph, property_pattern_match
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    base = orders.select(
+        "o_custkey", "o_orderkey",
+        F.lead("o_orderkey", 1).over(w).alias("n1"),
+        F.lead("o_orderkey", 2).over(w).alias("n2"))
+    nxt = base.filter(F.col("n1").isNotNull()).select(
+        F.col("o_orderkey").alias("s"), F.col("n1").alias("d"))
+    skip = base.filter(F.col("n2").isNotNull()).select(
+        F.col("o_orderkey").alias("s"), F.col("n2").alias("d"))
+    pg = (PropertyGraph(spark)
+          .add_vertices(orders.select("o_orderkey"), "orders",
+                        vid_field="o_orderkey")
+          .add_edges(nxt.unionByName(skip), "hop",
+                     src_label="orders", dst_label="orders"))
+    m = property_pattern_match(pg, [("o1", "hop", "o2")],
+                               labels={"o1": "orders", "o2": "orders"},
+                               shortest_hops={0: (2, 2)})
+    return (m.groupBy(F.col("o1").cast("long").alias("o1_key"))
+            .agg(F.count(F.lit(1)).alias("n_at_2")))
+
+
 def _q_mis(spark, sf_dir):
     from graphscope_spark import mis
 
@@ -2320,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_pattern": _q_typed_pattern,
         "typed_pattern_where": _q_typed_pattern_where,
         "typed_path_pattern": _q_typed_path_pattern,
+        "typed_shortest_pattern": _q_typed_shortest_pattern,
     }
 
 
@@ -2676,6 +2712,16 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_reach "
             "FROM ranked a JOIN ranked b ON a.o_custkey = b.o_custkey "
             "AND b.rk - a.rk BETWEEN 1 AND 3 "
+            "GROUP BY 1"
+        ),
+        "typed_shortest_pattern": (
+            "WITH ranked AS (SELECT o_custkey, o_orderkey, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rk "
+            "FROM orders) "
+            "SELECT CAST(a.o_orderkey AS BIGINT) AS o1_key, "
+            "COUNT(*) AS n_at_2 "
+            "FROM ranked a JOIN ranked b ON a.o_custkey = b.o_custkey "
+            "AND (b.rk - a.rk) IN (3, 4) "
             "GROUP BY 1"
         ),
     }

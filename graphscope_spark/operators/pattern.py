@@ -210,11 +210,38 @@ def _hop_range(base: DataFrame, lo: int, hi: int) -> DataFrame:
     return acc.distinct()
 
 
+def _shortest_range(base: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Distinct (src, dst) pairs whose SHORTEST ``base``-edge distance is
+    in lo..hi — GIE's ShortestPathExpand (algebra.proto PathExpand with
+    shortest-path result, runtime operator/map/shortest_path.rs). BFS
+    frontier levels with an anti-join against already-reached pairs, so
+    a pair discovered at level k never reappears at k+1; hi is a small
+    user constant, so the level loop is hi−1 bounded joins."""
+    if not (1 <= lo <= hi):
+        raise ValueError(f"bad hop range {lo}..{hi}")
+    level = base.distinct()
+    reached = level
+    acc = level if lo <= 1 else None
+    for k in range(2, hi + 1):
+        nxt = (level.alias("l")
+               .join(base.alias("r"), F.col("l.dst") == F.col("r.src"))
+               .select(F.col("l.src").alias("src"),
+                       F.col("r.dst").alias("dst"))
+               .distinct()
+               .join(reached, ["src", "dst"], "left_anti"))
+        level = nxt
+        reached = reached.unionByName(nxt)
+        if k >= lo:
+            acc = nxt if acc is None else acc.unionByName(nxt)
+    return acc if acc is not None else base.limit(0)
+
+
 def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
                            labels: Mapping[str, str],
                            where: Mapping[str, object] | None = None,
                            edge_where: Mapping[int, object] | None = None,
                            path_hops: Mapping[int, tuple[int, int]] | None = None,
+                           shortest_hops: Mapping[int, tuple[int, int]] | None = None,
                            injective: bool = True) -> DataFrame:
     """Typed pattern matching over a :class:`PropertyGraph`.
 
@@ -238,6 +265,9 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
     lo..hi-hop reachability of that typed relation. Requires the edge's
     endpoint labels to match (walks stay inside one relation type);
     edge_where on the same index filters EVERY hop of the walk.
+    ``shortest_hops`` is the same shape but keeps only pairs whose
+    SHORTEST distance lies in lo..hi (GIE's ShortestPathExpand) — a pair
+    with a 2-hop walk but a 1-hop edge is excluded from ``(2, 2)``.
     """
     tuples = [tuple(p) for p in pattern]
     missing = {x for u, _, v in tuples for x in (u, v)} - set(labels)
@@ -248,13 +278,21 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
     cand = [_typed_candidates(pg, labels[u], el, labels[v],
                               pred=edge_where.get(i))
             for i, (u, el, v) in enumerate(tuples)]
-    for i, (lo, hi) in path_hops.items():
-        u, el, v = tuples[i]
-        if labels[u] != labels[v]:
-            raise ValueError(
-                f"path binder on edge {i} ({el!r}) needs matching endpoint "
-                f"labels, got {labels[u]!r} -> {labels[v]!r}")
-        cand[i] = _hop_range(cand[i], lo, hi)
+    shortest_hops = dict(shortest_hops or {})
+    overlap = set(path_hops) & set(shortest_hops)
+    if overlap:
+        raise ValueError(
+            f"edges {sorted(overlap)} appear in both path_hops and "
+            "shortest_hops")
+    for hops, expand in ((path_hops, _hop_range),
+                         (shortest_hops, _shortest_range)):
+        for i, (lo, hi) in hops.items():
+            u, el, v = tuples[i]
+            if labels[u] != labels[v]:
+                raise ValueError(
+                    f"path binder on edge {i} ({el!r}) needs matching "
+                    f"endpoint labels, got {labels[u]!r} -> {labels[v]!r}")
+            cand[i] = expand(cand[i], lo, hi)
     if where:
         allowed = {}
         for x, pred in where.items():

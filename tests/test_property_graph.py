@@ -228,6 +228,33 @@ def test_property_pattern_path_binder(spark, modern):
         ("1", "4", "3"), ("1", "4", "5")]
 
 
+def test_property_pattern_shortest_binder(spark):
+    """shortest_hops keeps only pairs whose SHORTEST distance is in
+    range: chain 1→2→3→4 plus shortcut 1→3. (1,3) has a 2-hop walk but
+    shortest distance 1, so *2..2 arbitrary includes it and shortest
+    excludes it."""
+    from graphscope_spark import property_pattern_match
+
+    p = spark.createDataFrame([(i,) for i in range(1, 5)], "pid LONG")
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 3)],
+                              "s LONG, d LONG")
+    pg = (PropertyGraph(spark)
+          .add_vertices(p, "person", vid_field="pid")
+          .add_edges(e, "next", src_label="person", dst_label="person"))
+    lbl = {"a": "person", "b": "person"}
+    arb = property_pattern_match(pg, [("a", "next", "b")], labels=lbl,
+                                 path_hops={0: (2, 2)}).collect()
+    assert sorted((r["a"], r["b"]) for r in arb) == [
+        ("1", "3"), ("1", "4"), ("2", "4")]
+    sh = property_pattern_match(pg, [("a", "next", "b")], labels=lbl,
+                                shortest_hops={0: (2, 2)}).collect()
+    assert sorted((r["a"], r["b"]) for r in sh) == [("1", "4"), ("2", "4")]
+    with pytest.raises(ValueError):  # same edge in both binder maps
+        property_pattern_match(pg, [("a", "next", "b")], labels=lbl,
+                               path_hops={0: (1, 2)},
+                               shortest_hops={0: (1, 2)})
+
+
 def test_property_pattern_path_binder_label_mismatch(modern):
     from graphscope_spark import property_pattern_match
 
