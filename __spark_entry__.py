@@ -566,6 +566,20 @@ def _q_wcc(spark, sf_dir):
     return wcc(_graph(spark, sf_dir)).select("vid", "comp")
 
 
+def _q_wcc_warm(spark, sf_dir):
+    # ingress-style warm start (reference docs/analytical_engine/
+    # ingress.md): seed HashMin from a previous run on a SUBGRAPH (edges
+    # with src % 3 != 0), then converge on the full graph. The monotone
+    # restart reaches the identical fixpoint as a cold run — the oracle
+    # is therefore the plain cold-WCC SQL.
+    from graphscope_spark import LinkGraph, wcc
+
+    e = _edges(spark, sf_dir)
+    g_sub = LinkGraph(spark, e.filter(F.col("src") % 3 != 0), directed=True)
+    seed = wcc(g_sub)
+    return wcc(_graph(spark, sf_dir), init_components=seed).select("vid", "comp")
+
+
 def _q_cdlp_2rounds(spark, sf_dir):
     from graphscope_spark import cdlp
 
@@ -1372,10 +1386,15 @@ FROM dt d LEFT JOIN tv t ON d.vid = t.vid"""
 
 
 def _harmonic_sql(rounds: int = 14, num_sources: int = 10) -> str:
+    # all-vertices convention: unreached vertices emit h(v)=0 (left join
+    # onto verts, matching the Spark side — ADVICE r03)
     prelude, last = _msbfs_sql(rounds, num_sources)
     return f"""{prelude}
-SELECT vid, CAST(ROUND(SUM(1.0 / depth) * 1e6) AS BIGINT) AS harmonic_micro
-FROM {last} WHERE depth > 0 GROUP BY vid"""
+SELECT v.vid,
+       CAST(ROUND(COALESCE(SUM(1.0 / d.depth), 0.0) * 1e6) AS BIGINT)
+         AS harmonic_micro
+FROM verts v LEFT JOIN {last} d ON v.vid = d.vid AND d.depth > 0
+GROUP BY v.vid"""
 
 
 _PATTERN_SQL = _TRI_SMALL_PRELUDE + """,
@@ -2240,13 +2259,24 @@ _BCC_CACHE: dict = {}
 def _bcc_pair(spark, sf_dir):
     """One shared _bcc_labels pipeline run for the bcc AND
     articulation_points contract queries (ADVICE r02: don't pay the
-    BFS-forest + sweeps + aux fixpoint twice on the same graph)."""
-    key = (id(spark), sf_dir)
+    BFS-forest + sweeps + aux fixpoint twice on the same graph).
+
+    Keyed by applicationId (stable per session — id() values can be
+    reused after GC) and evicted after both consumers have read it so
+    the localCheckpoint-backed blocks don't pin for the process
+    lifetime (ADVICE r03). Single-entry: switching session/sf_dir drops
+    the stale entry."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BCC_CACHE:
         from graphscope_spark.operators.bcc import bcc_and_articulation
 
-        _BCC_CACHE[key] = bcc_and_articulation(_bridgey_graph(spark, sf_dir))
-    return _BCC_CACHE[key]
+        _BCC_CACHE.clear()
+        _BCC_CACHE[key] = [bcc_and_articulation(_bridgey_graph(spark, sf_dir)), 0]
+    entry = _BCC_CACHE[key]
+    entry[1] += 1
+    if entry[1] >= 2:  # bcc + articulation_points both served
+        del _BCC_CACHE[key]
+    return entry[0]
 
 
 def _q_bcc(spark, sf_dir):
@@ -2277,7 +2307,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate records the FIRST 50
+    # entries per round.  Queries that have never had a driver row (the
+    # pattern/path/matching/subgraph families, registered late in r03) and
+    # the 5 that were green in r02 but rotated out of r03's window come
+    # FIRST; the 50 long-green r03 queries trail and rotate back in over
+    # subsequent rounds.  See VERDICT.md (round 3) "Next round #1".
     return {
+        # --- 23 never driver-verified (r03 ✓T) ---
+        "msf_stats": _q_msf_stats,
+        "color": _q_color,
+        "bridges": _q_bridges,
+        "kcenter_3": _q_kcenter_3,
+        "fluid_4": _q_fluid_4,
+        "directed_triangles": _q_directed_triangles,
+        "mis": _q_mis,
+        "maximal_matching": _q_maximal_matching,
+        "min_edge_cover": _q_min_edge_cover,
+        "min_vertex_cover": _q_min_vertex_cover,
+        "min_dominating_set": _q_min_dominating_set,
+        "densest_sub": _q_densest,
+        "onion_layers": _q_onion,
+        "bcc": _q_bcc,
+        "articulation_points": _q_articulation_points,
+        "path_expand_2_3": _q_path_expand,
+        "lcc_directed": _q_lcc_directed,
+        "harmonic_10src": _q_harmonic_10src,
+        "pattern_counts": _q_pattern_counts,
+        "typed_pattern": _q_typed_pattern,
+        "typed_pattern_where": _q_typed_pattern_where,
+        "typed_path_pattern": _q_typed_path_pattern,
+        "typed_shortest_pattern": _q_typed_shortest_pattern,
+        # --- 5 green in r02, rotated out of r03's 50-row window ---
+        "ppr_5r": _q_ppr_5r,
+        "articlerank_5r": _q_articlerank_5r,
+        "attr_assortativity": _q_attr_assortativity,
+        "numeric_assortativity": _q_numeric_assortativity,
+        "subgraph_counts": _q_subgraph_counts,
+        # --- new in r04 (keep inside the 50-row window) ---
+        "wcc_warm": _q_wcc_warm,
+        # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
         "property_graph_degree": _q_property_graph_degree,
@@ -2328,34 +2397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "louvain": _q_louvain,
         "modularity_cdlp": _q_modularity_cdlp,
-        "ppr_5r": _q_ppr_5r,
-        "articlerank_5r": _q_articlerank_5r,
-        "attr_assortativity": _q_attr_assortativity,
-        "numeric_assortativity": _q_numeric_assortativity,
-        "subgraph_counts": _q_subgraph_counts,
-        "msf_stats": _q_msf_stats,
-        "color": _q_color,
-        "bridges": _q_bridges,
-        "kcenter_3": _q_kcenter_3,
-        "fluid_4": _q_fluid_4,
-        "directed_triangles": _q_directed_triangles,
-        "mis": _q_mis,
-        "maximal_matching": _q_maximal_matching,
-        "min_edge_cover": _q_min_edge_cover,
-        "min_vertex_cover": _q_min_vertex_cover,
-        "min_dominating_set": _q_min_dominating_set,
-        "densest_sub": _q_densest,
-        "onion_layers": _q_onion,
-        "bcc": _q_bcc,
-        "articulation_points": _q_articulation_points,
-        "path_expand_2_3": _q_path_expand,
-        "lcc_directed": _q_lcc_directed,
-        "harmonic_10src": _q_harmonic_10src,
-        "pattern_counts": _q_pattern_counts,
-        "typed_pattern": _q_typed_pattern,
-        "typed_pattern_where": _q_typed_pattern_where,
-        "typed_path_pattern": _q_typed_path_pattern,
-        "typed_shortest_pattern": _q_typed_shortest_pattern,
     }
 
 
@@ -2386,6 +2427,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_push_8r": _pagerank_push_sql(8),
         "pagerank_conv": _pagerank_conv_sql(max_rounds=50),
         "wcc": _wcc_sql(14),
+        # warm start reaches the cold fixpoint (monotone restart)
+        "wcc_warm": _wcc_sql(14),
         "cdlp_2rounds": _cdlp_sql(2),
         "triangles": _TRIANGLES_SQL,
         "bfs": _bfs_sql(12),

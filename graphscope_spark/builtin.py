@@ -13,7 +13,7 @@ exposes) onto the library's functions, so reference call sites port
 
 Names not in the registry raise KeyError listing what IS supported —
 the honest coverage statement (as of round 3 ALL 116 yaml names
-dispatch; tests/test_registry_closure.py asserts the closure).
+dispatch; tests/test_round3_operators.py asserts the closure).
 """
 
 from __future__ import annotations

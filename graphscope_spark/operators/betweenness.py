@@ -41,7 +41,9 @@ def betweenness_centrality(graph: LinkGraph,
     n = graph.num_vertices
     sources = resolve_sources(graph, sources, num_pivots, seed)
     t = Truncator()
-    # undirected LinkGraphs store each edge once — traverse both ways
+    # undirected LinkGraphs store both orientations (factory-enforced;
+    # sym_edges() returns them as-is) — the conditional only matters for
+    # directed graphs, where we traverse out-edges only
     edges = (graph.edges if graph.directed else graph.sym_edges()) \
         .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -32,16 +32,35 @@ from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
 class CDLPJob(SuperstepJob):
     name = "cdlp"
 
-    def __init__(self, graph: LinkGraph, max_round: int = 10):
+    def __init__(self, graph: LinkGraph, max_round: int = 10,
+                 init_labels: DataFrame | None = None):
         self.graph = graph
         self.max_round = max_round
+        # Ingress-style warm start (reference
+        # docs/analytical_engine/ingress.md: restart the vertex-centric
+        # loop from a previous run's state): (vid, label) seeds; vertices
+        # without a warm row start cold at their own vid. Warm-starting
+        # from a converged state on the same graph terminates after one
+        # confirming round with the identical result; on a grown graph it
+        # converges to a valid CDLP fixpoint in fewer rounds (labels are
+        # not monotone, so — unlike WCC — exact cold-equality is only
+        # guaranteed when the seed state is already a fixpoint).
+        self.init_labels = init_labels
         self.msg_edges = graph.sym_edges()  # duplicates kept: in ⊎ out multiset
 
     def config(self) -> dict:
         return {"algo": self.name, "max_round": self.max_round}
 
     def init(self, spark: SparkSession):
-        state = self.graph.vertices.select("vid", F.col("vid").alias("label"))
+        if self.init_labels is None:
+            state = self.graph.vertices.select("vid", F.col("vid").alias("label"))
+        else:
+            warm = self.init_labels.select("vid", F.col("label").alias("wlabel"))
+            state = (
+                self.graph.vertices.select("vid")
+                .join(warm.hint("shuffle_hash"), "vid", "left")
+                .select("vid", F.coalesce("wlabel", F.col("vid")).alias("label"))
+            )
         return state, {"changed": -1}
 
     def step(self, state: DataFrame, step_no: int, scalars: dict):
@@ -75,9 +94,15 @@ class CDLPJob(SuperstepJob):
 
 
 def cdlp(graph: LinkGraph, max_round: int = 10,
-         runner: SuperstepRunner | None = None, resume: bool = False) -> DataFrame:
-    """Run CDLP for ≤ max_round synchronous rounds; returns (vid, label)."""
-    job = CDLPJob(graph, max_round=max_round)
+         runner: SuperstepRunner | None = None, resume: bool = False,
+         init_labels: DataFrame | None = None) -> DataFrame:
+    """Run CDLP for ≤ max_round synchronous rounds; returns (vid, label).
+
+    ``init_labels``: optional (vid, label) warm start from a previous run
+    (ingress.md restart) — a converged seed terminates after one
+    confirming round with the identical result.
+    """
+    job = CDLPJob(graph, max_round=max_round, init_labels=init_labels)
     runner = runner or SuperstepRunner(graph.spark)
     state, _ = runner.run(job, max_steps=max_round, resume=resume)
     return state.select("vid", "label")

@@ -317,8 +317,13 @@ def harmonic_centrality(graph: LinkGraph, sources=None,
     from graphscope_spark.operators.traversal import msbfs, resolve_sources
 
     d = msbfs(graph, resolve_sources(graph, sources), runner=runner)
-    return (
+    agg = (
         d.filter(F.col("depth") > 0)
         .groupBy("vid")
         .agg(F.sum(1.0 / F.col("depth")).alias("harmonic"))
     )
+    # all-vertices output convention: unreached vertices get h(v)=0.0,
+    # matching NX/reference semantics and every other per-vertex operator
+    # in this library (ADVICE r03)
+    return graph.vertices.select("vid").join(agg, "vid", "left").select(
+        "vid", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"))

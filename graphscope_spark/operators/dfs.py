@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from graphscope_spark.graph import LinkGraph
 
 
-def dfs(graph: LinkGraph, source: int, max_vertices: int = 5_000_000) -> DataFrame:
+def dfs(graph: LinkGraph, source: int, max_vertices: int = 5_000_000,
+        max_edges: int = 50_000_000) -> DataFrame:
     """(vid, rank) — preorder DFS rank from ``source`` over out-edges
     (ascending-vid neighbor order); unreached vertices get rank -1."""
     if graph.num_vertices > max_vertices:
@@ -34,6 +35,13 @@ def dfs(graph: LinkGraph, source: int, max_vertices: int = 5_000_000) -> DataFra
             f"dfs is a sequential small-graph operator (|V|="
             f"{graph.num_vertices} > max_vertices={max_vertices}); "
             "raise max_vertices explicitly to force it")
+    # the driver collect is EDGE-dominated (the adjacency, not the vertex
+    # set, is what lands on the driver) — guard both (ADVICE r03)
+    if graph.num_edges > max_edges:
+        raise ValueError(
+            f"dfs collects the adjacency to the driver (|E|="
+            f"{graph.num_edges} > max_edges={max_edges}); "
+            "raise max_edges explicitly to force it")
     e = graph.edges if graph.directed else graph.sym_edges()
     rows = (e.select("src", "dst").filter(F.col("src") != F.col("dst"))
             .distinct().collect())

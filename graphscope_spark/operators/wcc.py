@@ -31,9 +31,20 @@ class WCCJob(SuperstepJob):
     name = "wcc"
 
     def __init__(self, graph: LinkGraph, salt: int = 0,
-                 sparse_threshold: float = 0.05):
+                 sparse_threshold: float = 0.05,
+                 init_components: DataFrame | None = None):
         self.graph = graph
         self.salt = salt
+        # Ingress-style warm start (reference
+        # docs/analytical_engine/ingress.md:1-28 — monotone algorithms
+        # restart from a previous run's state): (vid, comp) from a prior
+        # run on a SUBGRAPH of this graph (grow-only updates). Every warm
+        # comp value is a vid inside the same (merged) component, so the
+        # HashMin fixpoint is identical to a cold run — it just starts
+        # pre-propagated and converges in ~diameter-of-the-contracted
+        # component graph supersteps instead of graph diameter. NOT valid
+        # after edge deletions (use streaming/incremental.py for those).
+        self.init_components = init_components
         # FLASH's EdgeMap dense/sparse switch (reference
         # apps/flash/api.h:358-380): a big frontier must not broadcast
         # (state-sized, serial build) — shuffle-hash join; a small late
@@ -45,9 +56,25 @@ class WCCJob(SuperstepJob):
         return {"algo": self.name, "salt": self.salt}
 
     def init(self, spark: SparkSession):
-        state = self.graph.vertices.select(
-            "vid", F.col("vid").alias("comp"), F.lit(True).alias("changed")
-        )
+        if self.init_components is None:
+            state = self.graph.vertices.select(
+                "vid", F.col("vid").alias("comp"), F.lit(True).alias("changed")
+            )
+        else:
+            warm = self.init_components.select(
+                "vid", F.col("comp").alias("wcomp"))
+            # least(vid, warm) keeps HashMin's monotone invariant even if
+            # a caller passes labels from an unrelated graph; vertices new
+            # to this graph (no warm row) start cold at their own vid
+            state = (
+                self.graph.vertices.select("vid")
+                .join(warm.hint("shuffle_hash"), "vid", "left")
+                .select(
+                    "vid",
+                    F.least(F.col("vid"), F.coalesce("wcomp", F.col("vid"))).alias("comp"),
+                    F.lit(True).alias("changed"),
+                )
+            )
         return state, {"frontier": self.graph.num_vertices}
 
     def step(self, state: DataFrame, step_no: int, scalars: dict):
@@ -79,9 +106,15 @@ class WCCJob(SuperstepJob):
 
 
 def wcc(graph: LinkGraph, salt: int = 0,
-        runner: SuperstepRunner | None = None, resume: bool = False) -> DataFrame:
-    """Run HashMin connected components; returns (vid, comp)."""
-    job = WCCJob(graph, salt=salt)
+        runner: SuperstepRunner | None = None, resume: bool = False,
+        init_components: DataFrame | None = None) -> DataFrame:
+    """Run HashMin connected components; returns (vid, comp).
+
+    ``init_components``: optional (vid, comp) warm start from a previous
+    run on a subgraph (ingress.md monotone restart) — same fixpoint as a
+    cold run, fewer supersteps.
+    """
+    job = WCCJob(graph, salt=salt, init_components=init_components)
     runner = runner or SuperstepRunner(graph.spark)
     state, _ = runner.run(job, resume=resume)
     return state.select("vid", "comp")

@@ -81,7 +81,11 @@ class PropertyGraph:
                              *[F.col(p) for p in props])
         g = self._copy()
         if label in g._vertices:  # reference warns and extends the label
-            g._vertices[label] = g._vertices[label].unionByName(df)
+            # allowMissingColumns: re-adding a label with a different
+            # property set nulls the absent properties instead of raising
+            # (reference's documented warn-and-extend behavior; ADVICE r03)
+            g._vertices[label] = g._vertices[label].unionByName(
+                df, allowMissingColumns=True)
         else:
             g._vertices[label] = df
         return g

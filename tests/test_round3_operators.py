@@ -108,9 +108,10 @@ def test_harmonic_matches_bfs_oracle(spark, g60):
                 exp[v] += 1.0 / d
     got = {r["vid"]: r["harmonic"]
            for r in harmonic_centrality(g, sources=sources).collect()}
-    assert set(got) == set(exp)
-    for v, e in exp.items():
-        assert abs(got[v] - e) < 1e-9, v
+    # all-vertices convention: every vertex gets a row; unreached → 0.0
+    assert set(got) == set(vertices)
+    for v in got:
+        assert abs(got[v] - exp.get(v, 0.0)) < 1e-9, v
 
 
 # ---- cycle-plus triangles -------------------------------------------------

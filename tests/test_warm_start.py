@@ -1,0 +1,86 @@
+"""Ingress-style warm starts for WCC and CDLP.
+
+Reference: docs/analytical_engine/ingress.md — the Ingress engine
+restarts a vertex-centric computation from a previous run's state after
+graph updates instead of recomputing cold. For monotone algorithms
+(HashMin WCC) the warm fixpoint equals the cold fixpoint on the merged
+graph; for CDLP a converged seed state is confirmed in one round.
+"""
+
+from __future__ import annotations
+
+import random
+
+from graphscope_spark.operators.cdlp import cdlp
+from graphscope_spark.operators.wcc import wcc
+from graphscope_spark.runtime.superstep import SuperstepRunner
+
+from tests.test_algorithms import make_graph
+
+
+def _chain_graph(n=400, extra_seed=7):
+    """Long chains (high diameter) so cold WCC needs many supersteps and
+    the warm-start saving is observable."""
+    vertices = list(range(n))
+    # 4 disjoint chains of length n/4
+    edges = [(i, i + 1) for i in range(n - 1) if (i + 1) % (n // 4) != 0]
+    rnd = random.Random(extra_seed)
+    # grow-only update: a few bridge edges merging the chains
+    bridges = [(rnd.randrange(n // 4), n // 4 + rnd.randrange(n // 4)),
+               (n // 2 + rnd.randrange(n // 4), 3 * n // 4 + rnd.randrange(n // 4)),
+               (rnd.randrange(n // 4), n // 2 + rnd.randrange(n // 4))]
+    return vertices, edges, bridges
+
+
+def test_wcc_warm_start_equals_cold_in_fewer_steps(spark):
+    vertices, base_edges, bridges = _chain_graph()
+    g_sub = make_graph(spark, vertices, base_edges)
+    g_full = make_graph(spark, vertices, base_edges + bridges)
+
+    warm_seed = wcc(g_sub)  # previous run on the subgraph
+
+    cold_runner = SuperstepRunner(spark)
+    cold = {r["vid"]: r["comp"]
+            for r in wcc(g_full, runner=cold_runner).collect()}
+    cold_steps = len(cold_runner.history)
+
+    warm_runner = SuperstepRunner(spark)
+    warmed = {r["vid"]: r["comp"]
+              for r in wcc(g_full, runner=warm_runner,
+                           init_components=warm_seed).collect()}
+    warm_steps = len(warm_runner.history)
+
+    assert warmed == cold  # identical fixpoint (monotone restart)
+    # chains are pre-collapsed inside the seed: only the bridge merges
+    # must propagate, which takes far fewer rounds than chain diameter
+    assert warm_steps < cold_steps, (warm_steps, cold_steps)
+
+
+def test_wcc_warm_start_new_vertices_start_cold(spark):
+    # warm seed covers only the subgraph's vertices; the merged graph has
+    # brand-new vertices — they must initialize at their own vid
+    vertices, base_edges, _ = _chain_graph(n=80)
+    g_sub = make_graph(spark, vertices, base_edges)
+    seed = wcc(g_sub)
+    new_vertices = vertices + [1000, 1001, 1002]
+    new_edges = base_edges + [(79, 1000), (1000, 1001)]
+    g_full = make_graph(spark, new_vertices, new_edges)
+    warmed = {r["vid"]: r["comp"]
+              for r in wcc(g_full, init_components=seed).collect()}
+    cold = {r["vid"]: r["comp"] for r in wcc(g_full).collect()}
+    assert warmed == cold
+    assert warmed[1002] == 1002  # isolated new vertex keeps its own id
+
+
+def test_cdlp_warm_start_converged_seed_confirms_in_one_round(spark, small_graph):
+    vertices, edges = small_graph
+    g = make_graph(spark, vertices, edges)
+    converged = cdlp(g, max_round=50)  # run to fixpoint
+    seed_labels = {r["vid"]: r["label"] for r in converged.collect()}
+
+    warm_runner = SuperstepRunner(spark)
+    warmed = {r["vid"]: r["label"]
+              for r in cdlp(g, max_round=50, runner=warm_runner,
+                            init_labels=converged).collect()}
+    assert warmed == seed_labels  # fixpoint preserved
+    assert len(warm_runner.history) == 1  # one confirming round only
