@@ -2184,6 +2184,41 @@ def _q_typed_shortest_pattern(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_at_2")))
 
 
+def _q_typed_path_hops(spark, sf_dir):
+    # PathExpand's path-collecting result_opt (algebra.proto:308-357):
+    # path_out emits one row per distinct (pair, walk length). The chain
+    # carries rank+1 AND rank+2 edges under one label, so a rank-diff-d
+    # pair is reached at every walk length k with ceil(d/2) <= k <= d
+    # (clipped to the 1..3 hop range) — the oracle enumerates exactly
+    # those k per pair in closed form, value-checking the hop counts.
+    from pyspark.sql import Window
+
+    from graphscope_spark import PropertyGraph, property_pattern_match
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    base = orders.select(
+        "o_custkey", "o_orderkey",
+        F.lead("o_orderkey", 1).over(w).alias("n1"),
+        F.lead("o_orderkey", 2).over(w).alias("n2"))
+    nxt = base.filter(F.col("n1").isNotNull()).select(
+        F.col("o_orderkey").alias("s"), F.col("n1").alias("d"))
+    skip = base.filter(F.col("n2").isNotNull()).select(
+        F.col("o_orderkey").alias("s"), F.col("n2").alias("d"))
+    pg = (PropertyGraph(spark)
+          .add_vertices(orders.select("o_orderkey"), "orders",
+                        vid_field="o_orderkey")
+          .add_edges(nxt.unionByName(skip), "hop",
+                     src_label="orders", dst_label="orders"))
+    m = property_pattern_match(pg, [("o1", "hop", "o2")],
+                               labels={"o1": "orders", "o2": "orders"},
+                               path_hops={0: (1, 3)},
+                               path_out={0: "hops"})
+    return (m.groupBy(F.col("o1").cast("long").alias("o1_key"))
+            .agg(F.count(F.lit(1)).alias("n_walks"),
+                 F.sum("hops").cast("long").alias("sum_hops")))
+
+
 def _q_mis(spark, sf_dir):
     from graphscope_spark import mis
 
@@ -2346,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subgraph_counts": _q_subgraph_counts,
         # --- new in r04 (keep inside the 50-row window) ---
         "wcc_warm": _q_wcc_warm,
+        "typed_path_hops": _q_typed_path_hops,
         # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
@@ -2755,6 +2791,22 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_reach "
             "FROM ranked a JOIN ranked b ON a.o_custkey = b.o_custkey "
             "AND b.rk - a.rk BETWEEN 1 AND 3 "
+            "GROUP BY 1"
+        ),
+        # rank-diff-d pair reachable at walk length k iff ceil(d/2)<=k<=d
+        # (next=1, skip=2 edges; a + 2b = d with a+b = k needs
+        # a=2k-d>=0, b=d-k>=0), clipped to the binder's 1..3
+        "typed_path_hops": (
+            "WITH ranked AS (SELECT o_custkey, o_orderkey, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rk "
+            "FROM orders), "
+            "ks(k) AS (VALUES (1), (2), (3)) "
+            "SELECT CAST(a.o_orderkey AS BIGINT) AS o1_key, "
+            "COUNT(*) AS n_walks, CAST(SUM(ks.k) AS BIGINT) AS sum_hops "
+            "FROM ranked a JOIN ranked b ON a.o_custkey = b.o_custkey "
+            "AND b.rk - a.rk BETWEEN 1 AND 6 "
+            "JOIN ks ON ks.k >= (b.rk - a.rk + 1) // 2 "
+            "AND ks.k <= LEAST(b.rk - a.rk, 3) "
             "GROUP BY 1"
         ),
         "typed_shortest_pattern": (

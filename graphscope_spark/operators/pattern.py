@@ -186,18 +186,29 @@ def property_automorphism_count(pattern: list[tuple[str, str, str]],
     return cnt
 
 
-def _hop_range(base: DataFrame, lo: int, hi: int) -> DataFrame:
+def _hop_range(base: DataFrame, lo: int, hi: int,
+               with_hops: bool = False) -> DataFrame:
     """Distinct (src, dst) pairs connected by a lo..hi-hop walk of
     ``base`` edges — the PathExpand binder inside a Pattern sentence
     (algebra.proto:308-357 ExpandBase.path_expand; GIE's vertex-mode
     result, pair-distinct). hi is a small constant (the user's ``*1..3``),
     so this is hi−1 self-joins with per-level distinct to bound growth;
     each level is a plain key join the optimizer can broadcast or
-    shuffle-hash as sizes dictate."""
+    shuffle-hash as sizes dictate.
+
+    ``with_hops=True`` is the path-collecting ``result_opt`` mode
+    (algebra.proto PathExpand.result_opt): emit (src, dst, hops) with one
+    row per distinct (pair, walk length) instead of collapsing the pair —
+    the relational projection of GIE's ALL_V path output."""
     if not (1 <= lo <= hi):
         raise ValueError(f"bad hop range {lo}..{hi}")
+    base = base.distinct()
+
+    def _tag(df: DataFrame, k: int) -> DataFrame:
+        return df.select("src", "dst", F.lit(k).alias("hops")) if with_hops else df
+
     cur = base
-    acc = base if lo <= 1 else None
+    acc = _tag(base, 1) if lo <= 1 else None
     for k in range(2, hi + 1):
         step = (cur.alias("l")
                 .join(base.alias("r"), F.col("l.dst") == F.col("r.src"))
@@ -206,22 +217,33 @@ def _hop_range(base: DataFrame, lo: int, hi: int) -> DataFrame:
                 .distinct())
         cur = step
         if k >= lo:
-            acc = step if acc is None else acc.unionByName(step)
-    return acc.distinct()
+            t = _tag(step, k)
+            acc = t if acc is None else acc.unionByName(t)
+    # per-level rows are already distinct; hops-mode levels are disjoint
+    # by construction, pair-mode needs the cross-level dedup
+    return acc if with_hops else acc.distinct()
 
 
-def _shortest_range(base: DataFrame, lo: int, hi: int) -> DataFrame:
+def _shortest_range(base: DataFrame, lo: int, hi: int,
+                    with_hops: bool = False) -> DataFrame:
     """Distinct (src, dst) pairs whose SHORTEST ``base``-edge distance is
     in lo..hi — GIE's ShortestPathExpand (algebra.proto PathExpand with
     shortest-path result, runtime operator/map/shortest_path.rs). BFS
     frontier levels with an anti-join against already-reached pairs, so
     a pair discovered at level k never reappears at k+1; hi is a small
-    user constant, so the level loop is hi−1 bounded joins."""
+    user constant, so the level loop is hi−1 bounded joins.
+
+    ``with_hops=True`` additionally emits the shortest distance as a
+    ``hops`` column (one row per pair — shortest distance is unique)."""
     if not (1 <= lo <= hi):
         raise ValueError(f"bad hop range {lo}..{hi}")
+
+    def _tag(df: DataFrame, k: int) -> DataFrame:
+        return df.select("src", "dst", F.lit(k).alias("hops")) if with_hops else df
+
     level = base.distinct()
     reached = level
-    acc = level if lo <= 1 else None
+    acc = _tag(level, 1) if lo <= 1 else None
     for k in range(2, hi + 1):
         nxt = (level.alias("l")
                .join(base.alias("r"), F.col("l.dst") == F.col("r.src"))
@@ -232,8 +254,11 @@ def _shortest_range(base: DataFrame, lo: int, hi: int) -> DataFrame:
         level = nxt
         reached = reached.unionByName(nxt)
         if k >= lo:
-            acc = nxt if acc is None else acc.unionByName(nxt)
-    return acc if acc is not None else base.limit(0)
+            t = _tag(nxt, k)
+            acc = t if acc is None else acc.unionByName(t)
+    if acc is not None:
+        return acc
+    return _tag(base, 1).limit(0) if with_hops else base.limit(0)
 
 
 def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
@@ -242,6 +267,7 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
                            edge_where: Mapping[int, object] | None = None,
                            path_hops: Mapping[int, tuple[int, int]] | None = None,
                            shortest_hops: Mapping[int, tuple[int, int]] | None = None,
+                           path_out: Mapping[int, str] | None = None,
                            injective: bool = True) -> DataFrame:
     """Typed pattern matching over a :class:`PropertyGraph`.
 
@@ -268,6 +294,14 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
     ``shortest_hops`` is the same shape but keeps only pairs whose
     SHORTEST distance lies in lo..hi (GIE's ShortestPathExpand) — a pair
     with a 2-hop walk but a 1-hop edge is excluded from ``(2, 2)``.
+
+    ``path_out`` maps a path-binder edge INDEX (must also appear in
+    ``path_hops`` or ``shortest_hops``) to an OUTPUT COLUMN NAME: the
+    result then carries that binder's walk length — GIE PathExpand's
+    path-collecting ``result_opt`` (algebra.proto:308-357), relationally
+    projected to hop counts. A ``path_hops`` binder emits one row per
+    distinct (match, walk length) in lo..hi; a ``shortest_hops`` binder
+    emits the unique shortest distance.
     """
     tuples = [tuple(p) for p in pattern]
     missing = {x for u, _, v in tuples for x in (u, v)} - set(labels)
@@ -279,11 +313,18 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
                               pred=edge_where.get(i))
             for i, (u, el, v) in enumerate(tuples)]
     shortest_hops = dict(shortest_hops or {})
+    path_out = dict(path_out or {})
     overlap = set(path_hops) & set(shortest_hops)
     if overlap:
         raise ValueError(
             f"edges {sorted(overlap)} appear in both path_hops and "
             "shortest_hops")
+    bad_out = set(path_out) - (set(path_hops) | set(shortest_hops))
+    if bad_out:
+        raise ValueError(
+            f"path_out on non-path-binder edges {sorted(bad_out)}")
+    if len(set(path_out.values())) != len(path_out):
+        raise ValueError(f"duplicate path_out column names: {path_out}")
     for hops, expand in ((path_hops, _hop_range),
                          (shortest_hops, _shortest_range)):
         for i, (lo, hi) in hops.items():
@@ -292,7 +333,7 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
                 raise ValueError(
                     f"path binder on edge {i} ({el!r}) needs matching "
                     f"endpoint labels, got {labels[u]!r} -> {labels[v]!r}")
-            cand[i] = expand(cand[i], lo, hi)
+            cand[i] = expand(cand[i], lo, hi, with_hops=i in path_out)
     if where:
         allowed = {}
         for x, pred in where.items():
@@ -327,24 +368,31 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
             raise ValueError(f"pattern is disconnected: {pattern}")
     pairs_done: set[frozenset] = set()
 
+    def _proj(i: int, u: str, v: str) -> DataFrame:
+        cols = [F.col("src").alias(u), F.col("dst").alias(v)]
+        if i in path_out:
+            cols.append(F.col("hops").alias(path_out[i]))
+        return cand[i].select(*cols)
+
     u0, _, v0 = tuples[ordered[0]]
-    df = cand[ordered[0]].select(F.col("src").alias(u0),
-                                 F.col("dst").alias(v0))
+    df = _proj(ordered[0], u0, v0)
     bound = [u0, v0]
     if injective:
         pairs_done.add(frozenset((u0, v0)))
 
     for i in ordered[1:]:
         u, _, v = tuples[i]
-        e = cand[i]
         if u in bound and v in bound:
-            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)),
-                         [u, v], "left_semi")
+            # closing edge: semi-join lookup — unless it must emit its
+            # hops column, in which case an inner join on both keys
+            # (one output row per distinct walk length, by construction)
+            kind = "inner" if i in path_out else "left_semi"
+            df = df.join(_proj(i, u, v), [u, v], kind)
         elif u in bound:
-            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)), u)
+            df = df.join(_proj(i, u, v), u)
             bound.append(v)
         else:
-            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)), v)
+            df = df.join(_proj(i, u, v), v)
             bound.append(u)
         if injective:
             for w in bound:
@@ -353,7 +401,8 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
                             and frozenset((w, x)) not in pairs_done):
                         df = df.filter(F.col(w) != F.col(x))
                         pairs_done.add(frozenset((w, x)))
-    return df.select(*sorted(bound))
+    out_cols = sorted(bound) + [path_out[i] for i in sorted(path_out)]
+    return df.select(*out_cols)
 
 
 def property_pattern_count(pg, pattern: list[tuple[str, str, str]],

@@ -255,6 +255,49 @@ def test_property_pattern_shortest_binder(spark):
                                shortest_hops={0: (1, 2)})
 
 
+def test_property_pattern_path_out_hops(spark, modern):
+    """path_out (PathExpand's path-collecting result_opt): one row per
+    distinct (pair, walk length). Chain 1→2→3→4 plus shortcut 1→3: pair
+    (1,3) is reached at lengths 1 (shortcut) AND 2 (two next hops), pair
+    (1,4) at 2 (shortcut+next) AND 3; shortest_hops emits the unique
+    shortest distance instead."""
+    from graphscope_spark import property_pattern_match
+
+    p = spark.createDataFrame([(i,) for i in range(1, 5)], "pid LONG")
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 3)],
+                              "s LONG, d LONG")
+    pg = (PropertyGraph(spark)
+          .add_vertices(p, "person", vid_field="pid")
+          .add_edges(e, "next", src_label="person", dst_label="person"))
+    lbl = {"a": "person", "b": "person"}
+    rows = property_pattern_match(pg, [("a", "next", "b")], labels=lbl,
+                                  path_hops={0: (1, 3)},
+                                  path_out={0: "hops"}).collect()
+    got = sorted((r["a"], r["b"], r["hops"]) for r in rows)
+    assert got == [("1", "2", 1), ("1", "3", 1), ("1", "3", 2),
+                   ("1", "4", 2), ("1", "4", 3), ("2", "3", 1),
+                   ("2", "4", 2), ("3", "4", 1)]
+    sh = property_pattern_match(pg, [("a", "next", "b")], labels=lbl,
+                                shortest_hops={0: (1, 3)},
+                                path_out={0: "hops"}).collect()
+    assert sorted((r["a"], r["b"], r["hops"]) for r in sh) == [
+        ("1", "2", 1), ("1", "3", 1), ("1", "4", 2),
+        ("2", "3", 1), ("2", "4", 2), ("3", "4", 1)]
+    # path_out binder composing with a plain typed edge (closing-edge
+    # and mid-pattern positions both project the hops column through)
+    rows = property_pattern_match(
+        modern, [("a", "knows", "b"), ("b", "created", "s")],
+        labels={"a": "person", "b": "person", "s": "software"},
+        path_hops={0: (1, 2)}, path_out={0: "k_hops"}).collect()
+    assert sorted((r["a"], r["b"], r["s"], r["k_hops"]) for r in rows) == [
+        ("1", "4", "3", 1), ("1", "4", "5", 1)]
+    with pytest.raises(ValueError):  # path_out on a non-binder edge
+        property_pattern_match(
+            modern, [("a", "knows", "b"), ("b", "created", "s")],
+            labels={"a": "person", "b": "person", "s": "software"},
+            path_hops={0: (1, 2)}, path_out={1: "x"})
+
+
 def test_property_pattern_path_binder_label_mismatch(modern):
     from graphscope_spark import property_pattern_match
 
