@@ -81,16 +81,21 @@ def decode_image_stub(media: DataFrame) -> DataFrame:
 
 def sample_frames_stub(media: DataFrame, every: int = 4) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame index
-    (per metadata ``n_frames``), payload sliced deterministically — the
-    shape of an ffmpeg frame extractor without the codec."""
+    (per metadata ``n_frames``), each frame a CONTIGUOUS byte range of
+    the payload (frame ``fr`` covers bytes ``[fr·stride, (fr+1)·stride)``
+    with ``stride = ceil(len/n_frames)`` — how real containers lay frames
+    out, and exactly reproducible by the SQL oracle) — the shape of an
+    ffmpeg frame extractor without the codec."""
 
     def sample(batches):
         for pdf in batches:
             out = {"media_id": [], "frame_no": [], "frame_sha256": []}
             for mid, payload, n_frames in zip(
                     pdf["media_id"], pdf["payload"], pdf["n_frames"]):
-                for fr in range(0, int(n_frames), every):
-                    chunk = payload[fr::max(1, int(n_frames))]
+                n = int(n_frames)
+                stride = (len(payload) + n - 1) // n if n else 0
+                for fr in range(0, n, every):
+                    chunk = payload[fr * stride:(fr + 1) * stride]
                     out["media_id"].append(mid)
                     out["frame_no"].append(fr)
                     out["frame_sha256"].append(hashlib.sha256(bytes(chunk)).hexdigest())

@@ -80,38 +80,112 @@ def pattern_match(graph: LinkGraph, pattern: list[tuple[str, str]],
                   directed: bool | None = None,
                   injective: bool = True) -> DataFrame:
     """One column per pattern variable; each row is a (by default
-    injective) homomorphism from the pattern into the graph."""
+    injective) homomorphism from the pattern into the graph.
+
+    Plan: vertex-at-a-time extension in greedy max-connectivity order.
+    A variable connected to ONE bound variable extends by a plain edge
+    join; a variable connected to SEVERAL bound variables extends by
+    intersecting their grouped adjacency lists in one step
+    (``array_intersect`` fold + explode) — the worst-case-optimal
+    ExtendIntersect plan the reference's IR picks for dense patterns
+    (interactive_engine/.../ExtendIntersectRule), which bounds the
+    fan-out to the INTERSECTION size instead of exploding one edge's
+    full adjacency and post-filtering. The adjacency tables are built at
+    most once per direction per call (one groupBy over the cached edge
+    view); hub rows cost one array each — the same memory/shuffle trade
+    the reference makes.
+    """
     if directed is None:
         directed = graph.directed
     # both views are graph-lifetime cached (freed by graph.unpersist_all) —
     # a per-call persist here would leak one cached edge copy per match
     e = graph.dir_simple_edges() if directed else graph.und_edges()
-    ordered = _plan_order([tuple(p) for p in pattern])
-    pairs_done: set[frozenset] = set()
+    tuples = [tuple(p) for p in pattern]
+    if not tuples:
+        raise ValueError("empty pattern")
 
-    u0, v0 = ordered[0]
+    # ---- plan: initial edge, then greedy most-connected next variable
+    u0, v0 = tuples[0]
+    bound_set = {u0, v0}
+    remaining = list(tuples[1:])
+    closing0 = [t for t in remaining if t[0] in bound_set and t[1] in bound_set]
+    remaining = [t for t in remaining if t not in closing0]
+    exts: list[tuple[str, list[tuple[str, str]]]] = []
+    while remaining:
+        conn_count: dict[str, int] = {}
+        for u, v in remaining:
+            if u in bound_set and v not in bound_set:
+                conn_count[v] = conn_count.get(v, 0) + 1
+            elif v in bound_set and u not in bound_set:
+                conn_count[u] = conn_count.get(u, 0) + 1
+        if not conn_count:
+            raise ValueError(f"pattern is disconnected: {pattern}")
+        x = max(sorted(conn_count), key=conn_count.get)
+        conns, rest = [], []
+        for u, v in remaining:
+            if v == x and u in bound_set:
+                conns.append((u, "out"))  # u→x: x ∈ out-adjacency of u
+            elif u == x and v in bound_set:
+                conns.append((v, "in"))   # x→v: x ∈ in-adjacency of v
+            else:
+                rest.append((u, v))
+        remaining = rest
+        exts.append((x, conns))
+        bound_set.add(x)
+
+    # ---- execute
     df = e.select(F.col("src").alias(u0), F.col("dst").alias(v0))
     bound = [u0, v0]
+    pairs_done: set[frozenset] = set()
     if injective:
         pairs_done.add(frozenset((u0, v0)))
+    for u, v in closing0:  # directed back-edge between the initial pair
+        df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)),
+                     [u, v], "left_semi")
 
-    for u, v in ordered[1:]:
-        if u in bound and v in bound:
-            # closing edge: key lookup on both endpoints
-            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)),
-                         [u, v], "left_semi")
-        elif u in bound:
-            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)), u)
-            bound.append(v)
+    adj: dict[str, DataFrame] = {}
+
+    def _adj(direction: str) -> DataFrame:
+        # und_edges is symmetric — out-adjacency covers both directions
+        d = direction if directed else "out"
+        if d not in adj:
+            if d == "out":
+                adj[d] = e.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+            else:
+                adj[d] = (e.groupBy("dst").agg(F.collect_set("src").alias("nbrs"))
+                          .withColumnRenamed("dst", "src"))
+        return adj[d]
+
+    for x, conns in exts:
+        if len(conns) == 1:
+            w, d = conns[0]
+            if d == "out" or not directed:
+                df = df.join(
+                    e.select(F.col("src").alias(w), F.col("dst").alias(x)), w)
+            else:
+                df = df.join(
+                    e.select(F.col("dst").alias(w), F.col("src").alias(x)), w)
         else:
-            df = df.join(e.select(F.col("src").alias(u), F.col("dst").alias(v)), v)
-            bound.append(u)
+            # ExtendIntersect: one adjacency join per connected bound
+            # var, then explode the multi-way intersection
+            nbr_cols = []
+            for j, (w, d) in enumerate(conns):
+                nm = f"__nbrs_{j}"
+                df = df.join(
+                    _adj(d).select(F.col("src").alias(w),
+                                   F.col("nbrs").alias(nm)), w)
+                nbr_cols.append(nm)
+            inter = F.col(nbr_cols[0])
+            for c in nbr_cols[1:]:
+                inter = F.array_intersect(inter, F.col(c))
+            df = df.withColumn(x, F.explode(inter)).drop(*nbr_cols)
+        bound.append(x)
         if injective:
             for w in bound:
-                for x in bound:
-                    if w < x and frozenset((w, x)) not in pairs_done:
-                        df = df.filter(F.col(w) != F.col(x))
-                        pairs_done.add(frozenset((w, x)))
+                for y in bound:
+                    if w < y and frozenset((w, y)) not in pairs_done:
+                        df = df.filter(F.col(w) != F.col(y))
+                        pairs_done.add(frozenset((w, y)))
     return df.select(*sorted(bound))
 
 

@@ -1,0 +1,81 @@
+"""Emit GATE_MANIFEST.json — rotation state of the driver correctness gate.
+
+The driver records rows for only the FIRST 50 ``queries()`` entries per
+round, so with 50+ contract queries the green evidence rotates across
+rounds. This manifest makes the rotation state inspectable at a glance:
+for every query, the last round with a green CORRECTNESS row (or null),
+its current position in ``queries()``, and whether it sits inside the
+next round's 50-row window.
+
+Run after reordering queries() or when a new CORRECTNESS_r*.json lands:
+
+    python scripts/gate_manifest.py
+"""
+
+from __future__ import annotations
+
+import glob
+import importlib.util
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # oracle generators import graphscope_spark
+WINDOW = 50
+
+
+def main() -> None:
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(REPO, "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    order = list(entry.queries())
+    oracles = set(entry.oracle_sql())
+
+    last_green: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rno = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        rounds.append(rno)
+        rows = json.load(open(path))
+        for name, row in rows.items():
+            checks = [v for k, v in row.items()
+                      if k.endswith("_match") and v is not None]
+            if row.get("err") is None and checks and all(checks):
+                last_green[name] = max(last_green.get(name, 0), rno)
+
+    manifest = {
+        "window_size": WINDOW,
+        "rounds_seen": rounds,
+        "total_queries": len(order),
+        "never_green": sorted(q for q in order if q not in last_green),
+        "queries": {
+            q: {
+                "position": i,
+                "in_next_window": i < WINDOW,
+                "last_green_round": last_green.get(q),
+                "value_oracle": q in oracles,
+            }
+            for i, q in enumerate(order)
+        },
+    }
+    out = os.path.join(REPO, "GATE_MANIFEST.json")
+    with open(out, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=False)
+        f.write("\n")
+    n_never = len(manifest["never_green"])
+    in_window_never = sum(1 for q in manifest["never_green"]
+                          if manifest["queries"][q]["in_next_window"])
+    print(f"{out}: {len(order)} queries, {n_never} never green "
+          f"({in_window_never} of them inside the next {WINDOW}-row window)")
+    if n_never - in_window_never:
+        print("OUTSIDE window and never green:",
+              [q for q in manifest["never_green"]
+               if not manifest["queries"][q]["in_next_window"]],
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

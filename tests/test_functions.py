@@ -244,3 +244,10 @@ def test_multimodal_stubs(spark, docs_df):
     per_media = Counter(r["media_id"] for r in frames)
     for mid, cnt in per_media.items():
         assert cnt == len(range(0, meta[mid], 4))
+    # frame content: contiguous byte slice [fr*stride, (fr+1)*stride)
+    for r in frames:
+        payload = docs[r["media_id"]].encode()
+        n = meta[r["media_id"]]
+        stride = (len(payload) + n - 1) // n
+        chunk = payload[r["frame_no"] * stride:(r["frame_no"] + 1) * stride]
+        assert r["frame_sha256"] == hashlib.sha256(chunk).hexdigest()
