@@ -1087,6 +1087,159 @@ def _q_sample_frames(spark, sf_dir):
         "frame_sha256")
 
 
+def _q_bmp_decode(spark, sf_dir):
+    # REAL image decode (r03 verdict: close out the multimodal stub): one
+    # real 24-bit BMP per document (padded rows, mixed bottom-up/top-down),
+    # decoded by parsing the actual container bytes in functions/codecs.py.
+    # The oracle recomputes the per-channel pixel sums in closed form —
+    # pixel (x,y,c) = (id + 3x + 7y + 11c) % 256 — so a decoder that
+    # mis-handles the row stride, padding (0xFF!), or row order fails.
+    from graphscope_spark.functions import bmp_media, decode_bmp_features
+
+    media = bmp_media(_t(spark, sf_dir, "documents"))
+    return decode_bmp_features(media).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sum_b", "sum_g", "sum_r")
+
+
+def _q_wav_decode(spark, sf_dir):
+    # REAL audio decode: one RIFF/WAVE PCM16 file per document (junk LIST
+    # chunk + odd-size pad byte force genuine chunk walking); sample i =
+    # ((id*31 + 7i) % 65536) - 32768, reproduced by the oracle.
+    from graphscope_spark.functions import decode_wav_features, wav_media
+
+    return decode_wav_features(wav_media(_t(spark, sf_dir, "documents"))).select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "sum_samples", "max_abs")
+
+
+def _frontend_pg(spark, sf_dir):
+    """The typed TPC-H property graph the Cypher/Gremlin contract queries
+    run on (same shape as _q_typed_pattern's)."""
+    from graphscope_spark import PropertyGraph
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        PropertyGraph(spark)
+        .add_vertices(cust, "customer", vid_field="c_custkey")
+        .add_vertices(orders.select("o_orderkey"), "orders",
+                      vid_field="o_orderkey")
+        .add_vertices(sup, "supplier", vid_field="s_suppkey")
+        .add_vertices(nat, "nation", vid_field="n_nationkey")
+        .add_edges(orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+                   "placed", src_label="customer", dst_label="orders")
+        .add_edges(li.select("l_orderkey", "l_suppkey").distinct(), "uses",
+                   src_label="orders", dst_label="supplier")
+        .add_edges(cust.select("c_custkey", "c_nationkey"), "located",
+                   src_label="customer", dst_label="nation")
+        .add_edges(sup.select("s_suppkey", "s_nationkey"), "located",
+                   src_label="supplier", dst_label="nation")
+    )
+
+
+def _order_chain_pg(spark, sf_dir):
+    """Each customer's orders chained by orderkey rank (`next` edges) —
+    the deterministic successor graph the path-binder queries walk."""
+    from pyspark.sql import Window
+
+    from graphscope_spark import PropertyGraph
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    nxt = (orders.select("o_custkey", "o_orderkey",
+                         F.lead("o_orderkey").over(w).alias("nxt"))
+           .filter(F.col("nxt").isNotNull())
+           .select(F.col("o_orderkey").alias("s"), F.col("nxt").alias("d")))
+    return (PropertyGraph(spark)
+            .add_vertices(orders.select("o_orderkey"), "orders",
+                          vid_field="o_orderkey")
+            .add_edges(nxt, "next", src_label="orders", dst_label="orders"))
+
+
+def _q_cypher_local_supplier(spark, sf_dir):
+    # the GIE local-supplier cycle as an actual Cypher STRING — the
+    # textual frontend (frontends/cypher.py) parses it, pushes the
+    # c_mktsegment predicate to the customer scan, pushes the edge
+    # predicate to the placed relation scan, and compiles the same join
+    # plan _q_typed_pattern_where hand-builds. Reference surface:
+    # docs/interactive_engine/neo4j/supported_cypher.md.
+    from graphscope_spark import cypher_query
+
+    return cypher_query(_frontend_pg(spark, sf_dir), """
+        MATCH (c:customer)-[p:placed]->(o:orders)-[:uses]->(s:supplier),
+              (c)-[:located]->(n:nation)<-[:located]-(s)
+        WHERE c.c_mktsegment = 'BUILDING' AND p.o_totalprice >= 150000
+        RETURN toInteger(n) AS n_key, count(*) AS matches
+    """)
+
+
+def _q_cypher_agg_pipeline(spark, sf_dir):
+    # WITH-stage pipeline: aggregate, post-aggregation WHERE (HAVING),
+    # then a second projection stage with ORDER BY — Cypher's implicit
+    # grouping (supported_cypher.md WITH row).
+    from graphscope_spark import cypher_query
+
+    return cypher_query(_frontend_pg(spark, sf_dir), """
+        MATCH (c:customer)-[:located]->(n:nation)
+        WHERE c.c_acctbal > 1000
+        WITH n, count(*) AS cnt,
+             sum(toInteger(floor(c.c_acctbal * 100))) AS bal_cents
+        WHERE cnt >= 2
+        RETURN toInteger(n) AS n_key, cnt, bal_cents ORDER BY n_key
+    """)
+
+
+def _q_cypher_varlen(spark, sf_dir):
+    # a Cypher var-length path with length(p): compiles to the PathExpand
+    # binder's path-collecting result_opt (one row per pair per walk
+    # length); on the pure successor chain each rank-diff-d pair has
+    # exactly one walk (of length d), so n_paths and sum_hops are exact.
+    from graphscope_spark import cypher_query
+
+    return cypher_query(_order_chain_pg(spark, sf_dir), """
+        MATCH p = (o1:orders)-[:next*1..3]->(o2:orders)
+        RETURN toInteger(o1) AS o1_key, count(*) AS n_paths,
+               sum(length(p)) AS sum_hops
+    """)
+
+
+def _q_gremlin_groupcount(spark, sf_dir):
+    # fluent Gremlin over the same property graph: has() predicate join
+    # + out() expansion + by()-modulated groupCount (the step surface in
+    # docs/interactive_engine/tinkerpop/supported_gremlin_steps.md).
+    from graphscope_spark import P, traversal
+
+    g = traversal(_frontend_pg(spark, sf_dir))
+    out = (g.V().hasLabel("supplier").has("s_acctbal", P.gt(0.0))
+           .out("located").groupCount().by("n_name").toDF())
+    return out.select(F.col("key").alias("n_name"),
+                      F.col("count").alias("n_suppliers"))
+
+
+def _q_gremlin_union_expand(spark, sf_dir):
+    # union of two anonymous expansions over the order-successor chain:
+    # each order reaches its rank+1 (1 hop) and rank+2 (2 hops via
+    # repeat().times(2)) successors; groupCount on the merged stream
+    # counts how many predecessors land on each order (1 or 2).
+    from graphscope_spark import traversal
+    from graphscope_spark.frontends.gremlin import __ as anon
+
+    g = traversal(_order_chain_pg(spark, sf_dir))
+    out = (g.V().hasLabel("orders")
+           .union(anon.out("next"), anon.out("next").out("next"))
+           .groupCount().toDF())
+    return out.select(F.col("key").cast("long").alias("o_key"),
+                      F.col("count").alias("n_sources"))
+
+
 # ---------------------------------------------------------------------------
 # round-2 queries: new operators + value oracles for former rows-only checks
 # ---------------------------------------------------------------------------
@@ -2433,6 +2586,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_warm": _q_wcc_warm,
         "typed_path_hops": _q_typed_path_hops,
         "sample_frames": _q_sample_frames,
+        "bmp_decode": _q_bmp_decode,
+        "wav_decode": _q_wav_decode,
+        "cypher_local_supplier": _q_cypher_local_supplier,
+        "cypher_agg_pipeline": _q_cypher_agg_pipeline,
+        "cypher_varlen": _q_cypher_varlen,
+        "gremlin_groupcount": _q_gremlin_groupcount,
+        "gremlin_union_expand": _q_gremlin_union_expand,
         # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
@@ -2725,6 +2885,87 @@ def oracle_sql() -> dict[str, str]:
             "sha256(substring(text, fr * ((len + n_frames - 1) // n_frames) + 1, "
             "(len + n_frames - 1) // n_frames)) AS frame_sha256 "
             "FROM m JOIN ks ON ks.fr < m.n_frames"
+        ),
+        # REAL BMP decode: pixel (x,y,c) = (id + 3x + 7y + 11c) % 256 over a
+        # w×h image (w = id%13+4, h = id%7+3); the oracle enumerates every
+        # pixel with range() unnests and recomputes the channel sums the
+        # decoder must extract from the actual container bytes.
+        "bmp_decode": (
+            "WITH m AS (SELECT doc_id AS media_id, doc_id % 13 + 4 AS w, "
+            "doc_id % 7 + 3 AS h FROM documents), "
+            "xs AS (SELECT media_id, w, h, unnest(range(w)) AS x FROM m), "
+            "xy AS (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM xs) "
+            "SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+            "CAST(SUM((media_id + 3*x + 7*y) % 256) AS BIGINT) AS sum_b, "
+            "CAST(SUM((media_id + 3*x + 7*y + 11) % 256) AS BIGINT) AS sum_g, "
+            "CAST(SUM((media_id + 3*x + 7*y + 22) % 256) AS BIGINT) AS sum_r "
+            "FROM xy GROUP BY media_id, w, h"
+        ),
+        # REAL WAV decode: sample i = ((id*31 + 7i) % 65536) - 32768 over
+        # n = (id%50)*7+20 samples at rate 8000 + (id%4)*4000.
+        "wav_decode": (
+            "WITH m AS (SELECT doc_id AS media_id, (doc_id % 50) * 7 + 20 AS n, "
+            "8000 + (doc_id % 4) * 4000 AS rate FROM documents), "
+            "s AS (SELECT media_id, n, rate, unnest(range(n)) AS i FROM m) "
+            "SELECT media_id, CAST(rate AS BIGINT) AS sample_rate, "
+            "CAST(n AS BIGINT) AS n_samples, "
+            "CAST(SUM((media_id*31 + 7*i) % 65536 - 32768) AS BIGINT) AS sum_samples, "
+            "CAST(MAX(ABS((media_id*31 + 7*i) % 65536 - 32768)) AS BIGINT) AS max_abs "
+            "FROM s GROUP BY media_id, n, rate"
+        ),
+        # Cypher frontend: the local-supplier cycle with both predicate
+        # kinds — same relational shape as typed_pattern_where
+        "cypher_local_supplier": (
+            "WITH uses AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s "
+            "FROM lineitem) "
+            "SELECT CAST(c.c_nationkey AS BIGINT) AS n_key, "
+            "COUNT(*) AS matches "
+            "FROM orders ord "
+            "JOIN customer c ON ord.o_custkey = c.c_custkey "
+            "AND c.c_mktsegment = 'BUILDING' "
+            "JOIN uses u ON u.o = ord.o_orderkey "
+            "JOIN supplier sup ON sup.s_suppkey = u.s "
+            "AND sup.s_nationkey = c.c_nationkey "
+            "WHERE ord.o_totalprice >= 150000 "
+            "GROUP BY 1"
+        ),
+        # Cypher WITH pipeline: group + HAVING + second projection stage
+        "cypher_agg_pipeline": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS n_key, "
+            "COUNT(*) AS cnt, "
+            "SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS bal_cents "
+            "FROM customer WHERE c_acctbal > 1000 "
+            "GROUP BY 1 HAVING COUNT(*) >= 2"
+        ),
+        # Cypher var-length path with length(p): on the pure successor
+        # chain each rank-diff-d pair has exactly one walk, of length d
+        "cypher_varlen": (
+            "WITH ranked AS (SELECT o_custkey, o_orderkey, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rk "
+            "FROM orders) "
+            "SELECT CAST(a.o_orderkey AS BIGINT) AS o1_key, "
+            "COUNT(*) AS n_paths, "
+            "CAST(SUM(b.rk - a.rk) AS BIGINT) AS sum_hops "
+            "FROM ranked a JOIN ranked b ON a.o_custkey = b.o_custkey "
+            "AND b.rk - a.rk BETWEEN 1 AND 3 "
+            "GROUP BY 1"
+        ),
+        # Gremlin has(P.gt) + out + groupCount().by(property)
+        "gremlin_groupcount": (
+            "SELECT n_name, COUNT(*) AS n_suppliers "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE s_acctbal > 0 GROUP BY 1"
+        ),
+        # Gremlin union(out, out.out) + groupCount: an order of rank rk
+        # (1-based per customer) is reached by rk>=2 (1 hop) and rk>=3
+        # (2 hops) predecessors
+        "gremlin_union_expand": (
+            "WITH ranked AS (SELECT o_custkey, o_orderkey, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rk "
+            "FROM orders) "
+            "SELECT CAST(o_orderkey AS BIGINT) AS o_key, "
+            "CAST(CASE WHEN rk >= 3 THEN 2 ELSE 1 END AS BIGINT) "
+            "AS n_sources FROM ranked WHERE rk >= 2"
         ),
         "assortativity": (
             f"WITH edges AS MATERIALIZED ({_EDGES_SQL}), "

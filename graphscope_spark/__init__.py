@@ -102,6 +102,7 @@ from graphscope_spark.operators import (
     sssp_path,
     voterank,
 )
+from graphscope_spark.frontends import P, cypher_query, traversal
 from graphscope_spark.property_graph import PropertyGraph
 from graphscope_spark.sources import load_csv_graph
 
@@ -110,6 +111,7 @@ __all__ = [
     "PropertyGraph",
     "build_session",
     "load_csv_graph",
+    "cypher_query", "traversal", "P",
     "pagerank", "ppr", "articlerank", "wcc", "cdlp", "triangles", "triangle_count",
     "bfs", "sssp", "msbfs", "all_pairs_shortest_path_length",
     "closeness_centrality",

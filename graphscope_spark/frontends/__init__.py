@@ -1,0 +1,20 @@
+"""Textual query frontends over :class:`~graphscope_spark.PropertyGraph`.
+
+The reference exposes the same typed-pattern engine through two query
+languages (interactive_engine/compiler — a Calcite planner parsing both
+Cypher and Gremlin into the GIE IR). Here the languages compile onto the
+library's own declarative surface instead:
+
+- :mod:`cypher` — a Cypher subset (single MATCH / WHERE / WITH / RETURN,
+  the clause surface documented in
+  /root/reference/docs/interactive_engine/neo4j/supported_cypher.md)
+  compiling to :func:`property_pattern_match` + DataFrame relational ops.
+- :mod:`gremlin` — a Gremlin-style fluent traversal builder (the step
+  set documented in /root/reference/docs/interactive_engine/tinkerpop/
+  supported_gremlin_steps.md) where every step is a DataFrame transform.
+"""
+
+from graphscope_spark.frontends.cypher import cypher_query
+from graphscope_spark.frontends.gremlin import P, traversal
+
+__all__ = ["cypher_query", "traversal", "P"]

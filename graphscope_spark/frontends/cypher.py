@@ -1,0 +1,1142 @@
+"""A Cypher frontend compiling to the typed pattern engine + DataFrames.
+
+The reference's interactive engine accepts Cypher through a Calcite
+planner (interactive_engine/compiler/src/main/java/...,
+docs/interactive_engine/neo4j/supported_cypher.md) and lowers MATCH to
+the GIE ``Pattern`` IR. Here the same clause surface compiles directly to
+:func:`graphscope_spark.property_pattern_match` plus DataFrame relational
+ops — every clause stays a declarative Catalyst plan (joins, filters,
+aggregates); nothing runs driver-side.
+
+Supported (the reference's documented subset, supported_cypher.md:114):
+
+- ``MATCH`` — one MATCH clause (the reference's own limitation), with
+  comma-separated pattern parts, labeled/anonymous nodes, inline property
+  maps, directed ``->`` / ``<-`` / undirected ``-`` edges, label
+  alternation ``[:A|B]``, unlabeled edges (labels inferred), bounded
+  var-length edges ``[:e*lo..hi]``, and path variables ``p = (...)``
+  (``length(p)`` returns the walk length).
+- ``WHERE`` — boolean expressions; single-variable predicates are pushed
+  into the candidate scans (parquet pushdown), ``EXISTS((a)-[:e]->(b))``
+  / ``NOT EXISTS(...)`` become semi/anti joins (the reference implements
+  WHERE NOT EXIST the same way, supported_cypher.md:131).
+- ``WITH`` / ``RETURN`` — projection, aliases, ``DISTINCT``, aggregates
+  (count/sum/avg/min/max/collect, Cypher implicit grouping), a WHERE
+  after WITH (post-aggregation filter), ``ORDER BY`` / ``SKIP`` /
+  ``LIMIT`` on any stage.
+
+Documented deviations (both inherited from GIE semantics):
+
+- Matching is vertex-ISOMORPHIC by default (a data vertex binds at most
+  one pattern variable — the reference's match semantics,
+  docs/interactive_engine/tinkerpop/tutorial_ldbc_gremlin.md:980), not
+  Neo4j's relationship-isomorphism. Pass ``injective=False`` for
+  homomorphic matching.
+- Var-length edges are pair-distinct per walk length (GIE PathExpand's
+  relational projection), not one row per walk; edge-property access is
+  only supported where it can be pushed to the relation scan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s+|//[^\n]*
+      | (?P<num>\d+\.\d+|\d+)
+      | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<punct><=|>=|<>|!=|=~|\.\.|->|<-|[-+*/%^=<>(),\[\]{}.:|!])
+    """,
+    re.X,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, object]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValueError(f"cypher: bad character {text[pos]!r} at {pos}")
+        pos = m.end()
+        if m.lastgroup == "num":
+            s = m.group("num")
+            out.append(("num", float(s) if "." in s else int(s)))
+        elif m.lastgroup == "str":
+            body = m.group("str")[1:-1]
+            out.append(("str", re.sub(r"\\(.)", r"\1", body)))
+        elif m.lastgroup == "ident":
+            out.append(("ident", m.group("ident")))
+        elif m.lastgroup == "punct":
+            out.append(("punct", m.group("punct")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Prop:
+    var: str
+    key: str
+
+
+@dataclass
+class Fn:
+    name: str
+    args: list
+    distinct: bool = False
+    star: bool = False
+
+
+@dataclass
+class Un:
+    op: str
+    e: object
+
+
+@dataclass
+class Bin:
+    op: str
+    l: object
+    r: object
+
+
+@dataclass
+class IsNull:
+    e: object
+    negated: bool
+
+
+@dataclass
+class ListE:
+    items: list
+
+
+@dataclass
+class Case:
+    whens: list  # [(cond, value)]
+    else_: object
+
+
+@dataclass
+class ExistsPat:
+    part: "PatternPart"
+
+
+@dataclass
+class NodePat:
+    var: str
+    label: str | None
+    props: dict
+    anonymous: bool = False
+
+
+@dataclass
+class EdgePat:
+    var: str | None
+    labels: tuple | None        # None = any label
+    direction: str              # 'out' | 'in' | 'both' (before normalizing)
+    hops: tuple | None          # (lo, hi) for var-length
+    props: dict
+
+
+@dataclass
+class PatternPart:
+    path_var: str | None
+    nodes: list                 # [NodePat]
+    edges: list                 # [EdgePat] between consecutive nodes
+
+
+@dataclass
+class Stage:
+    kind: str                   # 'with' | 'return'
+    distinct: bool
+    items: list                 # [(expr, alias)]
+    where: object | None
+    order: list                 # [(expr, asc)]
+    skip: int | None
+    limit: int | None
+
+
+@dataclass
+class Query:
+    parts: list = field(default_factory=list)
+    where: object | None = None
+    stages: list = field(default_factory=list)
+
+
+_AGG_FNS = {"count", "sum", "avg", "min", "max", "collect", "stdev", "stddev"}
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.pos = 0
+        self._anon = 0
+
+    # -- token helpers
+    def _peek(self, k=0):
+        i = self.pos + k
+        return self.toks[i] if i < len(self.toks) else ("eof", None)
+
+    def _next(self):
+        t = self._peek()
+        self.pos += 1
+        return t
+
+    def _kw(self, *words) -> bool:
+        """Consume the given keyword sequence if present (case-insensitive)."""
+        for k, w in enumerate(words):
+            t, v = self._peek(k)
+            if t != "ident" or v.upper() != w:
+                return False
+        self.pos += len(words)
+        return True
+
+    def _is_kw(self, word) -> bool:
+        t, v = self._peek()
+        return t == "ident" and v.upper() == word
+
+    def _punct(self, p) -> bool:
+        if self._peek() == ("punct", p):
+            self.pos += 1
+            return True
+        return False
+
+    def _expect(self, p):
+        if not self._punct(p):
+            raise ValueError(f"cypher: expected {p!r} at token {self._peek()}")
+
+    def _ident(self) -> str:
+        t, v = self._next()
+        if t != "ident":
+            raise ValueError(f"cypher: expected identifier, got {(t, v)}")
+        return v
+
+    # -- query
+    def parse(self) -> Query:
+        q = Query()
+        if not self._kw("MATCH"):
+            raise ValueError("cypher: query must start with MATCH")
+        q.parts.append(self._pattern_part())
+        while self._punct(","):
+            q.parts.append(self._pattern_part())
+        if self._kw("WHERE"):
+            q.where = self._expr()
+        while True:
+            if self._kw("WITH"):
+                q.stages.append(self._stage("with"))
+            elif self._kw("RETURN"):
+                q.stages.append(self._stage("return"))
+                break
+            else:
+                raise ValueError(
+                    f"cypher: expected WITH or RETURN at {self._peek()}")
+        if self._peek()[0] != "eof":
+            raise ValueError(f"cypher: trailing tokens at {self._peek()}")
+        return q
+
+    def _stage(self, kind) -> Stage:
+        distinct = self._kw("DISTINCT")
+        items = [self._item()]
+        while self._punct(","):
+            items.append(self._item())
+        where = self._expr() if kind == "with" and self._kw("WHERE") else None
+        order = []
+        if self._kw("ORDER", "BY"):
+            while True:
+                e = self._expr()
+                asc = True
+                if self._kw("DESC") or self._kw("DESCENDING"):
+                    asc = False
+                elif self._kw("ASC") or self._kw("ASCENDING"):
+                    asc = True
+                order.append((e, asc))
+                if not self._punct(","):
+                    break
+        skip = limit = None
+        if self._kw("SKIP"):
+            skip = int(self._next()[1])
+        if self._kw("LIMIT"):
+            limit = int(self._next()[1])
+        return Stage(kind, distinct, items, where, order, skip, limit)
+
+    def _item(self):
+        e = self._expr()
+        if self._kw("AS"):
+            return (e, self._ident())
+        if isinstance(e, Var):
+            return (e, e.name)
+        if isinstance(e, Prop):
+            return (e, f"{e.var}_{e.key}")
+        raise ValueError("cypher: non-trivial RETURN/WITH item needs AS alias")
+
+    # -- patterns
+    def _pattern_part(self) -> PatternPart:
+        path_var = None
+        if (self._peek()[0] == "ident" and self._peek(1) == ("punct", "=")
+                and self._peek(2) == ("punct", "(")):
+            path_var = self._ident()
+            self._expect("=")
+        nodes = [self._node()]
+        edges = []
+        while True:
+            t, v = self._peek()
+            if (t, v) not in (("punct", "-"), ("punct", "<-")):
+                break
+            edges.append(self._edge())
+            nodes.append(self._node())
+        return PatternPart(path_var, nodes, edges)
+
+    def _node(self) -> NodePat:
+        self._expect("(")
+        var, label, props, anon = None, None, {}, False
+        if self._peek()[0] == "ident":
+            var = self._ident()
+        if self._punct(":"):
+            label = self._ident()
+        if self._peek() == ("punct", "{"):
+            props = self._prop_map()
+        self._expect(")")
+        if var is None:
+            self._anon += 1
+            var, anon = f"_a{self._anon}", True
+        return NodePat(var, label, props, anon)
+
+    def _edge(self) -> EdgePat:
+        left_in = self._punct("<-")
+        if not left_in:
+            self._expect("-")
+        var, labels, hops, props = None, None, None, {}
+        if self._punct("["):
+            if self._peek()[0] == "ident" and self._peek(1) != ("punct", "("):
+                var = self._ident()
+            if self._punct(":"):
+                lbs = [self._ident()]
+                while self._punct("|"):
+                    self._punct(":")  # tolerate [:A|:B]
+                    lbs.append(self._ident())
+                labels = tuple(lbs)
+            if self._punct("*"):
+                lo = hi = None
+                if self._peek()[0] == "num":
+                    lo = int(self._next()[1])
+                if self._punct(".."):
+                    if self._peek()[0] == "num":
+                        hi = int(self._next()[1])
+                elif lo is not None:
+                    hi = lo
+                if hi is None:
+                    raise ValueError(
+                        "cypher: var-length edge needs a bounded upper hop "
+                        "(use [*lo..hi]) — unbounded expansion does not "
+                        "terminate on cyclic graphs")
+                hops = (lo if lo is not None else 1, hi)
+            if self._peek() == ("punct", "{"):
+                props = self._prop_map()
+            self._expect("]")
+        if left_in:
+            self._expect("-")
+            direction = "in"
+        elif self._punct("->"):
+            direction = "out"
+        else:
+            self._expect("-")
+            direction = "both"
+        return EdgePat(var, labels, direction, hops, props)
+
+    def _prop_map(self) -> dict:
+        self._expect("{")
+        out = {}
+        while True:
+            k = self._ident()
+            self._expect(":")
+            t, v = self._next()
+            if t not in ("num", "str") and (t, str(v).lower()) not in (
+                    ("ident", "true"), ("ident", "false")):
+                raise ValueError(f"cypher: property map literal, got {(t, v)}")
+            out[k] = {"true": True, "false": False}.get(str(v).lower(), v) \
+                if t == "ident" else v
+            if not self._punct(","):
+                break
+        self._expect("}")
+        return out
+
+    # -- expressions (precedence climbing)
+    def _expr(self):
+        return self._or()
+
+    def _or(self):
+        e = self._and()
+        while self._kw("OR"):
+            e = Bin("OR", e, self._and())
+        return e
+
+    def _and(self):
+        e = self._not()
+        while self._kw("AND"):
+            e = Bin("AND", e, self._not())
+        return e
+
+    def _not(self):
+        if self._kw("NOT"):
+            return Un("NOT", self._not())
+        return self._cmp()
+
+    def _cmp(self):
+        e = self._add()
+        while True:
+            t, v = self._peek()
+            if t == "punct" and v in ("=", "<>", "!=", "<", "<=", ">", ">=",
+                                      "=~"):
+                self._next()
+                e = Bin("<>" if v == "!=" else v, e, self._add())
+            elif self._kw("IN"):
+                e = Bin("IN", e, self._add())
+            elif self._kw("STARTS", "WITH"):
+                e = Bin("STARTSWITH", e, self._add())
+            elif self._kw("ENDS", "WITH"):
+                e = Bin("ENDSWITH", e, self._add())
+            elif self._kw("CONTAINS"):
+                e = Bin("CONTAINS", e, self._add())
+            elif self._kw("IS", "NOT", "NULL"):
+                e = IsNull(e, True)
+            elif self._kw("IS", "NULL"):
+                e = IsNull(e, False)
+            else:
+                return e
+
+    def _add(self):
+        e = self._mul()
+        while True:
+            t, v = self._peek()
+            if t == "punct" and v in ("+", "-"):
+                self._next()
+                e = Bin(v, e, self._mul())
+            else:
+                return e
+
+    def _mul(self):
+        e = self._unary()
+        while True:
+            t, v = self._peek()
+            if t == "punct" and v in ("*", "/", "%", "^"):
+                self._next()
+                e = Bin(v, e, self._unary())
+            else:
+                return e
+
+    def _unary(self):
+        if self._punct("-"):
+            return Un("-", self._unary())
+        return self._primary()
+
+    def _primary(self):
+        t, v = self._peek()
+        if t == "num" or t == "str":
+            self._next()
+            return Lit(v)
+        if t == "punct" and v == "(":
+            self._next()
+            e = self._expr()
+            self._expect(")")
+            return e
+        if t == "punct" and v == "[":
+            self._next()
+            items = []
+            if self._peek() != ("punct", "]"):
+                items.append(self._expr())
+                while self._punct(","):
+                    items.append(self._expr())
+            self._expect("]")
+            return ListE(items)
+        if t != "ident":
+            raise ValueError(f"cypher: unexpected token {(t, v)}")
+        up = v.upper()
+        if up in ("TRUE", "FALSE"):
+            self._next()
+            return Lit(up == "TRUE")
+        if up == "NULL":
+            self._next()
+            return Lit(None)
+        if up == "CASE":
+            return self._case()
+        if up == "EXISTS" and self._peek(1) == ("punct", "(") \
+                and self._peek(2) == ("punct", "("):
+            self._next()
+            self._expect("(")
+            part = self._pattern_part()
+            self._expect(")")
+            return ExistsPat(part)
+        if self._peek(1) == ("punct", "("):
+            name = self._ident()
+            self._expect("(")
+            if self._punct("*"):
+                self._expect(")")
+                return Fn(name.lower(), [], star=True)
+            distinct = self._kw("DISTINCT")
+            args = []
+            if self._peek() != ("punct", ")"):
+                args.append(self._expr())
+                while self._punct(","):
+                    args.append(self._expr())
+            self._expect(")")
+            return Fn(name.lower(), args, distinct=distinct)
+        name = self._ident()
+        if self._punct("."):
+            return Prop(name, self._ident())
+        return Var(name)
+
+    def _case(self):
+        self._kw("CASE")
+        whens = []
+        while self._kw("WHEN"):
+            c = self._expr()
+            if not self._kw("THEN"):
+                raise ValueError("cypher: CASE WHEN without THEN")
+            whens.append((c, self._expr()))
+        else_ = self._expr() if self._kw("ELSE") else Lit(None)
+        if not self._kw("END"):
+            raise ValueError("cypher: CASE without END")
+        return Case(whens, else_)
+
+
+# ---------------------------------------------------------------------------
+# expression analysis + SQL rendering
+# ---------------------------------------------------------------------------
+
+def _walk(e):
+    yield e
+    for child in {
+        Bin: lambda x: (x.l, x.r), Un: lambda x: (x.e,),
+        IsNull: lambda x: (x.e,), Fn: lambda x: tuple(x.args),
+        ListE: lambda x: tuple(x.items),
+        Case: lambda x: tuple(c for w in x.whens for c in w) + (x.else_,),
+    }.get(type(e), lambda x: ())(e):
+        yield from _walk(child)
+
+
+def _refs(e):
+    """(bare-var names, property-ref (var, key) pairs) in the expression."""
+    vs, ps = set(), set()
+    for n in _walk(e):
+        if isinstance(n, Var):
+            vs.add(n.name)
+        elif isinstance(n, Prop):
+            ps.add((n.var, n.key))
+    return vs, ps
+
+
+def _has_agg(e) -> bool:
+    return any(isinstance(n, Fn) and n.name in _AGG_FNS for n in _walk(e))
+
+
+def _conjuncts(e):
+    if isinstance(e, Bin) and e.op == "AND":
+        yield from _conjuncts(e.l)
+        yield from _conjuncts(e.r)
+    else:
+        yield e
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_CAST_FNS = {"tointeger": "BIGINT", "tofloat": "DOUBLE",
+             "tostring": "STRING", "toboolean": "BOOLEAN"}
+_RENAME_FNS = {"tolower": "lower", "toupper": "upper", "size": "length",
+               "collect": "collect_list", "stdev": "stddev", "pow": "power"}
+_PASS_FNS = {"abs", "round", "floor", "ceil", "sqrt", "sign", "coalesce",
+             "lower", "upper", "trim", "ltrim", "rtrim", "replace", "split",
+             "reverse", "concat", "power", "exp", "log10", "length",
+             "count", "sum", "avg", "min", "max", "stddev", "collect_list",
+             "greatest", "least", "left", "right"}
+
+
+class _Ctx:
+    """Column resolution for one rendering context."""
+
+    def __init__(self, var, prop, fn_special=None):
+        self.var = var            # var name -> SQL
+        self.prop = prop          # (var, key) -> SQL
+        self.fn_special = fn_special or {}
+
+    def render(self, e) -> str:
+        r = self.render
+        if isinstance(e, Lit):
+            if e.value is None:
+                return "NULL"
+            if isinstance(e.value, bool):
+                return "TRUE" if e.value else "FALSE"
+            if isinstance(e.value, str):
+                return _sql_str(e.value)
+            return repr(e.value)
+        if isinstance(e, Var):
+            return self.var(e.name)
+        if isinstance(e, Prop):
+            return self.prop(e.var, e.key)
+        if isinstance(e, Un):
+            return (f"(NOT {r(e.e)})" if e.op == "NOT" else f"(- {r(e.e)})")
+        if isinstance(e, IsNull):
+            return f"({r(e.e)} IS {'NOT ' if e.negated else ''}NULL)"
+        if isinstance(e, Bin):
+            if e.op == "IN":
+                if isinstance(e.r, ListE):
+                    return (f"({r(e.l)} IN "
+                            f"({', '.join(r(i) for i in e.r.items)}))")
+                return f"array_contains({r(e.r)}, {r(e.l)})"
+            if e.op == "STARTSWITH":
+                return f"startswith({r(e.l)}, {r(e.r)})"
+            if e.op == "ENDSWITH":
+                return f"endswith({r(e.l)}, {r(e.r)})"
+            if e.op == "CONTAINS":
+                return f"contains({r(e.l)}, {r(e.r)})"
+            if e.op == "=~":
+                return f"({r(e.l)} RLIKE {r(e.r)})"
+            if e.op == "^":
+                return f"power({r(e.l)}, {r(e.r)})"
+            return f"({r(e.l)} {e.op} {r(e.r)})"
+        if isinstance(e, ListE):
+            return f"array({', '.join(r(i) for i in e.items)})"
+        if isinstance(e, Case):
+            parts = " ".join(f"WHEN {r(c)} THEN {r(v)}" for c, v in e.whens)
+            return f"(CASE {parts} ELSE {r(e.else_)} END)"
+        if isinstance(e, Fn):
+            return self._fn(e)
+        if isinstance(e, ExistsPat):
+            raise ValueError(
+                "cypher: EXISTS(pattern) is only supported as a top-level "
+                "WHERE conjunct (optionally under NOT)")
+        raise ValueError(f"cypher: cannot render {e!r}")
+
+    def _fn(self, e: Fn) -> str:
+        name = e.name
+        if name in self.fn_special:
+            return self.fn_special[name](e, self)
+        if e.star:
+            if name != "count":
+                raise ValueError(f"cypher: {name}(*) is not a function")
+            return "count(*)"
+        args = ", ".join(self.render(a) for a in e.args)
+        if name in ("id", "elementid"):
+            if len(e.args) == 1 and isinstance(e.args[0], Var):
+                return self.var(e.args[0].name)
+            raise ValueError("cypher: id() takes a single variable")
+        if name in _CAST_FNS:
+            return f"CAST({args} AS {_CAST_FNS[name]})"
+        if name == "substring":  # Cypher is 0-based, Spark 1-based
+            a = [self.render(x) for x in e.args]
+            rest = f", {a[2]}" if len(a) > 2 else ""
+            return f"substring({a[0]}, ({a[1]}) + 1{rest})"
+        name = _RENAME_FNS.get(name, name)
+        if name not in _PASS_FNS:
+            raise ValueError(f"cypher: unsupported function {e.name}()")
+        if e.distinct:
+            return f"{name}(DISTINCT {args})"
+        return f"{name}({args})"
+
+
+def _q(col: str) -> str:
+    return "`" + col.replace("`", "``") + "`"
+
+# ---------------------------------------------------------------------------
+# compiler
+# ---------------------------------------------------------------------------
+
+def _lit_sql(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return _sql_str(v)
+    return repr(v)
+
+
+def _merge_nodes(parts):
+    """var -> NodePat merged across pattern parts (labels must agree)."""
+    nodes = {}
+    for part in parts:
+        for n in part.nodes:
+            cur = nodes.get(n.var)
+            if cur is None:
+                nodes[n.var] = NodePat(n.var, n.label, dict(n.props),
+                                       n.anonymous)
+            else:
+                if n.label and cur.label and n.label != cur.label:
+                    raise ValueError(
+                        f"cypher: variable {n.var!r} declared with two "
+                        f"labels: {cur.label!r} and {n.label!r}")
+                cur.label = cur.label or n.label
+                cur.props.update(n.props)
+    return nodes
+
+
+def _norm_edges(part):
+    """[(u, v, EdgePat, either)] with <- normalized to storage orientation."""
+    out = []
+    for i, e in enumerate(part.edges):
+        u, v = part.nodes[i].var, part.nodes[i + 1].var
+        if e.direction == "in":
+            u, v = v, u
+        out.append((u, v, e, e.direction == "both"))
+    return out
+
+
+def _resolve_labels(pg, nodes, all_edges):
+    """Fixpoint label inference for unannotated nodes from the edge
+    relations (the reference's planner does the same over its schema —
+    GraphRelOptimizer type inference)."""
+    vlabels = set(pg._vertices)
+    domain = {v: ({n.label} if n.label else set(vlabels))
+              for v, n in nodes.items()}
+    for v, n in nodes.items():
+        if n.label and n.label not in vlabels:
+            raise ValueError(f"cypher: unknown vertex label {n.label!r}")
+    for _, _, e, _ in all_edges:
+        for el in e.labels or ():
+            if el not in pg._edges:
+                raise ValueError(f"cypher: unknown edge label {el!r}")
+    changed = True
+    while changed:
+        changed = False
+        for u, v, e, either in all_edges:
+            labels = e.labels or tuple(pg._edges)
+            pairs = {(s, d) for el in labels for s, d, _ in pg._edges[el]}
+            if either or not pg.directed:
+                pairs |= {(d, s) for s, d in pairs}
+            nu = {s for s, d in pairs if s in domain[u] and d in domain[v]}
+            nv = {d for s, d in pairs if s in domain[u] and d in domain[v]}
+            if nu != domain[u]:
+                domain[u] = nu
+                changed = True
+            if nv != domain[v]:
+                domain[v] = nv
+                changed = True
+    resolved = {}
+    for v, dom in domain.items():
+        if len(dom) != 1:
+            raise ValueError(
+                f"cypher: cannot infer a unique label for {v!r} "
+                f"(candidates: {sorted(dom)}) — annotate it, e.g. "
+                f"({v}:label)")
+        resolved[v] = next(iter(dom))
+    return resolved
+
+
+def _edge_labels_for(pg, e: EdgePat, ul: str, vl: str, either: bool):
+    """The edge labels (tuple) valid between the resolved endpoint labels."""
+    cands = e.labels or tuple(sorted(pg._edges))
+    ok = []
+    for el in cands:
+        for s, d, _ in pg._edges[el]:
+            if (s, d) == (ul, vl) or (
+                    (either or not pg.directed) and (d, s) == (ul, vl)):
+                ok.append(el)
+                break
+    if not ok:
+        raise ValueError(
+            f"cypher: no edge label relates {ul!r} to {vl!r} "
+            f"(candidates {cands})")
+    if e.labels is None and len(ok) > 1:
+        pass  # unlabeled edge: union across all valid labels
+    return tuple(ok) if len(ok) > 1 else ok[0]
+
+
+class _Frame:
+    """A match-output DataFrame plus lazy vertex-property attachment."""
+
+    def __init__(self, df: DataFrame, pg, var_labels: dict):
+        self.df = df
+        self.pg = pg
+        self.var_labels = dict(var_labels)   # graph var -> vertex label
+        self._attached: dict = {}
+
+    def prop_col(self, var: str, key: str) -> str:
+        if (var, key) in self._attached:
+            return self._attached[(var, key)]
+        if var not in self.var_labels:
+            raise ValueError(
+                f"cypher: {var}.{key} — {var!r} is not a graph variable "
+                "in scope")
+        label = self.var_labels[var]
+        vdf = self.pg._vertices[label]
+        if key not in vdf.columns:
+            raise ValueError(
+                f"cypher: vertex label {label!r} has no property {key!r}")
+        col = f"__{var}__{key}"
+        jk = f"__jk{len(self._attached)}"
+        side = vdf.select(F.col("id").alias(jk), F.col(key).alias(col))
+        self.df = (self.df
+                   .join(side, F.col(_q(var)) == F.col(jk), "left")
+                   .drop(jk))
+        self._attached[(var, key)] = col
+        return col
+
+    def attach_all(self, exprs):
+        for e in exprs:
+            for n in _walk(e):
+                if isinstance(n, Prop):
+                    self.prop_col(n.var, n.key)
+
+
+def _compile_pattern(pg, edges, labels, where, edge_where, path_hops,
+                     path_out, either_idx, injective) -> DataFrame:
+    """Compile one CONNECTED component through property_pattern_match,
+    or a bare vertex scan for an isolated node."""
+    from graphscope_spark.operators.pattern import property_pattern_match
+
+    return property_pattern_match(
+        pg, [(u, el, v) for u, el, v in edges],
+        labels={v: labels[v] for v in
+                {x for u, _, v in edges for x in (u, v)}},
+        where={k: v for k, v in where.items()
+               if k in {x for u, _, v in edges for x in (u, v)}},
+        edge_where=edge_where, path_hops=path_hops, path_out=path_out,
+        either=either_idx, injective=injective)
+
+
+def _components(nodes, edges):
+    """Connected components over pattern variables; returns a list of
+    (vars, edge_indices). Isolated nodes come back as (vars={v}, [])."""
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v, _, _ in edges:
+        parent[find(u)] = find(v)
+    comps: dict = {}
+    for v in nodes:
+        comps.setdefault(find(v), [set(), []])[0].add(v)
+    for i, (u, v, _, _) in enumerate(edges):
+        comps[find(u)][1].append(i)
+    return list(comps.values())
+
+
+def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
+    """Run a Cypher query (the subset documented in the module docstring)
+    against a :class:`~graphscope_spark.PropertyGraph` and return the
+    result as a DataFrame with one column per RETURN item."""
+    q = _Parser(text).parse()
+    exists_conjuncts: list = []       # (negated, PatternPart)
+    plain_conjuncts: list = []
+    if q.where is not None:
+        for c in _conjuncts(q.where):
+            if isinstance(c, ExistsPat):
+                exists_conjuncts.append((False, c.part))
+            elif isinstance(c, Un) and c.op == "NOT" \
+                    and isinstance(c.e, ExistsPat):
+                exists_conjuncts.append((True, c.e.part))
+            else:
+                plain_conjuncts.append(c)
+
+    nodes = _merge_nodes(q.parts + [p for _, p in exists_conjuncts])
+    main_edges = [e for part in q.parts for e in _norm_edges(part)]
+    exists_edges = {id(part): _norm_edges(part)
+                    for _, part in exists_conjuncts}
+    all_edges = main_edges + [e for es in exists_edges.values() for e in es]
+    labels = _resolve_labels(pg, nodes, all_edges)
+
+    # ---- classify WHERE conjuncts -------------------------------------
+    main_vars = {n.var for part in q.parts for n in part.nodes}
+    edge_vars = {}                    # edge var -> main edge index
+    for i, (u, v, e, _) in enumerate(main_edges):
+        if e.var:
+            if e.var in edge_vars or e.var in nodes:
+                raise ValueError(f"cypher: duplicate variable {e.var!r}")
+            edge_vars[e.var] = i
+    node_where: dict = {v: [] for v in nodes}
+    for v, n in nodes.items():
+        for k, val in n.props.items():
+            node_where[v].append(f"{_q(k)} = {_lit_sql(val)}")
+    edge_where_sql: dict = {}
+    for i, (u, v, e, _) in enumerate(main_edges):
+        for k, val in e.props.items():
+            edge_where_sql.setdefault(i, []).append(
+                f"{_q(k)} = {_lit_sql(val)}")
+    post_conjuncts = []
+    push_ctx = _Ctx(var=lambda v: (_ for _ in ()).throw(ValueError(
+                        "cypher: bare variable in pushable predicate")),
+                    prop=lambda v, k: _q(k))
+    for c in plain_conjuncts:
+        vs, ps = _refs(c)
+        pvars = {v for v, _ in ps}
+        only = (vs | pvars)
+        if not vs and len(pvars) == 1:
+            x = next(iter(pvars))
+            if x in edge_vars:
+                i = edge_vars[x]
+                edge_where_sql.setdefault(i, []).append(push_ctx.render(c))
+                continue
+            if x in main_vars:
+                node_where[x].append(push_ctx.render(c))
+                continue
+        if not only:
+            raise ValueError("cypher: WHERE conjunct references no variable")
+        post_conjuncts.append(c)
+
+    where = {v: " AND ".join(cs) for v, cs in node_where.items() if cs}
+    edge_where = {i: " AND ".join(cs) for i, cs in edge_where_sql.items()}
+
+    # ---- compile the MATCH --------------------------------------------
+    path_out_col: dict = {}           # path var -> hops column
+    path_const: dict = {}             # path var -> constant length
+    # which path vars are referenced through length()?
+    length_refs = {a.name
+                   for st in q.stages
+                   for e in ([i for i, _ in st.items]
+                             + [o for o, _ in st.order]
+                             + ([st.where] if st.where else []))
+                   if e is not None
+                   for n in _walk(e)
+                   if isinstance(n, Fn) and n.name == "length"
+                   and len(n.args) == 1 and isinstance(n.args[0], Var)
+                   for a in [n.args[0]]}
+    hops_by_edge: dict = {}
+    pout_by_edge: dict = {}
+    for part in q.parts:
+        offset = 0
+        for p2 in q.parts:
+            if p2 is part:
+                break
+            offset += len(p2.edges)
+        var_len = [offset + j for j, e in enumerate(part.edges) if e.hops]
+        for j, e in enumerate(part.edges):
+            if e.hops:
+                hops_by_edge[offset + j] = e.hops
+        if part.path_var:
+            if part.path_var in length_refs:
+                if len(var_len) == 1:
+                    col = f"__len_{part.path_var}"
+                    pout_by_edge[var_len[0]] = col
+                    path_out_col[part.path_var] = col
+                elif not var_len:
+                    path_const[part.path_var] = len(part.edges)
+                else:
+                    raise ValueError(
+                        "cypher: length() on a path with multiple "
+                        "var-length edges is not supported")
+    either_idx = {i for i, (_, _, _, both) in enumerate(main_edges) if both}
+    resolved_edges = []
+    for i, (u, v, e, both) in enumerate(main_edges):
+        el = _edge_labels_for(pg, e, labels[u], labels[v], both)
+        resolved_edges.append((u, el, v))
+
+    comps = _components({v: nodes[v] for v in main_vars},
+                        main_edges)
+    df = None
+    for vars_, eidx in comps:
+        if not eidx:                  # isolated node: plain vertex scan
+            v = next(iter(vars_))
+            vdf = pg._vertices[labels[v]]
+            if v in where:
+                vdf = vdf.filter(F.expr(where[v]))
+            part_df = vdf.select(F.col("id").alias(v))
+        else:
+            sub_edges = [resolved_edges[i] for i in eidx]
+            remap = {gi: li for li, gi in enumerate(eidx)}
+            part_df = _compile_pattern(
+                pg, sub_edges, labels, where,
+                {remap[i]: p for i, p in edge_where.items() if i in remap},
+                {remap[i]: h for i, h in hops_by_edge.items() if i in remap},
+                {remap[i]: c for i, c in pout_by_edge.items() if i in remap},
+                {remap[i] for i in either_idx if i in remap},
+                injective)
+        df = part_df if df is None else df.crossJoin(part_df)
+    # cross-component injectivity (within-component pairs are handled by
+    # property_pattern_match itself)
+    if injective and len(comps) > 1:
+        for ci in range(len(comps)):
+            for cj in range(ci + 1, len(comps)):
+                for a in sorted(comps[ci][0]):
+                    for b in sorted(comps[cj][0]):
+                        if labels[a] == labels[b]:
+                            df = df.filter(F.col(_q(a)) != F.col(_q(b)))
+
+    frame = _Frame(df, pg, {v: labels[v] for v in main_vars})
+
+    # ---- EXISTS / NOT EXISTS => semi / anti joins ----------------------
+    for negated, part in exists_conjuncts:
+        es = exists_edges[id(part)]
+        evars = {n.var for n in part.nodes}
+        shared = sorted(evars & main_vars)
+        if not shared:
+            raise ValueError(
+                "cypher: EXISTS pattern must share at least one variable "
+                "with the MATCH pattern")
+        ew: dict = {}
+        nw: dict = {}
+        for n in part.nodes:
+            cs = [f"{_q(k)} = {_lit_sql(v)}" for k, v in n.props.items()]
+            if cs:
+                nw[n.var] = " AND ".join(cs)
+        for i, (u, v, e, _) in enumerate(es):
+            cs = [f"{_q(k)} = {_lit_sql(v)}" for k, v in e.props.items()]
+            if cs:
+                ew[i] = " AND ".join(cs)
+        if not es:
+            raise ValueError("cypher: EXISTS pattern needs at least one edge")
+        sub = _compile_pattern(
+            pg,
+            [(u, _edge_labels_for(pg, e, labels[u], labels[v], both), v)
+             for u, v, e, both in es],
+            labels, nw, ew,
+            {j: e.hops for j, (_, _, e, _) in enumerate(es) if e.hops},
+            {},
+            {j for j, (_, _, _, both) in enumerate(es) if both},
+            injective=False)
+        frame.df = frame.df.join(sub.select(*shared).distinct(), shared,
+                                 "left_anti" if negated else "left_semi")
+
+    # ---- post-pattern WHERE filters ------------------------------------
+    if post_conjuncts:
+        frame.attach_all(post_conjuncts)
+        ctx = _match_ctx(frame, path_out_col, path_const, labels,
+                         edge_vars, main_edges)
+        for c in post_conjuncts:
+            frame.df = frame.df.filter(F.expr(ctx.render(c)))
+
+    # ---- WITH / RETURN stages ------------------------------------------
+    cur = frame
+    for si, st in enumerate(q.stages):
+        if si == 0:
+            ctx = _match_ctx(cur, path_out_col, path_const, labels,
+                             edge_vars, main_edges)
+        else:
+            ctx = _alias_ctx(cur, set(cur.df.columns))
+        cur.attach_all(e for e, _ in st.items)
+        out_df, carried = _apply_stage(cur.df, st, ctx)
+        aliases = [a for _, a in st.items]
+        # bare graph vars carried through a WITH keep property access
+        graph_vars = cur.var_labels
+        cur = _Frame(out_df, pg,
+                     {alias: graph_vars[v] for alias, v in carried.items()
+                      if v in graph_vars})
+
+        # stage-level WHERE (post-aggregation filter) + ORDER over the
+        # projected aliases (attached props are pruned right after)
+        acols = set(aliases)
+        if st.where is not None:
+            cur.attach_all([st.where])
+            cur.df = cur.df.filter(
+                F.expr(_alias_ctx(cur, acols).render(st.where)))
+        if st.order:
+            cur.attach_all(e for e, _ in st.order)
+            actx = _alias_ctx(cur, acols)
+            cur.df = cur.df.orderBy(*[
+                F.expr(actx.render(e)).asc() if asc
+                else F.expr(actx.render(e)).desc()
+                for e, asc in st.order])
+        if cur._attached:
+            cur.df = cur.df.select(*aliases)
+            cur._attached.clear()
+        if st.skip:
+            cur.df = cur.df.offset(st.skip)
+        if st.limit is not None:
+            cur.df = cur.df.limit(st.limit)
+    return cur.df
+
+
+def _match_ctx(frame: _Frame, path_out_col, path_const, labels,
+               edge_vars, main_edges) -> _Ctx:
+    def rv(name):
+        if name in frame.var_labels:
+            return _q(name)
+        if name in path_out_col or name in path_const:
+            raise ValueError(
+                f"cypher: path variable {name!r} can only be used inside "
+                "length()")
+        raise ValueError(f"cypher: unknown variable {name!r}")
+
+    def rp(var, key):
+        return _q(frame.prop_col(var, key))
+
+    def fn_length(e, ctx):
+        if len(e.args) == 1 and isinstance(e.args[0], Var):
+            n = e.args[0].name
+            if n in path_out_col:
+                return _q(path_out_col[n])
+            if n in path_const:
+                return repr(path_const[n])
+        return f"length({', '.join(ctx.render(a) for a in e.args)})"
+
+    def fn_labels(e, ctx):
+        if len(e.args) == 1 and isinstance(e.args[0], Var) \
+                and e.args[0].name in labels:
+            return _sql_str(labels[e.args[0].name])
+        raise ValueError("cypher: labels() takes a single node variable")
+
+    def fn_type(e, ctx):
+        if len(e.args) == 1 and isinstance(e.args[0], Var) \
+                and e.args[0].name in edge_vars:
+            el = main_edges[edge_vars[e.args[0].name]][2].labels
+            if el and len(el) == 1:
+                return _sql_str(el[0])
+        raise ValueError(
+            "cypher: type() takes a single-label edge variable")
+
+    return _Ctx(rv, rp, {"length": fn_length, "labels": fn_labels,
+                         "type": fn_type})
+
+
+def _alias_ctx(frame: _Frame, cols: set) -> _Ctx:
+    def rv(name):
+        if name in cols:
+            return _q(name)
+        raise ValueError(f"cypher: unknown column {name!r}")
+
+    def rp(var, key):
+        return _q(frame.prop_col(var, key))
+
+    return _Ctx(rv, rp)
+
+
+def _apply_stage(df: DataFrame, st: Stage, ctx: _Ctx):
+    """Project/aggregate one WITH/RETURN stage; returns (df, carried)
+    where carried maps each output alias that was a bare variable to
+    that variable's name (so graph vars stay property-accessible)."""
+    carried = {a: e.name for e, a in st.items if isinstance(e, Var)}
+    aggs = [(e, a) for e, a in st.items if _has_agg(e)]
+    if aggs:
+        keys = [(e, a) for e, a in st.items if not _has_agg(e)]
+        gcols = [F.expr(ctx.render(e)).alias(a) for e, a in keys]
+        acols = [F.expr(ctx.render(e)).alias(a) for e, a in aggs]
+        out = (df.groupBy(*gcols).agg(*acols) if gcols
+               else df.agg(*acols))
+        # restore the item order as written
+        out = out.select(*[a for _, a in st.items])
+    else:
+        out = df.select(*[F.expr(ctx.render(e)).alias(a)
+                          for e, a in st.items])
+        if st.distinct:
+            out = out.distinct()
+    if aggs and st.distinct:
+        out = out.distinct()
+    return out, carried

@@ -1,0 +1,549 @@
+"""A Gremlin-style fluent traversal frontend over PropertyGraph.
+
+The reference's interactive engine exposes Gremlin (the step surface in
+/root/reference/docs/interactive_engine/tinkerpop/supported_gremlin_steps.md)
+compiled by a Calcite planner into the GIE IR. Here each step is a
+DataFrame transform — the traversal state is a DataFrame carrying the
+current element (``_elem`` vertex id + ``_label``) plus one column pair
+per ``as_()`` tag, so the whole chain stays one declarative Catalyst
+plan: expansion steps are joins against the typed relation tables,
+``has`` filters are joins against the label's vertex table (where
+Catalyst pushes the predicate to the parquet scan), and aggregations are
+plain groupBy/agg.
+
+Supported steps (python-keyword clashes renamed: ``in_``, ``is_``,
+``not_``, ``id_``): V, hasLabel, has/hasNot, out/in_/both, values,
+valueMap, elementMap, id_, label, constant, as_/select, where (tag
+predicate or anonymous-traversal existence), not_, dedup, order+by,
+groupCount+by, group? (via groupCount), count, sum, min_, max_, mean,
+is_, limit, union, repeat().times(). Edge-element steps (outE/inE/E)
+are not exposed — the relational core carries no edge identity;
+``subgraph``/``path`` are served by the library's induce_subgraph and
+typed path binders instead.
+
+Semantics note: like the reference (and unlike TinkerPop's bulked
+traversers) a traverser here is a ROW — multiplicities follow relational
+semantics, which matches GIE's own columnar execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class P:
+    """Gremlin predicate (P.gt(10), P.within([...]), TextP-ish string
+    forms). ``to_cond(col)`` renders it against a Column."""
+
+    def __init__(self, kind, *args):
+        self.kind = kind
+        self.args = args
+
+    def to_cond(self, c):
+        k, a = self.kind, self.args
+        if k == "eq":
+            return c == F.lit(a[0])
+        if k == "neq":
+            return c != F.lit(a[0])
+        if k == "gt":
+            return c > F.lit(a[0])
+        if k == "lt":
+            return c < F.lit(a[0])
+        if k == "gte":
+            return c >= F.lit(a[0])
+        if k == "lte":
+            return c <= F.lit(a[0])
+        if k == "within":
+            return c.isin(list(a[0]))
+        if k == "without":
+            return ~c.isin(list(a[0]))
+        if k == "inside":
+            return (c > F.lit(a[0])) & (c < F.lit(a[1]))
+        if k == "outside":
+            return (c < F.lit(a[0])) | (c > F.lit(a[1]))
+        if k == "not":
+            return ~a[0].to_cond(c)
+        if k == "startingWith":
+            return c.startswith(a[0])
+        if k == "endingWith":
+            return c.endswith(a[0])
+        if k == "containing":
+            return c.contains(a[0])
+        raise ValueError(f"unknown predicate {k}")
+
+    eq = classmethod(lambda cls, v: cls("eq", v))
+    neq = classmethod(lambda cls, v: cls("neq", v))
+    gt = classmethod(lambda cls, v: cls("gt", v))
+    lt = classmethod(lambda cls, v: cls("lt", v))
+    gte = classmethod(lambda cls, v: cls("gte", v))
+    lte = classmethod(lambda cls, v: cls("lte", v))
+    within = classmethod(lambda cls, v: cls("within", v))
+    without = classmethod(lambda cls, v: cls("without", v))
+    inside = classmethod(lambda cls, lo, hi: cls("inside", lo, hi))
+    outside = classmethod(lambda cls, lo, hi: cls("outside", lo, hi))
+    not_ = classmethod(lambda cls, p: cls("not", p))
+    startingWith = classmethod(lambda cls, s: cls("startingWith", s))
+    endingWith = classmethod(lambda cls, s: cls("endingWith", s))
+    containing = classmethod(lambda cls, s: cls("containing", s))
+
+
+TextP = P  # TextP.startingWith(...) reads like the TinkerPop original
+
+
+class _Anon:
+    """Anonymous sub-traversal (the ``__`` of Gremlin) — records a chain
+    of expand/filter steps to replay inside repeat/union/where/not_."""
+
+    def __init__(self, steps=None):
+        self.steps = list(steps or [])
+
+    def _add(self, *step):
+        return _Anon(self.steps + [step])
+
+    def out(self, *labels):
+        return self._add("out", labels)
+
+    def in_(self, *labels):
+        return self._add("in", labels)
+
+    def both(self, *labels):
+        return self._add("both", labels)
+
+    def hasLabel(self, *labels):
+        return self._add("hasLabel", labels)
+
+    def has(self, *args):
+        return self._add("has", args)
+
+
+class _AnonFactory:
+    def out(self, *labels):
+        return _Anon().out(*labels)
+
+    def in_(self, *labels):
+        return _Anon().in_(*labels)
+
+    def both(self, *labels):
+        return _Anon().both(*labels)
+
+    def hasLabel(self, *labels):
+        return _Anon().hasLabel(*labels)
+
+    def has(self, *args):
+        return _Anon().has(*args)
+
+
+__ = _AnonFactory()
+
+
+def traversal(pg) -> "GraphTraversalSource":
+    """g = traversal(pg); g.V()... — the TinkerPop source entrypoint."""
+    return GraphTraversalSource(pg)
+
+
+class GraphTraversalSource:
+    def __init__(self, pg):
+        self.pg = pg
+
+    def V(self, *ids) -> "GremlinTraversal":
+        parts = [
+            df.select(F.col("id").alias("_elem"),
+                      F.lit(lb).alias("_label"))
+            for lb, df in sorted(self.pg._vertices.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if ids:
+            out = out.filter(
+                F.col("_elem").isin([str(i) for i in ids]))
+        return GremlinTraversal(self.pg, out)
+
+
+def _edge_rels(pg, labels):
+    """[(src_label, dst_label, df)] for the given edge labels (all when
+    empty) — the typed relation tables the expand steps join against."""
+    names = labels or tuple(sorted(pg._edges))
+    rels = []
+    for el in names:
+        if el not in pg._edges:
+            raise ValueError(f"gremlin: unknown edge label {el!r}")
+        rels.extend(pg._edges[el])
+    return rels
+
+
+class GremlinTraversal:
+    """Immutable traversal wrapper; every step returns a new one."""
+
+    def __init__(self, pg, df: DataFrame, tags=(), value_col=None,
+                 pending=None):
+        self.pg = pg
+        self.df = df
+        self.tags = tuple(tags)
+        self.value_col = value_col      # set after values()/count()/...
+        self._pending = pending         # 'order' | 'groupCount'
+
+    def _next(self, df, **kw):
+        kw.setdefault("tags", self.tags)
+        kw.setdefault("value_col", self.value_col)
+        return GremlinTraversal(self.pg, df, **kw)
+
+    def _need_elem(self, step):
+        if self.value_col is not None:
+            raise ValueError(
+                f"gremlin: {step}() needs a graph element stream, the "
+                "current stream holds values")
+
+    # ---- expand ---------------------------------------------------------
+    def _expand(self, labels, direction):
+        self._need_elem(direction)
+        parts = []
+        for s, d, df in _edge_rels(self.pg, labels):
+            fwd = df.select(F.col("src").alias("_e_from"),
+                            F.lit(s).alias("_l_from"),
+                            F.col("dst").alias("_e_to"),
+                            F.lit(d).alias("_l_to"))
+            rev = df.select(F.col("dst").alias("_e_from"),
+                            F.lit(d).alias("_l_from"),
+                            F.col("src").alias("_e_to"),
+                            F.lit(s).alias("_l_to"))
+            if direction == "out":
+                parts.append(fwd)
+            elif direction == "in":
+                parts.append(rev)
+            else:
+                parts.extend((fwd, rev))
+            if not self.pg.directed:
+                parts.append(rev if direction == "out" else fwd)
+        hop = parts[0]
+        for p in parts[1:]:
+            hop = hop.unionByName(p)
+        out = (self.df
+               .join(hop, (F.col("_elem") == F.col("_e_from"))
+                     & (F.col("_label") == F.col("_l_from")))
+               .drop("_elem", "_label", "_e_from", "_l_from")
+               .withColumnRenamed("_e_to", "_elem")
+               .withColumnRenamed("_l_to", "_label"))
+        return self._next(out)
+
+    def out(self, *labels):
+        return self._expand(labels, "out")
+
+    def in_(self, *labels):
+        return self._expand(labels, "in")
+
+    def both(self, *labels):
+        return self._expand(labels, "both")
+
+    # ---- filter ---------------------------------------------------------
+    def hasLabel(self, *labels):
+        self._need_elem("hasLabel")
+        return self._next(self.df.filter(F.col("_label").isin(list(labels))))
+
+    def hasId(self, *ids):
+        self._need_elem("hasId")
+        return self._next(self.df.filter(
+            F.col("_elem").isin([str(i) for i in ids])))
+
+    def _prop_join(self, key, how="inner"):
+        """Join the property value of `key` for the current element as
+        column ``_pv`` (labels lacking the property contribute nulls)."""
+        parts = []
+        for lb, vdf in sorted(self.pg._vertices.items()):
+            if key in vdf.columns:
+                parts.append(vdf.select(
+                    F.col("id").alias("_p_id"), F.lit(lb).alias("_p_lb"),
+                    F.col(key).alias("_pv")))
+        if not parts:
+            raise ValueError(f"gremlin: no vertex label has property {key!r}")
+        side = parts[0]
+        for p in parts[1:]:
+            side = side.unionByName(p)
+        return (self.df.join(
+            side, (F.col("_elem") == F.col("_p_id"))
+            & (F.col("_label") == F.col("_p_lb")), how)
+            .drop("_p_id", "_p_lb"))
+
+    def has(self, *args):
+        self._need_elem("has")
+        if len(args) == 3:  # has(label, key, value) sugar
+            return self.hasLabel(args[0]).has(args[1], args[2])
+        key = args[0]
+        j = self._prop_join(key)
+        if len(args) == 1:  # existence
+            j = j.filter(F.col("_pv").isNotNull())
+        else:
+            pred = args[1]
+            cond = (pred.to_cond(F.col("_pv")) if isinstance(pred, P)
+                    else F.col("_pv") == F.lit(pred))
+            j = j.filter(cond)
+        return self._next(j.drop("_pv"))
+
+    def hasNot(self, key):
+        self._need_elem("hasNot")
+        try:
+            j = self._prop_join(key, how="left")
+        except ValueError:
+            return self  # no label has the property: everything passes
+        return self._next(j.filter(F.col("_pv").isNull()).drop("_pv"))
+
+    def is_(self, pred):
+        if self.value_col is None:
+            raise ValueError("gremlin: is_() applies to a value stream")
+        c = F.col(self.value_col)
+        cond = pred.to_cond(c) if isinstance(pred, P) else c == F.lit(pred)
+        return self._next(self.df.filter(cond))
+
+    def where(self, *args):
+        """where(tag, P.eq(other_tag)) — tag comparison; or
+        where(__.out('x')) — existence of the sub-traversal."""
+        if len(args) == 1 and isinstance(args[0], _Anon):
+            return self._exists(args[0], anti=False)
+        if len(args) == 1 and isinstance(args[0], P):
+            tag_cond = args[0]
+            left = F.col("_elem")
+        else:
+            tag, tag_cond = args
+            left = F.col(self._tag_col(tag))
+        other = F.col(self._tag_col(tag_cond.args[0]))
+        kind = tag_cond.kind
+        if kind == "eq":
+            return self._next(self.df.filter(left == other))
+        if kind == "neq":
+            return self._next(self.df.filter(left != other))
+        raise ValueError("gremlin: where(tag, P) supports eq/neq")
+
+    def not_(self, anon: _Anon):
+        return self._exists(anon, anti=True)
+
+    def _exists(self, anon: _Anon, anti: bool):
+        self._need_elem("where")
+        sub = self._next(self.df.select("_elem", "_label").distinct(),
+                         tags=())
+        for step, arg in anon.steps:
+            if step == "out":
+                # keep the ORIGIN through the expansion via a temp tag
+                sub = sub if "_orig" in sub.df.columns else sub._next(
+                    sub.df.withColumn("_orig", F.col("_elem"))
+                    .withColumn("_orig_lb", F.col("_label")))
+                sub = sub._expand(arg, "out")
+            elif step == "in":
+                sub = sub if "_orig" in sub.df.columns else sub._next(
+                    sub.df.withColumn("_orig", F.col("_elem"))
+                    .withColumn("_orig_lb", F.col("_label")))
+                sub = sub._expand(arg, "in")
+            elif step == "both":
+                sub = sub if "_orig" in sub.df.columns else sub._next(
+                    sub.df.withColumn("_orig", F.col("_elem"))
+                    .withColumn("_orig_lb", F.col("_label")))
+                sub = sub._expand(arg, "both")
+            elif step == "hasLabel":
+                sub = sub.hasLabel(*arg)
+            elif step == "has":
+                sub = sub.has(*arg)
+            else:
+                raise ValueError(
+                    f"gremlin: step {step!r} unsupported inside where/not_")
+        cols = sub.df.columns
+        if "_orig" in cols:
+            keys = (sub.df.select(F.col("_orig").alias("_elem"),
+                                  F.col("_orig_lb").alias("_label"))
+                    .distinct())
+        else:
+            keys = sub.df.select("_elem", "_label").distinct()
+        return self._next(self.df.join(
+            keys, ["_elem", "_label"], "left_anti" if anti else "left_semi"))
+
+    def dedup(self, *tags):
+        if self.value_col is not None:
+            return self._next(self.df.dropDuplicates([self.value_col]))
+        cols = ([self._tag_col(t) for t in tags] if tags
+                else ["_elem", "_label"])
+        return self._next(self.df.dropDuplicates(cols))
+
+    def limit(self, n: int):
+        return self._next(self.df.limit(n))
+
+    # ---- tags -----------------------------------------------------------
+    def _tag_col(self, tag):
+        if tag not in self.tags:
+            raise ValueError(f"gremlin: unknown tag {tag!r}")
+        return f"__tag_{tag}"
+
+    def as_(self, tag: str):
+        self._need_elem("as_")
+        df = (self.df.withColumn(f"__tag_{tag}", F.col("_elem"))
+              .withColumn(f"__tag_{tag}__label", F.col("_label")))
+        return self._next(df, tags=self.tags + (tag,))
+
+    def select(self, *tags):
+        cols = [F.col(self._tag_col(t)).alias(t) for t in tags]
+        return self._next(self.df.select(*cols), tags=(), value_col=None)
+
+    # ---- project ---------------------------------------------------------
+    def id_(self):
+        return self._next(self.df.select(F.col("_elem").alias("id")),
+                          value_col="id", tags=())
+
+    def label(self):
+        return self._next(self.df.select(F.col("_label").alias("label")),
+                          value_col="label", tags=())
+
+    def constant(self, v):
+        return self._next(self.df.select(F.lit(v).alias("constant")),
+                          value_col="constant", tags=())
+
+    def values(self, key: str):
+        self._need_elem("values")
+        j = self._prop_join(key)
+        return self._next(
+            j.filter(F.col("_pv").isNotNull())
+            .select(F.col("_pv").alias(key)),
+            value_col=key, tags=())
+
+    def valueMap(self, *keys):
+        self._need_elem("valueMap")
+        t = self
+        for k in keys:
+            t = t._next(t._prop_join(k, how="left")
+                        .withColumnRenamed("_pv", k))
+        return t._next(t.df.select(*keys), value_col=None, tags=())
+
+    def elementMap(self, *keys):
+        self._need_elem("elementMap")
+        t = self
+        for k in keys:
+            t = t._next(t._prop_join(k, how="left")
+                        .withColumnRenamed("_pv", k))
+        return t._next(
+            t.df.select(F.col("_elem").alias("id"),
+                        F.col("_label").alias("label"), *keys),
+            value_col=None, tags=())
+
+    # ---- aggregate --------------------------------------------------------
+    def count(self):
+        return self._next(self.df.agg(F.count(F.lit(1)).alias("count")),
+                          value_col="count", tags=())
+
+    def _vagg(self, fn, name):
+        if self.value_col is None:
+            raise ValueError(f"gremlin: {name}() applies to a value stream "
+                             "(use values(key) first)")
+        return self._next(
+            self.df.agg(fn(F.col(self.value_col)).alias(name)),
+            value_col=name, tags=())
+
+    def sum(self):
+        return self._vagg(F.sum, "sum")
+
+    def min_(self):
+        return self._vagg(F.min, "min")
+
+    def max_(self):
+        return self._vagg(F.max, "max")
+
+    def mean(self):
+        return self._vagg(F.avg, "mean")
+
+    def fold(self):
+        col = self.value_col or "_elem"
+        return self._next(
+            self.df.agg(F.sort_array(F.collect_list(F.col(col)))
+                        .alias("fold")),
+            value_col="fold", tags=())
+
+    # ---- order / groupCount (by-modulated) --------------------------------
+    def order(self):
+        return self._next(self.df, pending="order")
+
+    def groupCount(self):
+        if self.value_col is not None:
+            out = (self.df.groupBy(F.col(self.value_col).alias("key"))
+                   .agg(F.count(F.lit(1)).alias("count")))
+            return self._next(out, value_col=None, tags=())
+        return self._next(self.df, pending="groupCount")
+
+    def by(self, key=None, order: str = "asc"):
+        if self._pending == "order":
+            if key is None:
+                col = F.col(self.value_col or "_elem")
+                df = self.df
+            elif self.value_col is None:
+                j = self._prop_join(key)
+                col, df = F.col("_pv"), j
+            else:
+                col, df = F.col(key), self.df
+            df = df.orderBy(col.desc() if order == "desc" else col.asc())
+            if key is not None and self.value_col is None:
+                df = df.drop("_pv")
+            return self._next(df)
+        if self._pending == "groupCount":
+            if key is None:
+                out = (self.df.groupBy(F.col("_elem").alias("key"))
+                       .agg(F.count(F.lit(1)).alias("count")))
+            else:
+                j = self._prop_join(key)
+                out = (j.groupBy(F.col("_pv").alias("key"))
+                       .agg(F.count(F.lit(1)).alias("count")))
+            return self._next(out, value_col=None, tags=())
+        raise ValueError("gremlin: by() needs a preceding order()/groupCount()")
+
+    # ---- branch ------------------------------------------------------------
+    def union(self, *anons):
+        self._need_elem("union")
+        outs = [self._apply_anon(a).df.select("_elem", "_label")
+                for a in anons]
+        df = outs[0]
+        for o in outs[1:]:
+            df = df.unionByName(o)
+        return self._next(df, tags=())
+
+    def repeat(self, anon: _Anon):
+        return _RepeatBuilder(self, anon)
+
+    def _apply_anon(self, anon: _Anon):
+        t = self
+        for step, arg in anon.steps:
+            if step == "out":
+                t = t.out(*arg)
+            elif step == "in":
+                t = t.in_(*arg)
+            elif step == "both":
+                t = t.both(*arg)
+            elif step == "hasLabel":
+                t = t.hasLabel(*arg)
+            elif step == "has":
+                t = t.has(*arg)
+            else:
+                raise ValueError(f"gremlin: bad anonymous step {step!r}")
+        return t
+
+    # ---- terminal -----------------------------------------------------------
+    def toDF(self) -> DataFrame:
+        if self._pending is not None:
+            # an unmodulated order()/groupCount() means by() with defaults
+            return self.by().toDF()
+        df = self.df
+        if set(df.columns) >= {"_elem", "_label"}:
+            keep = [c for c in df.columns if not c.startswith("__tag_")]
+            df = (df.select(*keep)
+                  .withColumnRenamed("_elem", "id")
+                  .withColumnRenamed("_label", "label"))
+        return df
+
+    def toList(self):
+        return [r[0] if len(r) == 1 else tuple(r)
+                for r in self.toDF().collect()]
+
+
+class _RepeatBuilder:
+    def __init__(self, t: GremlinTraversal, anon: _Anon):
+        self.t = t
+        self.anon = anon
+
+    def times(self, n: int) -> GremlinTraversal:
+        t = self.t
+        for _ in range(n):
+            t = t._apply_anon(self.anon)
+        return t

@@ -30,7 +30,18 @@ from graphscope_spark.functions.similarity import (
 from graphscope_spark.functions.multimodal import (
     decode_image_stub,
     media_table,
+    real_decode,
     sample_frames_stub,
+)
+from graphscope_spark.functions.codecs import (
+    bmp_media,
+    decode_bmp,
+    decode_bmp_features,
+    decode_wav,
+    decode_wav_features,
+    encode_bmp,
+    encode_wav,
+    wav_media,
 )
 
 __all__ = [
@@ -38,5 +49,7 @@ __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
-    "media_table", "decode_image_stub", "sample_frames_stub",
+    "media_table", "decode_image_stub", "sample_frames_stub", "real_decode",
+    "encode_bmp", "decode_bmp", "bmp_media", "decode_bmp_features",
+    "encode_wav", "decode_wav", "wav_media", "decode_wav_features",
 ]

@@ -1,12 +1,16 @@
 """Multimodal columns: opaque binary payloads + typed metadata, with the
-decode / feature-extract stages as Arrow-batched ``mapInPandas`` stubs.
+decode / feature-extract stages as Arrow-batched ``mapInPandas`` jobs.
 
-The image/audio libraries are not in this container, so the *decode*
-bodies are deterministic fakes clearly marked STUB — but every Spark-side
-concern is real and tested: schemas (binary + struct metadata), batch
-iteration shape, partition-preserving pipelining, output schema
-declaration, and the pattern a real decoder drops into (replace
-``_fake_decode`` with PIL/ffmpeg and nothing else changes).
+Two tiers:
+
+- :func:`real_decode` REALLY parses BMP and WAV containers (pure
+  numpy/struct — header walk, row stride, RIFF chunks; see
+  :mod:`graphscope_spark.functions.codecs`). Compressed formats
+  (PNG/JPEG/MP4) raise NotImplementedError — their codec libraries
+  (PIL/ffmpeg) are absent from this container.
+- :func:`decode_image_stub` / :func:`sample_frames_stub` keep the
+  library-free plumbing path (schemas, batch iteration, partitioning)
+  for payloads that are not self-describing containers.
 """
 
 from __future__ import annotations
@@ -105,8 +109,47 @@ def sample_frames_stub(media: DataFrame, every: int = 4) -> DataFrame:
     return flat.mapInPandas(sample, FRAME_SCHEMA)
 
 
-def real_decode(media: DataFrame) -> DataFrame:  # pragma: no cover
-    """The non-stub path — requires PIL/ffmpeg, absent in this container."""
-    raise NotImplementedError(
-        "image/audio decode libraries are not available in this environment; "
-        "use decode_image_stub (same Spark plumbing, fake decode body)")
+def real_decode(media: DataFrame) -> DataFrame:
+    """REAL decode: sniff each payload's magic bytes and parse the
+    container. BMP and WAV are decoded for real (pure numpy/struct header
+    + row/chunk parsing — :mod:`graphscope_spark.functions.codecs`);
+    compressed formats (PNG/JPEG/MP4...) raise — their codec libraries
+    (PIL/ffmpeg) are absent from this container.
+
+    Output: one row per media item with the container kind and exact
+    integer content aggregates (width/height + channel sums for images,
+    rate/n_samples/sum for audio)."""
+    from graphscope_spark.functions.codecs import decode_bmp, decode_wav
+
+    schema = ("media_id LONG, kind STRING, width INT, height INT, "
+              "n_samples INT, content_sum LONG")
+
+    def dec(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "width": [], "height": [],
+                    "n_samples": [], "content_sum": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:2] == b"BM":
+                    d = decode_bmp(p)
+                    rows["kind"].append("bmp")
+                    rows["width"].append(d["width"])
+                    rows["height"].append(d["height"])
+                    rows["n_samples"].append(0)
+                    rows["content_sum"].append(d["sum_b"] + d["sum_g"] + d["sum_r"])
+                elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    d = decode_wav(p)
+                    rows["kind"].append("wav")
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["n_samples"].append(d["n_samples"])
+                    rows["content_sum"].append(d["sum_samples"])
+                else:
+                    raise NotImplementedError(
+                        "compressed media formats need PIL/ffmpeg, absent "
+                        f"from this container (magic {p[:4]!r}); BMP/WAV "
+                        "decode is implemented in functions/codecs.py")
+                rows["media_id"].append(mid)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(dec, schema)

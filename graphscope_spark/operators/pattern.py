@@ -209,24 +209,34 @@ def pattern_count(graph: LinkGraph, pattern: list[tuple[str, str]],
 # "order-contains-part" parquet files at all.
 
 
-def _typed_candidates(pg, u_label: str, edge_label: str, v_label: str,
-                      pred=None):
+def _typed_candidates(pg, u_label: str, edge_label, v_label: str,
+                      pred=None, either: bool = False):
     """All (src, dst) id pairs of `edge_label` relating u_label→v_label
     (plus the reverse orientation when the graph is undirected). An
     optional edge-property predicate (the GIE binder's params.predicate)
     filters each relation BEFORE the pair projection, so it sits on the
-    relation scan and Catalyst pushes it into the parquet read."""
+    relation scan and Catalyst pushes it into the parquet read.
+
+    ``edge_label`` may be a sequence of labels (a Cypher ``[:A|B]``
+    alternation / unlabeled edge) — the candidates union across them.
+    ``either=True`` matches the edge in either stored orientation (the
+    Cypher undirected binder ``-[]-`` on a DIRECTED graph; on undirected
+    graphs both orientations are included already)."""
     if isinstance(pred, str):
         pred = F.expr(pred)
+    labels = ([edge_label] if isinstance(edge_label, str)
+              else list(edge_label))
+    both = either or not pg.directed
     parts = []
-    for s, d, df in pg._edges[edge_label]:
-        if pred is not None:
-            df = df.filter(pred)
-        if (s, d) == (u_label, v_label):
-            parts.append(df.select("src", "dst"))
-        if not pg.directed and (d, s) == (u_label, v_label):
-            parts.append(df.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
+    for el in labels:
+        for s, d, df in pg._edges[el]:
+            if pred is not None:
+                df = df.filter(pred)
+            if (s, d) == (u_label, v_label):
+                parts.append(df.select("src", "dst"))
+            if both and (d, s) == (u_label, v_label):
+                parts.append(df.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
     if not parts:
         raise ValueError(
             f"edge label {edge_label!r} has no {u_label!r}->{v_label!r} "
@@ -342,6 +352,7 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
                            path_hops: Mapping[int, tuple[int, int]] | None = None,
                            shortest_hops: Mapping[int, tuple[int, int]] | None = None,
                            path_out: Mapping[int, str] | None = None,
+                           either: set[int] | None = None,
                            injective: bool = True) -> DataFrame:
     """Typed pattern matching over a :class:`PropertyGraph`.
 
@@ -369,6 +380,11 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
     SHORTEST distance lies in lo..hi (GIE's ShortestPathExpand) — a pair
     with a 2-hop walk but a 1-hop edge is excluded from ``(2, 2)``.
 
+    An edge's label may be a TUPLE of labels (Cypher ``[:A|B]``
+    alternation — candidates union across them); ``either`` is a set of
+    pattern edge INDICES matched in either orientation (the Cypher
+    undirected binder ``-[]-`` on a directed graph).
+
     ``path_out`` maps a path-binder edge INDEX (must also appear in
     ``path_hops`` or ``shortest_hops``) to an OUTPUT COLUMN NAME: the
     result then carries that binder's walk length — GIE PathExpand's
@@ -383,8 +399,9 @@ def property_pattern_match(pg, pattern: list[tuple[str, str, str]],
         raise ValueError(f"variables without a vertex label: {sorted(missing)}")
     edge_where = dict(edge_where or {})
     path_hops = dict(path_hops or {})
+    either = set(either or ())
     cand = [_typed_candidates(pg, labels[u], el, labels[v],
-                              pred=edge_where.get(i))
+                              pred=edge_where.get(i), either=i in either)
             for i, (u, el, v) in enumerate(tuples)]
     shortest_hops = dict(shortest_hops or {})
     path_out = dict(path_out or {})

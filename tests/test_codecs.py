@@ -1,0 +1,101 @@
+"""Real BMP/WAV codec tests — pure Python (the Spark mapInPandas path is
+covered by the gate mirror queries bmp_decode / wav_decode)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from graphscope_spark.functions.codecs import (
+    bmp_pixel_value,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    wav_sample_value,
+)
+
+
+@pytest.mark.parametrize("mid", [0, 5, 17, 123, 4999])
+@pytest.mark.parametrize("top_down", [False, True])
+def test_bmp_roundtrip(mid, top_down):
+    w, h = mid % 13 + 4, mid % 7 + 3
+    d = decode_bmp(encode_bmp(mid, w, h, top_down=top_down))
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    px = bmp_pixel_value(mid, x, y, c).astype(np.int64)
+    assert d == {
+        "width": w, "height": h,
+        "sum_b": int(px[:, :, 0].sum()),
+        "sum_g": int(px[:, :, 1].sum()),
+        "sum_r": int(px[:, :, 2].sum()),
+    }
+
+
+def test_bmp_padding_is_nonzero_and_stripped():
+    # width 5 → row = 15 bytes, stride 16: one 0xFF pad byte per row. A
+    # decoder that sums the raw pixel array without honoring the stride
+    # would be off by 255 per row.
+    p = encode_bmp(7, 5, 4)
+    off = struct.unpack_from("<I", p, 10)[0]
+    rows = np.frombuffer(p, dtype=np.uint8, offset=off).reshape(4, 16)
+    assert (rows[:, 15] == 0xFF).all()
+    d = decode_bmp(p)
+    assert d["sum_b"] + d["sum_g"] + d["sum_r"] < 4 * 16 * 255  # pads excluded
+
+
+def test_bmp_rejects_bad_magic_and_formats():
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + bytes(100))
+    # 8-bit BMP header → unsupported bpp
+    good = bytearray(encode_bmp(1, 4, 3))
+    struct.pack_into("<H", good, 28, 8)
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(good))
+
+
+@pytest.mark.parametrize("mid", [0, 3, 17, 123])
+def test_wav_roundtrip(mid):
+    n, rate = (mid % 50) * 7 + 20, 8000 + (mid % 4) * 4000
+    d = decode_wav(encode_wav(mid, n, rate))
+    s = wav_sample_value(mid, np.arange(n)).astype(np.int64)
+    assert d == {
+        "sample_rate": rate,
+        "n_samples": n,
+        "sum_samples": int(s.sum()),
+        "max_abs": int(np.abs(s).max()),
+    }
+
+
+def test_wav_requires_chunk_walk():
+    # the junk LIST chunk sits between fmt and data — data is NOT at the
+    # canonical offset 44; a fixed-layout reader would mis-parse
+    p = encode_wav(9, 30, 8000)
+    assert p[36:40] != b"data"
+    assert decode_wav(p)["n_samples"] == 30
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + bytes(40))
+    with pytest.raises(ValueError, match="missing"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_real_decode_dispatch(spark):
+    # magic-sniffed dispatch: a mixed BMP+WAV media table decodes in one
+    # pass; an unknown compressed format raises NotImplementedError
+    from graphscope_spark.functions import real_decode
+
+    rows = [(1, encode_bmp(1, 5, 4)), (2, encode_wav(2, 34, 12000))]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    out = {r["media_id"]: r.asDict() for r in real_decode(media).collect()}
+    assert out[1]["kind"] == "bmp" and out[1]["width"] == 5
+    assert out[2]["kind"] == "wav" and out[2]["n_samples"] == 34
+
+    bad = spark.createDataFrame([(3, b"\x89PNG\r\n")], "media_id LONG, payload BINARY")
+    with pytest.raises(Exception, match="PIL/ffmpeg"):
+        real_decode(bad).collect()

@@ -1,0 +1,260 @@
+"""Cypher + Gremlin frontend tests over a tiny labeled property graph.
+
+Semantics cross-checked by hand against the reference's documented
+surfaces (docs/interactive_engine/neo4j/supported_cypher.md and
+tinkerpop/supported_gremlin_steps.md) — GIE isomorphic matching, pushdown
+of single-variable predicates, EXISTS as semi/anti join, Cypher implicit
+grouping, Gremlin by()-modulated order/groupCount."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphscope_spark import P, PropertyGraph, cypher_query, traversal
+from graphscope_spark.frontends.gremlin import __ as anon
+
+
+@pytest.fixture(scope="module")
+def pg(spark):
+    people = spark.createDataFrame(
+        [(1, "ann", 30, "x"), (2, "bob", 25, "x"), (3, "cyd", 35, "y"),
+         (4, "dee", 28, "y")],
+        "pid LONG, name STRING, age LONG, city STRING")
+    sw = spark.createDataFrame(
+        [(10, "lib", "java"), (11, "app", "py")],
+        "sid LONG, sname STRING, lang STRING")
+    knows = spark.createDataFrame(
+        [(1, 2, 2010), (2, 3, 2012), (1, 3, 2015), (3, 4, 2016)],
+        "a LONG, b LONG, since LONG")
+    created = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 11)], "p LONG, s LONG")
+    return (PropertyGraph(spark)
+            .add_vertices(people, "person", vid_field="pid")
+            .add_vertices(sw, "software", vid_field="sid")
+            .add_edges(knows, "knows", src_label="person",
+                       dst_label="person")
+            .add_edges(created, "created",
+                       src_label="person", dst_label="software"))
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Cypher
+# ---------------------------------------------------------------------------
+
+def test_cypher_match_where_props(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)-[:knows]->(b:person)
+      WHERE a.age >= 28 AND b.name <> 'zzz'
+      RETURN a.name AS an, b.name AS bn
+    """)
+    assert rows(r) == [("ann", "bob"), ("ann", "cyd"), ("cyd", "dee")]
+
+
+def test_cypher_label_inference_unlabeled_edge(pg):
+    # (a:person)-->(s:software): the only relation is `created`
+    r = cypher_query(
+        pg, "MATCH (a:person)-->(s:software) "
+            "RETURN s.sname AS s, count(*) AS n")
+    assert rows(r) == [("app", 1), ("lib", 2)]
+
+
+def test_cypher_node_label_inference(pg):
+    # b un-annotated: knows relates person->person only
+    r = cypher_query(
+        pg, "MATCH (a:person {name: 'ann'})-[:knows]->(b) "
+            "RETURN b.name AS bn")
+    assert rows(r) == [("bob",), ("cyd",)]
+
+
+def test_cypher_edge_predicate_pushdown(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)-[k:knows]->(b:person) WHERE k.since > 2011
+      RETURN a.name AS an, b.name AS bn
+    """)
+    assert rows(r) == [("ann", "cyd"), ("bob", "cyd"), ("cyd", "dee")]
+
+
+def test_cypher_undirected_edge_on_directed_graph(pg):
+    r = cypher_query(
+        pg, "MATCH (a:person {name: 'bob'})-[:knows]-(x:person) "
+            "RETURN x.name AS xn")
+    assert rows(r) == [("ann",), ("cyd",)]
+
+
+def test_cypher_varlength_path_and_length(pg):
+    r = cypher_query(pg, """
+      MATCH p = (a:person {name: 'ann'})-[:knows*1..3]->(b:person)
+      RETURN b.name AS bn, length(p) AS hops
+    """)
+    assert rows(r) == [("bob", 1), ("cyd", 1), ("cyd", 2),
+                       ("dee", 2), ("dee", 3)]
+
+
+def test_cypher_exists_and_not_exists(pg):
+    base = "MATCH (a:person)-[:knows]->(b:person) WHERE {} " \
+           "RETURN a.name AS an, b.name AS bn"
+    r = cypher_query(pg, base.format(
+        "NOT EXISTS((b)-[:created]->(:software))"))
+    assert rows(r) == [("cyd", "dee")]
+    r = cypher_query(pg, base.format(
+        "EXISTS((b)-[:created]->(:software))"))
+    assert rows(r) == [("ann", "bob"), ("ann", "cyd"), ("bob", "cyd")]
+
+
+def test_cypher_with_aggregate_pipeline(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)-[:knows]->(b:person)
+      WITH a, count(*) AS deg WHERE deg >= 1
+      RETURN a.name AS an, deg ORDER BY deg DESC, an ASC
+    """)
+    assert [tuple(x) for x in r.collect()] == [
+        ("ann", 2), ("bob", 1), ("cyd", 1)]
+
+
+def test_cypher_case_distinct_orderby_skip_limit(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)
+      RETURN DISTINCT CASE WHEN a.age >= 30 THEN 'old' ELSE 'young' END
+        AS band ORDER BY band
+    """)
+    assert rows(r) == [("old",), ("young",)]
+    r = cypher_query(
+        pg, "MATCH (a:person) RETURN a.name AS n ORDER BY n SKIP 1 LIMIT 2")
+    assert [t[0] for t in r.collect()] == ["bob", "cyd"]
+
+
+def test_cypher_isomorphic_vs_homomorphic(pg):
+    q = ("MATCH (a:person)-[:knows]->(b:person)-[:knows]->(c:person) "
+         "RETURN count(*) AS n")
+    # paths: 1-2-3, 2-3-4, 1-3-4; no repeated vertices → equal counts
+    assert cypher_query(pg, q).collect()[0][0] == 3
+    assert cypher_query(pg, q, injective=False).collect()[0][0] == 3
+
+
+def test_cypher_cartesian_components(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person {name: 'ann'}), (b:person)
+      WHERE b.age < 29 RETURN b.name AS bn
+    """)
+    # a≠b injectivity across components drops nothing here (ann is 30)
+    assert rows(r) == [("bob",), ("dee",)]
+
+
+def test_cypher_functions_and_sugar(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person) WHERE a.name STARTS WITH 'a' OR a.name CONTAINS 'e'
+      RETURN toUpper(a.name) AS nm, a.age + 1 AS agep, labels(a) AS lb
+      ORDER BY nm
+    """)
+    assert [tuple(x) for x in r.collect()] == [
+        ("ANN", 31, "person"), ("DEE", 29, "person")]
+
+
+def test_cypher_collect_and_in(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person) WHERE a.city IN ['x']
+      RETURN count(DISTINCT a.city) AS nc, collect(a.name) AS names
+    """)
+    nc, names = r.collect()[0]
+    assert nc == 1 and sorted(names) == ["ann", "bob"]
+
+
+def test_cypher_errors(pg):
+    with pytest.raises(ValueError, match="unique label"):
+        cypher_query(pg, "MATCH (a) RETURN a")  # person or software
+    with pytest.raises(ValueError, match="bounded"):
+        cypher_query(pg, "MATCH (a:person)-[:knows*]->(b:person) RETURN a")
+    with pytest.raises(ValueError, match="start with MATCH"):
+        cypher_query(pg, "RETURN 1 AS x")
+    with pytest.raises(ValueError, match="unsupported function"):
+        cypher_query(pg, "MATCH (a:person) RETURN shortestPath(a) AS x")
+
+
+# ---------------------------------------------------------------------------
+# Gremlin
+# ---------------------------------------------------------------------------
+
+def test_gremlin_has_values(pg):
+    g = traversal(pg)
+    assert sorted(g.V().hasLabel("person").has("age", P.gt(27))
+                  .values("name").toList()) == ["ann", "cyd", "dee"]
+    assert sorted(g.V().has("person", "city", "x")
+                  .values("name").toList()) == ["ann", "bob"]
+
+
+def test_gremlin_expand_groupcount(pg):
+    g = traversal(pg)
+    assert dict(g.V().out("knows").groupCount().by("name").toList()) == {
+        "bob": 1, "cyd": 2, "dee": 1}
+    assert sorted(g.V().hasLabel("person").out("created").dedup()
+                  .values("sname").toList()) == ["app", "lib"]
+    # in_ and both
+    assert sorted(g.V().has("person", "name", "cyd").in_("knows")
+                  .values("name").toList()) == ["ann", "bob"]
+    assert sorted(g.V().has("person", "name", "bob").both("knows")
+                  .values("name").toList()) == ["ann", "cyd"]
+
+
+def test_gremlin_repeat_times(pg):
+    g = traversal(pg)
+    assert sorted(g.V().has("person", "name", "ann")
+                  .repeat(anon.out("knows")).times(2)
+                  .dedup().values("name").toList()) == ["cyd", "dee"]
+
+
+def test_gremlin_where_not_existence(pg):
+    g = traversal(pg)
+    assert sorted(g.V().hasLabel("person").where(anon.out("created"))
+                  .values("name").toList()) == ["ann", "bob", "cyd"]
+    assert g.V().hasLabel("person").not_(anon.out("created")) \
+        .values("name").toList() == ["dee"]
+
+
+def test_gremlin_tags_select_where_eq(pg):
+    g = traversal(pg)
+    # persons a,b with a-knows->b and both created the same software
+    t = (g.V().hasLabel("person").as_("a").out("created").as_("s")
+         .in_("created").as_("b").where("b", P.neq("a")))
+    pairs = sorted(t.select("a", "b").toList())
+    assert pairs == [("1", "2"), ("2", "1")]  # ann & bob share lib
+
+
+def test_gremlin_value_aggregates(pg):
+    g = traversal(pg)
+    assert g.V().hasLabel("person").values("age").sum().toList()[0] == 118
+    assert abs(g.V().hasLabel("person").values("age").mean().toList()[0]
+               - 29.5) < 1e-9
+    assert g.V().hasLabel("person").count().toList()[0] == 4
+    assert g.V().hasLabel("person").values("age").max_().toList()[0] == 35
+
+
+def test_gremlin_order_limit_union(pg):
+    g = traversal(pg)
+    top2 = g.V().hasLabel("person").order().by("age", "desc").limit(2)
+    assert [r["id"] for r in top2.toDF().collect()] == ["3", "1"]
+    u = g.V().has("person", "name", "ann").union(
+        anon.out("knows"), anon.out("created"))
+    assert sorted(u.toDF().collect()) == sorted(
+        [("2", "person"), ("3", "person"), ("10", "software")])
+
+
+def test_gremlin_valuemap_elementmap(pg):
+    g = traversal(pg)
+    vm = g.V().has("person", "name", "ann").valueMap("name", "age").toDF()
+    assert [tuple(r) for r in vm.collect()] == [("ann", 30)]
+    em = g.V().has("person", "name", "ann").elementMap("city").toDF()
+    assert [tuple(r) for r in em.collect()] == [("1", "person", "x")]
+
+
+def test_gremlin_hasnot_is(pg):
+    g = traversal(pg)
+    # software has no `age` property → hasNot('age') keeps software
+    labels = sorted(set(
+        r["label"] for r in g.V().hasNot("age").toDF().collect()))
+    assert labels == ["software"]
+    assert g.V().hasLabel("person").values("age").is_(P.gt(30)) \
+        .toList() == [35]
