@@ -1240,6 +1240,114 @@ def _q_gremlin_union_expand(spark, sf_dir):
                       F.col("count").alias("n_sources"))
 
 
+def _q_sssp_warm(spark, sf_dir):
+    # ingress-style warm start for SSSP (same contract as wcc_warm /
+    # pagerank(init_ranks=), reference docs/analytical_engine/
+    # ingress.md): seed the min-plus relaxation from a previous
+    # converged run on a SUBGRAPH (pairs with src % 3 != 1 — keeps the
+    # source), then converge on the full weighted graph. Every warm
+    # dist is a valid walk length in the merged graph, so the warm
+    # restart reaches the identical fixpoint as a cold run — the
+    # oracle is the plain cold unrolled SQL (converged by round 8 on
+    # this graph; 12 for margin).
+    from graphscope_spark import LinkGraph
+    from graphscope_spark.operators.traversal import sssp
+
+    li = _t(spark, sf_dir, "lineitem")
+    we = (li.groupBy("l_partkey", "l_suppkey")
+          .agg((1 + F.min("l_quantity").cast("long") % 3)
+               .cast("double").alias("w"))
+          .select(F.col("l_partkey").alias("src"),
+                  (F.lit(100000) + F.col("l_suppkey")).alias("dst"), "w"))
+    sub = we.filter(F.col("src") % 3 != 1)
+    sym_sub = sub.unionByName(sub.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    seed = sssp(LinkGraph(spark, sym_sub, directed=False),
+                source=0, weight_col="w")
+    out = sssp(_wgraph(spark, sf_dir), source=0, weight_col="w",
+               init_dists=seed)
+    return out.select(
+        "vid",
+        F.when(F.col("dist") == float("inf"), F.lit(-1))
+        .otherwise(F.round(F.col("dist") * 1e6)).cast("long")
+        .alias("dist_micro"))
+
+
+def _q_cypher_optional(spark, sf_dir):
+    # OPTIONAL MATCH = left outer join (the reference's own lowering,
+    # supported_cypher.md:128): every located customer yields a row;
+    # count(o) counts only the big-order matches, count(*) counts rows.
+    from graphscope_spark import cypher_query
+
+    return cypher_query(_frontend_pg(spark, sf_dir), """
+        MATCH (c:customer)-[:located]->(n:nation)
+        OPTIONAL MATCH (c)-[p:placed]->(o:orders)
+        WHERE p.o_totalprice >= 200000
+        RETURN toInteger(n) AS n_key, count(*) AS n_rows,
+               count(o) AS matched
+    """)
+
+
+def _q_gremlin_path_expand(spark, sf_dir):
+    # PathExpand sugar out("2..4") — hop range [2, 4) upper-exclusive
+    # (GIE convention), one traverser per walk, END_V: an order of rank
+    # rk (1-based per customer) on the pure successor chain is reached
+    # by rk-2 (2 hops) and rk-3 (3 hops) — so its count is
+    # (rk>=3) + (rk>=4).
+    from graphscope_spark import traversal
+
+    g = traversal(_order_chain_pg(spark, sf_dir))
+    out = (g.V().hasLabel("orders").out("2..4", "next")
+           .groupCount().toDF())
+    return out.select(F.col("key").cast("long").alias("o_key"),
+                      F.col("count").alias("n_walks"))
+
+
+def _q_gremlin_group(spark, sf_dir):
+    # group().by(key).by(aggregator-chain) — the supported_gremlin_steps
+    # §group surface: key by property, value by values(...).sum()
+    from graphscope_spark import traversal
+    from graphscope_spark.frontends.gremlin import __ as anon
+
+    g = traversal(_frontend_pg(spark, sf_dir))
+    out = (g.V().hasLabel("customer").group().by("c_mktsegment")
+           .by(anon.values("c_nationkey").sum()).toDF())
+    return out.select(F.col("key").alias("segment"),
+                      F.col("value").alias("nat_sum"))
+
+
+def _q_cypher_shortest(spark, sf_dir):
+    # Cypher shortestPath() lowering onto the ShortestPathExpand binder
+    # — same graph + semantics as typed_shortest_pattern (the `hop`
+    # label carries BOTH rank+1 and rank+2 edges, so shortest distance
+    # between ranks r1<r2 is ceil((r2-r1)/2); *2..2 keeps exactly the
+    # rank-diff-3-or-4 pairs), here reached from the TEXTUAL frontend
+    from pyspark.sql import Window
+
+    from graphscope_spark import PropertyGraph, cypher_query
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    base = orders.select(
+        "o_custkey", "o_orderkey",
+        F.lead("o_orderkey", 1).over(w).alias("n1"),
+        F.lead("o_orderkey", 2).over(w).alias("n2"))
+    nxt = base.filter(F.col("n1").isNotNull()).select(
+        F.col("o_orderkey").alias("s"), F.col("n1").alias("d"))
+    skip = base.filter(F.col("n2").isNotNull()).select(
+        F.col("o_orderkey").alias("s"), F.col("n2").alias("d"))
+    pg = (PropertyGraph(spark)
+          .add_vertices(orders.select("o_orderkey"), "orders",
+                        vid_field="o_orderkey")
+          .add_edges(nxt.unionByName(skip), "hop",
+                     src_label="orders", dst_label="orders"))
+    return cypher_query(pg, """
+        MATCH p = shortestPath((o1:orders)-[:hop*2..2]->(o2:orders))
+        RETURN toInteger(o1) AS o1_key, count(*) AS n_at_2,
+               sum(length(p)) AS sum_d
+    """)
+
+
 # ---------------------------------------------------------------------------
 # round-2 queries: new operators + value oracles for former rows-only checks
 # ---------------------------------------------------------------------------
@@ -2593,6 +2701,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_varlen": _q_cypher_varlen,
         "gremlin_groupcount": _q_gremlin_groupcount,
         "gremlin_union_expand": _q_gremlin_union_expand,
+        "cypher_optional": _q_cypher_optional,
+        "gremlin_path_expand": _q_gremlin_path_expand,
+        "gremlin_group": _q_gremlin_group,
+        "cypher_shortest": _q_cypher_shortest,
+        "sssp_warm": _q_sssp_warm,
         # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
@@ -2967,6 +3080,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN rk >= 3 THEN 2 ELSE 1 END AS BIGINT) "
             "AS n_sources FROM ranked WHERE rk >= 2"
         ),
+        # OPTIONAL MATCH = left outer join; the clause WHERE filters the
+        # optional side BEFORE the join
+        "cypher_optional": (
+            "SELECT CAST(c.c_nationkey AS BIGINT) AS n_key, "
+            "COUNT(*) AS n_rows, COUNT(o.o_orderkey) AS matched "
+            "FROM customer c LEFT JOIN "
+            "(SELECT * FROM orders WHERE o_totalprice >= 200000) o "
+            "ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        # PathExpand out("2..4") = walks of 2 or 3 hops (upper-exclusive);
+        # on the pure rank-successor chain an order of rank rk is the
+        # endpoint of one 2-hop walk (if rk>=3) and one 3-hop walk (rk>=4)
+        "gremlin_path_expand": (
+            "WITH ranked AS (SELECT o_custkey, o_orderkey, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rk "
+            "FROM orders) "
+            "SELECT CAST(o_orderkey AS BIGINT) AS o_key, "
+            "CAST(CASE WHEN rk >= 4 THEN 2 ELSE 1 END AS BIGINT) "
+            "AS n_walks FROM ranked WHERE rk >= 3"
+        ),
+        # group().by(property).by(values(...).sum())
+        "gremlin_group": (
+            "SELECT c_mktsegment AS segment, "
+            "CAST(SUM(c_nationkey) AS BIGINT) AS nat_sum "
+            "FROM customer GROUP BY 1"
+        ),
+        # Cypher shortestPath(): pairs at shortest distance exactly 2 =
+        # rank-diff 3 or 4 (ceil(d/2) == 2); length(p) is always 2 here
+        # so sum_d = 2 * n_at_2
+        "cypher_shortest": (
+            "WITH ranked AS (SELECT o_custkey, o_orderkey, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rk "
+            "FROM orders) "
+            "SELECT CAST(a.o_orderkey AS BIGINT) AS o1_key, "
+            "COUNT(*) AS n_at_2, CAST(2 * COUNT(*) AS BIGINT) AS sum_d "
+            "FROM ranked a JOIN ranked b ON a.o_custkey = b.o_custkey "
+            "AND (b.rk - a.rk) IN (3, 4) "
+            "GROUP BY 1"
+        ),
+        # warm-started SSSP converges to the cold fixpoint
+        "sssp_warm": _sssp_sql(12),
         "assortativity": (
             f"WITH edges AS MATERIALIZED ({_EDGES_SQL}), "
             "od AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), "

@@ -14,12 +14,22 @@ Supported (the reference's documented subset, supported_cypher.md:114):
   comma-separated pattern parts, labeled/anonymous nodes, inline property
   maps, directed ``->`` / ``<-`` / undirected ``-`` edges, label
   alternation ``[:A|B]``, unlabeled edges (labels inferred), bounded
-  var-length edges ``[:e*lo..hi]``, and path variables ``p = (...)``
-  (``length(p)`` returns the walk length).
+  var-length edges ``[:e*lo..hi]``, path variables ``p = (...)``
+  (``length(p)`` returns the walk length), and
+  ``shortestPath((a)-[:e*lo..hi]->(b))`` — GIE's ShortestPathExpand:
+  one row per endpoint pair whose SHORTEST distance lies in lo..hi
+  (``length(p)`` is then that distance), vs the plain var-length
+  binder's one row per (pair, walk length).
 - ``WHERE`` — boolean expressions; single-variable predicates are pushed
   into the candidate scans (parquet pushdown), ``EXISTS((a)-[:e]->(b))``
   / ``NOT EXISTS(...)`` become semi/anti joins (the reference implements
   WHERE NOT EXIST the same way, supported_cypher.md:131).
+- ``OPTIONAL MATCH`` — compiled as a left outer join onto the MATCH
+  rows, exactly the reference's lowering (supported_cypher.md:128);
+  each clause may carry its own WHERE, which filters the optional side
+  BEFORE the join (unmatched rows survive with NULLs — count(v) then
+  counts matches, count(*) counts rows). The optional WHERE may only
+  reference that clause's own variables.
 - ``WITH`` / ``RETURN`` — projection, aliases, ``DISTINCT``, aggregates
   (count/sum/avg/min/max/collect, Cypher implicit grouping), a WHERE
   after WITH (post-aggregation filter), ``ORDER BY`` / ``SKIP`` /
@@ -165,6 +175,7 @@ class PatternPart:
     path_var: str | None
     nodes: list                 # [NodePat]
     edges: list                 # [EdgePat] between consecutive nodes
+    shortest: bool = False      # wrapped in shortestPath(...)
 
 
 @dataclass
@@ -182,6 +193,7 @@ class Stage:
 class Query:
     parts: list = field(default_factory=list)
     where: object | None = None
+    optionals: list = field(default_factory=list)  # [(parts, where|None)]
     stages: list = field(default_factory=list)
 
 
@@ -247,6 +259,12 @@ class _Parser:
             q.parts.append(self._pattern_part())
         if self._kw("WHERE"):
             q.where = self._expr()
+        while self._kw("OPTIONAL", "MATCH"):
+            parts = [self._pattern_part()]
+            while self._punct(","):
+                parts.append(self._pattern_part())
+            ow = self._expr() if self._kw("WHERE") else None
+            q.optionals.append((parts, ow))
         while True:
             if self._kw("WITH"):
                 q.stages.append(self._stage("with"))
@@ -296,12 +314,23 @@ class _Parser:
         raise ValueError("cypher: non-trivial RETURN/WITH item needs AS alias")
 
     # -- patterns
+    def _is_shortest(self, k=0) -> bool:
+        t, v = self._peek(k)
+        return t == "ident" and str(v).lower() == "shortestpath"
+
     def _pattern_part(self) -> PatternPart:
         path_var = None
         if (self._peek()[0] == "ident" and self._peek(1) == ("punct", "=")
-                and self._peek(2) == ("punct", "(")):
+                and (self._peek(2) == ("punct", "(")
+                     or (self._is_shortest(2)
+                         and self._peek(3) == ("punct", "(")))):
             path_var = self._ident()
             self._expect("=")
+        shortest = False
+        if self._is_shortest() and self._peek(1) == ("punct", "("):
+            shortest = True
+            self._next()
+            self._expect("(")
         nodes = [self._node()]
         edges = []
         while True:
@@ -310,7 +339,9 @@ class _Parser:
                 break
             edges.append(self._edge())
             nodes.append(self._node())
-        return PatternPart(path_var, nodes, edges)
+        if shortest:
+            self._expect(")")
+        return PatternPart(path_var, nodes, edges, shortest)
 
     def _node(self) -> NodePat:
         self._expect("(")
@@ -804,7 +835,8 @@ class _Frame:
 
 
 def _compile_pattern(pg, edges, labels, where, edge_where, path_hops,
-                     path_out, either_idx, injective) -> DataFrame:
+                     path_out, either_idx, injective,
+                     shortest_hops=None) -> DataFrame:
     """Compile one CONNECTED component through property_pattern_match,
     or a bare vertex scan for an isolated node."""
     from graphscope_spark.operators.pattern import property_pattern_match
@@ -815,7 +847,8 @@ def _compile_pattern(pg, edges, labels, where, edge_where, path_hops,
                 {x for u, _, v in edges for x in (u, v)}},
         where={k: v for k, v in where.items()
                if k in {x for u, _, v in edges for x in (u, v)}},
-        edge_where=edge_where, path_hops=path_hops, path_out=path_out,
+        edge_where=edge_where, path_hops=path_hops,
+        shortest_hops=shortest_hops or {}, path_out=path_out,
         either=either_idx, injective=injective)
 
 
@@ -857,11 +890,17 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
             else:
                 plain_conjuncts.append(c)
 
-    nodes = _merge_nodes(q.parts + [p for _, p in exists_conjuncts])
+    opt_parts = [p for parts, _ in q.optionals for p in parts]
+    nodes = _merge_nodes(q.parts + [p for _, p in exists_conjuncts]
+                         + opt_parts)
     main_edges = [e for part in q.parts for e in _norm_edges(part)]
     exists_edges = {id(part): _norm_edges(part)
                     for _, part in exists_conjuncts}
-    all_edges = main_edges + [e for es in exists_edges.values() for e in es]
+    opt_edge_lists = [[e for p in parts for e in _norm_edges(p)]
+                      for parts, _ in q.optionals]
+    all_edges = (main_edges
+                 + [e for es in exists_edges.values() for e in es]
+                 + [e for es in opt_edge_lists for e in es])
     labels = _resolve_labels(pg, nodes, all_edges)
 
     # ---- classify WHERE conjuncts -------------------------------------
@@ -872,10 +911,15 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
             if e.var in edge_vars or e.var in nodes:
                 raise ValueError(f"cypher: duplicate variable {e.var!r}")
             edge_vars[e.var] = i
+    # inline property maps push into the MAIN scans only when written in
+    # the MAIN pattern — props written inside EXISTS / OPTIONAL MATCH
+    # patterns filter that clause alone (a NOT EXISTS((c {x:1})-...)
+    # must NOT restrict the outer c)
     node_where: dict = {v: [] for v in nodes}
-    for v, n in nodes.items():
-        for k, val in n.props.items():
-            node_where[v].append(f"{_q(k)} = {_lit_sql(val)}")
+    for part in q.parts:
+        for n in part.nodes:
+            for k, val in n.props.items():
+                node_where[n.var].append(f"{_q(k)} = {_lit_sql(val)}")
     edge_where_sql: dict = {}
     for i, (u, v, e, _) in enumerate(main_edges):
         for k, val in e.props.items():
@@ -920,6 +964,7 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                    and len(n.args) == 1 and isinstance(n.args[0], Var)
                    for a in [n.args[0]]}
     hops_by_edge: dict = {}
+    short_by_edge: dict = {}    # shortestPath(...) var-length binders
     pout_by_edge: dict = {}
     for part in q.parts:
         offset = 0
@@ -930,7 +975,13 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
         var_len = [offset + j for j, e in enumerate(part.edges) if e.hops]
         for j, e in enumerate(part.edges):
             if e.hops:
-                hops_by_edge[offset + j] = e.hops
+                # shortestPath((a)-[*lo..hi]->(b)) = GIE's
+                # ShortestPathExpand: one row per pair whose SHORTEST
+                # distance lies in lo..hi (length(p) = that distance);
+                # a plain var-length edge keeps one row per (pair, walk
+                # length) — ARBITRARY PathExpand
+                (short_by_edge if part.shortest
+                 else hops_by_edge)[offset + j] = e.hops
         if part.path_var:
             if part.path_var in length_refs:
                 if len(var_len) == 1:
@@ -968,7 +1019,9 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                 {remap[i]: h for i, h in hops_by_edge.items() if i in remap},
                 {remap[i]: c for i, c in pout_by_edge.items() if i in remap},
                 {remap[i] for i in either_idx if i in remap},
-                injective)
+                injective,
+                shortest_hops={remap[i]: h for i, h in
+                               short_by_edge.items() if i in remap})
         df = part_df if df is None else df.crossJoin(part_df)
     # cross-component injectivity (within-component pairs are handled by
     # property_pattern_match itself)
@@ -1003,15 +1056,17 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                 ew[i] = " AND ".join(cs)
         if not es:
             raise ValueError("cypher: EXISTS pattern needs at least one edge")
+        hops_d = {j: e.hops for j, (_, _, e, _) in enumerate(es) if e.hops}
         sub = _compile_pattern(
             pg,
             [(u, _edge_labels_for(pg, e, labels[u], labels[v], both), v)
              for u, v, e, both in es],
             labels, nw, ew,
-            {j: e.hops for j, (_, _, e, _) in enumerate(es) if e.hops},
+            {} if part.shortest else hops_d,
             {},
             {j for j, (_, _, _, both) in enumerate(es) if both},
-            injective=False)
+            injective=False,
+            shortest_hops=hops_d if part.shortest else {})
         frame.df = frame.df.join(sub.select(*shared).distinct(), shared,
                                  "left_anti" if negated else "left_semi")
 
@@ -1022,6 +1077,123 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                          edge_vars, main_edges)
         for c in post_conjuncts:
             frame.df = frame.df.filter(F.expr(ctx.render(c)))
+
+    # ---- OPTIONAL MATCH => left outer joins ------------------------------
+    # the reference implements OPTIONAL MATCH as a left outer join
+    # (supported_cypher.md:128); each clause compiles like a MATCH over
+    # its own variables, then left-joins onto the current rows on the
+    # shared ones. Its WHERE filters the OPTIONAL side before the join
+    # (Neo4j semantics: unmatched rows survive with NULLs).
+    for (parts, ow), oedges in zip(q.optionals, opt_edge_lists):
+        ovars = {n.var for p in parts for n in p.nodes}
+        shared = sorted(v for v in ovars if v in frame.var_labels)
+        if not shared:
+            raise ValueError(
+                "cypher: OPTIONAL MATCH must share at least one variable "
+                "with the MATCH pattern")
+        new_vars = sorted(ovars - set(shared))
+        clash = [v for v in new_vars if v in frame.df.columns]
+        if clash:
+            raise ValueError(
+                f"cypher: OPTIONAL MATCH variable(s) {clash} already bound")
+        oe_vars: dict = {}
+        onode_where: dict = {}
+        oedge_where: dict = {}
+        for p in parts:
+            for n in p.nodes:
+                for k, val in n.props.items():
+                    onode_where.setdefault(n.var, []).append(
+                        f"{_q(k)} = {_lit_sql(val)}")
+        for i, (u, v, e, _) in enumerate(oedges):
+            if e.var:
+                if e.var in oe_vars or e.var in nodes:
+                    raise ValueError(f"cypher: duplicate variable {e.var!r}")
+                oe_vars[e.var] = i
+            for k, val in e.props.items():
+                oedge_where.setdefault(i, []).append(
+                    f"{_q(k)} = {_lit_sql(val)}")
+        opost = []
+        if ow is not None:
+            for c in _conjuncts(ow):
+                vs, ps = _refs(c)
+                pvars = {v for v, _ in ps}
+                if not vs and len(pvars) == 1:
+                    x = next(iter(pvars))
+                    if x in oe_vars:
+                        oedge_where.setdefault(oe_vars[x], []).append(
+                            push_ctx.render(c))
+                        continue
+                    if x in ovars:
+                        onode_where.setdefault(x, []).append(
+                            push_ctx.render(c))
+                        continue
+                bad = (vs | pvars) - ovars - set(oe_vars)
+                if bad:
+                    raise ValueError(
+                        "cypher: an OPTIONAL MATCH WHERE may reference "
+                        f"only its own pattern variables (got {sorted(bad)})"
+                        " — predicates over earlier variables belong in "
+                        "the MATCH WHERE or a WITH stage")
+                opost.append(c)
+        ow_map = {v: " AND ".join(cs) for v, cs in onode_where.items() if cs}
+        oew_map = {i: " AND ".join(cs) for i, cs in oedge_where.items()}
+        ohops: dict = {}
+        oshort: dict = {}
+        off = 0
+        for p in parts:
+            if p.path_var is not None:
+                raise ValueError(
+                    "cypher: path variables inside OPTIONAL MATCH are not "
+                    "supported")
+            for j, e in enumerate(p.edges):
+                if e.hops:
+                    (oshort if p.shortest else ohops)[off + j] = e.hops
+            off += len(p.edges)
+        oeither = {i for i, (_, _, _, b) in enumerate(oedges) if b}
+        oresolved = [
+            (u, _edge_labels_for(pg, e, labels[u], labels[v], b), v)
+            for u, v, e, b in oedges]
+        ocomps = _components({v: nodes[v] for v in ovars}, oedges)
+        sub = None
+        for vars_, eidx in ocomps:
+            if not eidx:
+                v = next(iter(vars_))
+                vdf = pg._vertices[labels[v]]
+                if v in ow_map:
+                    vdf = vdf.filter(F.expr(ow_map[v]))
+                part_df = vdf.select(F.col("id").alias(v))
+            else:
+                part_df = _compile_pattern(
+                    pg, [oresolved[i] for i in eidx], labels, ow_map,
+                    {li: oew_map[gi] for li, gi in enumerate(eidx)
+                     if gi in oew_map},
+                    {li: ohops[gi] for li, gi in enumerate(eidx)
+                     if gi in ohops},
+                    {},
+                    {li for li, gi in enumerate(eidx) if gi in oeither},
+                    injective,
+                    shortest_hops={li: oshort[gi] for li, gi in
+                                   enumerate(eidx) if gi in oshort})
+            sub = part_df if sub is None else sub.crossJoin(part_df)
+        # within-clause injectivity across this clause's components
+        if injective and len(ocomps) > 1:
+            for ci in range(len(ocomps)):
+                for cj in range(ci + 1, len(ocomps)):
+                    for a in sorted(ocomps[ci][0]):
+                        for b in sorted(ocomps[cj][0]):
+                            if labels[a] == labels[b]:
+                                sub = sub.filter(
+                                    F.col(_q(a)) != F.col(_q(b)))
+        if opost:
+            oframe = _Frame(sub, pg, {v: labels[v] for v in ovars})
+            oframe.attach_all(opost)
+            octx = _match_ctx(oframe, {}, {}, labels, oe_vars, oedges)
+            for c in opost:
+                oframe.df = oframe.df.filter(F.expr(octx.render(c)))
+            sub = oframe.df.select(*sorted(ovars))
+        frame.df = frame.df.join(sub, shared, "left")
+        for v in new_vars:
+            frame.var_labels[v] = labels[v]
 
     # ---- WITH / RETURN stages ------------------------------------------
     cur = frame

@@ -12,14 +12,18 @@ Catalyst pushes the predicate to the parquet scan), and aggregations are
 plain groupBy/agg.
 
 Supported steps (python-keyword clashes renamed: ``in_``, ``is_``,
-``not_``, ``id_``): V, hasLabel, has/hasNot, out/in_/both, values,
-valueMap, elementMap, id_, label, constant, as_/select, where (tag
-predicate or anonymous-traversal existence), not_, dedup, order+by,
-groupCount+by, group? (via groupCount), count, sum, min_, max_, mean,
-is_, limit, union, repeat().times(). Edge-element steps (outE/inE/E)
-are not exposed — the relational core carries no edge identity;
-``subgraph``/``path`` are served by the library's induce_subgraph and
-typed path binders instead.
+``not_``, ``id_``): V, hasLabel, has/hasNot, out/in_/both (single-hop,
+or the PathExpand sugar ``out("lo..hi", *labels)`` — hop range
+[lo, hi) upper-exclusive, ARBITRARY walks, END_V result, the defaults
+of supported_gremlin_steps.md §PathExpand), values, valueMap,
+elementMap, id_, label, constant, as_/select, where (tag predicate or
+anonymous-traversal existence), not_, dedup, order+by, groupCount+by,
+group().by(key).by(value) (value by(): fold list / property list /
+``__.values(k).sum()``-style aggregator chains), count, sum, min_,
+max_, mean, is_, limit, union, repeat().times(). Edge-element steps
+(outE/inE/E) are not exposed — the relational core carries no edge
+identity; ``subgraph``/``path`` are served by the library's
+induce_subgraph and typed path binders instead.
 
 Semantics note: like the reference (and unlike TinkerPop's bulked
 traversers) a traverser here is a ROW — multiplicities follow relational
@@ -28,8 +32,12 @@ semantics, which matches GIE's own columnar execution.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_HOP_RANGE_RE = re.compile(r"(\d+)\.\.(\d+)")
 
 
 class P:
@@ -116,6 +124,32 @@ class _Anon:
     def has(self, *args):
         return self._add("has", args)
 
+    # aggregator-chain steps — only meaningful as a group() value by()
+    # (supported_gremlin_steps.md §group: by(values("age").sum()) etc.)
+    def values(self, key):
+        return self._add("values", (key,))
+
+    def dedup(self):
+        return self._add("dedup", ())
+
+    def count(self):
+        return self._add("count", ())
+
+    def sum(self):
+        return self._add("sum", ())
+
+    def min_(self):
+        return self._add("min", ())
+
+    def max_(self):
+        return self._add("max", ())
+
+    def mean(self):
+        return self._add("mean", ())
+
+    def fold(self):
+        return self._add("fold", ())
+
 
 class _AnonFactory:
     def out(self, *labels):
@@ -132,6 +166,18 @@ class _AnonFactory:
 
     def has(self, *args):
         return _Anon().has(*args)
+
+    def values(self, key):
+        return _Anon().values(key)
+
+    def dedup(self):
+        return _Anon().dedup()
+
+    def count(self):
+        return _Anon().count()
+
+    def fold(self):
+        return _Anon().fold()
 
 
 __ = _AnonFactory()
@@ -198,6 +244,13 @@ class GremlinTraversal:
     # ---- expand ---------------------------------------------------------
     def _expand(self, labels, direction):
         self._need_elem(direction)
+        if labels and isinstance(labels[0], str) \
+                and _HOP_RANGE_RE.fullmatch(labels[0]):
+            # PathExpand sugar: out("lo..hi", *labels) — hop range
+            # [lo, hi) (upper-exclusive, the GIE convention), ARBITRARY
+            # walks, END_V result (the with()-step defaults).
+            lo, hi = map(int, labels[0].split(".."))
+            return self._path_expand(labels[1:], direction, lo, hi)
         parts = []
         for s, d, df in _edge_rels(self.pg, labels):
             fwd = df.select(F.col("src").alias("_e_from"),
@@ -226,6 +279,24 @@ class GremlinTraversal:
                .withColumnRenamed("_e_to", "_elem")
                .withColumnRenamed("_l_to", "_label"))
         return self._next(out)
+
+    def _path_expand(self, labels, direction, lo: int, hi: int):
+        """Union of the k-fold expansions for k in [lo, hi) — one
+        traverser (row) per WALK, matching GIE's ARBITRARY path_opt;
+        END_V keeps only the walk's end vertex (plus carried tags)."""
+        if not (1 <= lo < hi):
+            raise ValueError(
+                f"gremlin: path expand range '{lo}..{hi}' must satisfy "
+                "1 <= lo < hi (upper bound is EXCLUSIVE, GIE convention)")
+        cur, outs = self, []
+        for k in range(1, hi):
+            cur = cur._expand(labels, direction)
+            if k >= lo:
+                outs.append(cur.df)
+        df = outs[0]
+        for o in outs[1:]:
+            df = df.unionByName(o)
+        return self._next(df)
 
     def out(self, *labels):
         return self._expand(labels, "out")
@@ -464,7 +535,63 @@ class GremlinTraversal:
             return self._next(out, value_col=None, tags=())
         return self._next(self.df, pending="groupCount")
 
+    def group(self):
+        """group().by(key).by(value) — key by(): None (element/value) or
+        a property key; value by(): None (fold element ids), a property
+        key (fold its values), or an aggregator chain like
+        ``__.values("age").sum()`` / ``__.dedup().count()``."""
+        return self._next(self.df, pending="group")
+
+    def _group_finalize(self, spec):
+        df, val, distinct, terminal = self.df, None, False, "fold"
+        if spec is None:
+            pass
+        elif isinstance(spec, str):
+            df, val = self._next(df)._prop_join(spec), "_pv"
+        elif isinstance(spec, _Anon):
+            for step, arg in spec.steps:
+                if step == "values":
+                    df, val = self._next(df)._prop_join(arg[0]), "_pv"
+                elif step == "dedup":
+                    distinct = True
+                elif step in ("count", "sum", "min", "max", "mean", "fold"):
+                    terminal = step
+                else:
+                    raise ValueError(
+                        f"gremlin: step {step!r} unsupported in a group() "
+                        "value by() (use values/dedup + an aggregate)")
+        else:
+            raise ValueError(
+                "gremlin: group() value by() takes None, a property key, "
+                "or an aggregator chain")
+        vcol = F.col(val) if val else F.col(self.value_col or "_elem")
+        if terminal == "count":
+            agg = (F.countDistinct(vcol) if distinct
+                   else F.count(vcol)).alias("value")
+        elif terminal in ("sum", "min", "max", "mean"):
+            fn = {"sum": F.sum, "min": F.min, "max": F.max,
+                  "mean": F.avg}[terminal]
+            agg = fn(vcol).alias("value")
+        else:  # fold (the TinkerPop default group value)
+            agg = F.sort_array(F.collect_set(vcol) if distinct
+                               else F.collect_list(vcol)).alias("value")
+        out = df.groupBy(F.col("_gk").alias("key")).agg(agg)
+        return self._next(out, value_col=None, tags=())
+
     def by(self, key=None, order: str = "asc"):
+        if self._pending == "group":      # the KEY by()
+            if key is None:
+                df = self.df.withColumn(
+                    "_gk", F.col(self.value_col or "_elem"))
+            elif isinstance(key, str):
+                df = self._prop_join(key).withColumnRenamed("_pv", "_gk")
+            else:
+                raise ValueError(
+                    "gremlin: group() key by() takes None or a property "
+                    "key (traversal keys are not supported)")
+            return self._next(df, pending="group_val")
+        if self._pending == "group_val":  # the VALUE by()
+            return self._group_finalize(key)
         if self._pending == "order":
             if key is None:
                 col = F.col(self.value_col or "_elem")

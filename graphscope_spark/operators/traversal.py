@@ -64,10 +64,20 @@ class SSSPJob(SuperstepJob):
     name = "sssp"
 
     def __init__(self, graph: LinkGraph, source: int, weight_col: str | None = None,
-                 sparse_threshold: float = 0.05):
+                 sparse_threshold: float = 0.05,
+                 init_dists: DataFrame | None = None):
         self.graph = graph
         self.source = source
         self.weight_col = weight_col
+        # Ingress-style warm start (reference
+        # docs/analytical_engine/ingress.md:1-28, same contract as
+        # wcc(init_components=) / pagerank(init_ranks=)): (vid, dist)
+        # from a prior run on a SUBGRAPH of this graph with the SAME
+        # source (grow-only updates — every warm dist is a valid walk
+        # length in the merged graph, so min-relaxation from the warm
+        # state reaches the identical fixpoint, just pre-propagated).
+        # NOT valid after edge deletions or weight increases.
+        self.init_dists = init_dists
         self.sparse_threshold = sparse_threshold
         if weight_col is None:
             self.msg_edges = (graph.edges if graph.directed else graph.sym_edges()) \
@@ -88,13 +98,31 @@ class SSSPJob(SuperstepJob):
                 "weight_col": self.weight_col}
 
     def init(self, spark: SparkSession):
-        state = self.graph.vertices.select(
-            "vid",
-            F.when(F.col("vid") == self.source, F.lit(0.0))
-            .otherwise(F.lit(_INF)).alias("dist"),
-            (F.col("vid") == self.source).alias("changed"),
+        if self.init_dists is None:
+            state = self.graph.vertices.select(
+                "vid",
+                F.when(F.col("vid") == self.source, F.lit(0.0))
+                .otherwise(F.lit(_INF)).alias("dist"),
+                (F.col("vid") == self.source).alias("changed"),
+            )
+            return state, {"frontier": 1}
+        warm = self.init_dists.select(
+            "vid", F.col("dist").cast("double").alias("wdist"))
+        # vertices new to this graph (no warm row) start cold at +inf;
+        # the source is pinned to 0 regardless of what the warm state
+        # says. Every finite vertex re-enters the frontier once so new
+        # edges incident to already-settled vertices get relaxed.
+        state = (
+            self.graph.vertices.select("vid")
+            .join(warm.hint("shuffle_hash"), "vid", "left")
+            .select(
+                "vid",
+                F.when(F.col("vid") == self.source, F.lit(0.0))
+                .otherwise(F.coalesce("wdist", F.lit(_INF))).alias("dist"),
+            )
+            .withColumn("changed", F.col("dist") < F.lit(_INF))
         )
-        return state, {"frontier": 1}
+        return state, {"frontier": self.graph.num_vertices}
 
     def step(self, state: DataFrame, step_no: int, scalars: dict):
         sparse = scalars["frontier"] < self.sparse_threshold * self.graph.num_vertices
@@ -125,9 +153,16 @@ class SSSPJob(SuperstepJob):
 
 
 def sssp(graph: LinkGraph, source: int, weight_col: str | None = None,
-         runner: SuperstepRunner | None = None, resume: bool = False) -> DataFrame:
-    """Single-source shortest paths → (vid, dist); unreachable = Infinity."""
-    job = SSSPJob(graph, source, weight_col=weight_col)
+         runner: SuperstepRunner | None = None, resume: bool = False,
+         init_dists: DataFrame | None = None) -> DataFrame:
+    """Single-source shortest paths → (vid, dist); unreachable = Infinity.
+
+    ``init_dists``: optional (vid, dist) warm start from a previous run
+    on a subgraph of this graph with the same source (Ingress-style,
+    reference docs/analytical_engine/ingress.md) — identical fixpoint,
+    fewer supersteps."""
+    job = SSSPJob(graph, source, weight_col=weight_col,
+                  init_dists=init_dists)
     runner = runner or SuperstepRunner(graph.spark)
     state, _ = runner.run(job, resume=resume)
     return state.select("vid", "dist")

@@ -163,6 +163,82 @@ def test_cypher_collect_and_in(pg):
     assert nc == 1 and sorted(names) == ["ann", "bob"]
 
 
+def test_cypher_optional_match_basic(pg):
+    # left outer join (supported_cypher.md:128): dee created nothing →
+    # survives with NULL
+    r = cypher_query(pg, """
+      MATCH (a:person)
+      OPTIONAL MATCH (a)-[:created]->(s:software)
+      RETURN a.name AS an, s.sname AS sn
+    """)
+    assert sorted(tuple(x) for x in r.collect()) == [
+        ("ann", "lib"), ("bob", "lib"), ("cyd", "app"), ("dee", None)]
+
+
+def test_cypher_optional_match_where_filters_optional_side(pg):
+    # the clause WHERE filters BEFORE the join — rows without a match
+    # keep count(*)=1 but count(b)=0
+    r = cypher_query(pg, """
+      MATCH (a:person)
+      OPTIONAL MATCH (a)-[k:knows]->(b:person) WHERE k.since >= 2015
+      RETURN a.name AS an, count(*) AS n_rows, count(b) AS matched
+    """)
+    assert rows(r) == [("ann", 1, 1), ("bob", 1, 0),
+                       ("cyd", 1, 1), ("dee", 1, 0)]
+
+
+def test_cypher_optional_match_inline_props_stay_local(pg):
+    # inline props inside the OPTIONAL pattern restrict only the
+    # optional side — cyd created app but is city 'y', so NULL
+    r = cypher_query(pg, """
+      MATCH (a:person)
+      OPTIONAL MATCH (a {city: 'x'})-[:created]->(s:software)
+      RETURN a.name AS an, s.sname AS sn
+    """)
+    assert sorted(tuple(x) for x in r.collect()) == [
+        ("ann", "lib"), ("bob", "lib"), ("cyd", None), ("dee", None)]
+
+
+def test_cypher_not_exists_inline_props_stay_local(pg):
+    # regression: props written inside NOT EXISTS must not filter the
+    # outer scan — ann/bob (city x) and dee (city y, no out-knows) stay
+    r = cypher_query(pg, """
+      MATCH (a:person)
+      WHERE NOT EXISTS((a {city: 'y'})-[:knows]->(:person))
+      RETURN a.name AS an
+    """)
+    assert rows(r) == [("ann",), ("bob",), ("dee",)]
+
+
+def test_cypher_shortest_path(pg):
+    # shortestPath = GIE's ShortestPathExpand: one row per pair at its
+    # SHORTEST distance (the plain var-length binder also emits cyd@2,
+    # dee@3 — walks longer than the shortest)
+    r = cypher_query(pg, """
+      MATCH p = shortestPath((a:person {name: 'ann'})-[:knows*1..3]->(b:person))
+      RETURN b.name AS bn, length(p) AS d
+    """)
+    assert rows(r) == [("bob", 1), ("cyd", 1), ("dee", 2)]
+    # range excludes pairs whose shortest distance falls outside it
+    r = cypher_query(pg, """
+      MATCH shortestPath((a:person {name: 'ann'})-[:knows*2..3]->(b:person))
+      RETURN b.name AS bn
+    """)
+    assert rows(r) == [("dee",)]
+
+
+def test_cypher_optional_match_errors(pg):
+    with pytest.raises(ValueError, match="share at least one"):
+        cypher_query(pg, "MATCH (a:person) OPTIONAL MATCH "
+                         "(x:software) RETURN a")
+    with pytest.raises(ValueError, match="its own pattern variables"):
+        cypher_query(pg, """
+          MATCH (a:person)-[:knows]->(c:person)
+          OPTIONAL MATCH (c)-[:created]->(s:software) WHERE a.age > 1
+          RETURN a
+        """)
+
+
 def test_cypher_errors(pg):
     with pytest.raises(ValueError, match="unique label"):
         cypher_query(pg, "MATCH (a) RETURN a")  # person or software
@@ -248,6 +324,41 @@ def test_gremlin_valuemap_elementmap(pg):
     assert [tuple(r) for r in vm.collect()] == [("ann", 30)]
     em = g.V().has("person", "name", "ann").elementMap("city").toDF()
     assert [tuple(r) for r in em.collect()] == [("1", "person", "x")]
+
+
+def test_gremlin_path_expand_sugar(pg):
+    g = traversal(pg)
+    # out("1..3") = hop range [1, 3): 1- and 2-hop walks, one traverser
+    # per WALK (ARBITRARY), END_V only — the with()-step defaults
+    assert sorted(g.V().has("person", "name", "ann")
+                  .out("1..3", "knows").values("name").toList()) == [
+        "bob", "cyd", "cyd", "dee"]
+    # lo==2: only the 2-hop walks
+    assert sorted(g.V().has("person", "name", "ann")
+                  .out("2..3", "knows").values("name").toList()) == [
+        "cyd", "dee"]
+    with pytest.raises(ValueError, match="EXCLUSIVE"):
+        g.V().out("3..3", "knows")
+
+
+def test_gremlin_group(pg):
+    g = traversal(pg)
+    # default value by(): fold the element ids
+    got = {r["key"]: sorted(r["value"]) for r in
+           g.V().hasLabel("person").group().by("city").toDF().collect()}
+    assert got == {"x": ["1", "2"], "y": ["3", "4"]}
+    # property value by(): fold that property's values
+    got = {r["key"]: sorted(r["value"]) for r in
+           g.V().hasLabel("person").group().by("city").by("name")
+           .toDF().collect()}
+    assert got == {"x": ["ann", "bob"], "y": ["cyd", "dee"]}
+    # aggregator chains: values("age").sum(), dedup().count()
+    got = dict(g.V().hasLabel("person").group().by("city")
+               .by(anon.values("age").sum()).toList())
+    assert got == {"x": 55, "y": 63}
+    got = dict(g.V().out("knows").group().by("city")
+               .by(anon.dedup().count()).toList())
+    assert got == {"x": 1, "y": 2}
 
 
 def test_gremlin_hasnot_is(pg):

@@ -84,3 +84,38 @@ def test_cdlp_warm_start_converged_seed_confirms_in_one_round(spark, small_graph
                             init_labels=converged).collect()}
     assert warmed == seed_labels  # fixpoint preserved
     assert len(warm_runner.history) == 1  # one confirming round only
+
+
+def test_sssp_warm_start_equals_cold_in_fewer_steps(spark):
+    # one long chain from the source + a late shortcut edge: cold SSSP
+    # walks the chain (O(n) supersteps); a warm restart after adding the
+    # shortcut only re-relaxes the improved suffix
+    from graphscope_spark.operators.traversal import sssp
+
+    n = 60
+    vertices = list(range(n))
+    base_edges = [(i, i + 1) for i in range(n - 1)]
+    g_sub = make_graph(spark, vertices, base_edges)
+    seed = sssp(g_sub, source=0)
+
+    shortcut = [(0, n - 15)]  # dist(n-15) drops 45 → 1 and propagates
+    g_full = make_graph(spark, vertices, base_edges + shortcut)
+
+    cold_runner = SuperstepRunner(spark)
+    cold = {r["vid"]: r["dist"]
+            for r in sssp(g_full, source=0, runner=cold_runner).collect()}
+    cold_steps = len(cold_runner.history)
+
+    warm_runner = SuperstepRunner(spark)
+    warmed = {r["vid"]: r["dist"]
+              for r in sssp(g_full, source=0, runner=warm_runner,
+                            init_dists=seed).collect()}
+    warm_steps = len(warm_runner.history)
+
+    assert warmed == cold  # identical fixpoint (min-relaxation restart)
+    assert warm_steps < cold_steps, (warm_steps, cold_steps)
+    # new vertices absent from the seed start cold (unreachable → inf)
+    g_grown = make_graph(spark, vertices + [999], base_edges)
+    w2 = {r["vid"]: r["dist"]
+          for r in sssp(g_grown, source=0, init_dists=seed).collect()}
+    assert w2[999] == float("inf")
