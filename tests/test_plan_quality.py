@@ -172,3 +172,31 @@ def test_typed_pattern_predicates_reach_parquet_scan(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(strength,0\.5\)", plan)
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(age,30\)", plan)
+
+
+def test_cypher_frontend_predicates_reach_parquet_scan(spark, tmp_path):
+    """The Cypher frontend's WHERE pushdown must survive all the way to
+    the parquet FileScan — node predicates into the vertex scan, edge
+    predicates into the relation scan — with no cartesian join."""
+    from graphscope_spark import PropertyGraph, cypher_query
+
+    vp, ep = str(tmp_path / "people2"), str(tmp_path / "knows2")
+    spark.range(0, 500).selectExpr(
+        "id AS pid", "id % 90 AS age").write.parquet(vp)
+    spark.range(0, 2000).selectExpr(
+        "id % 500 AS s", "(id * 7) % 500 AS d",
+        "CAST(id % 10 AS DOUBLE) / 10 AS strength").write.parquet(ep)
+    pg = (PropertyGraph(spark)
+          .add_vertices(spark.read.parquet(vp), "person", vid_field="pid")
+          .add_edges(spark.read.parquet(ep), "knows",
+                     src_label="person", dst_label="person"))
+    df = cypher_query(pg, """
+        MATCH (a:person)-[k:knows]->(b:person)
+        WHERE a.age >= 30 AND k.strength >= 0.5
+        RETURN toInteger(a) AS a_key, count(*) AS n
+    """)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(strength,0\.5\)", plan)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(age,30\)", plan)
