@@ -183,17 +183,29 @@ def _graph_und(spark: SparkSession, sf_dir: str):
 
 
 @_session_graph_cache
+def _wedges_df(spark: SparkSession, sf_dir: str):
+    """One weighted part↔supplier edge per lineitem pair — the single
+    source of the weight formula (shared by _wgraph and the sssp_warm
+    subgraph seed, which must stay weight-identical to be a valid
+    ingress warm start)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_partkey", "l_suppkey")
+            .agg((1 + F.min("l_quantity").cast("long") % 3)
+                 .cast("double").alias("w"))
+            .select(F.col("l_partkey").alias("src"),
+                    (F.lit(100000) + F.col("l_suppkey")).alias("dst"), "w"))
+
+
+def _sym_w(we):
+    return we.unionByName(we.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+
+
 def _wgraph(spark: SparkSession, sf_dir: str):
     from graphscope_spark import LinkGraph
 
-    li = _t(spark, sf_dir, "lineitem")
-    we = (li.groupBy("l_partkey", "l_suppkey")
-          .agg((1 + F.min("l_quantity").cast("long") % 3).cast("double").alias("w"))
-          .select(F.col("l_partkey").alias("src"),
-                  (F.lit(100000) + F.col("l_suppkey")).alias("dst"), "w"))
-    sym = we.unionByName(
-        we.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
-    return LinkGraph(spark, sym, directed=False)
+    return LinkGraph(spark, _sym_w(_wedges_df(spark, sf_dir)),
+                     directed=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1253,16 +1265,8 @@ def _q_sssp_warm(spark, sf_dir):
     from graphscope_spark import LinkGraph
     from graphscope_spark.operators.traversal import sssp
 
-    li = _t(spark, sf_dir, "lineitem")
-    we = (li.groupBy("l_partkey", "l_suppkey")
-          .agg((1 + F.min("l_quantity").cast("long") % 3)
-               .cast("double").alias("w"))
-          .select(F.col("l_partkey").alias("src"),
-                  (F.lit(100000) + F.col("l_suppkey")).alias("dst"), "w"))
-    sub = we.filter(F.col("src") % 3 != 1)
-    sym_sub = sub.unionByName(sub.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
-    seed = sssp(LinkGraph(spark, sym_sub, directed=False),
+    sub = _wedges_df(spark, sf_dir).filter(F.col("src") % 3 != 1)
+    seed = sssp(LinkGraph(spark, _sym_w(sub), directed=False),
                 source=0, weight_col="w")
     out = sssp(_wgraph(spark, sf_dir), source=0, weight_col="w",
                init_dists=seed)
@@ -1316,15 +1320,14 @@ def _q_gremlin_group(spark, sf_dir):
                       F.col("value").alias("nat_sum"))
 
 
-def _q_cypher_shortest(spark, sf_dir):
-    # Cypher shortestPath() lowering onto the ShortestPathExpand binder
-    # — same graph + semantics as typed_shortest_pattern (the `hop`
-    # label carries BOTH rank+1 and rank+2 edges, so shortest distance
-    # between ranks r1<r2 is ceil((r2-r1)/2); *2..2 keeps exactly the
-    # rank-diff-3-or-4 pairs), here reached from the TEXTUAL frontend
+def _hop_chain_pg(spark, sf_dir):
+    """Orders chained by BOTH rank+1 and rank+2 edges under one `hop`
+    label, so shortest distance between ranks r1<r2 is ceil((r2-r1)/2)
+    — the ShortestPathExpand test graph shared by typed_shortest_pattern
+    and cypher_shortest (their oracles assume the identical graph)."""
     from pyspark.sql import Window
 
-    from graphscope_spark import PropertyGraph, cypher_query
+    from graphscope_spark import PropertyGraph
 
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -1336,12 +1339,21 @@ def _q_cypher_shortest(spark, sf_dir):
         F.col("o_orderkey").alias("s"), F.col("n1").alias("d"))
     skip = base.filter(F.col("n2").isNotNull()).select(
         F.col("o_orderkey").alias("s"), F.col("n2").alias("d"))
-    pg = (PropertyGraph(spark)
-          .add_vertices(orders.select("o_orderkey"), "orders",
-                        vid_field="o_orderkey")
-          .add_edges(nxt.unionByName(skip), "hop",
-                     src_label="orders", dst_label="orders"))
-    return cypher_query(pg, """
+    return (PropertyGraph(spark)
+            .add_vertices(orders.select("o_orderkey"), "orders",
+                          vid_field="o_orderkey")
+            .add_edges(nxt.unionByName(skip), "hop",
+                       src_label="orders", dst_label="orders"))
+
+
+def _q_cypher_shortest(spark, sf_dir):
+    # Cypher shortestPath() lowering onto the ShortestPathExpand binder
+    # — same graph + semantics as typed_shortest_pattern (*2..2 keeps
+    # exactly the rank-diff-3-or-4 pairs), here reached from the
+    # TEXTUAL frontend
+    from graphscope_spark import cypher_query
+
+    return cypher_query(_hop_chain_pg(spark, sf_dir), """
         MATCH p = shortestPath((o1:orders)-[:hop*2..2]->(o2:orders))
         RETURN toInteger(o1) AS o1_key, count(*) AS n_at_2,
                sum(length(p)) AS sum_d
@@ -2468,25 +2480,9 @@ def _q_typed_shortest_pattern(spark, sf_dir):
     # diff 2 via two next edges, but its shortest distance is 1 via the
     # skip edge, so shortest semantics EXCLUDE it — that exclusion is
     # what the oracle checks)
-    from pyspark.sql import Window
+    from graphscope_spark import property_pattern_match
 
-    from graphscope_spark import PropertyGraph, property_pattern_match
-
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-    base = orders.select(
-        "o_custkey", "o_orderkey",
-        F.lead("o_orderkey", 1).over(w).alias("n1"),
-        F.lead("o_orderkey", 2).over(w).alias("n2"))
-    nxt = base.filter(F.col("n1").isNotNull()).select(
-        F.col("o_orderkey").alias("s"), F.col("n1").alias("d"))
-    skip = base.filter(F.col("n2").isNotNull()).select(
-        F.col("o_orderkey").alias("s"), F.col("n2").alias("d"))
-    pg = (PropertyGraph(spark)
-          .add_vertices(orders.select("o_orderkey"), "orders",
-                        vid_field="o_orderkey")
-          .add_edges(nxt.unionByName(skip), "hop",
-                     src_label="orders", dst_label="orders"))
+    pg = _hop_chain_pg(spark, sf_dir)
     m = property_pattern_match(pg, [("o1", "hop", "o2")],
                                labels={"o1": "orders", "o2": "orders"},
                                shortest_hops={0: (2, 2)})

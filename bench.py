@@ -16,12 +16,19 @@ Sections:
      (hyperthread pairing + hypervisor steal). Skip with
      SPARK_GRAFT_SCALING=0.
 
-Reproducibility (round-2 rework): this box shows ~13% hypervisor steal
-spikes and multi-second freezes, so single-shot wall times are not
-falsifiable. Every headline query therefore runs k times; the harness
-reports the MEDIAN (headline) and MIN (steady-state floor) plus the
-/proc/stat steal fraction observed during each sample, so a regression
-claim can be separated from a noisy-box claim.
+Reproducibility (round-2 rework, round-4 rtt probe): this box shows ~13%
+hypervisor steal spikes, multi-second freezes, AND hours-long windows
+where cross-process wakeup latency degrades ~100x (loopback RTT ~5 ms vs
+~50 µs; pure compute unaffected; steal shows only ~2%) — trivial Spark
+jobs then take 0.3-1 s and superstep times inflate ~7x. Single-shot wall
+times are therefore not falsifiable. Every headline query runs k times;
+the harness reports the MEDIAN (headline) and MIN (steady-state floor)
+plus the /proc/stat steal fraction AND a loopback-RTT probe per sample;
+contaminated samples (rtt > SPARK_GRAFT_RTT_THRESH_US, default 400) are
+excluded from the stats when a clean sample exists, re-sampled (up to
+SPARK_GRAFT_RESAMPLES extra) when none does, and flagged
+latency_degraded when the whole window was bad — so a regression claim
+can be separated from a noisy-box claim.
 
 Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_REPEATS (default 3).
@@ -64,7 +71,56 @@ def _session(cpus: int, aqe: bool = True, shuffle_partitions: int | None = None)
 
 
 # ---------------------------------------------------------------------------
-# noise instrumentation: hypervisor steal observed per sample
+# noise instrumentation: hypervisor steal + cross-process wakeup latency
+# observed per sample. This box intermittently (hours-long windows) runs
+# loopback round trips at ~5 ms instead of ~50 µs while PURE COMPUTE is
+# unaffected — every socket/scheduler wakeup (py4j, task result fetch)
+# then eats milliseconds and trivial Spark jobs take 0.3-1 s, inflating
+# superstep times ~7x with steal showing only ~2%. The RTT probe detects
+# those windows directly so contaminated samples can be excluded (when a
+# clean sample exists) and the degradation is recorded in the output.
+
+RTT_THRESH_US = float(os.environ.get("SPARK_GRAFT_RTT_THRESH_US", "400"))
+RESAMPLES = int(os.environ.get("SPARK_GRAFT_RESAMPLES", "2"))
+
+
+def _loopback_rtt_us(n: int = 80) -> float:
+    """Median localhost TCP round-trip in microseconds — a direct probe
+    of the wakeup latency the hypervisor is currently imposing."""
+    import socket
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+
+    def echo():
+        c, _ = srv.accept()
+        c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        while True:
+            d = c.recv(64)
+            if not d:
+                break
+            c.sendall(d)
+        c.close()
+
+    t = threading.Thread(target=echo, daemon=True)
+    t.start()
+    c = socket.socket()
+    c.connect(("127.0.0.1", srv.getsockname()[1]))
+    c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    c.sendall(b"x")
+    c.recv(64)
+    rtts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        c.sendall(b"x")
+        c.recv(64)
+        rtts.append(time.perf_counter() - t0)
+    c.close()
+    srv.close()
+    return statistics.median(rtts) * 1e6
+
 
 def _cpu_stat() -> tuple[int, int]:
     try:
@@ -75,17 +131,25 @@ def _cpu_stat() -> tuple[int, int]:
 
 
 def _timed(fn):
+    rtt0 = _loopback_rtt_us()
     s0, t0c = _cpu_stat()
     t0 = time.perf_counter()
     out = fn()
     wall = time.perf_counter() - t0
     s1, t1c = _cpu_stat()
     steal = (s1 - s0) / max(1, t1c - t0c)
-    return wall, steal, out
+    # max(before, after): contaminated if the bad window covered either
+    # edge of the sample
+    rtt = max(rtt0, _loopback_rtt_us())
+    return wall, steal, rtt, out
 
 
 class Sampled:
-    """k timed samples of a query → median/min + per-sample steal."""
+    """k timed samples of a query → median/min + per-sample steal and
+    wakeup-latency probe. Samples whose RTT probe exceeds RTT_THRESH_US
+    are marked contaminated; when at least one clean sample exists the
+    median/min are computed over clean samples only, and when none does
+    up to RESAMPLES extra attempts are made."""
 
     def __init__(self):
         self.samples: dict[str, list[dict]] = {}
@@ -93,26 +157,48 @@ class Sampled:
     def run(self, name: str, fn, k: int = REPEATS):
         out = None
         for _ in range(k):
-            wall, steal, out = _timed(fn)
+            wall, steal, rtt, out = _timed(fn)
             self.samples.setdefault(name, []).append(
-                {"sec": round(wall, 3), "steal": round(steal, 4)})
+                {"sec": round(wall, 3), "steal": round(steal, 4),
+                 "rtt_us": round(rtt, 1)})
+        extra = RESAMPLES
+        while extra > 0 and not self._clean(name):
+            extra -= 1
+            wall, steal, rtt, out = _timed(fn)
+            self.samples[name].append(
+                {"sec": round(wall, 3), "steal": round(steal, 4),
+                 "rtt_us": round(rtt, 1)})
         return out
 
+    def _clean(self, name: str) -> list[dict]:
+        return [s for s in self.samples[name]
+                if s.get("rtt_us", 0.0) <= RTT_THRESH_US]
+
+    def _vals(self, name: str) -> list[float]:
+        clean = self._clean(name)
+        return [s["sec"] for s in (clean or self.samples[name])]
+
     def median(self, name: str) -> float:
-        return statistics.median(s["sec"] for s in self.samples[name])
+        return statistics.median(self._vals(name))
 
     def minimum(self, name: str) -> float:
-        return min(s["sec"] for s in self.samples[name])
+        return min(self._vals(name))
 
     def summary(self) -> dict:
-        return {
-            name: {
+        out = {}
+        for name, ss in self.samples.items():
+            clean = self._clean(name)
+            entry = {
                 "median_sec": round(self.median(name), 3),
                 "min_sec": round(self.minimum(name), 3),
                 "samples": ss,
             }
-            for name, ss in self.samples.items()
-        }
+            if len(clean) < len(ss):
+                entry["contaminated_excluded"] = len(ss) - len(clean)
+            if not clean:
+                entry["latency_degraded"] = True  # stats from bad window
+            out[name] = entry
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -268,16 +354,33 @@ def section_c(extras: dict) -> None:
     box itself scaled at during the same minutes."""
     n_lo, n_hi = 2, 8
     s0, t0 = _cpu_stat()
+    rtts = [round(_loopback_rtt_us(), 1)]
     ctl = [(_cpu_control(n_lo), _cpu_control(n_hi))]
     # N=2 steps are long and stable (23.2-23.7s across every measurement);
     # N=8 steps are short and noisy (6.0-8.0s) — so one lo session and two
     # hi sessions spends the repeat budget where the variance is
     t_lo_runs = [_pr_min_step(n_lo, steps=4)]
+    rtts.append(round(_loopback_rtt_us(), 1))
     t_hi_runs = [_pr_min_step(n_hi, steps=8) for _ in range(2)]
+    rtts.append(round(_loopback_rtt_us(), 1))
     ctl.append((_cpu_control(n_lo), _cpu_control(n_hi)))
     s1, t1 = _cpu_stat()
     t_lo, t_hi = min(t_lo_runs), min(t_hi_runs)
     eff = (t_lo / t_hi) / (n_hi // n_lo)
+    # a wakeup-latency window hitting ONE leg produces a physically
+    # impossible ratio (superlinear, or far below the CPU control's own
+    # floor); min-over-runs absorbs it once the contaminated leg gets a
+    # clean re-run — bounded retries, slower leg first
+    retries = RESAMPLES
+    while retries > 0 and (eff > 1.02 or eff < 0.3):
+        retries -= 1
+        if eff > 1.02:      # lo leg implausibly slow
+            t_lo_runs.append(_pr_min_step(n_lo, steps=4))
+        else:               # hi leg implausibly slow
+            t_hi_runs.append(_pr_min_step(n_hi, steps=8))
+        rtts.append(round(_loopback_rtt_us(), 1))
+        t_lo, t_hi = min(t_lo_runs), min(t_hi_runs)
+        eff = (t_lo / t_hi) / (n_hi // n_lo)
     ceff = max((c_lo / c_hi) / (n_hi // n_lo) for c_lo, c_hi in ctl)
     extras["scaling"] = {
         "graph": {"V": 2_000_000, "E": 60_000_000, "avg_degree": 30},
@@ -291,8 +394,11 @@ def section_c(extras: dict) -> None:
         "cpu_control_runs": [[round(a, 2), round(b, 2)] for a, b in ctl],
         "efficiency_vs_hardware_ceiling": eff / ceff if ceff else None,
         "steal_during_measure": round((s1 - s0) / max(1, t1 - t0), 4),
+        "rtt_probe_us": rtts,
         "estimator": "min step time over 2 sessions/level (robust to "
-                     "hypervisor steal spikes and JIT warmup)",
+                     "hypervisor steal spikes and JIT warmup); "
+                     "implausible-ratio legs re-run (wakeup-latency "
+                     "windows, see rtt_probe_us)",
     }
 
 

@@ -517,7 +517,9 @@ class _Parser:
         if up == "CASE":
             return self._case()
         if up == "EXISTS" and self._peek(1) == ("punct", "(") \
-                and self._peek(2) == ("punct", "("):
+                and (self._peek(2) == ("punct", "(")
+                     or (self._is_shortest(2)
+                         and self._peek(3) == ("punct", "("))):
             self._next()
             self._expect("(")
             part = self._pattern_part()
@@ -707,6 +709,12 @@ def _lit_sql(v) -> str:
     return repr(v)
 
 
+class _NoMatch(ValueError):
+    """The pattern admits NO label assignment / relation — a hard error
+    in MATCH, but Neo4j semantics for OPTIONAL MATCH: every row keeps
+    NULLs for the clause's variables."""
+
+
 def _merge_nodes(parts):
     """var -> NodePat merged across pattern parts (labels must agree)."""
     nodes = {}
@@ -737,12 +745,17 @@ def _norm_edges(part):
     return out
 
 
-def _resolve_labels(pg, nodes, all_edges):
+def _resolve_labels(pg, nodes, all_edges, fixed=None):
     """Fixpoint label inference for unannotated nodes from the edge
     relations (the reference's planner does the same over its schema —
-    GraphRelOptimizer type inference)."""
+    GraphRelOptimizer type inference). ``fixed`` pins already-resolved
+    variables (main-pattern labels seen from an EXISTS / OPTIONAL
+    clause) so an auxiliary clause can never narrow — and thereby
+    change — the main match."""
     vlabels = set(pg._vertices)
-    domain = {v: ({n.label} if n.label else set(vlabels))
+    fixed = fixed or {}
+    domain = {v: ({fixed[v]} if v in fixed
+                  else {n.label} if n.label else set(vlabels))
               for v, n in nodes.items()}
     for v, n in nodes.items():
         if n.label and n.label not in vlabels:
@@ -769,6 +782,10 @@ def _resolve_labels(pg, nodes, all_edges):
                 changed = True
     resolved = {}
     for v, dom in domain.items():
+        if not dom:
+            raise _NoMatch(
+                f"cypher: no label assignment satisfies the pattern "
+                f"around {v!r}")
         if len(dom) != 1:
             raise ValueError(
                 f"cypher: cannot infer a unique label for {v!r} "
@@ -789,7 +806,7 @@ def _edge_labels_for(pg, e: EdgePat, ul: str, vl: str, either: bool):
                 ok.append(el)
                 break
     if not ok:
-        raise ValueError(
+        raise _NoMatch(
             f"cypher: no edge label relates {ul!r} to {vl!r} "
             f"(candidates {cands})")
     if e.labels is None and len(ok) > 1:
@@ -898,10 +915,19 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                     for _, part in exists_conjuncts}
     opt_edge_lists = [[e for p in parts for e in _norm_edges(p)]
                       for parts, _ in q.optionals]
-    all_edges = (main_edges
-                 + [e for es in exists_edges.values() for e in es]
-                 + [e for es in opt_edge_lists for e in es])
-    labels = _resolve_labels(pg, nodes, all_edges)
+    # phased label resolution: the MAIN pattern resolves on its own
+    # edges only; EXISTS / OPTIONAL clauses then resolve their NEW
+    # variables with the main labels pinned — an auxiliary clause must
+    # never narrow (and thereby change) the main match: a NOT EXISTS /
+    # OPTIONAL edge is not evidence about an outer variable's label
+    main_node_vars = {n.var for part in q.parts for n in part.nodes}
+    labels = _resolve_labels(
+        pg, {v: nodes[v] for v in main_node_vars}, main_edges)
+    for _, part in exists_conjuncts:
+        evars = {n.var for n in part.nodes}
+        labels.update(_resolve_labels(
+            pg, {v: nodes[v] for v in evars}, exists_edges[id(part)],
+            fixed=labels))
 
     # ---- classify WHERE conjuncts -------------------------------------
     main_vars = {n.var for part in q.parts for n in part.nodes}
@@ -1084,6 +1110,7 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
     # its own variables, then left-joins onto the current rows on the
     # shared ones. Its WHERE filters the OPTIONAL side before the join
     # (Neo4j semantics: unmatched rows survive with NULLs).
+    opt_edge_seen: set = set(edge_vars)
     for (parts, ow), oedges in zip(q.optionals, opt_edge_lists):
         ovars = {n.var for p in parts for n in p.nodes}
         shared = sorted(v for v in ovars if v in frame.var_labels)
@@ -1096,6 +1123,22 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
         if clash:
             raise ValueError(
                 f"cypher: OPTIONAL MATCH variable(s) {clash} already bound")
+        try:
+            labels.update(_resolve_labels(
+                pg, {v: nodes[v] for v in ovars}, oedges, fixed=labels))
+            oresolved = [
+                (u, _edge_labels_for(pg, e, labels[u], labels[v], b), v)
+                for u, v, e, b in oedges]
+        except _NoMatch:
+            # Neo4j semantics: a provably-unmatchable OPTIONAL MATCH
+            # (no label/relation assignment exists in this schema) keeps
+            # every row, with NULL for the clause's variables (their
+            # label is unknowable, so property access on them stays an
+            # error rather than silently NULL)
+            for v in new_vars:
+                frame.df = frame.df.withColumn(
+                    v, F.lit(None).cast("string"))
+            continue
         oe_vars: dict = {}
         onode_where: dict = {}
         oedge_where: dict = {}
@@ -1106,9 +1149,11 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                         f"{_q(k)} = {_lit_sql(val)}")
         for i, (u, v, e, _) in enumerate(oedges):
             if e.var:
-                if e.var in oe_vars or e.var in nodes:
+                if e.var in oe_vars or e.var in nodes \
+                        or e.var in opt_edge_seen:
                     raise ValueError(f"cypher: duplicate variable {e.var!r}")
                 oe_vars[e.var] = i
+                opt_edge_seen.add(e.var)
             for k, val in e.props.items():
                 oedge_where.setdefault(i, []).append(
                     f"{_q(k)} = {_lit_sql(val)}")
@@ -1150,9 +1195,6 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                     (oshort if p.shortest else ohops)[off + j] = e.hops
             off += len(p.edges)
         oeither = {i for i, (_, _, _, b) in enumerate(oedges) if b}
-        oresolved = [
-            (u, _edge_labels_for(pg, e, labels[u], labels[v], b), v)
-            for u, v, e, b in oedges]
         ocomps = _components({v: nodes[v] for v in ovars}, oedges)
         sub = None
         for vars_, eidx in ocomps:
@@ -1245,6 +1287,10 @@ def _match_ctx(frame: _Frame, path_out_col, path_const, labels,
             raise ValueError(
                 f"cypher: path variable {name!r} can only be used inside "
                 "length()")
+        if name in frame.df.columns:
+            # e.g. a provably-unmatchable OPTIONAL MATCH variable
+            # (attached as an all-NULL column, no label to carry)
+            return _q(name)
         raise ValueError(f"cypher: unknown variable {name!r}")
 
     def rp(var, key):

@@ -549,13 +549,23 @@ class GremlinTraversal:
         elif isinstance(spec, str):
             df, val = self._next(df)._prop_join(spec), "_pv"
         elif isinstance(spec, _Anon):
+            saw_terminal = False
             for step, arg in spec.steps:
+                if saw_terminal:
+                    raise ValueError(
+                        f"gremlin: step {step!r} after the aggregate in a "
+                        "group() value by() — the aggregate must be last")
                 if step == "values":
+                    if val is not None:
+                        raise ValueError(
+                            "gremlin: at most one values() per group() "
+                            "value by() chain")
                     df, val = self._next(df)._prop_join(arg[0]), "_pv"
                 elif step == "dedup":
                     distinct = True
                 elif step in ("count", "sum", "min", "max", "mean", "fold"):
                     terminal = step
+                    saw_terminal = True
                 else:
                     raise ValueError(
                         f"gremlin: step {step!r} unsupported in a group() "

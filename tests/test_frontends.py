@@ -227,6 +227,64 @@ def test_cypher_shortest_path(pg):
     assert rows(r) == [("dee",)]
 
 
+def test_cypher_optional_never_narrows_main_match(spark):
+    # 'rel' relates BOTH person->org and software->org; the main pattern
+    # alone cannot resolve x — that must stay an explicit error, even
+    # though the OPTIONAL clause's 'made' edge (person->soft only) would
+    # "disambiguate" it: an OPTIONAL MATCH is not evidence about the
+    # outer variable and silently narrowing it would drop main rows that
+    # Cypher's left-join semantics must keep
+    from graphscope_spark import PropertyGraph
+
+    people = spark.createDataFrame([(1,)], "pid LONG")
+    sw = spark.createDataFrame([(10,)], "sid LONG")
+    orgs = spark.createDataFrame([(100,)], "gid LONG")
+    pg2 = (PropertyGraph(spark)
+           .add_vertices(people, "person", vid_field="pid")
+           .add_vertices(sw, "soft", vid_field="sid")
+           .add_vertices(orgs, "org", vid_field="gid")
+           .add_edges(spark.createDataFrame([(1, 100)], "a LONG, b LONG"),
+                      "rel", src_label="person", dst_label="org")
+           .add_edges(spark.createDataFrame([(10, 100)], "a LONG, b LONG"),
+                      "rel", src_label="soft", dst_label="org")
+           .add_edges(spark.createDataFrame([(1, 10)], "a LONG, b LONG"),
+                      "made", src_label="person", dst_label="soft"))
+    with pytest.raises(ValueError, match="unique label"):
+        cypher_query(pg2, """
+          MATCH (x)-[:rel]->(g:org)
+          OPTIONAL MATCH (x)-[:made]->(s:soft)
+          RETURN x, s
+        """)
+    # annotated, the optional clause left-joins without touching the main
+    r = cypher_query(pg2, """
+      MATCH (x:soft)-[:rel]->(g:org)
+      OPTIONAL MATCH (y:person)-[:made]->(x)
+      RETURN toInteger(x) AS xk, toInteger(y) AS yk
+    """)
+    assert rows(r) == [(10, 1)]
+
+
+def test_cypher_optional_unmatchable_clause_yields_nulls(pg):
+    # 'knows' never relates software to anything: the OPTIONAL clause is
+    # provably unmatchable, so every software row survives with z NULL
+    # (Neo4j semantics), instead of erroring like a MATCH would
+    r = cypher_query(pg, """
+      MATCH (a:software)
+      OPTIONAL MATCH (a)-[:knows]->(z:person)
+      RETURN toInteger(a) AS ak, count(*) AS n_rows, count(z) AS matched
+    """)
+    assert rows(r) == [(10, 1, 0), (11, 1, 0)]
+
+
+def test_cypher_duplicate_edge_var_across_clauses(pg):
+    with pytest.raises(ValueError, match="duplicate variable"):
+        cypher_query(pg, """
+          MATCH (a:person)-[k:knows]->(b:person)
+          OPTIONAL MATCH (a)-[k:created]->(s:software)
+          RETURN a
+        """)
+
+
 def test_cypher_optional_match_errors(pg):
     with pytest.raises(ValueError, match="share at least one"):
         cypher_query(pg, "MATCH (a:person) OPTIONAL MATCH "
