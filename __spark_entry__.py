@@ -1277,6 +1277,29 @@ def _q_sssp_warm(spark, sf_dir):
         .alias("dist_micro"))
 
 
+def _q_dynamic_degree(spark, sf_dir):
+    # mutable nx-compatible surface (graphscope.nx / DynamicFragment,
+    # reference python/graphscope/nx/classes/graph.py:65): build a
+    # directed graph from orders-derived edges via the batched mutation
+    # log, bulk-remove the 'F'-status subset, bulk-add a high-value
+    # customer self-referral layer, then snapshot and read nx degrees.
+    # The adds' dst range (200000+) is disjoint from the base range
+    # (100000..100996), so last-op-wins resolution == set algebra and
+    # the oracle is plain SQL.
+    from graphscope_spark.nxgraph import DiGraph
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(F.col("o_custkey").alias("src"),
+                         (F.col("o_orderkey") % 997 + 100000).alias("dst"))
+    g = DiGraph(spark)
+    g.add_edges_df(base)
+    g.remove_edges_df(base.where(orders["o_orderstatus"] == "F"))
+    g.add_edges_df(orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_custkey") % 500 + 200000).alias("dst")))
+    return g.degree().select("vid", F.col("degree").cast("long").alias("degree"))
+
+
 def _q_cypher_optional(spark, sf_dir):
     # OPTIONAL MATCH = left outer join (the reference's own lowering,
     # supported_cypher.md:128): every located customer yields a row;
@@ -2702,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_group": _q_gremlin_group,
         "cypher_shortest": _q_cypher_shortest,
         "sssp_warm": _q_sssp_warm,
+        "dynamic_degree": _q_dynamic_degree,
         # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
@@ -3117,6 +3141,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         # warm-started SSSP converges to the cold fixpoint
         "sssp_warm": _sssp_sql(12),
+        "dynamic_degree": (
+            # mutation-log set algebra: base adds minus the 'F' deletes,
+            # union the disjoint-range second add batch; vertices = every
+            # endpoint ever ADDED (node log), degree = in+out over live
+            # edges (nx DiGraph.degree)
+            "WITH base AS (SELECT DISTINCT o_custkey AS src, "
+            "o_orderkey % 997 + 100000 AS dst FROM orders), "
+            "dels AS (SELECT DISTINCT o_custkey AS src, "
+            "o_orderkey % 997 + 100000 AS dst FROM orders "
+            "WHERE o_orderstatus = 'F'), "
+            "adds AS (SELECT DISTINCT o_custkey AS src, "
+            "o_custkey % 500 + 200000 AS dst FROM orders "
+            "WHERE o_totalprice > 150000), "
+            "live AS (SELECT b.src, b.dst FROM base b LEFT JOIN dels d "
+            "ON b.src = d.src AND b.dst = d.dst WHERE d.src IS NULL "
+            "UNION SELECT src, dst FROM adds), "
+            "verts AS (SELECT src AS vid FROM base UNION "
+            "SELECT dst FROM base UNION SELECT src FROM adds "
+            "UNION SELECT dst FROM adds), "
+            "ends AS (SELECT src AS vid FROM live "
+            "UNION ALL SELECT dst FROM live) "
+            "SELECT v.vid, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS degree "
+            "FROM verts v LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM ends "
+            "GROUP BY vid) c ON v.vid = c.vid"
+        ),
         "assortativity": (
             f"WITH edges AS MATERIALIZED ({_EDGES_SQL}), "
             "od AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), "

@@ -1,0 +1,355 @@
+"""Mutable NetworkX-compatible graph surface (the reference's ``graphscope.nx``).
+
+Reference: python/graphscope/nx/classes/graph.py:65 (Graph),
+digraph.py (DiGraph) — a networkx-API layer over the mutable
+``gs::DynamicFragment`` (analytical_engine/core/fragment/
+dynamic_fragment.h:1-1663), which applies add/remove vertex/edge
+batches (grape_instance.cc:1351-1452, NETWORKX ops MODIFY_VERTICES /
+MODIFY_EDGES / CLEAR_EDGES) and re-runs builtin apps over the mutated
+fragment.
+
+Spark-first rebuild: there is no mutable distributed structure to poke
+row-at-a-time, and there shouldn't be — the scale-correct equivalent of
+DynamicFragment's batched modify protocol is an **append-only mutation
+log** materialized into an immutable snapshot:
+
+- every mutation appends rows ``(src, dst, weight, seq, op)`` to an edge
+  log (op ∈ {add, del}; node log analogous). Driver-side ``add_edge``
+  calls buffer in a small pending list and flush as ONE Arrow-backed
+  ``createDataFrame`` batch — exactly how the reference client batches
+  NX mutations into MODIFY_EDGES requests rather than one RPC per edge.
+- a **snapshot** resolves each key to its highest-``seq`` operation
+  (last-op-wins, one hash aggregation — no ordering assumptions beyond
+  the monotone counter) and keeps keys whose latest op is ``add``.
+  The result is a plain :class:`LinkGraph`, so every builtin algorithm,
+  pattern matcher, and frontend runs unchanged on the mutated graph —
+  the same "mutate, then run_app" lifecycle as the reference.
+- bulk mutations (``add_edges_df`` / ``remove_edges_df``) append a
+  DataFrame straight to the log: the 100 TB path never routes rows
+  through the driver, and the log itself unions lazily (no shuffle
+  until a snapshot is asked for).
+
+Undirected graphs store each edge once in the log under a canonical
+(min, max) key; the snapshot mirrors both orientations to satisfy the
+LinkGraph symmetric-storage contract (performance_tuning.md:42-84).
+
+Documented deviation: ``remove_edge``/``remove_node`` on a missing key
+is a no-op rather than networkx's KeyError — raising would force a
+lookup job per mutation, defeating the batched log.
+"""
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+
+_EDGE_LOG_SCHEMA = "src LONG, dst LONG, weight DOUBLE, seq LONG, op STRING"
+_NODE_LOG_SCHEMA = "vid LONG, seq LONG, op STRING"
+_FLUSH_EVERY = 10_000  # pending driver-side rows per Arrow batch
+
+
+class DynamicGraph:
+    """nx.Graph/DiGraph-compatible mutable graph (``directed`` selects which).
+
+    Mutations are cheap appends; ``snapshot()`` (or any query/algorithm)
+    materializes the current state as an immutable LinkGraph, cached
+    until the next mutation.
+    """
+
+    def __init__(self, spark: SparkSession, directed: bool = False,
+                 num_partitions: int | None = None):
+        self.spark = spark
+        self.directed = directed
+        self.num_partitions = num_partitions
+        self._seq = 0
+        self._edge_logs: list[DataFrame] = []
+        self._node_logs: list[DataFrame] = []
+        self._pending_edges: list[tuple[int, int, float, int, str]] = []
+        self._pending_nodes: list[tuple[int, int, str]] = []
+        self._snapshot: LinkGraph | None = None
+
+    # ---- mutation surface (networkx Graph API) ---------------------------
+
+    def _next_seq(self) -> int:
+        self._seq += 1
+        return self._seq
+
+    def _canon(self, u: int, v: int) -> tuple[int, int]:
+        if self.directed or u <= v:
+            return int(u), int(v)
+        return int(v), int(u)
+
+    def _invalidate(self) -> None:
+        if self._snapshot is not None:
+            self._snapshot.unpersist_all()
+        self._snapshot = None
+
+    def add_node(self, n: int) -> None:
+        self._pending_nodes.append((int(n), self._next_seq(), "add"))
+        self._invalidate()
+        self._maybe_flush()
+
+    def add_nodes_from(self, nodes: Iterable[int]) -> None:
+        for n in nodes:
+            self.add_node(n)
+
+    def remove_node(self, n: int) -> None:
+        """Removes the node and (as in networkx) every incident edge.
+
+        Incident-edge removal is resolved at snapshot time by an
+        anti-join against the dead node set — appending per-edge delete
+        rows here would require knowing the adjacency on the driver.
+        """
+        self._pending_nodes.append((int(n), self._next_seq(), "del"))
+        self._invalidate()
+        self._maybe_flush()
+
+    def add_edge(self, u: int, v: int, weight: float = 1.0) -> None:
+        s, d = self._canon(u, v)
+        self._pending_edges.append((s, d, float(weight), self._next_seq(), "add"))
+        # an edge implicitly (re-)adds its endpoints (networkx semantics)
+        self._pending_nodes.append((int(u), self._next_seq(), "add"))
+        self._pending_nodes.append((int(v), self._next_seq(), "add"))
+        self._invalidate()
+        self._maybe_flush()
+
+    def add_edges_from(self, ebunch: Iterable[tuple]) -> None:
+        for e in ebunch:
+            if len(e) == 3:
+                self.add_edge(e[0], e[1], weight=float(e[2]))
+            else:
+                self.add_edge(e[0], e[1])
+
+    def remove_edge(self, u: int, v: int) -> None:
+        s, d = self._canon(u, v)
+        self._pending_edges.append((s, d, 1.0, self._next_seq(), "del"))
+        self._invalidate()
+        self._maybe_flush()
+
+    def remove_edges_from(self, ebunch: Iterable[tuple]) -> None:
+        for e in ebunch:
+            self.remove_edge(e[0], e[1])
+
+    # ---- bulk (DataFrame) mutations — the scale path ----------------------
+
+    def add_edges_df(self, edges: DataFrame, weight_col: str | None = None) -> None:
+        """Append an edge DataFrame (src, dst [, weight]) as one add batch.
+
+        The whole batch shares one ``seq``: rows within a batch are
+        unordered, matching the reference's MODIFY_EDGES batch protocol.
+        """
+        self._append_edge_df(edges, weight_col, "add")
+
+    def remove_edges_df(self, edges: DataFrame) -> None:
+        self._append_edge_df(edges, None, "del")
+
+    def _append_edge_df(self, edges: DataFrame, weight_col: str | None,
+                        op: str) -> None:
+        self._flush()
+        seq = self._next_seq()
+        w = (F.col(weight_col).cast("double") if weight_col
+             else F.lit(1.0))
+        src, dst = F.col("src").cast("long"), F.col("dst").cast("long")
+        if not self.directed:
+            src, dst = F.least(src, dst), F.greatest(src, dst)
+        log = edges.select(src.alias("src"), dst.alias("dst"),
+                           w.alias("weight"), F.lit(seq).alias("seq"),
+                           F.lit(op).alias("op"))
+        self._edge_logs.append(log)
+        if op == "add":
+            nseq = self._next_seq()
+            self._node_logs.append(
+                edges.select(F.col("src").cast("long").alias("vid"))
+                .union(edges.select(F.col("dst").cast("long").alias("vid")))
+                .select("vid", F.lit(nseq).alias("seq"), F.lit("add").alias("op")))
+        self._invalidate()
+
+    # ---- log maintenance ---------------------------------------------------
+
+    def _maybe_flush(self) -> None:
+        if len(self._pending_edges) + len(self._pending_nodes) >= _FLUSH_EVERY:
+            self._flush()
+
+    def _flush(self) -> None:
+        if self._pending_edges:
+            self._edge_logs.append(self.spark.createDataFrame(
+                self._pending_edges, _EDGE_LOG_SCHEMA))
+            self._pending_edges = []
+        if self._pending_nodes:
+            self._node_logs.append(self.spark.createDataFrame(
+                self._pending_nodes, _NODE_LOG_SCHEMA))
+            self._pending_nodes = []
+
+    def _edge_log(self) -> DataFrame | None:
+        self._flush()
+        if not self._edge_logs:
+            return None
+        log = self._edge_logs[0]
+        for part in self._edge_logs[1:]:
+            log = log.unionByName(part)
+        if len(self._edge_logs) > 1:  # keep the lazy union tree shallow
+            self._edge_logs = [log]
+        return log
+
+    def _node_log(self) -> DataFrame | None:
+        self._flush()
+        if not self._node_logs:
+            return None
+        log = self._node_logs[0]
+        for part in self._node_logs[1:]:
+            log = log.unionByName(part)
+        if len(self._node_logs) > 1:
+            self._node_logs = [log]
+        return log
+
+    # ---- snapshot ----------------------------------------------------------
+
+    def snapshot(self) -> LinkGraph:
+        """Materialize the current graph state as an immutable LinkGraph.
+
+        Last-op-wins per key via ``max_by(struct, seq)`` — one hash
+        aggregation over the log, partitioned by the edge key, then the
+        dead-node anti-join. Cached until the next mutation (the
+        reference analogously re-seals DynamicFragment between app runs).
+        """
+        if self._snapshot is not None:
+            return self._snapshot
+        elog, nlog = self._edge_log(), self._node_log()
+        spark = self.spark
+        if elog is None and nlog is None:
+            edges = spark.createDataFrame([], "src LONG, dst LONG, weight DOUBLE")
+            nodes = spark.createDataFrame([], "vid LONG")
+            self._snapshot = LinkGraph(spark, edges, vertices=nodes,
+                                       directed=self.directed,
+                                       num_partitions=self.num_partitions)
+            return self._snapshot
+
+        if nlog is not None:
+            last_n = (nlog.groupBy("vid")
+                      .agg(F.max_by("op", "seq").alias("op")))
+            live_nodes = last_n.filter(F.col("op") == "add").select("vid")
+            # node-del EVENTS (latest per node): an edge added before a
+            # deletion of either endpoint dies even if the node was later
+            # re-added (networkx: remove_node drops incident edges; a
+            # re-added node comes back bare)
+            node_dels = (nlog.filter(F.col("op") == "del")
+                         .groupBy("vid").agg(F.max("seq").alias("del_seq")))
+        else:
+            live_nodes = spark.createDataFrame([], "vid LONG")
+            node_dels = spark.createDataFrame([], "vid LONG, del_seq LONG")
+
+        if elog is not None:
+            last_e = (elog.groupBy("src", "dst")
+                      .agg(F.max_by(F.struct("op", "weight", "seq"), "seq")
+                           .alias("l"))
+                      .select("src", "dst", F.col("l.op").alias("op"),
+                              F.col("l.weight").alias("weight"),
+                              F.col("l.seq").alias("seq")))
+            edges = (last_e.filter(F.col("op") == "add")
+                     .join(node_dels.select(F.col("vid").alias("src"),
+                                            F.col("del_seq").alias("_sd")),
+                           "src", "left")
+                     .join(node_dels.select(F.col("vid").alias("dst"),
+                                            F.col("del_seq").alias("_dd")),
+                           "dst", "left")
+                     .filter((F.col("_sd").isNull() | (F.col("_sd") < F.col("seq")))
+                             & (F.col("_dd").isNull() | (F.col("_dd") < F.col("seq"))))
+                     .select("src", "dst", "weight"))
+        else:
+            edges = spark.createDataFrame([], "src LONG, dst LONG, weight DOUBLE")
+
+        if not self.directed:
+            # log stores canonical (min,max) once; LinkGraph's undirected
+            # contract wants both orientations (self-loops mirrored once)
+            edges = edges.unionByName(
+                edges.filter(F.col("src") != F.col("dst"))
+                .select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                        "weight"))
+        vertices = (edges.select(F.col("src").alias("vid"))
+                    .union(edges.select(F.col("dst").alias("vid")))
+                    .union(live_nodes)
+                    .distinct())
+        self._snapshot = LinkGraph(spark, edges, vertices=vertices,
+                                   directed=self.directed,
+                                   num_partitions=self.num_partitions)
+        return self._snapshot
+
+    # ---- networkx-style queries (driver-side scalars are nx semantics) ----
+
+    def number_of_nodes(self) -> int:
+        return self.snapshot().num_vertices
+
+    def number_of_edges(self) -> int:
+        g = self.snapshot()
+        if self.directed:
+            return g.num_edges
+        # undirected snapshots store both orientations; nx counts each
+        # edge once (self-loops stored once already)
+        both = g.edges.filter(F.col("src") != F.col("dst")).count()
+        loops = g.num_edges - both
+        return both // 2 + loops
+
+    def has_node(self, n: int) -> bool:
+        return self.snapshot().vertices.filter(F.col("vid") == int(n)).count() > 0
+
+    def has_edge(self, u: int, v: int) -> bool:
+        s, d = self._canon(u, v) if not self.directed else (int(u), int(v))
+        return (self.snapshot().edges
+                .filter((F.col("src") == s) & (F.col("dst") == d))
+                .count() > 0)
+
+    def neighbors(self, n: int) -> list[int]:
+        g = self.snapshot()
+        e = g.edges if self.directed else g.edges  # undirected already symmetric
+        return sorted(r.dst for r in
+                      e.filter(F.col("src") == int(n)).select("dst").collect())
+
+    def degree(self) -> DataFrame:
+        """(vid, degree) for every node — out-degree+in-degree when
+        directed, neighbor-multiset size (self-loops count twice) when
+        undirected, matching networkx."""
+        g = self.snapshot()
+        if self.directed:
+            d = (g.edges.select(F.col("src").alias("vid"))
+                 .union(g.edges.select(F.col("dst").alias("vid")))
+                 .groupBy("vid").agg(F.count("*").alias("degree")))
+        else:
+            # symmetric storage: out-degree counts each neighbor once;
+            # stored-once self-loops count twice in nx degree
+            d = (g.edges.select("src", "dst")
+                 .union(g.edges.filter(F.col("src") == F.col("dst"))
+                        .select("src", "dst"))
+                 .groupBy(F.col("src").alias("vid"))
+                 .agg(F.count("*").alias("degree")))
+        return (g.vertices.select("vid").join(d, "vid", "left")
+                .select("vid", F.coalesce("degree", F.lit(0)).alias("degree")))
+
+    def subgraph(self, nodes: Iterable[int]) -> LinkGraph:
+        vids = self.spark.createDataFrame([(int(n),) for n in nodes], "vid LONG")
+        return self.snapshot().induce_subgraph(vids)
+
+    # ---- algorithms --------------------------------------------------------
+
+    def run(self, algo: str, **params):
+        """Dispatch a builtin app on the current snapshot —
+        ``graphscope.nx``'s run lifecycle (nx/algorithms/builtin.py:87)."""
+        from graphscope_spark import builtin
+
+        return builtin.run(algo, self.snapshot(), **params)
+
+
+class Graph(DynamicGraph):
+    """Undirected mutable graph (networkx.Graph shape)."""
+
+    def __init__(self, spark: SparkSession, num_partitions: int | None = None):
+        super().__init__(spark, directed=False, num_partitions=num_partitions)
+
+
+class DiGraph(DynamicGraph):
+    """Directed mutable graph (networkx.DiGraph shape)."""
+
+    def __init__(self, spark: SparkSession, num_partitions: int | None = None):
+        super().__init__(spark, directed=True, num_partitions=num_partitions)

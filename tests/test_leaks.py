@@ -60,7 +60,10 @@ def test_pattern_match_directed_releases_edges(spark):
     for _ in range(3):
         pattern_count(g, tri, directed=True)
     after = _persistent_count(spark)
-    assert after == before, f"pattern_match leaked {after - before} RDD(s)"
+    # one-sided: the JVM ContextCleaner may async-unpersist unrelated
+    # GC'd RDDs mid-test (count can DROP under load); only an increase
+    # is a leak
+    assert after <= before, f"pattern_match leaked {after - before} RDD(s)"
     g.unpersist_all()
 
 
@@ -76,5 +79,5 @@ def test_triangles_reuse_cached_orientation(spark):
     for _ in range(3):
         gs.triangles(g).count()
     after = _persistent_count(spark)
-    assert after == before, f"triangles leaked {after - before} RDD(s)"
+    assert after <= before, f"triangles leaked {after - before} RDD(s)"
     g.unpersist_all()

@@ -1,0 +1,149 @@
+"""DynamicGraph (graphscope.nx-compatible mutable surface) vs a pure-Python
+networkx-semantics oracle over randomized mutation sequences."""
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.nxgraph import DiGraph, DynamicGraph, Graph
+
+
+class _NxOracle:
+    """Dict-based reference with networkx Graph/DiGraph semantics."""
+
+    def __init__(self, directed: bool):
+        self.directed = directed
+        self.nodes: set[int] = set()
+        self.edges: dict[tuple[int, int], float] = {}
+
+    def _key(self, u, v):
+        if self.directed or u <= v:
+            return (u, v)
+        return (v, u)
+
+    def add_node(self, n):
+        self.nodes.add(n)
+
+    def remove_node(self, n):
+        self.nodes.discard(n)
+        self.edges = {k: w for k, w in self.edges.items()
+                      if n not in (k[0], k[1])}
+
+    def add_edge(self, u, v, weight=1.0):
+        self.nodes.add(u)
+        self.nodes.add(v)
+        self.edges[self._key(u, v)] = weight
+
+    def remove_edge(self, u, v):
+        self.edges.pop(self._key(u, v), None)
+
+    def degree(self) -> dict[int, int]:
+        d = {n: 0 for n in self.nodes}
+        for (u, v) in self.edges:
+            d[u] += 1
+            d[v] += 1  # self-loop counts twice (nx), both directions too
+        return d
+
+
+def _apply_random_ops(g: DynamicGraph, o: _NxOracle, rng: random.Random,
+                      n_ops: int, n_ids: int = 12) -> None:
+    for _ in range(n_ops):
+        op = rng.randrange(6)
+        u, v = rng.randrange(n_ids), rng.randrange(n_ids)
+        if op <= 2:  # bias toward adds so the graph is non-trivial
+            w = float(rng.randrange(1, 9))
+            g.add_edge(u, v, weight=w)
+            o.add_edge(u, v, weight=w)
+        elif op == 3:
+            g.remove_edge(u, v)
+            o.remove_edge(u, v)
+        elif op == 4:
+            g.add_node(u)
+            o.add_node(u)
+        else:
+            g.remove_node(u)
+            o.remove_node(u)
+
+
+@pytest.mark.parametrize("directed,seed", [(False, 7), (False, 21),
+                                           (True, 7), (True, 42)])
+def test_random_mutation_sequences_match_nx_semantics(spark, directed, seed):
+    rng = random.Random(seed)
+    g = DynamicGraph(spark, directed=directed)
+    o = _NxOracle(directed)
+    _apply_random_ops(g, o, rng, n_ops=60)
+
+    assert g.number_of_nodes() == len(o.nodes)
+    assert g.number_of_edges() == len(o.edges)
+    got = {r.vid: r.degree for r in g.degree().collect()}
+    assert got == o.degree()
+
+    # edge set + weights (directed snapshots carry the log key verbatim;
+    # undirected mirror both orientations of the canonical key)
+    snap = g.snapshot()
+    rows = {(r.src, r.dst): r.weight for r in snap.edges.collect()}
+    if directed:
+        assert rows == o.edges
+    else:
+        expect = {}
+        for (u, v), w in o.edges.items():
+            expect[(u, v)] = w
+            if u != v:
+                expect[(v, u)] = w
+        assert rows == expect
+
+    # mutate again after a snapshot: cache must invalidate
+    g.add_edge(0, 1, weight=5.0)
+    o.add_edge(0, 1, weight=5.0)
+    assert g.number_of_edges() == len(o.edges)
+
+
+def test_remove_node_kills_incident_edges_and_readd_comes_back_bare(spark):
+    g = Graph(spark)
+    g.add_edge(1, 2)
+    g.add_edge(2, 3)
+    g.remove_node(2)
+    assert g.number_of_edges() == 0
+    assert not g.has_node(2)
+    g.add_node(2)  # re-added node comes back with no incident edges
+    assert g.has_node(2)
+    assert g.number_of_edges() == 0
+    g.add_edge(1, 2)  # a NEW edge after the deletion is alive
+    assert g.has_edge(1, 2) and g.has_edge(2, 1)
+    assert g.number_of_edges() == 1
+
+
+def test_bulk_dataframe_mutations_and_builtin_dispatch(spark):
+    g = DiGraph(spark)
+    base = spark.range(0, 40).select(
+        (F.col("id") % 10).alias("src"), ((F.col("id") * 7 + 1) % 10).alias("dst"))
+    g.add_edges_df(base)
+    dels = spark.range(0, 40).filter(F.col("id") % 2 == 0).select(
+        (F.col("id") % 10).alias("src"), ((F.col("id") * 7 + 1) % 10).alias("dst"))
+    g.remove_edges_df(dels)
+
+    o = _NxOracle(directed=True)
+    for i in range(40):
+        o.add_edge(i % 10, (i * 7 + 1) % 10)
+    for i in range(0, 40, 2):
+        o.remove_edge(i % 10, (i * 7 + 1) % 10)
+    snap_edges = {(r.src, r.dst) for r in g.snapshot().edges.collect()}
+    assert snap_edges == set(o.edges)
+
+    # builtin dispatch on the mutated snapshot (graphscope.nx run lifecycle)
+    wcc = g.run("wcc")
+    assert wcc.count() == g.number_of_nodes()
+
+    # driver-side sugar still agrees
+    assert g.neighbors(1) == sorted(d for (s, d) in o.edges if s == 1)
+
+
+def test_self_loop_degree_counts_twice_undirected(spark):
+    g = Graph(spark)
+    g.add_edge(5, 5)
+    g.add_edge(5, 6)
+    d = {r.vid: r.degree for r in g.degree().collect()}
+    assert d == {5: 3, 6: 1}
+    assert g.number_of_edges() == 2
