@@ -1252,6 +1252,38 @@ def _q_gremlin_union_expand(spark, sf_dir):
                       F.col("count").alias("n_sources"))
 
 
+def _q_gremlin_edge_steps(spark, sf_dir):
+    # edge-element steps (supported_gremlin_steps.md §Expand/§Project):
+    # enter the `placed` edge stream via outE, filter ON the edge
+    # property (o_totalprice rides the relation table, so the predicate
+    # lands at that table's scan), step back to the source vertex with
+    # outV, dedup, and project id+property with elementMap.
+    from graphscope_spark import P, traversal
+
+    g = traversal(_frontend_pg(spark, sf_dir))
+    out = (g.V().hasLabel("customer").outE("placed")
+           .has("o_totalprice", P.gt(150000.0))
+           .outV().dedup().elementMap("c_name").toDF())
+    return out.select(F.col("id").cast("long").alias("c_custkey"),
+                      F.col("c_name").alias("c_name"))
+
+
+def _q_gremlin_match(spark, sf_dir):
+    # declarative match()-step (supported_gremlin_steps.md §Match): two
+    # sentences joined on the shared `o` tag — the same plan shape the
+    # imperative chain compiles to, written declaratively.
+    from graphscope_spark import traversal
+    from graphscope_spark.frontends.gremlin import __ as anon
+
+    g = traversal(_frontend_pg(spark, sf_dir))
+    m = g.V().match(
+        anon.as_("c").hasLabel("customer").out("placed").as_("o"),
+        anon.as_("o").out("uses").as_("s"),
+    ).select("c", "s").toDF()
+    return (m.groupBy(F.col("s").cast("long").alias("s_suppkey"))
+            .agg(F.count_distinct("c").alias("n_cust")))
+
+
 def _q_sssp_warm(spark, sf_dir):
     # ingress-style warm start for SSSP (same contract as wcc_warm /
     # pagerank(init_ranks=), reference docs/analytical_engine/
@@ -2726,6 +2758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_shortest": _q_cypher_shortest,
         "sssp_warm": _q_sssp_warm,
         "dynamic_degree": _q_dynamic_degree,
+        "gremlin_edge_steps": _q_gremlin_edge_steps,
+        "gremlin_match": _q_gremlin_match,
         # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
@@ -3141,6 +3175,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # warm-started SSSP converges to the cold fixpoint
         "sssp_warm": _sssp_sql(12),
+        "gremlin_edge_steps": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 150000)"
+        ),
+        "gremlin_match": (
+            "SELECT CAST(u.l_suppkey AS BIGINT) AS s_suppkey, "
+            "COUNT(DISTINCT o.o_custkey) AS n_cust "
+            "FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) u "
+            "JOIN orders o ON o.o_orderkey = u.l_orderkey "
+            "GROUP BY u.l_suppkey"
+        ),
         "dynamic_degree": (
             # mutation-log set algebra: base adds minus the 'F' deletes,
             # union the disjoint-range second add batch; vertices = every

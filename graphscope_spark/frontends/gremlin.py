@@ -20,10 +20,19 @@ elementMap, id_, label, constant, as_/select, where (tag predicate or
 anonymous-traversal existence), not_, dedup, order+by, groupCount+by,
 group().by(key).by(value) (value by(): fold list / property list /
 ``__.values(k).sum()``-style aggregator chains), count, sum, min_,
-max_, mean, is_, limit, union, repeat().times(). Edge-element steps
-(outE/inE/E) are not exposed — the relational core carries no edge
-identity; ``subgraph``/``path`` are served by the library's
-induce_subgraph and typed path binders instead.
+max_, mean, is_, limit, union, repeat().times(), identity, unfold.
+
+Edge-element steps (supported_gremlin_steps.md §Expand): E() source,
+outE/inE/bothE enter an EDGE stream (endpoint ids/labels + the
+relation's property columns, missing properties null-padded across
+relations), and inV/outV/otherV/bothV step back to vertices; has/
+hasLabel/values/valueMap work on edge streams against edge properties.
+subgraph() (§Subgraph) materializes the current edge stream as an
+edge-induced PropertyGraph. match() (§Match) evaluates each sentence
+(``__.as_("a").out().as_("b")`` chains of expand/PathExpand/filter
+binders, or where/not_ wrapped sentences) as a relation over its tag
+columns and natural-joins sentences on shared tags — the declarative
+form compiles to the same join shapes as the imperative chain.
 
 Semantics note: like the reference (and unlike TinkerPop's bulked
 traversers) a traverser here is a ROW — multiplicities follow relational
@@ -150,6 +159,9 @@ class _Anon:
     def fold(self):
         return self._add("fold", ())
 
+    def as_(self, tag):
+        return self._add("as", (tag,))
+
 
 class _AnonFactory:
     def out(self, *labels):
@@ -179,6 +191,19 @@ class _AnonFactory:
     def fold(self):
         return _Anon().fold()
 
+    def as_(self, tag):
+        return _Anon().as_(tag)
+
+    def where_(self, anon: "_Anon"):
+        """Filter SENTENCE for match() — match(..., __.where_(__.as_("a")
+        .out().as_("b"))). Underscored because bare where/not are module
+        functions in TinkerPop; the semantics are the doc's
+        where()/not() match sentences (semi/anti join on shared tags)."""
+        return _Anon([("where_sent", (anon,))])
+
+    def not_(self, anon: "_Anon"):
+        return _Anon([("not_sent", (anon,))])
+
 
 __ = _AnonFactory()
 
@@ -206,6 +231,19 @@ class GraphTraversalSource:
                 F.col("_elem").isin([str(i) for i in ids]))
         return GremlinTraversal(self.pg, out)
 
+    def E(self, *labels) -> "GremlinTraversal":
+        """Edge source (supported_gremlin_steps.md §Source, g.E()) — an
+        edge stream over every relation of the given labels (all when
+        empty)."""
+        parts, props = [], set()
+        for el, s, d, df in _edge_rels_lb(self.pg, labels):
+            parts.append(_edge_row(df, el, s, d, "f"))
+            props.update(c for c in df.columns if c not in ("src", "dst"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return GremlinTraversal(self.pg, out, edge_props=tuple(sorted(props)))
+
 
 def _edge_rels(pg, labels):
     """[(src_label, dst_label, df)] for the given edge labels (all when
@@ -219,20 +257,49 @@ def _edge_rels(pg, labels):
     return rels
 
 
+def _edge_rels_lb(pg, labels):
+    """Like :func:`_edge_rels` but carrying the edge label name."""
+    names = labels or tuple(sorted(pg._edges))
+    rels = []
+    for el in names:
+        if el not in pg._edges:
+            raise ValueError(f"gremlin: unknown edge label {el!r}")
+        rels.extend((el, s, d, df) for s, d, df in pg._edges[el])
+    return rels
+
+
+_EDGE_COLS = ("_esrc", "_esrc_lb", "_edst", "_edst_lb", "_elabel", "_edir")
+
+
+def _edge_row(df, el, s, d, dir_flag):
+    """Project a relation table into the edge-stream shape: endpoint
+    ids/labels, the edge label, the arrival direction ('f' = traverser
+    sits at src, 'r' = at dst), plus the relation's property columns."""
+    props = [c for c in df.columns if c not in ("src", "dst")]
+    return df.select(
+        F.col("src").alias("_esrc"), F.lit(s).alias("_esrc_lb"),
+        F.col("dst").alias("_edst"), F.lit(d).alias("_edst_lb"),
+        F.lit(el).alias("_elabel"), F.lit(dir_flag).alias("_edir"),
+        *[F.col(c) for c in props])
+
+
 class GremlinTraversal:
     """Immutable traversal wrapper; every step returns a new one."""
 
     def __init__(self, pg, df: DataFrame, tags=(), value_col=None,
-                 pending=None):
+                 pending=None, edge_props=None):
         self.pg = pg
         self.df = df
         self.tags = tuple(tags)
         self.value_col = value_col      # set after values()/count()/...
         self._pending = pending         # 'order' | 'groupCount'
+        self.edge_props = (None if edge_props is None
+                           else tuple(edge_props))  # not-None = edge stream
 
     def _next(self, df, **kw):
         kw.setdefault("tags", self.tags)
         kw.setdefault("value_col", self.value_col)
+        kw.setdefault("edge_props", self.edge_props)
         return GremlinTraversal(self.pg, df, **kw)
 
     def _need_elem(self, step):
@@ -241,9 +308,22 @@ class GremlinTraversal:
                 f"gremlin: {step}() needs a graph element stream, the "
                 "current stream holds values")
 
+    def _need_vertex(self, step):
+        self._need_elem(step)
+        if self.edge_props is not None:
+            raise ValueError(
+                f"gremlin: {step}() needs a VERTEX stream (step off the "
+                "edge with inV/outV/otherV/bothV first)")
+
+    def _need_edge(self, step):
+        if self.edge_props is None:
+            raise ValueError(
+                f"gremlin: {step}() needs an EDGE stream (enter one with "
+                "E()/outE()/inE()/bothE())")
+
     # ---- expand ---------------------------------------------------------
     def _expand(self, labels, direction):
-        self._need_elem(direction)
+        self._need_vertex(direction)
         if labels and isinstance(labels[0], str) \
                 and _HOP_RANGE_RE.fullmatch(labels[0]):
             # PathExpand sugar: out("lo..hi", *labels) — hop range
@@ -307,10 +387,83 @@ class GremlinTraversal:
     def both(self, *labels):
         return self._expand(labels, "both")
 
+    # ---- edge expand (vertex stream -> edge stream) -----------------------
+    def _expand_e(self, labels, direction):
+        self._need_vertex(direction + "E")
+        parts, props = [], set()
+        for el, s, d, df in _edge_rels_lb(self.pg, labels):
+            fwd, rev = _edge_row(df, el, s, d, "f"), _edge_row(df, el, s, d, "r")
+            if direction == "out":
+                parts.append(fwd)
+            elif direction == "in":
+                parts.append(rev)
+            else:
+                parts.extend((fwd, rev))
+            if not self.pg.directed:
+                parts.append(rev if direction == "out" else fwd)
+            props.update(c for c in df.columns if c not in ("src", "dst"))
+        hop = parts[0]
+        for p in parts[1:]:
+            hop = hop.unionByName(p, allowMissingColumns=True)
+        join_id = F.when(F.col("_edir") == "f", F.col("_esrc")) \
+            .otherwise(F.col("_edst"))
+        join_lb = F.when(F.col("_edir") == "f", F.col("_esrc_lb")) \
+            .otherwise(F.col("_edst_lb"))
+        out = (self.df
+               .join(hop, (F.col("_elem") == join_id)
+                     & (F.col("_label") == join_lb))
+               .drop("_elem", "_label"))
+        return self._next(out, edge_props=tuple(sorted(props)))
+
+    def outE(self, *labels):
+        return self._expand_e(labels, "out")
+
+    def inE(self, *labels):
+        return self._expand_e(labels, "in")
+
+    def bothE(self, *labels):
+        return self._expand_e(labels, "both")
+
+    # ---- edge stream -> vertex stream --------------------------------------
+    def _to_vertex(self, id_col, lb_col):
+        keep = [c for c in self.df.columns
+                if c not in _EDGE_COLS and c not in self.edge_props]
+        df = self.df.select(F.col(id_col).alias("_elem"),
+                            F.col(lb_col).alias("_label"), *keep)
+        return self._next(df, edge_props=None)
+
+    def outV(self):
+        self._need_edge("outV")
+        return self._to_vertex("_esrc", "_esrc_lb")
+
+    def inV(self):
+        self._need_edge("inV")
+        return self._to_vertex("_edst", "_edst_lb")
+
+    def otherV(self):
+        """The endpoint the traverser did NOT arrive from (arrival side is
+        recorded per row in _edir — outE arrives at src, inE at dst)."""
+        self._need_edge("otherV")
+        keep = [c for c in self.df.columns
+                if c not in _EDGE_COLS and c not in self.edge_props]
+        df = self.df.select(
+            F.when(F.col("_edir") == "f", F.col("_edst"))
+            .otherwise(F.col("_esrc")).alias("_elem"),
+            F.when(F.col("_edir") == "f", F.col("_edst_lb"))
+            .otherwise(F.col("_esrc_lb")).alias("_label"), *keep)
+        return self._next(df, edge_props=None)
+
+    def bothV(self):
+        self._need_edge("bothV")
+        a, b = self._to_vertex("_esrc", "_esrc_lb"), \
+            self._to_vertex("_edst", "_edst_lb")
+        return a._next(a.df.unionByName(b.df))
+
     # ---- filter ---------------------------------------------------------
     def hasLabel(self, *labels):
         self._need_elem("hasLabel")
-        return self._next(self.df.filter(F.col("_label").isin(list(labels))))
+        col = "_elabel" if self.edge_props is not None else "_label"
+        return self._next(self.df.filter(F.col(col).isin(list(labels))))
 
     def hasId(self, *ids):
         self._need_elem("hasId")
@@ -341,6 +494,18 @@ class GremlinTraversal:
         if len(args) == 3:  # has(label, key, value) sugar
             return self.hasLabel(args[0]).has(args[1], args[2])
         key = args[0]
+        if self.edge_props is not None:  # edge property filter, in place
+            if key not in self.edge_props:
+                raise ValueError(f"gremlin: no edge relation has "
+                                 f"property {key!r}")
+            c = F.col(key)
+            if len(args) == 1:
+                cond = c.isNotNull()
+            elif isinstance(args[1], P):
+                cond = args[1].to_cond(c)
+            else:
+                cond = c == F.lit(args[1])
+            return self._next(self.df.filter(cond))
         j = self._prop_join(key)
         if len(args) == 1:  # existence
             j = j.filter(F.col("_pv").isNotNull())
@@ -429,8 +594,12 @@ class GremlinTraversal:
     def dedup(self, *tags):
         if self.value_col is not None:
             return self._next(self.df.dropDuplicates([self.value_col]))
-        cols = ([self._tag_col(t) for t in tags] if tags
-                else ["_elem", "_label"])
+        if tags:
+            cols = [self._tag_col(t) for t in tags]
+        elif self.edge_props is not None:
+            cols = ["_esrc", "_esrc_lb", "_edst", "_edst_lb", "_elabel"]
+        else:
+            cols = ["_elem", "_label"]
         return self._next(self.df.dropDuplicates(cols))
 
     def limit(self, n: int):
@@ -443,7 +612,7 @@ class GremlinTraversal:
         return f"__tag_{tag}"
 
     def as_(self, tag: str):
-        self._need_elem("as_")
+        self._need_vertex("as_")
         df = (self.df.withColumn(f"__tag_{tag}", F.col("_elem"))
               .withColumn(f"__tag_{tag}__label", F.col("_label")))
         return self._next(df, tags=self.tags + (tag,))
@@ -452,14 +621,21 @@ class GremlinTraversal:
         cols = [F.col(self._tag_col(t)).alias(t) for t in tags]
         return self._next(self.df.select(*cols), tags=(), value_col=None)
 
+    def identity(self):
+        """identity()-step (supported_gremlin_steps.md §Identity) — maps
+        the traverser to itself; a no-op on an immutable traversal."""
+        return self
+
     # ---- project ---------------------------------------------------------
     def id_(self):
+        self._need_vertex("id_")
         return self._next(self.df.select(F.col("_elem").alias("id")),
                           value_col="id", tags=())
 
     def label(self):
-        return self._next(self.df.select(F.col("_label").alias("label")),
-                          value_col="label", tags=())
+        col = "_elabel" if self.edge_props is not None else "_label"
+        return self._next(self.df.select(F.col(col).alias("label")),
+                          value_col="label", tags=(), edge_props=None)
 
     def constant(self, v):
         return self._next(self.df.select(F.lit(v).alias("constant")),
@@ -467,6 +643,13 @@ class GremlinTraversal:
 
     def values(self, key: str):
         self._need_elem("values")
+        if self.edge_props is not None:
+            if key not in self.edge_props:
+                raise ValueError(f"gremlin: no edge relation has "
+                                 f"property {key!r}")
+            return self._next(
+                self.df.filter(F.col(key).isNotNull()).select(key),
+                value_col=key, tags=(), edge_props=None)
         j = self._prop_join(key)
         return self._next(
             j.filter(F.col("_pv").isNotNull())
@@ -475,6 +658,13 @@ class GremlinTraversal:
 
     def valueMap(self, *keys):
         self._need_elem("valueMap")
+        if self.edge_props is not None:
+            missing = [k for k in keys if k not in self.edge_props]
+            if missing:
+                raise ValueError(f"gremlin: no edge relation has "
+                                 f"properties {missing!r}")
+            return self._next(self.df.select(*keys), value_col=None,
+                              tags=(), edge_props=None)
         t = self
         for k in keys:
             t = t._next(t._prop_join(k, how="left")
@@ -522,7 +712,17 @@ class GremlinTraversal:
         return self._next(
             self.df.agg(F.sort_array(F.collect_list(F.col(col)))
                         .alias("fold")),
-            value_col="fold", tags=())
+            value_col="fold", tags=(), edge_props=None)
+
+    def unfold(self):
+        """unfold()-step (supported_gremlin_steps.md §Unfold) — unrolls a
+        folded list value stream back into a linear stream."""
+        if self.value_col is None:
+            raise ValueError("gremlin: unfold() needs a folded value "
+                             "stream (use fold() first)")
+        return self._next(
+            self.df.select(F.explode(F.col(self.value_col))
+                           .alias(self.value_col)))
 
     # ---- order / groupCount (by-modulated) --------------------------------
     def order(self):
@@ -626,6 +826,114 @@ class GremlinTraversal:
             return self._next(out, value_col=None, tags=())
         raise ValueError("gremlin: by() needs a preceding order()/groupCount()")
 
+    # ---- subgraph ----------------------------------------------------------
+    def subgraph(self, name: str = "sub"):
+        """subgraph()-step (supported_gremlin_steps.md §Subgraph) — the
+        edge-induced subgraph of the current EDGE stream, returned as a
+        new PropertyGraph (the reference materializes it under a
+        side-effect key; here the graph IS the result, ``name`` kept for
+        signature parity). Per-relation edge rows are recovered by
+        semi-joining each source relation against the stream's endpoint
+        pairs, so properties keep their native relation schemas and the
+        vertex tables are endpoint-restricted."""
+        self._need_edge("subgraph")
+        from graphscope_spark.property_graph import PropertyGraph
+
+        stream = self.df.select(*_EDGE_COLS).dropDuplicates(
+            ["_esrc", "_esrc_lb", "_edst", "_edst_lb", "_elabel"])
+        out = PropertyGraph(self.pg.spark, self.pg.directed)
+        used_v: dict[str, list[DataFrame]] = {}
+        for el, s, d, df in _edge_rels_lb(self.pg, ()):
+            keys = (stream.filter((F.col("_elabel") == el)
+                                  & (F.col("_esrc_lb") == s)
+                                  & (F.col("_edst_lb") == d))
+                    .select(F.col("_esrc").alias("src"),
+                            F.col("_edst").alias("dst")))
+            kept = df.join(keys, ["src", "dst"], "left_semi")
+            out = out.add_edges(kept, label=el, src_label=s, dst_label=d,
+                                src_field="src", dst_field="dst")
+            used_v.setdefault(s, []).append(kept.select(F.col("src").alias("id")))
+            used_v.setdefault(d, []).append(kept.select(F.col("dst").alias("id")))
+        for lb, parts in used_v.items():
+            ids = parts[0]
+            for p in parts[1:]:
+                ids = ids.unionByName(p)
+            out = out.add_vertices(
+                self.pg._vertices[lb].join(ids.distinct(), ["id"],
+                                           "left_semi"),
+                label=lb, vid_field="id")
+        return out
+
+    # ---- declarative match ---------------------------------------------------
+    def match(self, *sentences: _Anon):
+        """match()-step (supported_gremlin_steps.md §Match) — declarative
+        pattern sentences ``__.as_("a").<binders>.as_("b")`` joined on
+        their shared tags; ``__.where_(sentence)`` / ``__.not_(sentence)``
+        sentences become semi/anti joins. Binders: out/in_/both
+        (single-hop or PathExpand sugar), hasLabel/has. Each sentence is
+        a relation over its tag columns (relational row multiplicity,
+        like the rest of this frontend); the join order is the given
+        sentence order, each join keyed on every already-bound tag."""
+        self._need_vertex("match")
+        base = GremlinTraversal(self.pg, self.df, tags=())
+        acc = None
+        for s in sentences:
+            is_where = (len(s.steps) == 1
+                        and s.steps[0][0] in ("where_sent", "not_sent"))
+            if is_where:
+                kind, (inner,) = s.steps[0]
+                t = base._eval_sentence(inner)
+                if acc is None:
+                    raise ValueError("gremlin: match() where/not sentence "
+                                     "needs a preceding pattern sentence")
+                shared = [c for c in t.df.columns
+                          if c.startswith("__tag_") and c in acc.df.columns]
+                if not shared:
+                    raise ValueError("gremlin: match() where/not sentence "
+                                     "shares no tag with the pattern")
+                how = "left_semi" if kind == "where_sent" else "left_anti"
+                acc = acc._next(acc.df.join(t.df.select(*shared).distinct(),
+                                            shared, how))
+                continue
+            t = base._eval_sentence(s)
+            if acc is None:
+                acc = t
+            else:
+                shared = [c for c in t.df.columns
+                          if c.startswith("__tag_") and c in acc.df.columns]
+                if not shared:
+                    raise ValueError(
+                        "gremlin: match() sentences must stay connected "
+                        "through shared tags (no cartesian products)")
+                acc = acc._next(acc.df.join(t.df, shared),
+                                tags=tuple(dict.fromkeys(acc.tags + t.tags)))
+        if acc is None:
+            raise ValueError("gremlin: match() needs at least one sentence")
+        # the traverser rests on the FIRST sentence's start tag
+        first = sentences[0]
+        start = next(a[0] for st, a in first.steps if st == "as")
+        df = (acc.df.withColumn("_elem", F.col(f"__tag_{start}"))
+              .withColumn("_label", F.col(f"__tag_{start}__label")))
+        return acc._next(df)
+
+    def _eval_sentence(self, anon: _Anon) -> "GremlinTraversal":
+        """Evaluate one match() sentence from the full incoming stream:
+        as_ binds tags, every other step replays through the normal
+        step machinery (so PathExpand sugar and filters just work).
+        The result is projected to its tag columns only."""
+        t = GremlinTraversal(self.pg, self.df.select("_elem", "_label")
+                             .distinct(), tags=())
+        if not anon.steps or anon.steps[0][0] != "as":
+            raise ValueError("gremlin: a match() sentence must start "
+                             "with __.as_(tag)")
+        for step, arg in anon.steps:
+            if step == "as":
+                t = t.as_(arg[0])
+            else:
+                t = t._apply_anon(_Anon([(step, arg)]))
+        cols = [c for c in t.df.columns if c.startswith("__tag_")]
+        return t._next(t.df.select(*cols), tags=t.tags)
+
     # ---- branch ------------------------------------------------------------
     def union(self, *anons):
         self._need_elem("union")
@@ -662,7 +970,16 @@ class GremlinTraversal:
             # an unmodulated order()/groupCount() means by() with defaults
             return self.by().toDF()
         df = self.df
-        if set(df.columns) >= {"_elem", "_label"}:
+        if self.edge_props is not None:
+            keep = [c for c in df.columns if not c.startswith("__tag_")
+                    and c != "_edir"]
+            df = (df.select(*keep)
+                  .withColumnRenamed("_esrc", "src")
+                  .withColumnRenamed("_esrc_lb", "src_label")
+                  .withColumnRenamed("_edst", "dst")
+                  .withColumnRenamed("_edst_lb", "dst_label")
+                  .withColumnRenamed("_elabel", "label"))
+        elif set(df.columns) >= {"_elem", "_label"}:
             keep = [c for c in df.columns if not c.startswith("__tag_")]
             df = (df.select(*keep)
                   .withColumnRenamed("_elem", "id")

@@ -427,3 +427,111 @@ def test_gremlin_hasnot_is(pg):
     assert labels == ["software"]
     assert g.V().hasLabel("person").values("age").is_(P.gt(30)) \
         .toList() == [35]
+
+
+# ---------------------------------------------------------------------------
+# Gremlin edge steps / subgraph / match / identity / unfold (round 4)
+# ---------------------------------------------------------------------------
+
+def test_gremlin_edge_source_and_values(pg):
+    g = traversal(pg)
+    assert g.E().count().toList() == [7]
+    assert g.E("knows").count().toList() == [4]
+    assert g.E("knows").values("since").sum().toList() == [8053]
+    lbls = g.E().label().toList()
+    assert sorted(lbls) == ["created"] * 3 + ["knows"] * 4
+
+
+def test_gremlin_outE_has_inV(pg):
+    g = traversal(pg)
+    got = (g.V().hasLabel("person").outE("knows")
+           .has("since", P.gt(2011)).inV().values("name").toList())
+    assert sorted(got) == ["cyd", "cyd", "dee"]
+    # outV steps back to the source side
+    creators = g.E("created").outV().dedup().values("name").toList()
+    assert sorted(creators) == ["ann", "bob", "cyd"]
+
+
+def test_gremlin_otherV_bothE(pg):
+    g = traversal(pg)
+    got = g.V(3).bothE("knows").otherV().values("name").toList()
+    assert sorted(got) == ["ann", "bob", "dee"]
+    # bothV gives both endpoints of each incident edge
+    both = g.V(3).outE("knows").bothV().values("name").toList()
+    assert sorted(both) == ["cyd", "dee"]
+
+
+def test_gremlin_edge_valuemap_and_label_filter(pg):
+    g = traversal(pg)
+    vm = g.E("knows").valueMap("since").toDF()
+    assert sorted(r[0] for r in vm.collect()) == [2010, 2012, 2015, 2016]
+    assert g.E().hasLabel("created").count().toList() == [3]
+
+
+def test_gremlin_subgraph(pg):
+    g = traversal(pg)
+    sub = g.V().outE("knows").has("since", P.gt(2014)).subgraph()
+    sg = traversal(sub)
+    assert sg.E().count().toList() == [2]          # 1->3, 3->4
+    assert sorted(sg.V().values("name").toList()) == ["ann", "cyd", "dee"]
+    # properties survive into the subgraph
+    assert sg.E("knows").values("since").sum().toList() == [2015 + 2016]
+
+
+def test_gremlin_identity_unfold(pg):
+    g = traversal(pg)
+    assert (g.V().identity().count().toList()
+            == g.V().count().toList() == [6])
+    names = (g.V().hasLabel("person").values("name")
+             .fold().unfold().toList())
+    assert sorted(names) == ["ann", "bob", "cyd", "dee"]
+
+
+def test_gremlin_match_basic(pg):
+    g = traversal(pg)
+    m = g.V().match(
+        anon.as_("a").out("knows").as_("b"),
+        anon.as_("b").out("knows").as_("c"),
+    ).select("a", "c")
+    assert rows(m.toDF()) == [("1", "3"), ("1", "4"), ("2", "4")]
+
+
+def test_gremlin_match_where_and_not(pg):
+    g = traversal(pg)
+    closing = g.V().match(
+        anon.as_("a").out("knows").as_("b"),
+        anon.as_("b").out("knows").as_("c"),
+        anon.where_(anon.as_("a").out("knows").as_("c")),
+    ).select("a", "c")
+    assert rows(closing.toDF()) == [("1", "3")]
+    open_ = g.V().match(
+        anon.as_("a").out("knows").as_("b"),
+        anon.as_("b").out("knows").as_("c"),
+        anon.not_(anon.as_("a").out("knows").as_("c")),
+    ).select("a", "c")
+    assert rows(open_.toDF()) == [("1", "4"), ("2", "4")]
+
+
+def test_gremlin_match_with_filters_and_pathexpand(pg):
+    g = traversal(pg)
+    # has() binder inside a sentence + PathExpand sugar in another
+    m = g.V().match(
+        anon.as_("a").has("name", "ann").out("1..3", "knows").as_("b"),
+        anon.as_("b").out("created").as_("s"),
+    ).select("b", "s")
+    # ann's 1..2-hop knows closure: bob(1), cyd(1 and 2 hops), dee(2)
+    # of those, created: bob->app? no: bob->lib(10), cyd->app(11)
+    assert rows(m.toDF()) == [("2", "10"), ("3", "11"), ("3", "11")]
+
+
+def test_gremlin_match_errors(pg):
+    g = traversal(pg)
+    with pytest.raises(ValueError, match="start"):
+        g.V().match(anon.out("knows").as_("b"))
+    with pytest.raises(ValueError, match="connected"):
+        g.V().match(anon.as_("a").out("knows").as_("b"),
+                    anon.as_("x").out("created").as_("y"))
+    with pytest.raises(ValueError, match="EDGE stream"):
+        g.V().inV()
+    with pytest.raises(ValueError, match="VERTEX stream"):
+        g.E().out()
