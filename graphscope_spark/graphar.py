@@ -16,6 +16,11 @@ GraphAr layout:
                                      part per SOURCE vertex chunk
   edge/<triplet>/ordered_by_source/offset/part<i>/chunk0
                                      per-vertex cumulative edge offsets
+  edge/<triplet>/ordered_by_source/props/part<i>/chunk<j>
+                                     edge property-group chunks, row-
+                                     aligned with the adjacency chunks
+  edge/<triplet>/ordered_by_dest/...  the CSC copy (opt-in via
+                                     orderings=("src", "dst"))
   edge/<triplet>/edge_count<i>       edge count per vertex chunk (text)
 
 The writer computes chunk assignment distributedly (chunk = id //
@@ -75,13 +80,85 @@ def _write_single_chunks(df: DataFrame, part_col: str, out_dir: str,
     shutil.rmtree(tmp)
 
 
+def _split_edge_property_chunks(adj_dir: str, group_dir: str,
+                                prop_cols: list[str]) -> None:
+    """Split the property columns out of freshly-written adjacency chunks
+    into a property-group directory with IDENTICAL part/chunk layout —
+    row i of <group>/part<p>/chunk<j> describes row i of
+    adj_list/part<p>/chunk<j>, the spec's positional alignment. Column
+    projection of the same file trivially preserves row order (the
+    distributed-rename caveat in the module docstring applies here too:
+    on a cluster this loop runs against the Hadoop FileSystem / Arrow
+    dataset API; chunk count is bounded by |E|/edge_chunk_size)."""
+    import pyarrow.parquet as pq
+
+    for chunk in sorted(glob.glob(os.path.join(adj_dir, "part*", "chunk*"))):
+        t = pq.read_table(chunk)
+        rel = os.path.relpath(chunk, adj_dir)
+        out = os.path.join(group_dir, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        # replace_schema_metadata(None): drop the carried-over Spark
+        # row-schema footer entry — Spark trusts it over the physical
+        # columns, so a projected file keeping the 3-column JSON schema
+        # would read back with phantom columns
+        pq.write_table(
+            t.select(prop_cols).replace_schema_metadata(None), out)
+        pq.write_table(
+            t.select(["src", "dst"]).replace_schema_metadata(None),
+            chunk + "__adj")
+        os.replace(chunk + "__adj", chunk)
+
+
+def _write_adjacency(e: DataFrame, graph: LinkGraph, edir: str,
+                     key: str, vertex_chunk_size: int,
+                     edge_chunk_size: int, prop_cols: list[str]) -> None:
+    """One adjacency ordering (ordered_by_source when key='src', CSR; or
+    ordered_by_dest when key='dst', CSC): part<i> per KEY-vertex chunk,
+    (key, other)-sorted rows, exclusive prefix offsets over key-degree,
+    plus aligned property-group chunks when the edge table carries
+    properties."""
+    other = "dst" if key == "src" else "src"
+    ep = e.withColumn("_part", (F.col(key) / vertex_chunk_size).cast("long"))
+    _write_single_chunks(
+        ep, "_part", os.path.join(edir, "adj_list"), nested=True,
+        sort_cols=[key, other], max_records=edge_chunk_size)
+    if prop_cols:
+        _split_edge_property_chunks(
+            os.path.join(edir, "adj_list"),
+            os.path.join(edir, _PROP_GROUP_DIR), prop_cols)
+    deg = (
+        graph.vertices.select("vid")
+        .join(ep.groupBy(F.col(key).alias("vid")).agg(F.count("*").alias("d")),
+              "vid", "left")
+        .select("vid", F.coalesce("d", F.lit(0)).alias("d"),
+                (F.col("vid") / vertex_chunk_size).cast("long").alias("_part"))
+    )
+    w = Window.partitionBy("_part").orderBy("vid")
+    prefix = deg.select(
+        "_part", "vid", (F.sum("d").over(w) - F.col("d")).alias("offset"))
+    totals = deg.groupBy("_part").agg(F.sum("d").alias("offset")).select(
+        "_part", ((F.col("_part") + 1) * vertex_chunk_size).alias("vid"),
+        "offset")
+    offsets = prefix.unionByName(totals)
+    _write_single_chunks(offsets, "_part", os.path.join(edir, "offset"),
+                         nested=True, sort_cols=["vid"], drop_cols=["vid"])
+
+
+_PROP_GROUP_DIR = "props"
+
+
 def save_graphar(graph: LinkGraph, path: str, name: str = "graph",
                  vertex_label: str = "vertex", edge_label: str = "edge",
                  vertex_chunk_size: int = 2 ** 18,
-                 edge_chunk_size: int = 2 ** 22) -> str:
+                 edge_chunk_size: int = 2 ** 22,
+                 orderings: tuple = ("src",)) -> str:
     """Archive a LinkGraph in GraphAr layout; returns the graph.yml path.
     Vertex ids must be dense 0..n-1 (the engine's vid map guarantees it
-    for graphs built via ``from_oid_edges``/``build_import_graph``)."""
+    for graphs built via ``from_oid_edges``/``build_import_graph``).
+    ``orderings`` selects the adjacency copies: ``("src",)`` writes CSR
+    (ordered_by_source) only, ``("src", "dst")`` adds the CSC copy
+    (ordered_by_dest) the spec defines for in-edge scans. Edge property
+    columns are archived as an aligned property group per ordering."""
     os.makedirs(path, exist_ok=True)
     triplet = f"{vertex_label}_{edge_label}_{vertex_label}"
 
@@ -97,36 +174,23 @@ def save_graphar(graph: LinkGraph, path: str, name: str = "graph",
     with open(os.path.join(vdir, "vertex_count"), "w") as f:
         f.write(str(n))
 
-    # ---- edge chunks: CSR ordered by source ---------------------------
-    e = graph.edges.select("src", "dst") \
-        .withColumn("_part", (F.col("src") / vertex_chunk_size).cast("long"))
-    edir = os.path.join(path, "edge", triplet, "ordered_by_source")
-    _write_single_chunks(
-        e, "_part", os.path.join(edir, "adj_list"), nested=True,
-        sort_cols=["src", "dst"], max_records=edge_chunk_size)
-    # offsets: per source-vertex cumulative degree within its part
-    deg = (
-        graph.vertices.select("vid")
-        .join(e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("d")),
-              "vid", "left")
-        .select("vid", F.coalesce("d", F.lit(0)).alias("d"),
-                (F.col("vid") / vertex_chunk_size).cast("long").alias("_part"))
-    )
-    # spec layout: EXCLUSIVE prefix sums ordered by vertex id, with one
-    # terminal row per part carrying the part's total (chunk row count =
+    # ---- edge chunks: CSR ordered by source (+ optional CSC copy) ------
+    # spec layout per ordering: (key, other)-sorted adjacency chunks and
+    # EXCLUSIVE prefix-sum offsets ordered by vertex id with one terminal
+    # row per part carrying the part's total (chunk row count =
     # vertices-in-chunk + 1, first entry 0) — offset[i]..offset[i+1] is
     # vertex i's adjacency range
-    w = Window.partitionBy("_part").orderBy("vid")
-    prefix = deg.select(
-        "_part", "vid", (F.sum("d").over(w) - F.col("d")).alias("offset"))
-    totals = deg.groupBy("_part").agg(F.sum("d").alias("offset")).select(
-        "_part", ((F.col("_part") + 1) * vertex_chunk_size).alias("vid"),
-        "offset")
-    offsets = prefix.unionByName(totals)
-    _write_single_chunks(offsets, "_part", os.path.join(edir, "offset"),
-                         nested=True, sort_cols=["vid"], drop_cols=["vid"])
+    edge_props = list(graph.edge_prop_cols)
+    e = graph.edges.select("src", "dst", *edge_props)
+    dirs = {"src": "ordered_by_source", "dst": "ordered_by_dest"}
+    for key in orderings:
+        _write_adjacency(e, graph, os.path.join(path, "edge", triplet,
+                                                dirs[key]),
+                         key, vertex_chunk_size, edge_chunk_size, edge_props)
     ecounts = {r["_part"]: r["c"] for r in
-               e.groupBy("_part").agg(F.count("*").alias("c")).collect()}
+               e.select((F.col("src") / vertex_chunk_size).cast("long")
+                        .alias("_part"))
+               .groupBy("_part").agg(F.count("*").alias("c")).collect()}
     tdir = os.path.join(path, "edge", triplet)
     for part in range((n + vertex_chunk_size - 1) // vertex_chunk_size or 1):
         with open(os.path.join(tdir, f"edge_count{part}"), "w") as f:
@@ -157,11 +221,19 @@ def save_graphar(graph: LinkGraph, path: str, name: str = "graph",
         "dst_chunk_size": vertex_chunk_size,
         "directed": graph.directed,
         "prefix": f"edge/{triplet}/",
-        "adj_lists": [{"ordered": True, "aligned_by": "src",
+        "adj_lists": [{"ordered": True, "aligned_by": key,
                        "file_type": "parquet",
-                       "prefix": "ordered_by_source/"}],
+                       "prefix": f"{dirs[key]}/"}
+                      for key in orderings],
         "version": _VERSION,
     }
+    if edge_props:
+        edge_yml["property_groups"] = [{
+            "file_type": "parquet",
+            "prefix": f"{_PROP_GROUP_DIR}/",
+            "properties": [{"name": c, "data_type": "string",
+                            "is_primary": False} for c in edge_props],
+        }]
     graph_yml = {
         "name": name,
         "prefix": path if path.endswith("/") else path + "/",
@@ -197,6 +269,34 @@ def load_graphar(spark: SparkSession, graph_yml: str,
                        emeta["adj_lists"][0]["prefix"], "adj_list")
     chunks = sorted(glob.glob(os.path.join(adj, "part*", "chunk*")))
     edges = spark.read.parquet(*chunks).select("src", "dst")
+    groups = emeta.get("property_groups") or []
+    if groups:
+        # property chunks are POSITIONALLY aligned with adjacency chunks
+        # (row i of <group>/part<p>/chunk<j> annotates row i of
+        # adj_list/part<p>/chunk<j>); recombine with a distributed
+        # positional join on (part, chunk, row_index) — _metadata row
+        # indexes come straight from the parquet reader, no collect
+        def _keyed(df, cols):
+            pc = F.regexp_extract(F.col("_metadata.file_path"),
+                                  r"part(\d+)/chunk(\d+)$", 1).cast("long")
+            cc = F.regexp_extract(F.col("_metadata.file_path"),
+                                  r"part(\d+)/chunk(\d+)$", 2).cast("long")
+            # _metadata is a pseudo-column of the file source — project
+            # its fields without materializing the struct (two frames
+            # each carrying a `_metadata` column would collide at join)
+            return df.select(*cols, pc.alias("_p"), cc.alias("_c"),
+                             F.col("_metadata.row_index").alias("_i"))
+
+        edges = _keyed(spark.read.parquet(*chunks), ["src", "dst"])
+        for grp in groups:
+            gdir = os.path.join(prefix, emeta["prefix"],
+                                emeta["adj_lists"][0]["prefix"],
+                                grp["prefix"])
+            gchunks = sorted(glob.glob(os.path.join(gdir, "part*", "chunk*")))
+            pnames = [p["name"] for p in grp["properties"]]
+            gdf = _keyed(spark.read.parquet(*gchunks), pnames)
+            edges = edges.join(gdf, ["_p", "_c", "_i"])
+        edges = edges.drop("_p", "_c", "_i")
     return LinkGraph(spark, edges, vertices=vertices.drop("_chunk"),
                      directed=emeta.get("directed", True),
                      num_partitions=num_partitions)

@@ -4,9 +4,10 @@ from graphscope_spark.streaming.edges import (
     streaming_exact_dedup,
     windowed_degrees,
 )
-from graphscope_spark.streaming.incremental import IncrementalWCC
+from graphscope_spark.streaming.incremental import (IncrementalPageRank,
+                                                    IncrementalWCC)
 
 __all__ = [
     "read_edge_stream", "windowed_degrees", "streaming_exact_dedup",
-    "running_degrees", "IncrementalWCC",
+    "running_degrees", "IncrementalWCC", "IncrementalPageRank",
 ]

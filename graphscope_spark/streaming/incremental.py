@@ -1,4 +1,4 @@
-"""Incremental connected components over an edge stream.
+"""Incremental algorithms over an edge stream (Ingress-style memoization).
 
 The Ingress memoization story for WCC (reference
 docs/analytical_engine/ingress.md: re-run from previous state instead
@@ -109,6 +109,88 @@ class IncrementalWCC:
         t.close()
 
     # ---- streaming entry --------------------------------------------------
+
+    def attach(self, edge_stream: DataFrame, checkpoint_dir: str,
+               trigger_available_now: bool = True):
+        """writeStream with this sink; returns the StreamingQuery."""
+        w = edge_stream.writeStream.foreachBatch(self.process_batch) \
+            .option("checkpointLocation", checkpoint_dir)
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+
+class IncrementalPageRank:
+    """foreachBatch sink maintaining converged PageRank over the edges
+    seen so far, restarted warm from the previous batch's ranks.
+
+    The Ingress memoization story for PageRank (reference
+    docs/analytical_engine/ingress.md: monotonic/accumulative
+    incrementalization — re-run from the memoized state rather than
+    from 1/n): per micro-batch the new edges are appended to the edge
+    store, and the solver converges on the union graph seeded with the
+    previous fixpoint (``pagerank(init_ranks=...)``). The fixpoint is a
+    contraction (damping alpha < 1), so the warm start reaches the SAME
+    answer as a cold run — in far fewer supersteps when a batch touches
+    a small fraction of the graph (the common streaming regime). The
+    per-batch superstep count is recorded in ``iterations_history`` so
+    the saving is observable.
+
+    State layout under ``state_dir``: ``edges/`` (append-only parquet,
+    one file set per batch) and ``ranks/live`` (atomically swapped
+    parquet of the converged (vid, rank) table).
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 alpha: float = 0.85, tol: float = 1e-6,
+                 max_iter: int = 100, num_partitions: int | None = None):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.alpha, self.tol, self.max_iter = alpha, tol, max_iter
+        self.num_partitions = num_partitions
+        self._edges = os.path.join(state_dir, "edges")
+        self._ranks_live = os.path.join(state_dir, "ranks", "live")
+        self._ranks_tmp = os.path.join(state_dir, "ranks", "tmp")
+        self.iterations_history: list[int] = []
+
+    def ranks(self) -> DataFrame | None:
+        if os.path.exists(self._ranks_live):
+            return self.spark.read.parquet(self._ranks_live)
+        return None
+
+    def edges(self) -> DataFrame | None:
+        if os.path.exists(self._edges):
+            return self.spark.read.parquet(self._edges)
+        return None
+
+    def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        from graphscope_spark.graph import LinkGraph
+        from graphscope_spark.operators.pagerank import PageRankJob
+        from graphscope_spark.runtime.superstep import SuperstepRunner
+
+        e = batch.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        if e.isEmpty():
+            return
+        e.write.mode("append").parquet(self._edges)
+        g = LinkGraph(self.spark, self.spark.read.parquet(self._edges),
+                      num_partitions=self.num_partitions)
+        # PageRankJob's init_ranks path left-joins onto the vertex set and
+        # coalesces unseen vertices to 1/n — new vertices enter cold, and
+        # the alpha-contraction washes the carried scale out within tol
+        init = self.ranks()
+        runner = SuperstepRunner(self.spark)
+        job = PageRankJob(g, alpha=self.alpha, max_iter=self.max_iter,
+                          tol=self.tol, init_ranks=init)
+        state, _ = runner.run(job, max_steps=self.max_iter + 1)
+        self.iterations_history.append(len(runner.history))
+        out = state.select("vid", "rank")
+        out.write.mode("overwrite").parquet(self._ranks_tmp)
+        live_parent = os.path.dirname(self._ranks_live)
+        os.makedirs(live_parent, exist_ok=True)
+        if os.path.exists(self._ranks_live):
+            shutil.rmtree(self._ranks_live)
+        os.replace(self._ranks_tmp, self._ranks_live)
+        g.unpersist_all()
 
     def attach(self, edge_stream: DataFrame, checkpoint_dir: str,
                trigger_available_now: bool = True):

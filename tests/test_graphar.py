@@ -77,3 +77,69 @@ def test_graphar_roundtrip_and_layout(spark, tmp_path):
     assert c1 == c2
     g.unpersist_all()
     g2.unpersist_all()
+
+def test_graphar_csc_copy_and_edge_properties(spark, tmp_path):
+    """ordered_by_dest (CSC) copy + aligned edge property-group chunks:
+    layout conformance, in-degree offsets, and a weighted round trip."""
+    import random
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(100), rng.randrange(100))
+                    for _ in range(400)})
+    rows = [(s, d, float((s * 31 + d) % 7 + 1)) for s, d in edges]
+    g = LinkGraph(spark,
+                  spark.createDataFrame(rows, "src LONG, dst LONG, w DOUBLE"),
+                  vertices=spark.createDataFrame([(v,) for v in range(100)],
+                                                 "vid LONG"),
+                  num_partitions=4)
+    root = str(tmp_path / "gar2")
+    yml = save_graphar(g, root, name="wg", vertex_chunk_size=32,
+                       edge_chunk_size=128, orderings=("src", "dst"))
+
+    emeta = yaml.safe_load(open(os.path.join(
+        root, "vertex_edge_vertex.edge.yml")))
+    assert [a["prefix"] for a in emeta["adj_lists"]] == [
+        "ordered_by_source/", "ordered_by_dest/"]
+    assert emeta["property_groups"][0]["properties"][0]["name"] == "w"
+
+    # CSC chunks are dst-major sorted; parts keyed by dst chunk
+    ddir = os.path.join(root, "edge/vertex_edge_vertex/ordered_by_dest")
+    pdf = spark.read.parquet(
+        os.path.join(ddir, "adj_list/part0/chunk0")).toPandas()
+    assert list(pdf.columns) == ["src", "dst"]
+    assert list(pdf["dst"]) == sorted(pdf["dst"])
+    assert all(d < 32 for d in pdf["dst"])
+
+    # CSC offsets are exclusive prefix sums of IN-degree
+    indeg = {}
+    for s, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+    off = spark.read.parquet(
+        os.path.join(ddir, "offset/part0/chunk0")).toPandas()
+    want = [0]
+    for v in range(32):
+        want.append(want[-1] + indeg.get(v, 0))
+    assert list(off["offset"]) == want
+
+    # property chunks mirror the adjacency part/chunk layout, aligned rows
+    sdir = os.path.join(root, "edge/vertex_edge_vertex/ordered_by_source")
+    adj_files = sorted(os.path.relpath(p, os.path.join(sdir, "adj_list"))
+                       for p in __import__("glob").glob(
+                           os.path.join(sdir, "adj_list/part*/chunk*")))
+    prop_files = sorted(os.path.relpath(p, os.path.join(sdir, "props"))
+                        for p in __import__("glob").glob(
+                            os.path.join(sdir, "props/part*/chunk*")))
+    assert adj_files == prop_files and adj_files
+    a0 = spark.read.parquet(os.path.join(sdir, "adj_list/part0/chunk0")).toPandas()
+    p0 = spark.read.parquet(os.path.join(sdir, "props/part0/chunk0")).toPandas()
+    assert len(a0) == len(p0) and list(p0.columns) == ["w"]
+    assert all(p0["w"][i] == float((a0["src"][i] * 31 + a0["dst"][i]) % 7 + 1)
+               for i in range(len(a0)))
+
+    # weighted round trip through the positional _metadata join
+    g2 = load_graphar(spark, yml, num_partitions=4)
+    got = {(r["src"], r["dst"]): r["w"]
+           for r in g2.edges.select("src", "dst", "w").collect()}
+    assert got == {(s, d): w for s, d, w in rows}
+    g.unpersist_all()
+    g2.unpersist_all()

@@ -112,3 +112,47 @@ def test_incremental_wcc_matches_batch(spark, tmp_path):
         want = {r["vid"]: r["comp"] for r in wcc(g).collect()}
         g.unpersist_all()
         assert got == want, (i, got, want)
+
+def test_incremental_pagerank_warm_equals_cold_fewer_steps(spark, tmp_path):
+    """Ingress-style PageRank memoization: after each batch the state
+    equals a cold converged run on the union of edges seen (the warm
+    restart is a contraction to the same fixpoint), and a batch touching
+    a small fraction of the graph converges in fewer supersteps than the
+    cold run needs."""
+    from graphscope_spark.operators.pagerank import pagerank
+    from graphscope_spark.streaming import IncrementalPageRank, read_edge_stream
+
+    p = str(tmp_path / "edges")
+    state = str(tmp_path / "prstate")
+    ckpt = str(tmp_path / "prckpt")
+    tol = 1e-10
+    inc = IncrementalPageRank(spark, state, tol=tol)
+
+    # batch 0: a 40-vertex ring + chords; batch 1: one extra chord
+    ring = [(i, (i + 1) % 40, _ts(i % 50)) for i in range(40)]
+    chords = [(i, (i * 7 + 3) % 40, _ts((i + 1) % 50)) for i in range(0, 40, 4)]
+    batches = [ring + chords, [(5, 29, _ts(45))]]
+    seen = []
+    cold_steps = []
+    for i, b in enumerate(batches):
+        _write_edge_batch(spark, p, b, i)
+        seen += [(s, d) for s, d, _ in b]
+        q = inc.attach(read_edge_stream(spark, p), ckpt)
+        q.awaitTermination(180)
+
+        g = LinkGraph(spark, spark.createDataFrame(seen, "src LONG, dst LONG"),
+                      num_partitions=2)
+        from graphscope_spark.runtime.superstep import SuperstepRunner
+        runner = SuperstepRunner(spark)
+        want = {r["vid"]: r["rank"]
+                for r in pagerank(g, tol=tol, runner=runner).collect()}
+        cold_steps.append(len(runner.history))
+        got = {r["vid"]: r["rank"] for r in inc.ranks().collect()}
+        g.unpersist_all()
+        assert set(got) == set(want)
+        assert all(abs(got[v] - want[v]) < 1e-7 for v in want), i
+
+    # the one-edge second batch must converge warm in fewer supersteps
+    # than its cold run
+    assert inc.iterations_history[1] < cold_steps[1], (
+        inc.iterations_history, cold_steps)
