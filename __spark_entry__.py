@@ -989,6 +989,34 @@ def _q_minhash_lsh(spark, sf_dir):
              F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # the closure step real corpus dedup needs: near-dup PAIRS are not
+    # clusters (A~B, B~C must collapse even when A~C never verified) —
+    # connected components over the pair graph (HashMin wcc, min-id
+    # canonical) and a keep-list. Oracle: the full minhash pipeline in
+    # SQL feeding a recursive-CTE transitive closure.
+    from graphscope_spark.functions import dedup_keep_list, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.2, hash_fn="sha2")
+    return dedup_keep_list(docs, pairs)
+
+
+def _q_sessionize(spark, sf_dir):
+    # gap-based sessionization over the events table (30-min inactivity
+    # gap): lag → boundary flags → running-sum session index, one
+    # shuffle by user, all window exec — the batch form of the
+    # GIE-relational window surface a telemetry backfill runs.
+    from graphscope_spark.functions import sessionize
+
+    s = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30.0,
+                   order_cols=("event_id",))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (s.groupBy("user_id", "session")
+            .agg(F.count("*").alias("n_events"),
+                 (F.max(us) - F.min(us)).alias("duration_us")))
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from graphscope_spark.functions import simhash_pairs
 
@@ -1476,6 +1504,23 @@ ver AS (SELECT id_a, id_b,
 SELECT id_a, id_b,
   CAST(ROUND(CAST(inter AS DOUBLE) / (sa + sb - inter) * 1e6) AS BIGINT) AS jaccard_micro
 FROM ver WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= {threshold}"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Transitive closure of the minhash near-dup pairs (recursive CTE
+    min-label reachability — components are tiny) + keep-list."""
+    inner = _minhash_sql(threshold=0.2)
+    return f"""WITH RECURSIVE pairs AS ({inner}),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(id, lab) AS (
+  SELECT a, a FROM (SELECT a FROM sym UNION SELECT b FROM sym)
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.id),
+comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+       COALESCE(c.cluster, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
 
 
 def _simhash_sql(max_hamming: int = 8, bits: int = 60) -> str:
@@ -2760,6 +2805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_degree": _q_dynamic_degree,
         "gremlin_edge_steps": _q_gremlin_edge_steps,
         "gremlin_match": _q_gremlin_match,
+        "dedup_clusters": _q_dedup_clusters,
+        "sessionize": _q_sessionize,
         # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
@@ -3175,6 +3222,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         # warm-started SSSP converges to the cold fixpoint
         "sssp_warm": _sssp_sql(12),
+        "dedup_clusters": _dedup_clusters_sql(),
+        "sessionize": (
+            "WITH ordered AS (SELECT user_id, ts, event_id, "
+            "epoch_us(ts) AS tse, LAG(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events), "
+            "flagged AS (SELECT user_id, ts, event_id, tse, "
+            "CASE WHEN prev IS NULL OR tse - prev <= 1800000000 "
+            "THEN 0 ELSE 1 END AS brk FROM ordered), "
+            "sess AS (SELECT user_id, tse, SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS session "
+            "FROM flagged) "
+            "SELECT user_id, session, COUNT(*) AS n_events, "
+            "CAST(MAX(tse) - MIN(tse) AS BIGINT) AS duration_us "
+            "FROM sess GROUP BY user_id, session"
+        ),
         "gremlin_edge_steps": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 150000)"

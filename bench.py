@@ -289,7 +289,8 @@ def section_b(spark, sampled: Sampled) -> None:
     spec.loader.exec_module(entry)
     qs = entry.queries()
     for name in ["pagerank_conv", "wcc", "triangles",
-                 "rel_groupby_aggs", "rel_join_3way"]:
+                 "rel_groupby_aggs", "rel_join_3way",
+                 "typed_pattern", "exact_dedup"]:
         sampled.run(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
 

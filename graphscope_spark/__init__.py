@@ -103,12 +103,14 @@ from graphscope_spark.operators import (
     voterank,
 )
 from graphscope_spark.frontends import P, cypher_query, traversal
+from graphscope_spark.nxgraph import DiGraph, DynamicGraph, Graph
 from graphscope_spark.property_graph import PropertyGraph
 from graphscope_spark.sources import load_csv_graph
 
 __all__ = [
     "LinkGraph",
     "PropertyGraph",
+    "DynamicGraph", "Graph", "DiGraph",
     "build_session",
     "load_csv_graph",
     "cypher_query", "traversal", "P",

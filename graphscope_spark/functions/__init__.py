@@ -16,11 +16,13 @@ from graphscope_spark.functions.text import (
 )
 from graphscope_spark.functions.dedup import (
     exact_dedup,
+    dedup_keep_list,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
 )
+from graphscope_spark.functions.sessions import session_stats, sessionize
 from graphscope_spark.functions.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
@@ -46,7 +48,8 @@ from graphscope_spark.functions.codecs import (
 
 __all__ = [
     "tokenize", "token_count", "quality_score", "langid", "fingerprint",
-    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
+    "sessionize", "session_stats",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
     "media_table", "decode_image_stub", "sample_frames_stub", "real_decode",

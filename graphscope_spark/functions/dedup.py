@@ -262,3 +262,37 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_keep_list(df: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Canonical keep-list from near-duplicate pairs: (id, cluster, keep).
+
+    Real corpus dedup needs the TRANSITIVE closure of the pairwise
+    near-dup relation (A~B, B~C must collapse to one cluster even when
+    A~C was never emitted), then one canonical representative per
+    cluster. The closure is connected components over the pair graph —
+    the library's HashMin ``wcc`` (min-id labels, so the canonical doc
+    is the smallest id, deterministic). Documents in no pair keep
+    themselves. Pair graphs are tiny relative to the corpus (only
+    near-dups appear), so the iterative stage runs on a vanishing
+    fraction of the 100 TB input; the labeling join back onto ``df``
+    is one broadcast-or-shuffle hash join.
+    """
+    from graphscope_spark.graph import LinkGraph
+    from graphscope_spark.operators.wcc import wcc
+
+    spark = df.sparkSession
+    e = pairs.select(F.col("id_a").cast("long").alias("src"),
+                     F.col("id_b").cast("long").alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))).distinct()
+    g = LinkGraph(spark, sym, directed=False)
+    comp = wcc(g).select(F.col("vid").alias(id_col),
+                         F.col("comp").alias("_cluster"))
+    out = (df.select(id_col).join(comp, id_col, "left")
+           .select(id_col,
+                   F.coalesce("_cluster", F.col(id_col)).alias("cluster"))
+           .withColumn("keep", F.col("cluster") == F.col(id_col)))
+    g.unpersist_all()
+    return out

@@ -1,0 +1,46 @@
+"""Gap-based sessionization over an event stream (batch form).
+
+The standard telemetry/training-data operator the reference's GIE
+relational surface composes from window functions (GroupBy/OrderBy over
+algebra.proto's relational core): a user's events split into sessions
+wherever the inactivity gap exceeds ``gap``. One shuffle (partition by
+user), two window passes (lag → boundary flags, running sum → session
+index) — all JVM-side, no UDFs, and the per-user partition is the only
+ordering scope, so skewed users parallelize across cores within Spark's
+window exec. The streaming analogue is
+``streaming/edges.py::windowed_degrees``-style watermarked windows;
+batch sessionization is what a 100 TB backfill runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_minutes: float = 30.0,
+               order_cols: tuple = ()) -> DataFrame:
+    """Append a per-user ``session`` index (0-based) split at gaps
+    > ``gap_minutes``. ``order_cols`` breaks timestamp ties
+    deterministically (same-timestamp events always share a session
+    either way — a zero gap never opens one)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    # exact integer microseconds (ANSI mode forbids timestamp->double)
+    ts = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = F.lit(int(gap_minutes * 60_000_000))
+    new_sess = (ts - F.lag(ts).over(w) > gap).cast("long")
+    return events.withColumn(
+        "session", F.sum(F.coalesce(new_sess, F.lit(0))).over(w))
+
+
+def session_stats(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", gap_minutes: float = 30.0) -> DataFrame:
+    """(user, session, n_events, start, duration_sec) per session."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (s.groupBy(user_col, "session")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(ts_col).alias("start"),
+                 ((F.max(us) - F.min(us)) / F.lit(1e6))
+                 .alias("duration_sec")))

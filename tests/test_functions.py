@@ -251,3 +251,38 @@ def test_multimodal_stubs(spark, docs_df):
         stride = (len(payload) + n - 1) // n
         chunk = payload[r["frame_no"] * stride:(r["frame_no"] + 1) * stride]
         assert r["frame_sha256"] == hashlib.sha256(chunk).hexdigest()
+
+
+def test_dedup_keep_list_transitive_closure(spark):
+    """A~B, B~C (no A~C pair) must collapse into ONE cluster with the
+    min id canonical; isolated docs keep themselves."""
+    from graphscope_spark.functions import dedup_keep_list
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id LONG")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "id_a LONG, id_b LONG")
+    got = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in dedup_keep_list(docs, pairs).collect()}
+    assert got == {
+        0: (0, True), 1: (1, True), 3: (1, False), 5: (1, False),
+        2: (2, True), 6: (2, False), 4: (4, True), 7: (7, True)}
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2026, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+
+    from graphscope_spark.functions import session_stats, sessionize
+
+    rows = [  # user 1: gaps 10, 40(break), 5; user 2: single event
+        (1, t(0), 100), (1, t(10), 101), (1, t(50), 102), (1, t(55), 103),
+        (2, t(0), 200)]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, event_id LONG")
+    s = {r["event_id"]: r["session"]
+         for r in sessionize(ev, gap_minutes=30).collect()}
+    assert s == {100: 0, 101: 0, 102: 1, 103: 1, 200: 0}
+    st = {(r["user_id"], r["session"]): (r["n_events"], r["duration_sec"])
+          for r in session_stats(ev, gap_minutes=30).collect()}
+    assert st == {(1, 0): (2, 600.0), (1, 1): (2, 300.0), (2, 0): (1, 0.0)}
