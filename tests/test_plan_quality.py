@@ -200,3 +200,45 @@ def test_cypher_frontend_predicates_reach_parquet_scan(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(strength,0\.5\)", plan)
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(age,30\)", plan)
+
+
+def test_gremlin_edge_stream_filter_reaches_parquet_scan(spark, tmp_path):
+    """An edge-property has() on an outE stream must land on the relation
+    table's parquet FileScan, and the edge-step pipeline must stay
+    cartesian-free."""
+    from graphscope_spark import P, PropertyGraph, traversal
+
+    vp, ep = str(tmp_path / "people3"), str(tmp_path / "knows3")
+    spark.range(0, 500).selectExpr(
+        "id AS pid", "id % 90 AS age").write.parquet(vp)
+    spark.range(0, 2000).selectExpr(
+        "id % 500 AS s", "(id * 7) % 500 AS d",
+        "CAST(id % 10 AS DOUBLE) / 10 AS strength").write.parquet(ep)
+    pg = (PropertyGraph(spark)
+          .add_vertices(spark.read.parquet(vp), "person", vid_field="pid")
+          .add_edges(spark.read.parquet(ep), "knows",
+                     src_label="person", dst_label="person"))
+    g = traversal(pg)
+    df = (g.V().hasLabel("person").outE("knows")
+          .has("strength", P.gte(0.5)).inV().id_().toDF())
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(strength,0\.5\)", plan)
+
+
+def test_sessionize_single_exchange(spark):
+    """sessionize's two window passes (lag + running sum) must share ONE
+    hash exchange by user — a second exchange between the windows means
+    the partitioning contract broke."""
+    import datetime as dt
+
+    from graphscope_spark.functions import sessionize
+
+    rows = [(i % 50, dt.datetime(2026, 1, 1, 10, i % 60), i)
+            for i in range(500)]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, event_id LONG")
+    plan = _formatted(sessionize(ev, order_cols=("event_id",)))
+    # one partitioning exchange for both Window nodes (plus no others)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
