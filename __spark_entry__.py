@@ -1312,6 +1312,22 @@ def _q_gremlin_match(spark, sf_dir):
             .agg(F.count_distinct("c").alias("n_cust")))
 
 
+def _q_gremlin_text(spark, sf_dir):
+    # textual Gremlin — the string form reference users submit via
+    # interactive.execute(...) — parsed onto the fluent builder: edge
+    # stream + edge-property predicate (pushed to the relation scan) +
+    # groupCount over a 2-hop path.
+    from graphscope_spark import gremlin_query
+
+    df = gremlin_query(
+        _frontend_pg(spark, sf_dir),
+        "g.V().hasLabel('customer').outE('placed')"
+        ".has('o_totalprice', P.gt(100000.0)).inV()"
+        ".out('uses').groupCount()")
+    return df.select(F.col("key").cast("long").alias("s_suppkey"),
+                     F.col("count").alias("n_paths"))
+
+
 def _q_sssp_warm(spark, sf_dir):
     # ingress-style warm start for SSSP (same contract as wcc_warm /
     # pagerank(init_ranks=), reference docs/analytical_engine/
@@ -2807,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_match": _q_gremlin_match,
         "dedup_clusters": _q_dedup_clusters,
         "sessionize": _q_sessionize,
+        "gremlin_text": _q_gremlin_text,
         # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
@@ -3223,6 +3240,13 @@ def oracle_sql() -> dict[str, str]:
         # warm-started SSSP converges to the cold fixpoint
         "sssp_warm": _sssp_sql(12),
         "dedup_clusters": _dedup_clusters_sql(),
+        "gremlin_text": (
+            "SELECT CAST(u.l_suppkey AS BIGINT) AS s_suppkey, "
+            "COUNT(*) AS n_paths "
+            "FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) u "
+            "JOIN orders o ON o.o_orderkey = u.l_orderkey "
+            "WHERE o.o_totalprice > 100000 GROUP BY u.l_suppkey"
+        ),
         "sessionize": (
             "WITH ordered AS (SELECT user_id, ts, event_id, "
             "epoch_us(ts) AS tse, LAG(epoch_us(ts)) OVER "

@@ -102,7 +102,7 @@ from graphscope_spark.operators import (
     sssp_path,
     voterank,
 )
-from graphscope_spark.frontends import P, cypher_query, traversal
+from graphscope_spark.frontends import P, TextP, cypher_query, gremlin_query, traversal
 from graphscope_spark.nxgraph import DiGraph, DynamicGraph, Graph
 from graphscope_spark.property_graph import PropertyGraph
 from graphscope_spark.sources import load_csv_graph
@@ -113,7 +113,7 @@ __all__ = [
     "DynamicGraph", "Graph", "DiGraph",
     "build_session",
     "load_csv_graph",
-    "cypher_query", "traversal", "P",
+    "cypher_query", "traversal", "P", "TextP", "gremlin_query",
     "pagerank", "ppr", "articlerank", "wcc", "cdlp", "triangles", "triangle_count",
     "bfs", "sssp", "msbfs", "all_pairs_shortest_path_length",
     "closeness_centrality",

@@ -12,9 +12,12 @@ library's own declarative surface instead:
 - :mod:`gremlin` — a Gremlin-style fluent traversal builder (the step
   set documented in /root/reference/docs/interactive_engine/tinkerpop/
   supported_gremlin_steps.md) where every step is a DataFrame transform.
+- :mod:`gremlin_text` — textual Gremlin (the string form users submit
+  to the reference's interactive session) parsed onto the same builder.
 """
 
 from graphscope_spark.frontends.cypher import cypher_query
-from graphscope_spark.frontends.gremlin import P, traversal
+from graphscope_spark.frontends.gremlin import P, TextP, traversal
+from graphscope_spark.frontends.gremlin_text import gremlin_query
 
-__all__ = ["cypher_query", "traversal", "P"]
+__all__ = ["cypher_query", "traversal", "P", "TextP", "gremlin_query"]

@@ -1,0 +1,184 @@
+"""Textual Gremlin → the fluent builder (the reference's submit surface).
+
+GraphScope users submit Gremlin as STRINGS
+(``interactive.execute("g.V().hasLabel('person')...")``, reference
+docs/interactive_engine/tinkerpop/supported_gremlin_steps.md); this
+module parses that textual form and drives
+:mod:`graphscope_spark.frontends.gremlin`'s step objects, so every step
+the builder supports is reachable from a query string — same compiled
+DataFrame plans, no second engine.
+
+Grammar (recursive descent over a small tokenizer):
+
+  query     := ("g" | "__") ("." step)*
+  step      := NAME "(" [arg ("," arg)*] ")"
+  arg       := STRING | NUMBER | BOOL | list | pexpr | subquery | NAME
+  list      := "[" [arg ("," arg)*] "]"
+  pexpr     := ("P" | "TextP") "." NAME "(" [arg...] ")"
+  subquery  := "__" ("." step)*   |  NAME-less anonymous chain
+
+Python-keyword step renames are accepted in their Gremlin spelling:
+``in``→``in_``, ``as``→``as_``, ``not``→``not_``, ``is``→``is_``,
+``id``→``id_``, ``min``/``max``→``min_``/``max_``, ``where_``/bare
+``where`` on match sentences. Bare identifiers (``asc``, ``desc``,
+``id``) pass through as strings, matching by()-modulator usage.
+"""
+
+from __future__ import annotations
+
+import re
+
+from graphscope_spark.frontends.gremlin import P, TextP, _AnonFactory
+from graphscope_spark.frontends.gremlin import __ as _anon_factory
+from graphscope_spark.frontends.gremlin import traversal
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+    | (?P<number>-?\d+\.\d+|-?\d+)
+    | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<punct>[().,\[\]])
+    )""", re.VERBOSE)
+
+_RENAMES = {"in": "in_", "as": "as_", "not": "not_", "is": "is_",
+            "id": "id_", "min": "min_", "max": "max_", "where_": "where_",
+            "sum": "sum", "mean": "mean", "union": "union"}
+
+_BOOLS = {"true": True, "false": False, "True": True, "False": False}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m or m.end() == i:
+            if text[i:].strip() == "":
+                break
+            raise ValueError(f"gremlin text: cannot tokenize at {text[i:i+20]!r}")
+        i = m.end()
+        for kind in ("string", "number", "name", "punct"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, text: str, pg):
+        self.toks = _tokenize(text)
+        self.pos = 0
+        self.pg = pg
+
+    def _peek(self, k: int = 0):
+        return self.toks[min(self.pos + k, len(self.toks) - 1)]
+
+    def _next(self):
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def _expect(self, punct: str):
+        t = self._next()
+        if t != ("punct", punct):
+            raise ValueError(f"gremlin text: expected {punct!r}, got {t}")
+
+    # ---- entry -----------------------------------------------------------
+    def parse(self):
+        kind, v = self._next()
+        if (kind, v) != ("name", "g"):
+            raise ValueError("gremlin text: query must start with g")
+        obj = traversal(self.pg)
+        return self._chain(obj)
+
+    def _chain(self, obj):
+        while self._peek() == ("punct", "."):
+            self._next()
+            obj = self._step(obj)
+        return obj
+
+    def _step(self, obj):
+        kind, name = self._next()
+        if kind != "name":
+            raise ValueError(f"gremlin text: expected step name, got {name!r}")
+        name = _RENAMES.get(name, name)
+        self._expect("(")
+        args = []
+        if self._peek() != ("punct", ")"):
+            args.append(self._arg())
+            while self._peek() == ("punct", ","):
+                self._next()
+                args.append(self._arg())
+        self._expect(")")
+        fn = getattr(obj, name, None)
+        if fn is None:
+            raise ValueError(f"gremlin text: unsupported step {name!r}")
+        return fn(*args)
+
+    # ---- arguments -------------------------------------------------------
+    def _arg(self):
+        kind, v = self._peek()
+        if kind == "string":
+            self._next()
+            body = v[1:-1]
+            return re.sub(r"\\(.)", r"\1", body)
+        if kind == "number":
+            self._next()
+            return float(v) if "." in v else int(v)
+        if kind == "punct" and v == "[":
+            self._next()
+            items = []
+            if self._peek() != ("punct", "]"):
+                items.append(self._arg())
+                while self._peek() == ("punct", ","):
+                    self._next()
+                    items.append(self._arg())
+            self._expect("]")
+            return items
+        if kind == "name":
+            if v in _BOOLS:
+                self._next()
+                return _BOOLS[v]
+            if v in ("P", "TextP"):
+                return self._pexpr()
+            if v == "__":
+                self._next()
+                return self._chain(_anon_factory)
+            # bare identifier (asc/desc/by-modulator token) → string
+            self._next()
+            return v
+        raise ValueError(f"gremlin text: bad argument token {v!r}")
+
+    def _pexpr(self):
+        _, cls_name = self._next()
+        cls = P if cls_name == "P" else TextP
+        self._expect(".")
+        _, meth = self._next()
+        meth = _RENAMES.get(meth, meth)
+        self._expect("(")
+        args = []
+        if self._peek() != ("punct", ")"):
+            args.append(self._arg())
+            while self._peek() == ("punct", ","):
+                self._next()
+                args.append(self._arg())
+        self._expect(")")
+        fn = getattr(cls, meth, None)
+        if fn is None:
+            raise ValueError(f"gremlin text: unknown predicate {meth!r}")
+        return fn(*args)
+
+
+def gremlin_query(pg, text: str):
+    """Parse a textual Gremlin traversal and return the resulting
+    DataFrame (terminal values/aggregates keep the builder's column
+    naming). ``g.V()...`` only — the graph object is implicit."""
+    t = _Parser(text, pg).parse()
+    # a trailing _AnonFactory chain means the text was only "__..." — reject
+    if isinstance(t, (_AnonFactory,)):
+        raise ValueError("gremlin text: query must start with g")
+    toDF = getattr(t, "toDF", None)
+    if toDF is None:
+        raise ValueError("gremlin text: query did not end in a traversal")
+    return toDF()

@@ -535,3 +535,65 @@ def test_gremlin_match_errors(pg):
         g.V().inV()
     with pytest.raises(ValueError, match="VERTEX stream"):
         g.E().out()
+
+
+# ---------------------------------------------------------------------------
+# Textual Gremlin (gremlin_query) — string form onto the same builder
+# ---------------------------------------------------------------------------
+
+def test_gremlin_text_basic_chain(pg):
+    from graphscope_spark import gremlin_query
+
+    df = gremlin_query(pg, "g.V().hasLabel('person')"
+                           ".has('age', P.gte(28)).values('name')")
+    assert sorted(r[0] for r in df.collect()) == ["ann", "cyd", "dee"]
+
+
+def test_gremlin_text_matches_fluent(pg):
+    from graphscope_spark import gremlin_query
+
+    # groupCount().by(property)
+    df = gremlin_query(pg, "g.V().hasLabel('person').out('knows')"
+                           ".groupCount().by('city')")
+    assert {r["key"]: r["count"] for r in df.collect()} == {"x": 1, "y": 3}
+    # union of anonymous expansions + count
+    df = gremlin_query(pg, "g.V().has('person', 'name', 'ann')"
+                           ".union(__.out('knows'), __.out('created')).count()")
+    assert [r[0] for r in df.collect()] == [3]
+    # PathExpand sugar + edge steps + predicates
+    df = gremlin_query(pg, "g.V().outE('knows').has('since', P.gt(2011))"
+                           ".inV().values('name')")
+    assert sorted(r[0] for r in df.collect()) == ["cyd", "cyd", "dee"]
+    # order().by(desc) + limit
+    df = gremlin_query(pg, "g.V().hasLabel('person')"
+                           ".order().by('age', desc).limit(2)")
+    assert [r["id"] for r in df.collect()] == ["3", "1"]
+    # repeat().times() + dedup
+    df = gremlin_query(pg, "g.V().has('person', 'name', 'ann')"
+                           ".repeat(__.out('knows')).times(2).dedup().values('name')")
+    assert sorted(r[0] for r in df.collect()) == ["cyd", "dee"]
+    # where existence / not_
+    df = gremlin_query(pg, "g.V().hasLabel('person')"
+                           ".where(__.out('created')).values('name')")
+    assert sorted(r[0] for r in df.collect()) == ["ann", "bob", "cyd"]
+    # group with aggregator chain
+    df = gremlin_query(pg, "g.V().hasLabel('person').group().by('city')"
+                           ".by(__.values('age').sum())")
+    assert {r["key"]: r["value"] for r in df.collect()} == {"x": 55, "y": 63}
+    # declarative match through text
+    df = gremlin_query(pg, "g.V().match("
+                           "__.as('a').out('knows').as('b'), "
+                           "__.as('b').out('knows').as('c'))"
+                           ".select('a', 'c')")
+    assert rows(df) == [("1", "3"), ("1", "4"), ("2", "4")]
+
+
+def test_gremlin_text_errors(pg):
+    from graphscope_spark import gremlin_query
+
+    with pytest.raises(ValueError, match="start with g"):
+        gremlin_query(pg, "V().count()")
+    with pytest.raises(ValueError, match="unsupported step"):
+        gremlin_query(pg, "g.V().flatMap(__.out())")
+    with pytest.raises(ValueError, match="tokenize"):
+        gremlin_query(pg, "g.V().has('a', ;)")
