@@ -2,6 +2,7 @@ from graphscope_spark.streaming.edges import (
     read_edge_stream,
     running_degrees,
     streaming_exact_dedup,
+    streaming_sessions,
     windowed_degrees,
 )
 from graphscope_spark.streaming.incremental import (IncrementalPageRank,
@@ -9,5 +10,6 @@ from graphscope_spark.streaming.incremental import (IncrementalPageRank,
 
 __all__ = [
     "read_edge_stream", "windowed_degrees", "streaming_exact_dedup",
-    "running_degrees", "IncrementalWCC", "IncrementalPageRank",
+    "running_degrees", "streaming_sessions",
+    "IncrementalWCC", "IncrementalPageRank",
 ]

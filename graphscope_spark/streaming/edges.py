@@ -52,6 +52,25 @@ def windowed_degrees(edges: DataFrame, window: str = "10 minutes",
     )
 
 
+def streaming_sessions(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "1 hour",
+                       user_col: str = "user_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """Streaming gap-sessionization — the live counterpart of
+    ``functions/sessions.py::sessionize``: Spark's built-in
+    ``session_window`` merges a user's events into sessions closed by
+    ``gap`` of inactivity, finalized once the watermark passes (append
+    mode). Output: (user, session_start, session_end, n_events)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                 F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(user_col, F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+
+
 def streaming_exact_dedup(docs: DataFrame, key_col: str = "text",
                           id_col: str = "doc_id",
                           watermark: str = "30 minutes") -> DataFrame:

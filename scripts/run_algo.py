@@ -32,7 +32,8 @@ def _parse_param(kv: str):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True)
-    ap.add_argument("--edges", required=True, help="parquet with src,dst[,props]")
+    ap.add_argument("--edges", help="parquet with src,dst[,props]")
+    ap.add_argument("--graphar", help="a <name>.graph.yml written by save_graphar")
     ap.add_argument("--output", required=True)
     ap.add_argument("--undirected", action="store_true")
     ap.add_argument("--param", action="append", default=[])
@@ -44,10 +45,17 @@ def main(argv=None) -> int:
     from graphscope_spark.builtin import run
     from graphscope_spark.graph import LinkGraph
 
+    if bool(args.edges) == bool(args.graphar):
+        ap.error("exactly one of --edges / --graphar is required")
     spark = SparkSession.builder.appName(f"gs-{args.algo}").getOrCreate()
     t0 = time.time()
-    edges = spark.read.parquet(args.edges)
-    graph = LinkGraph(spark, edges, directed=not args.undirected)
+    if args.graphar:
+        from graphscope_spark.graphar import load_graphar
+
+        graph = load_graphar(spark, args.graphar)
+    else:
+        edges = spark.read.parquet(args.edges)
+        graph = LinkGraph(spark, edges, directed=not args.undirected)
     params = dict(_parse_param(p) for p in args.param)
     result = run(args.algo, graph, **params)
 

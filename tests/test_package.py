@@ -47,3 +47,27 @@ def test_spark_submit_py_files(tmp_path, spark):
     assert proc.returncode == 0, proc.stderr[-2000:]
     meta = json.loads(proc.stdout.strip().splitlines()[-1])
     assert meta["rows"] == 5
+
+
+def test_run_algo_graphar_input(tmp_path, spark):
+    """run_algo --graphar: the spark-submit surface accepts a GraphAr
+    archive as input (load_graphar path), mirroring the reference's
+    save_to/load_from graphar lifecycle."""
+    sys.path.insert(0, str(ROOT / "scripts"))
+    import run_algo
+
+    from graphscope_spark.graph import LinkGraph
+    from graphscope_spark.graphar import save_graphar
+
+    g = LinkGraph(spark, spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(i,) for i in range(5)], "vid LONG"),
+        num_partitions=2)
+    yml = save_graphar(g, str(tmp_path / "gar"), vertex_chunk_size=4,
+                       edge_chunk_size=4)
+    out = str(tmp_path / "out2")
+    rc = run_algo.main(["--algo", "wcc", "--graphar", yml, "--output", out])
+    assert rc == 0
+    comp = {r["vid"]: r["comp"] for r in spark.read.parquet(out).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+    g.unpersist_all()

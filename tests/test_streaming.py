@@ -8,6 +8,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from graphscope_spark import LinkGraph, wcc
 
 
@@ -156,3 +158,42 @@ def test_incremental_pagerank_warm_equals_cold_fewer_steps(spark, tmp_path):
     # than its cold run
     assert inc.iterations_history[1] < cold_steps[1], (
         inc.iterations_history, cold_steps)
+
+
+def test_streaming_sessions_matches_batch(spark, tmp_path):
+    """session_window streaming sessions, finalized by the watermark,
+    must equal batch sessionize on the same events. Spark's
+    session_window closes a session at gap expiry — same boundaries as
+    the batch lag/cumsum form."""
+    from graphscope_spark.functions import session_stats
+    from graphscope_spark.streaming import streaming_sessions
+
+    p = str(tmp_path / "events")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+    rows = []
+    for u in range(3):
+        # two sessions per user: events at t, t+5m, then t+60m
+        for m in (0, 5, 60):
+            rows.append((u, _ts(m % 60) if m < 60 else dt.datetime(2026, 1, 1, 13, 0),
+                         u * 100 + m))
+    # far-future flush event so the watermark passes and finalizes all
+    rows.append((99, dt.datetime(2026, 1, 1, 18, 0), 9999))
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, event_id LONG")
+    df.coalesce(1).write.mode("append").parquet(p)
+
+    stream = (spark.readStream.schema("user_id LONG, ts TIMESTAMP, event_id LONG")
+              .parquet(p))
+    q = (streaming_sessions(stream, gap="30 minutes", watermark="10 minutes")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["session_start"]): r["n_events"]
+           for r in spark.read.parquet(out).collect()}
+    # the flush event's own session is still open (watermark), so compare
+    # against batch sessions for users 0..2 only
+    batch = {(r["user_id"], r["start"]): r["n_events"]
+             for r in session_stats(
+                 df.filter(F.col("user_id") < 3), gap_minutes=30).collect()}
+    assert got == batch
