@@ -683,11 +683,34 @@ class GremlinTraversal:
             value_col=None, tags=())
 
     # ---- aggregate --------------------------------------------------------
-    def count(self):
+    def _local_agg(self, name):
+        """Scope.local (supported_gremlin_steps.md §Limitations "to be
+        supported" — implemented here): aggregate WITHIN each folded
+        list instead of across the stream."""
+        if self.value_col is None:
+            raise ValueError(f"gremlin: {name}(local) applies to a folded "
+                             "value stream")
+        c = F.col(self.value_col)
+        expr = {
+            "count": F.size(c).cast("long"),
+            "sum": F.aggregate(c, F.lit(0.0), lambda a, x: a + x),
+            "min": F.array_min(c),
+            "max": F.array_max(c),
+            "mean": F.aggregate(c, F.lit(0.0), lambda a, x: a + x)
+            / F.size(c),
+        }[name]
+        return self._next(self.df.select(expr.alias(name)),
+                          value_col=name, tags=())
+
+    def count(self, scope=None):
+        if scope == "local":
+            return self._local_agg("count")
         return self._next(self.df.agg(F.count(F.lit(1)).alias("count")),
                           value_col="count", tags=())
 
-    def _vagg(self, fn, name):
+    def _vagg(self, fn, name, scope=None):
+        if scope == "local":
+            return self._local_agg(name)
         if self.value_col is None:
             raise ValueError(f"gremlin: {name}() applies to a value stream "
                              "(use values(key) first)")
@@ -695,17 +718,17 @@ class GremlinTraversal:
             self.df.agg(fn(F.col(self.value_col)).alias(name)),
             value_col=name, tags=())
 
-    def sum(self):
-        return self._vagg(F.sum, "sum")
+    def sum(self, scope=None):
+        return self._vagg(F.sum, "sum", scope)
 
-    def min_(self):
-        return self._vagg(F.min, "min")
+    def min_(self, scope=None):
+        return self._vagg(F.min, "min", scope)
 
-    def max_(self):
-        return self._vagg(F.max, "max")
+    def max_(self, scope=None):
+        return self._vagg(F.max, "max", scope)
 
-    def mean(self):
-        return self._vagg(F.avg, "mean")
+    def mean(self, scope=None):
+        return self._vagg(F.avg, "mean", scope)
 
     def fold(self):
         col = self.value_col or "_elem"

@@ -302,10 +302,12 @@ class DynamicGraph:
                 .count() > 0)
 
     def neighbors(self, n: int) -> list[int]:
+        # out-neighbors; undirected snapshots store both orientations, so
+        # the same scan covers them
         g = self.snapshot()
-        e = g.edges if self.directed else g.edges  # undirected already symmetric
         return sorted(r.dst for r in
-                      e.filter(F.col("src") == int(n)).select("dst").collect())
+                      g.edges.filter(F.col("src") == int(n))
+                      .select("dst").collect())
 
     def degree(self) -> DataFrame:
         """(vid, degree) for every node — out-degree+in-degree when

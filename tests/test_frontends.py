@@ -597,3 +597,19 @@ def test_gremlin_text_errors(pg):
         gremlin_query(pg, "g.V().flatMap(__.out())")
     with pytest.raises(ValueError, match="tokenize"):
         gremlin_query(pg, "g.V().has('a', ;)")
+
+
+def test_gremlin_local_scope(pg):
+    """Scope.local — the reference doc's own 'to be supported' example
+    shapes: g.V().fold().count(local), g.V().values('age').fold().sum(local)."""
+    from graphscope_spark import gremlin_query
+
+    g = traversal(pg)
+    assert g.V().fold().count("local").toList() == [6]
+    assert g.V().hasLabel("person").values("age").fold() \
+        .sum("local").toList() == [118.0]
+    assert gremlin_query(
+        pg, "g.V().hasLabel('person').values('age').fold().max(local)"
+    ).collect()[0][0] == 35
+    assert gremlin_query(
+        pg, "g.V().fold().count(local)").collect()[0][0] == 6
