@@ -225,6 +225,36 @@ def test_cosine_neardup_pairs(spark, emb_df):
     assert capped == 0
 
 
+def test_cosine_neardup_banded(spark, emb_df):
+    # banded multi-probe (the scale configuration): recall compounds
+    # across bands, 1-(1-r_band)^bands, while per-band collisions stay at
+    # (1+nbits)/2^nbits of random pairs instead of the 34% a short
+    # single-code/deep-probe config covers
+    clone = emb_df.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x, i: x + F.lit(0.02) *
+                    (((i + F.lit(1)) * 37 + F.col("vec_id")) % 7 - 3)
+                    .cast("double")).alias("embedding"),
+    ).select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    aug = emb_df.unionAll(clone)
+    vecs = {r["vec_id"]: r["embedding"] for r in aug.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(x * x for x in b))
+
+    thr = 0.9
+    truth = {(i, j) for i in vecs for j in vecs
+             if i < j and cos(vecs[i], vecs[j]) >= thr}
+    got = cosine_neardup_pairs(aug, threshold=thr, nbits=6, nprobe_ham=1,
+                               dim=16, bands=3).collect()
+    got_set = {(r["id_a"], r["id_b"]) for r in got}
+    assert got_set <= truth  # precision 1.0: verify is exact
+    recall = len(got_set) / len(truth)
+    assert recall >= 0.9, recall
+
+
 def test_multimodal_stubs(spark, docs_df):
     media = media_table(docs_df.limit(20))
     feats = decode_image_stub(media).collect()
