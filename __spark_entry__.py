@@ -1079,6 +1079,21 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qs, k=5, nbits=6, nprobe_ham=1)         .select("query_id", "vec_id", "rank")
 
 
+def _q_ivf_kmeans(spark, sf_dir):
+    """True centroid-IVF ANN: a Lloyd-trained coarse quantizer (init =
+    smallest-id vectors, components on the 1/1024 dyadic grid so cluster
+    means are exact and engine-reproducible) partitions the corpus into
+    8 inverted lists; each query probes its 2 nearest lists; exact
+    cosine re-rank on the probed lists only. The oracle replays the
+    identical training loop in pure SQL (unrolled Lloyd iterations)."""
+    from graphscope_spark.functions.similarity import ivf_kmeans_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return ivf_kmeans_topk(emb, qs, k=5, ncentroids=8, iters=2,
+                           nprobe=2).select("query_id", "vec_id", "rank")
+
+
 def _q_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the dedup-family sibling of
     minhash_lsh_pairs). The synthetic embeddings are near-orthogonal (max
@@ -1602,6 +1617,72 @@ SELECT query_id, vec_id, rank FROM (
   SELECT query_id, vec_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
   FROM scored) WHERE rank <= {k}"""
+
+
+def _ivf_kmeans_sql(k: int = 5, ncentroids: int = 8, iters: int = 2,
+                    nprobe: int = 2, dim: int = 64, scale: int = 1024,
+                    nq: int = 10) -> str:
+    """ivf_kmeans_topk in SQL: the SAME deterministic Lloyd training
+    (smallest-id init, dyadic-grid quantization so cluster sums are
+    exact/associative, max-cosine assignment with ties to the smaller
+    cid, empty clusters carried) unrolled as one CTE chain, then the
+    same nprobe probe + exact re-rank. Cosines are written as explicit
+    dot/(sqrt·sqrt) to match the engine's fold."""
+    def cos(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {b}) / "
+                f"(sqrt(list_dot_product({a}, {a})) * "
+                f"sqrt(list_dot_product({b}, {b}))))")
+
+    parts = [f"""WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * {scale} + 0.5) / {scale}) AS qv
+  FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
+  FROM (SELECT vec_id, qv FROM base ORDER BY vec_id LIMIT {ncentroids}))"""]
+    sim = cos("b.qv", "c.cv")
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {sim} DESC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN c{t - 1} c) WHERE rn = 1)""")
+        parts.append(f"""m{t} AS (
+  SELECT cid, list(sx ORDER BY pos) AS cv FROM (
+    SELECT a.cid, r.pos, sum(b.qv[r.pos]) / count(*) AS sx
+    FROM a{t} a JOIN base b USING (vec_id)
+    CROSS JOIN (SELECT UNNEST(range(1, {dim + 1})) AS pos) r
+    GROUP BY a.cid, r.pos) GROUP BY cid)""")
+        parts.append(f"""c{t} AS MATERIALIZED (
+  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+  FROM c{t - 1} c LEFT JOIN m{t} m USING (cid))""")
+    parts.append(f"""assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {sim} DESC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN c{iters} c) WHERE rn = 1)""")
+    parts.append(f"""qprobe AS (
+  SELECT query_id, cid FROM (
+    SELECT b.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {sim} DESC, c.cid ASC) AS pr
+    FROM base b CROSS JOIN c{iters} c WHERE b.vec_id < {nq})
+  WHERE pr <= {nprobe})""")
+    parts.append(f"""scored AS (
+  SELECT q.query_id, a.vec_id, {cos("qb.v", "ab.v")} AS sim
+  FROM qprobe q JOIN assign a USING (cid)
+  JOIN base qb ON qb.vec_id = q.query_id
+  JOIN base ab ON ab.vec_id = a.vec_id
+  WHERE q.query_id <> a.vec_id)""")
+    return (",\n".join(parts) + f"""
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}""")
 
 
 def _neardup_sql(threshold: float = 0.7, nbits: int = 6, nprobe_ham: int = 2,
@@ -2889,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "louvain": _q_louvain,
         "modularity_cdlp": _q_modularity_cdlp,
+        "ivf_kmeans_topk": _q_ivf_kmeans,
     }
 
 
@@ -3469,4 +3551,6 @@ def oracle_sql() -> dict[str, str]:
             "AND (b.rk - a.rk) IN (3, 4) "
             "GROUP BY 1"
         ),
+        "ivf_kmeans_topk": _ivf_kmeans_sql(k=5, ncentroids=8, iters=2,
+                                           nprobe=2, dim=64),
     }

@@ -27,7 +27,9 @@ from graphscope_spark.functions.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
     cosine_sim,
+    ivf_kmeans_topk,
     ivf_topk,
+    kmeans_centroids,
 )
 from graphscope_spark.functions.multimodal import (
     decode_image_stub,
@@ -52,6 +54,7 @@ __all__ = [
     "sessionize", "session_stats",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
+    "kmeans_centroids", "ivf_kmeans_topk",
     "media_table", "decode_image_stub", "sample_frames_stub", "real_decode",
     "encode_bmp", "decode_bmp", "bmp_media", "decode_bmp_features",
     "encode_wav", "decode_wav", "wav_media", "decode_wav_features",

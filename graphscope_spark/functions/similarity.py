@@ -156,6 +156,129 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     )
 
 
+def quantize_vec(vec: Column, scale: int = 1024) -> Column:
+    """Snap each component to the 1/scale dyadic grid:
+    ``floor(x·scale + 0.5) / scale``. Grid values are exact in binary64,
+    so sums of them never round — addition over them is associative,
+    which makes any aggregate over quantized vectors bit-identical under
+    every partitioning/engine. This is what lets a trained quantizer
+    (k-means) have a replayable pure-SQL oracle."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)) / scale)
+
+
+def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of cosine(vec, centroid_i) against the broadcast
+    centroid literals — one JVM-side fold per centroid, no UDF."""
+    return F.array(*[cosine_sim(vec, F.array(*[F.lit(float(c)) for c in cent]))
+                     for cent in centroids])
+
+
+def _with_nearest_cid(df: DataFrame, vec: Column,
+                      centroids: list[list[float]]) -> DataFrame:
+    """Append ``cid`` = index of the max-cosine centroid (ties → smaller
+    index, via first-occurrence array_position). The sims array is a
+    named intermediate so the per-centroid folds are evaluated once —
+    NOT a nested when-chain, whose subexpression duplication grows
+    2^ncentroids."""
+    return (df.withColumn("_sims", _centroid_sims(vec, centroids))
+            .withColumn("cid", (F.array_position("_sims", F.array_max("_sims"))
+                                - 1).cast("int"))
+            .drop("_sims"))
+
+
+def kmeans_centroids(df: DataFrame, ncentroids: int = 8, iters: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     scale: int = 1024) -> list[list[float]]:
+    """Deterministic Lloyd k-means for IVF coarse quantization →
+    ``ncentroids`` centroid vectors (cluster id = list index).
+
+    Reproducible by construction, in any engine and at any parallelism:
+
+    - init = the ``ncentroids`` smallest-id vectors (no RNG — cluster
+      QUALITY comes from the Lloyd rounds, and a fixed init is what lets
+      the DuckDB oracle replay training exactly);
+    - components snapped to the 1/scale dyadic grid (``quantize_vec``)
+      so per-cluster sums are exact — no float-order sensitivity;
+    - assignment = max cosine against the broadcast centroid literals,
+      ties to the smaller cid;
+    - empty clusters keep their previous centroid.
+
+    Scale shape: each iteration is one narrow (cid, pos) → (sum, count)
+    aggregate; only ncentroids×dim numbers ever reach the driver. The
+    data is scanned ``iters + 1`` times total (training + assignment) —
+    persist the input upstream if it is not already a parquet scan.
+    """
+    q = df.select(F.col(id_col).alias("_id"),
+                  quantize_vec(F.col(vec_col), scale).alias("_qv"))
+    cents = [list(r["_qv"])
+             for r in q.orderBy("_id").limit(ncentroids).collect()]
+    dim = len(cents[0])
+    for _ in range(iters):
+        sums = (
+            _with_nearest_cid(q, F.col("_qv"), cents)
+            .select("cid", F.posexplode("_qv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect())
+        new: dict[int, list[float]] = {}
+        for r in sums:
+            new.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = r["s"] / r["n"]
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    ncentroids: int = 8, iters: int = 2, nprobe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    scale: int = 1024,
+                    centroids: list[list[float]] | None = None) -> DataFrame:
+    """True centroid IVF ANN → (query_id, vec_id, sim, rank).
+
+    The trained upgrade of ``ivf_topk``'s fixed sign-LSH cells: a
+    Lloyd-trained coarse quantizer (``kmeans_centroids``) partitions the
+    corpus into inverted lists that ADAPT to the data distribution —
+    on clustered corpora (where fixed hyperplanes leave most probes
+    empty and a few cells overloaded) the lists stay balanced at
+    ~N/ncentroids. Each query probes only its ``nprobe`` nearest
+    centroids' lists; exact cosine re-rank runs on the probed lists
+    only, so search cost is ~(nprobe/ncentroids)·N per query.
+
+    Pass ``centroids=`` to reuse a trained quantizer across query
+    batches (train once, search many — the IVF index pattern).
+    Ties break (sim desc, cid asc / vec_id asc) everywhere, so results
+    are fully deterministic.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, ncentroids, iters,
+                                     id_col, vec_col, scale)
+    c = _with_nearest_cid(
+        corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("cv")),
+        quantize_vec(F.col("cv"), scale), centroids)
+    # per-query nprobe nearest centroids via one sorted struct array —
+    # no window, no shuffle on the (small, broadcast) query side
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"),
+                        _centroid_sims(quantize_vec(F.col(vec_col), scale),
+                                       centroids).alias("_sims"))
+         .select("query_id", "qv", F.explode(F.slice(F.sort_array(
+             F.transform("_sims",
+                         lambda s, i: F.struct((-s).alias("negsim"),
+                                               i.alias("cid")))),
+             1, nprobe)).alias("probe"))
+         .select("query_id", "qv", F.col("probe.cid").alias("cid")))
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id",
+                cosine_sim(F.col("qv"), F.col("cv")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              nbits: int = 6, nprobe_ham: int = 1, dim: int | None = None,

@@ -255,6 +255,44 @@ def test_cosine_neardup_banded(spark, emb_df):
     assert recall >= 0.9, recall
 
 
+def test_kmeans_ivf_topk(spark):
+    # planted clusters: 4 well-separated directions + small noise, so the
+    # trained quantizer's inverted lists align with the true neighborhoods
+    rnd = random.Random(7)
+    dim, per = 12, 30
+    centers = []
+    for c in range(4):
+        v = [rnd.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        centers.append([x / n for x in v])
+    rows = []
+    for i in range(4 * per):
+        c = centers[i % 4]
+        rows.append((i, [x + rnd.gauss(0, 0.12) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    from graphscope_spark.functions import ivf_kmeans_topk, kmeans_centroids
+
+    # centroids are bitwise-identical under any partitioning (dyadic-grid
+    # quantization makes the cluster sums exact, hence associative)
+    c1 = kmeans_centroids(df, ncentroids=4, iters=3)
+    c2 = kmeans_centroids(df.repartition(7), ncentroids=4, iters=3)
+    assert c1 == c2
+
+    queries = df.filter(F.col("vec_id") < 8)
+    got = ivf_kmeans_topk(df, queries, k=5, ncentroids=4, iters=3, nprobe=1,
+                          centroids=c1).collect()
+    exact = brute_force_topk(df, queries, k=5).collect()
+    got_set = {(r["query_id"], r["vec_id"]) for r in got}
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    # probing 1 of 4 trained lists on clustered data keeps most true
+    # neighbors (they share the query's cluster)
+    recall = len(got_set & exact_set) / len(exact_set)
+    assert recall >= 0.85, recall
+    # approximate sims are exact cosines of real corpus rows
+    assert all(-1.0 - 1e-9 <= r["sim"] <= 1.0 + 1e-9 for r in got)
+
+
 def test_multimodal_stubs(spark, docs_df):
     media = media_table(docs_df.limit(20))
     feats = decode_image_stub(media).collect()
