@@ -242,3 +242,25 @@ def test_sessionize_single_exchange(spark):
     # one partitioning exchange for both Window nodes (plus no others)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+
+
+def test_ivf_kmeans_search_broadcast_no_cartesian(spark):
+    """The IVF search join (inverted lists x query probes) must hash-join
+    on cid with the tiny query side broadcast — a cartesian or a
+    shuffled corpus side would defeat the ~(nprobe/ncentroids)*N cost
+    model the operator exists for."""
+    import random
+
+    from graphscope_spark.functions import ivf_kmeans_topk
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    from pyspark.sql import functions as F
+
+    res = ivf_kmeans_topk(df, df.filter(F.col("vec_id") < 4), k=3,
+                          ncentroids=4, iters=1, nprobe=2)
+    plan = _formatted(res)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "query probes must broadcast"
