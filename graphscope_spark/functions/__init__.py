@@ -27,6 +27,7 @@ from graphscope_spark.functions.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
     cosine_sim,
+    ivf_index,
     ivf_kmeans_topk,
     ivf_topk,
     kmeans_centroids,
@@ -54,7 +55,7 @@ __all__ = [
     "sessionize", "session_stats",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
-    "kmeans_centroids", "ivf_kmeans_topk",
+    "kmeans_centroids", "ivf_kmeans_topk", "ivf_index",
     "media_table", "decode_image_stub", "sample_frames_stub", "real_decode",
     "encode_bmp", "decode_bmp", "bmp_media", "decode_bmp_features",
     "encode_wav", "decode_wav", "wav_media", "decode_wav_features",

@@ -228,11 +228,27 @@ def kmeans_centroids(df: DataFrame, ncentroids: int = 8, iters: int = 2,
     return cents
 
 
+def ivf_index(corpus: DataFrame, centroids: list[list[float]],
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              scale: int = 1024) -> DataFrame:
+    """(vec_id, cv, cid) inverted-list assignment — the build-once half
+    of the IVF index pattern. Assigning N corpus rows costs ncentroids
+    cosines per row, which RIVALS one small brute-force query batch —
+    so persist this result and amortize it across every subsequent
+    ``ivf_kmeans_topk(index=...)`` call; per-batch search then touches
+    only ~(nprobe/ncentroids)·N rows."""
+    return _with_nearest_cid(
+        corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("cv")),
+        quantize_vec(F.col("cv"), scale), centroids)
+
+
 def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     ncentroids: int = 8, iters: int = 2, nprobe: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     scale: int = 1024,
-                    centroids: list[list[float]] | None = None) -> DataFrame:
+                    centroids: list[list[float]] | None = None,
+                    index: DataFrame | None = None) -> DataFrame:
     """True centroid IVF ANN → (query_id, vec_id, sim, rank).
 
     The trained upgrade of ``ivf_topk``'s fixed sign-LSH cells: a
@@ -244,18 +260,16 @@ def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     centroids' lists; exact cosine re-rank runs on the probed lists
     only, so search cost is ~(nprobe/ncentroids)·N per query.
 
-    Pass ``centroids=`` to reuse a trained quantizer across query
-    batches (train once, search many — the IVF index pattern).
-    Ties break (sim desc, cid asc / vec_id asc) everywhere, so results
-    are fully deterministic.
+    Pass ``centroids=`` to reuse a trained quantizer, and ``index=`` (a
+    persisted ``ivf_index`` result) to skip re-assigning the corpus —
+    train once, assign once, search many. Ties break (sim desc, cid asc
+    / vec_id asc) everywhere, so results are fully deterministic.
     """
     if centroids is None:
         centroids = kmeans_centroids(corpus, ncentroids, iters,
                                      id_col, vec_col, scale)
-    c = _with_nearest_cid(
-        corpus.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("cv")),
-        quantize_vec(F.col("cv"), scale), centroids)
+    c = index if index is not None else \
+        ivf_index(corpus, centroids, id_col, vec_col, scale)
     # per-query nprobe nearest centroids via one sorted struct array —
     # no window, no shuffle on the (small, broadcast) query side
     q = (queries.select(F.col(id_col).alias("query_id"),

@@ -1,0 +1,82 @@
+"""One-off scale probe for the ANN family: synthesize N unit-ish vectors
+(deterministic hash-based components, no RNG state), then measure
+brute-force cosine top-k vs trained-IVF (kmeans) top-k for the same
+query batch on local[$SPARK_GRAFT_CPUS]. Prints one JSON line; numbers
+land in BASELINE.md as the operator's cost-model evidence.
+
+Usage: python scripts/ann_scale_probe.py [n_vectors] [dim] [n_queries]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import graphscope_spark as gs  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+DIM = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+NQ = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+spark = gs.build_session(cpus=CPUS, shuffle_partitions=CPUS)
+spark.sparkContext.setLogLevel("ERROR")
+
+# deterministic synthetic corpus: component j of vector i is a hash mix
+# mapped to [-1, 1) — pure JVM expressions, parallel generation
+vec = F.array(*[
+    (F.pmod(F.xxhash64(F.col("id") * 131071 + F.lit(j * 524287)),
+            F.lit(2_000_003)) / 1_000_001.5 - 1.0)
+    for j in range(DIM)])
+corpus = (spark.range(N).select(F.col("id").alias("vec_id"),
+                                vec.alias("embedding"))
+          .persist())
+corpus.count()
+queries = corpus.filter(F.col("vec_id") < NQ)
+
+from graphscope_spark.functions import (  # noqa: E402
+    brute_force_topk, ivf_index, ivf_kmeans_topk, kmeans_centroids)
+
+t0 = time.time()
+cents = kmeans_centroids(corpus, ncentroids=16, iters=2)
+t_train = time.time() - t0
+
+# build-once half of the index pattern: assign + persist
+t0 = time.time()
+index = ivf_index(corpus, cents).persist()
+index.count()
+t_index = time.time() - t0
+
+# per-batch search against the prebuilt inverted lists
+t0 = time.time()
+n_ivf = ivf_kmeans_topk(corpus, queries, k=10, nprobe=2,
+                        centroids=cents, index=index).count()
+t_ivf = time.time() - t0
+
+t0 = time.time()
+bf = brute_force_topk(corpus, queries, k=10)
+n_bf = bf.count()
+t_bf = time.time() - t0
+
+# recall of the trained path vs the exact one
+ivf_pairs = {(r["query_id"], r["vec_id"]) for r in
+             ivf_kmeans_topk(corpus, queries, k=10, nprobe=2,
+                             centroids=cents, index=index).collect()}
+bf_pairs = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+recall = len(ivf_pairs & bf_pairs) / len(bf_pairs)
+
+print(json.dumps({
+    "n": N, "dim": DIM, "n_queries": NQ, "cpus": CPUS,
+    "kmeans_train_sec": round(t_train, 2),
+    "index_build_sec": round(t_index, 2),
+    "ivf_search_sec": round(t_ivf, 2),
+    "brute_force_sec": round(t_bf, 2),
+    "search_speedup": round(t_bf / t_ivf, 2),
+    "recall_at_10": round(recall, 3),
+    "rows_ivf": n_ivf, "rows_bf": n_bf,
+}))
