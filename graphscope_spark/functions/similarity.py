@@ -262,8 +262,14 @@ def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     Pass ``centroids=`` to reuse a trained quantizer, and ``index=`` (a
     persisted ``ivf_index`` result) to skip re-assigning the corpus —
-    train once, assign once, search many. Ties break (sim desc, cid asc
-    / vec_id asc) everywhere, so results are fully deterministic.
+    train once, assign once, search many (``corpus`` may be None then).
+    Deployment shape at scale: write the index PARTITIONED BY cid
+    (``ivf_index(...).write.partitionBy("cid").parquet(path)``) and pass
+    ``index=spark.read.parquet(path)`` — the probe join dynamic-
+    partition-prunes the scan to the probed lists (guarded by
+    tests/test_plan_quality.py), so per-batch search cost stops scaling
+    with corpus size. Ties break (sim desc, cid asc / vec_id asc)
+    everywhere, so results are fully deterministic.
     """
     if centroids is None:
         centroids = kmeans_centroids(corpus, ncentroids, iters,

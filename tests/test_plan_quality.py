@@ -264,3 +264,35 @@ def test_ivf_kmeans_search_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan, "query probes must broadcast"
+
+
+def test_ivf_parquet_index_partition_pruning(spark, tmp_path):
+    """The 100 TB deployment shape: persist ivf_index PARTITIONED BY cid;
+    a search against the parquet index must dynamic-partition-prune the
+    scan to the probed lists (cost per batch stops scaling with corpus
+    size), and return exactly the inline-index result."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphscope_spark.functions import (ivf_index, ivf_kmeans_topk,
+                                            kmeans_centroids)
+
+    rnd = random.Random(9)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = kmeans_centroids(df, ncentroids=4, iters=1)
+    path = str(tmp_path / "ivf_index")
+    ivf_index(df, cents).write.partitionBy("cid").parquet(path)
+
+    queries = df.filter(F.col("vec_id") < 3)
+    res = ivf_kmeans_topk(None, queries, k=3, nprobe=1, centroids=cents,
+                          index=spark.read.parquet(path))
+    plan = _formatted(res)
+    assert "dynamicpruning" in plan.lower(), \
+        "probe cids must prune the partitioned index scan"
+
+    inline = ivf_kmeans_topk(df, queries, k=3, nprobe=1, centroids=cents)
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in res.collect()}
+    want = {(r["query_id"], r["vec_id"], r["rank"]) for r in inline.collect()}
+    assert got == want
