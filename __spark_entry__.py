@@ -1079,6 +1079,29 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qs, k=5, nbits=6, nprobe_ham=1)         .select("query_id", "vec_id", "rank")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the 'benchmark' set is a deterministic
+    excerpt (first 12 tokens) of every 7th document; each excerpt must
+    flag its source document at containment 1.0, plus any true n-gram
+    overlaps elsewhere in the corpus. Asymmetric containment — excerpts
+    buried in long documents have tiny Jaccard but containment 1.0,
+    which is exactly what leaks an eval set."""
+    from graphscope_spark.functions import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = (docs.filter(F.col("doc_id") % 7 == 0)
+             .select((F.col("doc_id") + 500000).alias("doc_id"),
+                     F.concat_ws(" ", F.slice(
+                         F.filter(F.split("text", r"\s+"),
+                                  lambda t: t != ""), 1, 12)).alias("text")))
+    pairs = decontaminate(docs, bench, n=3, threshold=0.8,
+                          max_bucket=1_000_000)
+    return pairs.select(
+        "doc_id", "bench_id",
+        F.round(F.col("containment") * 1e6).cast("long")
+        .alias("containment_micro"))
+
+
 def _q_ivf_kmeans(spark, sf_dir):
     """True centroid-IVF ANN: a Lloyd-trained coarse quantizer (init =
     smallest-id vectors, components on the 1/1024 dyadic grid so cluster
@@ -2971,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": _q_louvain,
         "modularity_cdlp": _q_modularity_cdlp,
         "ivf_kmeans_topk": _q_ivf_kmeans,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -3553,4 +3577,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ivf_kmeans_topk": _ivf_kmeans_sql(k=5, ncentroids=8, iters=2,
                                            nprobe=2, dim=64),
+        "decontaminate": (
+            r"""WITH toks AS MATERIALIZED (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+            sh AS MATERIALIZED (
+              SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
+            corpus_inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            bench_toks AS (
+              SELECT doc_id + 500000 AS bench_id, list_slice(t, 1, 12) AS t
+              FROM toks WHERE doc_id % 7 = 0),
+            bench_sh AS (
+              SELECT bench_id, list_distinct(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                ELSE [array_to_string(t, ' ')] END) AS shingles FROM bench_toks),
+            bench_inv AS (SELECT bench_id, len(shingles) AS bsize, unnest(shingles) AS s FROM bench_sh),
+            shared AS (
+              SELECT c.doc_id, b.bench_id, b.bsize, COUNT(*) AS inter
+              FROM corpus_inv c JOIN bench_inv b ON c.s = b.s
+              GROUP BY 1, 2, 3)
+            SELECT doc_id, bench_id,
+                   CAST(ROUND(CAST(inter AS DOUBLE) / bsize * 1e6) AS BIGINT) AS containment_micro
+            FROM shared WHERE CAST(inter AS DOUBLE) / bsize >= 0.8"""
+        ),
     }

@@ -15,6 +15,7 @@ from graphscope_spark.functions.text import (
     tokenize,
 )
 from graphscope_spark.functions.dedup import (
+    decontaminate,
     exact_dedup,
     dedup_keep_list,
     minhash_lsh_pairs,
@@ -52,6 +53,7 @@ from graphscope_spark.functions.codecs import (
 __all__ = [
     "tokenize", "token_count", "quality_score", "langid", "fingerprint",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
+    "decontaminate",
     "sessionize", "session_stats",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",

@@ -110,6 +110,51 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_id_col: str | None = None, n: int = 3,
+                  threshold: float = 0.8, max_bucket: int = 10_000,
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark-contamination pairs → (doc_id, bench_id, containment).
+
+    The decontamination pass an LLM training pipeline runs before
+    training: flag corpus documents whose text CONTAINS a benchmark/eval
+    document's n-grams. Uses asymmetric containment |A ∩ B| / |B|
+    (B = the benchmark doc's distinct n-grams) rather than Jaccard — an
+    eval prompt quoted inside a 10k-token web page has near-zero Jaccard
+    but containment 1.0, and it is containment that leaks the benchmark.
+
+    Scale shape mirrors ``ngram_jaccard_pairs``: inverted-index hash
+    join on the shingle key (narrow), shared-shingle count per
+    (doc, bench) pair, divided by the benchmark doc's distinct-shingle
+    count — no per-pair set materialization. The benchmark side is
+    normally tiny (eval suites), so it broadcasts by default; the
+    stop-shingle cap bounds hub n-grams on the corpus side.
+    """
+    bcol = bench_id_col or id_col
+    c = (corpus
+         .select(F.col(id_col).alias("doc_id"),
+                 _shingles(F.col(text_col), n).alias("sh"))
+         .select("doc_id", F.explode("sh").alias("s")))
+    bucket_sizes = c.groupBy("s").agg(F.count("*").alias("bc"))
+    c = c.join(bucket_sizes.filter(F.col("bc") <= max_bucket).select("s"),
+               "s", "left_semi")
+    b = (benchmark
+         .select(F.col(bcol).alias("bench_id"),
+                 _shingles(F.col(text_col), n).alias("sh"))
+         .withColumn("bsize", F.size("sh"))
+         .select("bench_id", "bsize", F.explode("sh").alias("s")))
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    shared = (c.join(b, "s")
+              .groupBy("doc_id", "bench_id", "bsize")
+              .agg(F.count(F.lit(1)).alias("inter")))
+    return (shared
+            .select("doc_id", "bench_id",
+                    (F.col("inter") / F.col("bsize")).alias("containment"))
+            .filter(F.col("containment") >= threshold))
+
+
 MINHASH_P = 2_147_483_647
 
 

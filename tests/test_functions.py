@@ -255,6 +255,31 @@ def test_cosine_neardup_banded(spark, emb_df):
     assert recall >= 0.9, recall
 
 
+def test_decontaminate(spark, docs_df):
+    from graphscope_spark.functions import decontaminate
+
+    # benchmark doc 9000 is pasted verbatim INSIDE corpus doc 0's text —
+    # the leak case containment catches and Jaccard misses
+    bench_text = " ".join(VOCAB[:10])
+    parts = [r["text"] for r in
+             docs_df.filter(F.col("doc_id") < 4).orderBy("doc_id").collect()]
+    host_text = " ".join(parts[:2]) + " " + bench_text + " " + " ".join(parts[2:])
+    corpus = docs_df.filter(F.col("doc_id") != 0).unionAll(
+        spark.createDataFrame([(0, host_text)], "doc_id LONG, text STRING"))
+    bench = spark.createDataFrame([(9000, bench_text)],
+                                  "doc_id LONG, text STRING")
+    hits = decontaminate(corpus, bench, n=3, threshold=0.9).collect()
+    flagged = {(r["doc_id"], r["bench_id"]) for r in hits}
+    assert (0, 9000) in flagged
+    full = {r["doc_id"]: r["containment"] for r in hits}
+    assert full[0] == 1.0  # every benchmark shingle present in the host
+    # while symmetric Jaccard on the same pair is far below any usable
+    # near-dup threshold (the host is much longer than the excerpt)
+    both = bench.unionAll(corpus.filter(F.col("doc_id") == 0))
+    jac = ngram_jaccard_pairs(both, n=3, threshold=0.0).collect()
+    assert all(r["jaccard"] < 0.2 for r in jac)
+
+
 def test_kmeans_ivf_topk(spark):
     # planted clusters: 4 well-separated directions + small noise, so the
     # trained quantizer's inverted lists align with the true neighborhoods
