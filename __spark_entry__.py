@@ -1079,6 +1079,20 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qs, k=5, nbits=6, nprobe_ham=1)         .select("query_id", "vec_id", "rank")
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (the data-mixing knob):
+    keep en at 35%, zh at 80%, everything else whole — membership is a
+    pure function of (doc_id, seed) via the portable 60-bit sha256 gate,
+    so the oracle recomputes the exact row set."""
+    from graphscope_spark.functions import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "lang", {"en": 0.35, "zh": 0.8},
+                              default=1.0, key_col="doc_id",
+                              hash_fn="sha2")
+            .select("doc_id", "lang"))
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: the 'benchmark' set is a deterministic
     excerpt (first 12 tokens) of every 7th document; each excerpt must
@@ -2995,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_cdlp": _q_modularity_cdlp,
         "ivf_kmeans_topk": _q_ivf_kmeans,
         "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -3600,5 +3615,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bench_id,
                    CAST(ROUND(CAST(inter AS DOUBLE) / bsize * 1e6) AS BIGINT) AS containment_micro
             FROM shared WHERE CAST(inter AS DOUBLE) / bsize >= 0.8"""
+        ),
+        "stratified_sample": (
+            f"""SELECT doc_id, lang FROM documents
+            WHERE {_h60_sql("doc_id::VARCHAR || '#42'")}
+                  / 1152921504606846976.0
+                  < (CASE WHEN lang = 'en' THEN 0.35
+                          WHEN lang = 'zh' THEN 0.8
+                          ELSE 1.0 END)"""
         ),
     }

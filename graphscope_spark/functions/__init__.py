@@ -23,6 +23,11 @@ from graphscope_spark.functions.dedup import (
     simhash,
     simhash_pairs,
 )
+from graphscope_spark.functions.sample import (
+    hash_sample,
+    sample_gate,
+    stratified_sample,
+)
 from graphscope_spark.functions.sessions import session_stats, sessionize
 from graphscope_spark.functions.similarity import (
     brute_force_topk,
@@ -54,6 +59,7 @@ __all__ = [
     "tokenize", "token_count", "quality_score", "langid", "fingerprint",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
     "decontaminate",
+    "hash_sample", "stratified_sample", "sample_gate",
     "sessionize", "session_stats",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",

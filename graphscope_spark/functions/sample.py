@@ -1,0 +1,57 @@
+"""Deterministic (hash-gated) sampling for corpus curation.
+
+``df.sample()`` draws from a per-partition RNG: membership changes with
+partitioning, task retries, and Spark versions. A 100 TB curation
+pipeline needs the opposite — the SAME rows selected on every run, at
+any parallelism, in any engine — so these operators gate each row on a
+keyed hash instead: keep iff ``h(key, seed) / 2^60 < fraction``.
+Properties that fall out:
+
+- reproducible ablations: membership is a pure function of (key, seed);
+- nested samples: the 1% sample is a subset of the 10% sample at the
+  same seed (the gate is a threshold on one value);
+- engine-checkable: ``hash_fn="sha2"`` uses the portable 60-bit sha256
+  hash (`dedup._hash60`), which the DuckDB oracles recompute exactly;
+  the default ``xxhash64`` is the fast JVM-native path.
+
+``stratified_sample`` applies a per-stratum fraction (e.g. downsample
+by language or source) — the standard data-mixing knob when composing
+a training corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.dedup import _hash60
+
+_H60_RANGE = float(1 << 60)
+
+
+def sample_gate(key: Column, seed: int = 42,
+                hash_fn: str = "xxhash64") -> Column:
+    """Uniform [0, 1) value that is a pure function of (key, seed)."""
+    keyed = F.concat(key.cast("string"), F.lit(f"#{seed}"))
+    return _hash60(keyed, hash_fn) / F.lit(_H60_RANGE)
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",
+                seed: int = 42, hash_fn: str = "xxhash64") -> DataFrame:
+    """Deterministic ``fraction``-rate sample keyed on ``key_col``."""
+    return df.filter(sample_gate(F.col(key_col), seed, hash_fn)
+                     < F.lit(float(fraction)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, default: float = 1.0,
+                      key_col: str = "doc_id", seed: int = 42,
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """Deterministic per-stratum sampling: rows whose ``strata_col``
+    value is in ``fractions`` keep at that rate, others at ``default``.
+    One narrow filter — no shuffle, no RNG state; pushes down to the
+    scan when ``strata_col`` alone decides (fraction 0 or 1)."""
+    frac = F.lit(float(default))
+    for k, v in fractions.items():
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.filter(sample_gate(F.col(key_col), seed, hash_fn) < frac)

@@ -255,6 +255,35 @@ def test_cosine_neardup_banded(spark, emb_df):
     assert recall >= 0.9, recall
 
 
+def test_hash_sampling(spark):
+    from graphscope_spark.functions import hash_sample, stratified_sample
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+
+    ten = {r["doc_id"] for r in hash_sample(df, 0.10).collect()}
+    one = {r["doc_id"] for r in hash_sample(df, 0.01).collect()}
+    # nested: the 1% sample is a subset of the 10% sample (same gate,
+    # lower threshold) — what makes scaling ablations comparable
+    assert one <= ten
+    assert 0.07 < len(ten) / 3000 < 0.13
+    # membership is partitioning-independent (pure function of the key)
+    ten2 = {r["doc_id"] for r in hash_sample(df.repartition(11), 0.10).collect()}
+    assert ten == ten2
+    # both hash modes gate deterministically, sha2 matching the oracles
+    sha = {r["doc_id"] for r in hash_sample(df, 0.10, hash_fn="sha2").collect()}
+    assert sha == {r["doc_id"] for r in
+                   hash_sample(df, 0.10, hash_fn="sha2").collect()}
+
+    got = stratified_sample(df, "lang", {"en": 0.2, "de": 0.0}).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert "de" not in by_lang                       # fraction 0 drops all
+    assert len(by_lang["zh"]) == 1000                # default 1.0 keeps all
+    assert 0.1 < len(by_lang["en"]) / 1000 < 0.3     # ~20%
+
+
 def test_decontaminate(spark, docs_df):
     from graphscope_spark.functions import decontaminate
 
