@@ -1079,6 +1079,18 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qs, k=5, nbits=6, nprobe_ham=1)         .select("query_id", "vec_id", "rank")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Pretraining sequence packing: deterministic shuffle order (keyed
+    sha256 hash), documents laid end to end, a bin cut every 512 tokens;
+    each doc reports its global token offset and starting bin. The
+    distributed two-phase prefix sum (per-stream cumsum + P-row prefix)
+    is replayed by the oracle as plain windows."""
+    from graphscope_spark.functions import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, max_tokens=512, hash_fn="sha2")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (the data-mixing knob):
     keep en at 35%, zh at 80%, everything else whole — membership is a
@@ -3010,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_topk": _q_ivf_kmeans,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -3623,5 +3636,25 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE WHEN lang = 'en' THEN 0.35
                           WHEN lang = 'zh' THEN 0.8
                           ELSE 1.0 END)"""
+        ),
+        "pack_sequences": (
+            rf"""WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+                     {_h60_sql("doc_id::VARCHAR || '#42'")} AS skey
+              FROM documents),
+            keyed AS (SELECT doc_id, n_tokens, skey, skey % 32 AS pkey FROM toks),
+            cums AS (SELECT doc_id, n_tokens, pkey,
+                     SUM(n_tokens) OVER (PARTITION BY pkey ORDER BY skey, doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                     FROM keyed),
+            tot AS (SELECT pkey, MAX(cum) AS ptotal FROM cums GROUP BY pkey),
+            pre AS (SELECT pkey, COALESCE(SUM(ptotal) OVER (
+                      ORDER BY pkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprefix
+                    FROM tot)
+            SELECT c.doc_id, c.n_tokens,
+                   p.pprefix + c.cum - c.n_tokens AS start_offset,
+                   (p.pprefix + c.cum - c.n_tokens) // 512 AS bin_id
+            FROM cums c JOIN pre p USING (pkey)"""
         ),
     }

@@ -23,6 +23,7 @@ from graphscope_spark.functions.dedup import (
     simhash,
     simhash_pairs,
 )
+from graphscope_spark.functions.packing import pack_sequences
 from graphscope_spark.functions.sample import (
     hash_sample,
     sample_gate,
@@ -59,7 +60,7 @@ __all__ = [
     "tokenize", "token_count", "quality_score", "langid", "fingerprint",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
     "decontaminate",
-    "hash_sample", "stratified_sample", "sample_gate",
+    "hash_sample", "stratified_sample", "sample_gate", "pack_sequences",
     "sessionize", "session_stats",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",

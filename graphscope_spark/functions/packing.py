@@ -1,0 +1,69 @@
+"""Sequence packing for pretraining: concat-then-chunk documents into
+fixed-token bins.
+
+The standard pretraining data layout: shuffle the corpus
+deterministically, lay documents end to end, and cut the stream every
+``max_tokens`` — each document lands in the bin where it STARTS (real
+pipelines then split the straddling document across the boundary; the
+bin assignment below is exactly that layout's index).
+
+Scale shape — no global window, no driver loop:
+1. every doc gets a deterministic shuffle key (the keyed 60-bit hash,
+   same family as ``sample_gate``), and a partition key ``skey % P``;
+2. token counts are cumulative-summed WITHIN each partition (a hash
+   partitioning the shuffle already produced — one exchange);
+3. the P per-partition totals (tiny) get an exclusive prefix sum via a
+   single-partition window over P rows, broadcast back;
+4. global offset = partition prefix + local cumsum; bin =
+   offset // max_tokens.
+This is the classic two-phase distributed prefix sum: the only
+all-to-one step touches P rows, never the corpus. The global document
+order it realizes — (skey % P, skey, doc_id) — is a pure function of
+(doc_id, seed), so any engine replays it (the DuckDB oracle does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.dedup import _hash60
+from graphscope_spark.functions.text import token_count
+
+
+def pack_sequences(df: DataFrame, max_tokens: int = 2048,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   seed: int = 42, num_streams: int = 32,
+                   hash_fn: str = "xxhash64") -> DataFrame:
+    """(doc_id, n_tokens, start_offset, bin_id) — the packed layout of
+    the shuffled corpus at ``max_tokens`` per bin.
+
+    ``start_offset`` is the document's global token offset in the
+    concatenated stream; ``bin_id = start_offset // max_tokens``.
+    Deterministic at any parallelism; ``hash_fn="sha2"`` makes the
+    shuffle order engine-portable for value oracles.
+    """
+    skey = _hash60(F.concat(F.col(id_col).cast("string"),
+                            F.lit(f"#{seed}")), hash_fn)
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     token_count(F.col(text_col)).alias("n_tokens"),
+                     skey.alias("skey"))
+    toks = toks.withColumn("pkey", F.pmod(F.col("skey"),
+                                          F.lit(num_streams)))
+    w = (Window.partitionBy("pkey").orderBy("skey", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    totals = local.groupBy("pkey").agg(F.max("cum").alias("ptotal"))
+    wp = (Window.orderBy("pkey")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = totals.withColumn(
+        "pprefix", F.coalesce(F.sum("ptotal").over(wp), F.lit(0)))
+    packed = (local.join(F.broadcast(prefix.select("pkey", "pprefix")),
+                         "pkey")
+              .withColumn("start_offset",
+                          F.col("pprefix") + F.col("cum")
+                          - F.col("n_tokens"))
+              # integral `div`, not floor(double /): exact at any offset
+              .withColumn("bin_id",
+                          F.expr(f"start_offset div {int(max_tokens)}")))
+    return packed.select("doc_id", "n_tokens", "start_offset", "bin_id")

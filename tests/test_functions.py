@@ -284,6 +284,23 @@ def test_hash_sampling(spark):
     assert 0.1 < len(by_lang["en"]) / 1000 < 0.3     # ~20%
 
 
+def test_pack_sequences(spark, docs_df):
+    from graphscope_spark.functions import pack_sequences
+
+    got = pack_sequences(docs_df, max_tokens=64).collect()
+    assert len(got) == docs_df.count()
+    # the layout is a gap-free concatenation: sorted by offset, each doc
+    # starts exactly where the previous one ended
+    rows = sorted(got, key=lambda r: r["start_offset"])
+    assert rows[0]["start_offset"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_offset"] == a["start_offset"] + a["n_tokens"]
+    assert all(r["bin_id"] == r["start_offset"] // 64 for r in rows)
+    # deterministic at any parallelism
+    again = pack_sequences(docs_df.repartition(13), max_tokens=64).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
 def test_decontaminate(spark, docs_df):
     from graphscope_spark.functions import decontaminate
 
