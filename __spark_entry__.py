@@ -1215,6 +1215,22 @@ def _q_bmp_decode(spark, sf_dir):
         "sum_b", "sum_g", "sum_r")
 
 
+def _q_png_decode(spark, sf_dir):
+    # REAL PNG decode: signature, CRC-verified chunk walk (a junk teXt
+    # chunk must be skipped, IDAT is split in two), zlib inflate, and
+    # genuine unfiltering of all five scanline filter types (row y uses
+    # filter y % 5). Pixel (x,y,c) = (id + 5x + 11y + 23c) % 256, so the
+    # oracle recomputes per-channel sums in closed form.
+    from graphscope_spark.functions import decode_png_features, png_media
+
+    media = png_media(_t(spark, sf_dir, "documents"))
+    return decode_png_features(media).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sum_r", "sum_g", "sum_b")
+
+
 def _q_wav_decode(spark, sf_dir):
     # REAL audio decode: one RIFF/WAVE PCM16 file per document (junk LIST
     # chunk + odd-size pad byte force genuine chunk walking); sample i =
@@ -3023,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
+        "png_decode": _q_png_decode,
     }
 
 
@@ -3279,6 +3296,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM((media_id + 3*x + 7*y) % 256) AS BIGINT) AS sum_b, "
             "CAST(SUM((media_id + 3*x + 7*y + 11) % 256) AS BIGINT) AS sum_g, "
             "CAST(SUM((media_id + 3*x + 7*y + 22) % 256) AS BIGINT) AS sum_r "
+            "FROM xy GROUP BY media_id, w, h"
+        ),
+        # REAL PNG decode: pixel (x,y,c) = (id + 5x + 11y + 23c) % 256
+        # over w = id%11+4, h = id%5+3 (RGB channel order)
+        "png_decode": (
+            "WITH m AS (SELECT doc_id AS media_id, doc_id % 11 + 4 AS w, "
+            "doc_id % 5 + 3 AS h FROM documents), "
+            "xs AS (SELECT media_id, w, h, unnest(range(w)) AS x FROM m), "
+            "xy AS (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM xs) "
+            "SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+            "CAST(SUM((media_id + 5*x + 11*y) % 256) AS BIGINT) AS sum_r, "
+            "CAST(SUM((media_id + 5*x + 11*y + 23) % 256) AS BIGINT) AS sum_g, "
+            "CAST(SUM((media_id + 5*x + 11*y + 46) % 256) AS BIGINT) AS sum_b "
             "FROM xy GROUP BY media_id, w, h"
         ),
         # REAL WAV decode: sample i = ((id*31 + 7i) % 65536) - 32768 over

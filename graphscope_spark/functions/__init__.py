@@ -49,10 +49,14 @@ from graphscope_spark.functions.codecs import (
     bmp_media,
     decode_bmp,
     decode_bmp_features,
+    decode_png,
+    decode_png_features,
     decode_wav,
     decode_wav_features,
     encode_bmp,
+    encode_png,
     encode_wav,
+    png_media,
     wav_media,
 )
 
@@ -68,4 +72,5 @@ __all__ = [
     "media_table", "decode_image_stub", "sample_frames_stub", "real_decode",
     "encode_bmp", "decode_bmp", "bmp_media", "decode_bmp_features",
     "encode_wav", "decode_wav", "wav_media", "decode_wav_features",
+    "encode_png", "decode_png", "png_media", "decode_png_features",
 ]

@@ -1,9 +1,9 @@
-"""Real binary media codecs in pure numpy/struct — no external libraries.
+"""Real binary media codecs in pure numpy/struct/zlib — no external libs.
 
 Round-3 verdict item: the multimodal *decode* bodies were honest stubs
 because PIL/ffmpeg are absent from the container. This module closes that
-gap for the two container formats that are fully specified, self-contained
-and parseable with nothing but ``struct`` + ``numpy``:
+gap for the three formats that are fully specified, self-contained and
+parseable with nothing but ``struct`` + ``numpy`` + stdlib ``zlib``:
 
 - **BMP** (Windows bitmap, 24-bit uncompressed BI_RGB): file header,
   DIB header, bottom-up OR top-down row order, BGR channel order, rows
@@ -16,6 +16,11 @@ and parseable with nothing but ``struct`` + ``numpy``:
   (``fmt `` / unknown chunks / ``data``) honoring chunk sizes and the
   odd-size pad rule; the encoder inserts a junk ``LIST`` chunk before
   ``data`` so a decoder that assumes a fixed 44-byte layout fails.
+- **PNG** (8-bit RGB, color type 2): CRC-verified chunk walk (ancillary
+  chunks skipped by declared length, unknown CRITICAL chunks rejected),
+  multi-IDAT concatenation, real zlib DEFLATE, and genuine scanline
+  unfiltering — the encoder cycles all five filter types (row y uses
+  y % 5) and splits IDAT in two, so shortcuts fail the value oracle.
 
 Reference parity: GraphScope's loaders treat media as opaque bytes and
 delegate decoding to user apps; here decode is a first-class Arrow
@@ -28,6 +33,7 @@ reproducible in closed form by the DuckDB oracle.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -169,6 +175,157 @@ def decode_wav(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit RGB, color type 2, all five scanline filters, real DEFLATE)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_pixel_value(media_id: int, x: np.ndarray, y: np.ndarray,
+                    c: np.ndarray) -> np.ndarray:
+    """Deterministic pixel bytes: (id + 5x + 11y + 23c) mod 256.
+    c is the RGB channel index (0=R, 1=G, 2=B)."""
+    return ((media_id + 5 * x + 11 * y + 23 * c) % 256).astype(np.uint8)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(media_id: int, width: int, height: int) -> bytes:
+    """A real PNG (spec-complete for 8-bit RGB): signature, IHDR, a junk
+    ancillary ``teXt`` chunk a decoder must skip by its declared length,
+    IDAT deliberately SPLIT into two chunks (the spec allows any split —
+    single-IDAT decoders fail), zlib-DEFLATEd scanlines, IEND. Row y is
+    filtered with type y % 5, so None/Sub/Up/Average/Paeth all appear in
+    every image taller than 4 rows and a decoder must implement genuine
+    unfiltering, not just strip a zero byte."""
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    px = png_pixel_value(media_id, x, y, c)        # (h, w, 3) RGB
+    raw = px.reshape(height, width * 3).astype(np.int64)
+    bpp = 3
+    lines = bytearray()
+    prior = np.zeros(width * 3, dtype=np.int64)
+    for yy in range(height):
+        row = raw[yy]
+        ftype = yy % 5
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:                            # Sub
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            filt = (row - left) % 256
+        elif ftype == 2:                            # Up
+            filt = (row - prior) % 256
+        elif ftype == 3:                            # Average
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            filt = (row - (left + prior) // 2) % 256
+        else:                                       # Paeth
+            filt = np.empty_like(row)
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                cc = prior[i - bpp] if i >= bpp else 0
+                filt[i] = (row[i] - _paeth(int(a), int(b), int(cc))) % 256
+        lines.append(ftype)
+        lines.extend(filt.astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(lines), 6)
+    mid = max(1, len(idat) // 2)
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"teXt", b"junk\x00decoder must skip me")
+            + _png_chunk(b"IDAT", idat[:mid])
+            + _png_chunk(b"IDAT", idat[mid:])
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse a real PNG: signature, chunk walk with CRC32 verification,
+    ancillary-chunk skipping, multi-IDAT concatenation, zlib inflate, and
+    per-scanline unfiltering of all five filter types. 8-bit RGB
+    (color type 2, non-interlaced) — anything else raises. Returns
+    exact-integer per-channel sums (hash-stable for the value oracle)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    off, width, height, idat = 8, None, None, bytearray()
+    while off < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4:off + 8]
+        data = payload[off + 8:off + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        off += 12 + ln
+        if ctype == b"IHDR":
+            width, height, depth, ctype_c, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if (depth, ctype_c, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"only 8-bit RGB non-interlaced supported, got "
+                    f"depth={depth} color={ctype_c} interlace={interlace}")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        elif not (ctype[0] & 0x20):                 # critical and unknown
+            raise ValueError(f"unknown critical chunk {ctype!r}")
+        # ancillary chunks (lowercase first letter) are skipped
+    if width is None:
+        raise ValueError("no IHDR")
+    stream = zlib.decompress(bytes(idat))
+    bpp, row_bytes = 3, width * 3
+    if len(stream) != height * (1 + row_bytes):
+        raise ValueError("IDAT stream length mismatch")
+    out = np.empty((height, row_bytes), dtype=np.int64)
+    prior = np.zeros(row_bytes, dtype=np.int64)
+    for yy in range(height):
+        ftype = stream[yy * (1 + row_bytes)]
+        f = np.frombuffer(stream, np.uint8, count=row_bytes,
+                          offset=yy * (1 + row_bytes) + 1).astype(np.int64)
+        if ftype == 0:
+            row = f
+        elif ftype == 2:                            # Up (vectorizable)
+            row = (f + prior) % 256
+        else:                                       # Sub/Average/Paeth
+            row = np.empty_like(f)
+            for i in range(row_bytes):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                cc = prior[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (int(a) + int(b)) // 2
+                elif ftype == 4:
+                    pred = _paeth(int(a), int(b), int(cc))
+                else:
+                    raise ValueError(f"bad filter type {ftype}")
+                row[i] = (f[i] + pred) % 256
+        out[yy] = row
+        prior = row
+    sums = out.reshape(height, width, 3).sum(axis=(0, 1))
+    return {
+        "width": int(width),
+        "height": int(height),
+        "sum_r": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[2]),
+    }
+
+
+# ---------------------------------------------------------------------------
 # DataFrame stages (Arrow mapInPandas — the multimodal pipeline shape)
 # ---------------------------------------------------------------------------
 
@@ -211,6 +368,43 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         dec, BMP_FEATURE_SCHEMA)
+
+
+PNG_FEATURE_SCHEMA = ("media_id LONG, width INT, height INT, "
+                      "sum_r LONG, sum_g LONG, sum_b LONG")
+
+
+def png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize one real PNG payload per row (w = id%11+4, h = id%5+3
+    — ≥4 rows only sometimes, so filter-type coverage varies per image).
+    Distributed — no driver data."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [
+                    encode_png(int(i), int(i) % 11 + 4, int(i) % 5 + 3)
+                    for i in ids
+                ],
+            })
+
+    return (df.select(F.col(id_col).cast("long").alias("media_id"))
+            .mapInPandas(gen, BMP_MEDIA_SCHEMA))
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL decode stage: chunk walk, CRC check, inflate, unfilter —
+    per Arrow batch."""
+    def dec(batches):
+        for pdf in batches:
+            feats = [decode_png(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        dec, PNG_FEATURE_SCHEMA)
 
 
 def wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -3,11 +3,12 @@ decode / feature-extract stages as Arrow-batched ``mapInPandas`` jobs.
 
 Two tiers:
 
-- :func:`real_decode` REALLY parses BMP and WAV containers (pure
-  numpy/struct — header walk, row stride, RIFF chunks; see
-  :mod:`graphscope_spark.functions.codecs`). Compressed formats
-  (PNG/JPEG/MP4) raise NotImplementedError — their codec libraries
-  (PIL/ffmpeg) are absent from this container.
+- :func:`real_decode` REALLY parses BMP, WAV and PNG containers (pure
+  numpy/struct/zlib — header walk, row stride, RIFF chunks, CRC-verified
+  PNG chunk walk + DEFLATE inflate + scanline unfiltering; see
+  :mod:`graphscope_spark.functions.codecs`). Lossy formats (JPEG/MP4)
+  raise NotImplementedError — their codec libraries (PIL/ffmpeg) are
+  absent from this container.
 - :func:`decode_image_stub` / :func:`sample_frames_stub` keep the
   library-free plumbing path (schemas, batch iteration, partitioning)
   for payloads that are not self-describing containers.
@@ -111,15 +112,17 @@ def sample_frames_stub(media: DataFrame, every: int = 4) -> DataFrame:
 
 def real_decode(media: DataFrame) -> DataFrame:
     """REAL decode: sniff each payload's magic bytes and parse the
-    container. BMP and WAV are decoded for real (pure numpy/struct header
-    + row/chunk parsing — :mod:`graphscope_spark.functions.codecs`);
-    compressed formats (PNG/JPEG/MP4...) raise — their codec libraries
-    (PIL/ffmpeg) are absent from this container.
+    container. BMP, WAV and PNG are decoded for real (pure
+    numpy/struct/zlib parsing — :mod:`graphscope_spark.functions.codecs`;
+    PNG includes CRC-verified chunk walking, DEFLATE inflate and full
+    scanline unfiltering); lossy formats (JPEG/MP4...) raise — their
+    codec libraries (PIL/ffmpeg) are absent from this container.
 
     Output: one row per media item with the container kind and exact
     integer content aggregates (width/height + channel sums for images,
     rate/n_samples/sum for audio)."""
-    from graphscope_spark.functions.codecs import decode_bmp, decode_wav
+    from graphscope_spark.functions.codecs import (_PNG_SIG, decode_bmp,
+                                                   decode_png, decode_wav)
 
     schema = ("media_id LONG, kind STRING, width INT, height INT, "
               "n_samples INT, content_sum LONG")
@@ -144,11 +147,18 @@ def real_decode(media: DataFrame) -> DataFrame:
                     rows["height"].append(0)
                     rows["n_samples"].append(d["n_samples"])
                     rows["content_sum"].append(d["sum_samples"])
+                elif p[:8] == _PNG_SIG:
+                    d = decode_png(p)
+                    rows["kind"].append("png")
+                    rows["width"].append(d["width"])
+                    rows["height"].append(d["height"])
+                    rows["n_samples"].append(0)
+                    rows["content_sum"].append(d["sum_r"] + d["sum_g"] + d["sum_b"])
                 else:
                     raise NotImplementedError(
-                        "compressed media formats need PIL/ffmpeg, absent "
-                        f"from this container (magic {p[:4]!r}); BMP/WAV "
-                        "decode is implemented in functions/codecs.py")
+                        "lossy media formats need PIL/ffmpeg, absent "
+                        f"from this container (magic {p[:4]!r}); BMP/WAV/"
+                        "PNG decode is implemented in functions/codecs.py")
                 rows["media_id"].append(mid)
             yield pd.DataFrame(rows)
 

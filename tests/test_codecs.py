@@ -1,9 +1,11 @@
-"""Real BMP/WAV codec tests — pure Python (the Spark mapInPandas path is
-covered by the gate mirror queries bmp_decode / wav_decode)."""
+"""Real BMP/WAV/PNG codec tests — pure Python (the Spark mapInPandas path
+is covered by the gate mirror queries bmp_decode / wav_decode /
+png_decode)."""
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -11,9 +13,12 @@ import pytest
 from graphscope_spark.functions.codecs import (
     bmp_pixel_value,
     decode_bmp,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
+    png_pixel_value,
     wav_sample_value,
 )
 
@@ -85,17 +90,71 @@ def test_wav_rejects_garbage():
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
 
 
+@pytest.mark.parametrize("mid", [0, 5, 17, 123, 4999])
+def test_png_roundtrip(mid):
+    w, h = mid % 11 + 4, mid % 5 + 3
+    d = decode_png(encode_png(mid, w, h))
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    px = png_pixel_value(mid, x, y, c).astype(np.int64)
+    assert d == {
+        "width": w, "height": h,
+        "sum_r": int(px[:, :, 0].sum()),
+        "sum_g": int(px[:, :, 1].sum()),
+        "sum_b": int(px[:, :, 2].sum()),
+    }
+
+
+def test_png_all_filter_types_appear():
+    # a 10-row image uses filter types 0..4 twice each (row y → y % 5):
+    # inflate the IDAT stream and read the leading filter byte per row
+    w, h = 6, 10
+    p = encode_png(3, w, h)
+    off, idat = 8, bytearray()
+    while off < len(p):
+        (ln,) = struct.unpack_from(">I", p, off)
+        if p[off + 4:off + 8] == b"IDAT":
+            idat.extend(p[off + 8:off + 8 + ln])
+        off += 12 + ln
+    stream = zlib.decompress(bytes(idat))
+    ftypes = [stream[y * (1 + w * 3)] for y in range(h)]
+    assert ftypes == [y % 5 for y in range(h)]
+
+
+def test_png_requires_real_chunk_walk():
+    # the junk teXt chunk and split IDAT are present; corrupting any CRC
+    # or injecting an unknown CRITICAL chunk must be rejected
+    p = encode_png(9, 7, 6)
+    assert p.count(b"IDAT") == 2 and b"teXt" in p
+    bad = bytearray(p)
+    bad[30] ^= 0x01  # inside IHDR data
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # splice an unknown critical chunk (uppercase first letter) after IHDR
+    ihdr_end = 8 + 12 + 13
+    data = b"\x00" * 4
+    crc = struct.pack(">I", zlib.crc32(b"XXXX" + data) & 0xFFFFFFFF)
+    spliced = (p[:ihdr_end] + struct.pack(">I", 4) + b"XXXX" + data + crc
+               + p[ihdr_end:])
+    with pytest.raises(ValueError, match="critical"):
+        decode_png(spliced)
+
+
 def test_real_decode_dispatch(spark):
     # magic-sniffed dispatch: a mixed BMP+WAV media table decodes in one
     # pass; an unknown compressed format raises NotImplementedError
     from graphscope_spark.functions import real_decode
 
-    rows = [(1, encode_bmp(1, 5, 4)), (2, encode_wav(2, 34, 12000))]
+    rows = [(1, encode_bmp(1, 5, 4)), (2, encode_wav(2, 34, 12000)),
+            (3, encode_png(3, 6, 4))]
     media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
     out = {r["media_id"]: r.asDict() for r in real_decode(media).collect()}
     assert out[1]["kind"] == "bmp" and out[1]["width"] == 5
     assert out[2]["kind"] == "wav" and out[2]["n_samples"] == 34
+    assert out[3]["kind"] == "png" and out[3]["width"] == 6
 
-    bad = spark.createDataFrame([(3, b"\x89PNG\r\n")], "media_id LONG, payload BINARY")
+    bad = spark.createDataFrame([(4, b"\xff\xd8\xff\xe0jpeg")],
+                                "media_id LONG, payload BINARY")
     with pytest.raises(Exception, match="PIL/ffmpeg"):
         real_decode(bad).collect()
