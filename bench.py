@@ -290,7 +290,8 @@ def section_b(spark, sampled: Sampled) -> None:
     qs = entry.queries()
     for name in ["pagerank_conv", "wcc", "triangles",
                  "rel_groupby_aggs", "rel_join_3way",
-                 "typed_pattern", "exact_dedup"]:
+                 "typed_pattern", "exact_dedup", "pack_sequences",
+                 "png_decode"]:
         sampled.run(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
 
