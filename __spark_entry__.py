@@ -1091,6 +1091,19 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, max_tokens=512, hash_fn="sha2")
 
 
+def _q_anf_4r(spark, sf_dir):
+    """ANF neighborhood-function sketches (Palmer KDD'02 / HyperANF):
+    4 supersteps of Flajolet-Martin register OR-propagation over the
+    directed part->supplier graph, 4 trials, portable sha2 hash — the
+    oracle replays the identical bit-level propagation as unrolled
+    bit_or CTEs. r_sum = Σ_k lowest-zero-bit(register_k), the integer
+    core of the |N_4(v)| estimate (2^(r_sum/K)/φ)."""
+    from graphscope_spark.operators.anf import anf_sketches
+
+    g = _graph(spark, sf_dir)
+    return anf_sketches(g, rounds=4, num_trials=4, hash_fn="sha2")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (the data-mixing knob):
     keep en at 35%, zh at 80%, everything else whole — membership is a
@@ -1560,6 +1573,41 @@ def _h60_sql(col: str) -> str:
         f"i -> CAST(strpos('0123456789abcdef', substr(sha256({col}), i, 1)) - 1 AS BIGINT)), "
         "(a, b) -> a*16 + b)"
     )
+
+
+def _anf_sql(rounds: int = 4, trials: int = 4) -> str:
+    """Unrolled FM-sketch propagation (operators/anf.py): per-trial
+    init = lowest set bit of the portable 60-bit hash of 'vid:k', then
+    ``rounds`` LEFT-JOIN + bit_or CTE levels, finally r_sum = Σ_k
+    lowest-zero-bit — bit-identical to the Spark superstep job."""
+    def h(k: int) -> str:
+        return _h60_sql(f"(CAST(vid AS VARCHAR) || ':{k}')")
+
+    ks = range(trials)
+    cte = [
+        f"edges AS ({_EDGES_SQL})",
+        "verts AS (SELECT DISTINCT vid FROM "
+        "(SELECT src AS vid FROM edges UNION SELECT dst FROM edges))",
+        "hsh AS (SELECT vid, "
+        + ", ".join(f"{h(k)} AS h{k}" for k in ks) + " FROM verts)",
+        "r0 AS (SELECT vid, "
+        + ", ".join(f"CASE WHEN h{k} = 0 THEN 1 ELSE h{k} & (-h{k}) END AS m{k}"
+                    for k in ks) + " FROM hsh)",
+    ]
+    for t in range(1, rounds + 1):
+        prev = f"r{t - 1}"
+        cols = ", ".join(
+            f"v.m{k} | COALESCE(bit_or(u.m{k}), 0) AS m{k}" for k in ks)
+        grp = ", ".join(f"v.m{k}" for k in ks)
+        cte.append(
+            f"r{t} AS (SELECT v.vid, {cols} FROM {prev} v "
+            "LEFT JOIN edges e ON e.src = v.vid "
+            f"LEFT JOIN {prev} u ON u.vid = e.dst "
+            f"GROUP BY v.vid, {grp})")
+    rsum = " + ".join(
+        f"CAST(log2((~m{k}) & (m{k} + 1)) AS BIGINT)" for k in ks)
+    return ("WITH " + ", ".join(cte)
+            + f" SELECT vid, {rsum} AS r_sum FROM r{rounds}")
 
 
 _SHINGLE_PRELUDE = r"""WITH toks AS MATERIALIZED (
@@ -3037,6 +3085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "louvain": _q_louvain,
         "modularity_cdlp": _q_modularity_cdlp,
+        # --- new after the r04 window filled: r05-window candidates ---
+        "anf_4r": _q_anf_4r,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -3662,6 +3712,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(CAST(inter AS DOUBLE) / bsize * 1e6) AS BIGINT) AS containment_micro
             FROM shared WHERE CAST(inter AS DOUBLE) / bsize >= 0.8"""
         ),
+        "anf_4r": _anf_sql(rounds=4, trials=4),
         "stratified_sample": (
             f"""SELECT doc_id, lang FROM documents
             WHERE {_h60_sql("doc_id::VARCHAR || '#42'")}

@@ -82,7 +82,10 @@ from graphscope_spark.operators import (
 )
 from graphscope_spark.operators import (
     all_simple_paths,
+    anf,
+    anf_sketches,
     articulation_points as articulation_points,
+    effective_diameter,
     average_degree_connectivity,
     betweenness_centrality,
     degree_assortativity_coefficient,
@@ -136,6 +139,7 @@ __all__ = [
     "degree_assortativity_coefficient", "average_degree_connectivity",
     "node_boundary", "edge_boundary", "eccentricity", "diameter_approx",
     "all_simple_paths", "sampling_path", "lpa_u2i", "path_expand",
+    "anf", "anf_sketches", "effective_diameter",
     "harmonic_centrality", "lcc_directed", "degeneracy", "dfs",
     "pattern_match", "pattern_count", "automorphism_count",
     "property_pattern_match", "property_pattern_count",

@@ -65,6 +65,14 @@ from graphscope_spark.operators.traversal import (  # noqa: E402
 
 __all__ += ["eccentricity", "diameter_approx", "path_expand"]
 
+from graphscope_spark.operators.anf import (  # noqa: E402
+    anf,
+    anf_sketches,
+    effective_diameter,
+)
+
+__all__ += ["anf", "anf_sketches", "effective_diameter"]
+
 from graphscope_spark.operators.pagerank import (  # noqa: E402
     ArticleRankJob,
     PPRJob,

@@ -1,0 +1,192 @@
+"""ANF — approximate neighborhood function via Flajolet–Martin sketches.
+
+The reference estimates distance measures by multi-source BFS from sampled
+pivots (flash diameter apps,
+/root/reference/analytical_engine/apps/flash/measurement/diameter-approx.h:
+43-108 — two rounds of exact BFS from extreme-ecc vertices); this module
+adds the sketch-side estimator the web-graph literature pairs with it:
+ANF (Palmer/Gibbons/Faloutsos, KDD'02) and its HyperANF refinement
+(Boldi/Rosa/Vigna, WWW'11). Every vertex carries K constant-size
+Flajolet–Martin registers; one superstep ORs each vertex's registers with
+its out-neighbors', so after t rounds register k of v sketches
+|N_t(v)| = #{u : d(v,u) <= t}. The neighborhood-function curve
+NF(t) = Σ_v |N_t(v)| and the effective diameter (smallest t with
+NF(t) >= q·NF(∞)) fall out of per-round aggregates.
+
+Why this is THE scale path for distance measures: state is K longs per
+vertex (constant), each superstep is one edge⋈frontier join + a bit_or
+groupBy (associative → map-side partial agg), registers saturate so the
+changed-frontier shrinks geometrically (same dense→sparse switch as WCC),
+and the estimate quality is independent of graph size — exact msbfs
+(`traversal.py::all_pairs_shortest_path_length`) is O(V·V) state and only
+feasible on samples.
+
+Determinism: trial k of vertex v hashes the string "vid:k" through the
+same 60-bit hash as the dedup family (`functions/dedup.py::_hash60`) —
+``hash_fn="xxhash64"`` is the fast JVM path, ``hash_fn="sha2"`` is
+bit-identical in any engine, so a DuckDB oracle can replay the whole
+propagation (the anf_4r contract query does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.dedup import _hash60
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
+
+# FM bias correction (Flajolet–Martin 1985): E[2^R] = phi * n
+_PHI = 0.77351
+
+
+def _lowest_zero_bit(col: str):
+    """Index of the lowest UNSET bit of a <2^60 register — exact: the
+    isolated bit (~m)&(m+1) is a power of two, log2 of which is an
+    integer double up to 60."""
+    return F.expr(f"CAST(log2((~{col}) & ({col} + 1)) AS BIGINT)")
+
+
+def _fm_init(k: int, hash_fn: str):
+    """Initial register for trial k: the lowest set bit of a 60-bit hash
+    of 'vid:k' (geometric bit position, the FM sketch of the singleton
+    {v}). h=0 (p=2^-60) degrades to bit 0 deterministically."""
+    h = _hash60(F.concat(F.col("vid").cast("string"), F.lit(f":{k}")), hash_fn)
+    return F.when(h == 0, F.lit(1).cast("long")).otherwise(
+        h.bitwiseAND(-h)).alias(f"m{k}")
+
+
+class ANFJob(SuperstepJob):
+    name = "anf"
+
+    def __init__(self, graph: LinkGraph, num_trials: int = 8,
+                 hash_fn: str = "xxhash64", max_rounds: int = 64,
+                 salt: int = 0, sparse_threshold: float = 0.05):
+        self.graph = graph
+        self.num_trials = num_trials
+        self.hash_fn = hash_fn
+        self.max_rounds = max_rounds
+        self.salt = salt
+        self.sparse_threshold = sparse_threshold
+        # directed graphs sketch the OUT-neighborhood (v absorbs its
+        # out-neighbors' registers); undirected graphs store both
+        # orientations (factory-enforced), so edges are used as-is
+        self.msg_edges = graph.edges.select("src", "dst")
+        self._mcols = [f"m{k}" for k in range(num_trials)]
+
+    def config(self) -> dict:
+        return {"algo": self.name, "trials": self.num_trials,
+                "hash_fn": self.hash_fn, "salt": self.salt}
+
+    # NF estimate of the CURRENT state, as a single aggregate expression:
+    # per vertex, avg lowest-zero-bit over trials -> 2^avg / phi
+    def _nf_expr(self):
+        rsum = sum((_lowest_zero_bit(c) for c in self._mcols), F.lit(0))
+        est = F.pow(F.lit(2.0), rsum.cast("double") / self.num_trials) / _PHI
+        return F.sum(est).alias("nf"), F.sum(rsum).alias("sum_r")
+
+    def init(self, spark: SparkSession):
+        state = self.graph.vertices.select(
+            "vid", *[_fm_init(k, self.hash_fn) for k in range(self.num_trials)],
+            F.lit(True).alias("changed"))
+        return state, {"frontier": self.graph.num_vertices,
+                       "nf": None, "sum_r": None}
+
+    def step(self, state: DataFrame, step_no: int, scalars: dict):
+        sparse = scalars["frontier"] < self.sparse_threshold * self.graph.num_vertices
+        hint = "broadcast" if sparse else "shuffle_hash"
+        frontier = state.filter(F.col("changed")) \
+            .select("vid", *self._mcols).hint(hint)
+        msgs = self.msg_edges.join(
+            frontier, self.msg_edges["dst"] == frontier["vid"]
+        ).select("src", *self._mcols)
+        # bit_or is associative+commutative: Catalyst's map-side partial
+        # aggregation absorbs most hub-key volume; salt>1 adds an explicit
+        # two-phase reduce for extreme out-hubs (same shape as salted_agg,
+        # generalized to K value columns).
+        ors = [F.expr(f"bit_or({c})").alias(f"o{k}")
+               for k, c in enumerate(self._mcols)]
+        if self.salt > 1:
+            partial = msgs.withColumn(
+                "_salt", F.pmod(F.xxhash64("vid"), F.lit(self.salt))
+            ).groupBy("src", "_salt").agg(*ors)
+            merged = partial.groupBy("src").agg(
+                *[F.expr(f"bit_or(o{k})").alias(f"o{k}")
+                  for k in range(self.num_trials)])
+        else:
+            merged = msgs.groupBy("src").agg(*ors)
+        merged = merged.hint(hint)
+
+        newm = [(state[c].bitwiseOR(F.coalesce(F.col(f"o{k}"), F.lit(0))))
+                .alias(c) for k, c in enumerate(self._mcols)]
+        # a register changed iff an incoming OR carries a bit it lacks
+        # (SQL ~ = bitwise NOT; Python ~ on a Column is logical Not)
+        changed = F.expr(" OR ".join(
+            f"coalesce((o{k} & ~m{k}) != 0, false)"
+            for k in range(self.num_trials)))
+
+        obs = Observation()
+        nf, sum_r = self._nf_expr()
+        new_state = (
+            state.join(merged, state["vid"] == merged["src"], "left")
+            .select(state["vid"], *newm, changed.alias("changed"))
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"),
+                     nf, sum_r)
+        )
+
+        def finalize(st: DataFrame):
+            vals = obs.get
+            c = vals["c"] or 0
+            return ({"frontier": int(c), "nf": float(vals["nf"]),
+                     "sum_r": int(vals["sum_r"])}, c == 0)
+
+        return new_state, finalize
+
+
+def anf_sketches(graph: LinkGraph, rounds: int, num_trials: int = 8,
+                 hash_fn: str = "xxhash64", salt: int = 0,
+                 runner: SuperstepRunner | None = None) -> DataFrame:
+    """Run exactly ``rounds`` FM-sketch supersteps (or to saturation,
+    whichever is first); returns per-vertex (vid, r_sum) where r_sum is
+    the sum over trials of the lowest-zero-bit index — the integer core
+    of the per-vertex |N_rounds(v)| estimate (2^(r_sum/K)/phi)."""
+    job = ANFJob(graph, num_trials=num_trials, hash_fn=hash_fn,
+                 salt=salt, max_rounds=rounds)
+    runner = runner or SuperstepRunner(graph.spark)
+    state, _ = runner.run(job, max_steps=rounds, resume=False)
+    rsum = sum((_lowest_zero_bit(c) for c in job._mcols), F.lit(0))
+    return state.select("vid", rsum.alias("r_sum"))
+
+
+def anf(graph: LinkGraph, max_rounds: int = 64, num_trials: int = 8,
+        hash_fn: str = "xxhash64", salt: int = 0,
+        runner: SuperstepRunner | None = None) -> DataFrame:
+    """Neighborhood-function curve: (round, nf, sum_r, frontier) — one row
+    per superstep, nf = Σ_v est|N_round(v)|. Runs until registers
+    saturate (every reachable set closed) or ``max_rounds``."""
+    job = ANFJob(graph, num_trials=num_trials, hash_fn=hash_fn,
+                 salt=salt, max_rounds=max_rounds)
+    runner = runner or SuperstepRunner(graph.spark)
+    runner.run(job, max_steps=max_rounds, resume=False)
+    rows = [(m.step, m.scalars["nf"], m.scalars["sum_r"], m.scalars["frontier"])
+            for m in runner.history if m.scalars.get("nf") is not None]
+    return graph.spark.createDataFrame(
+        rows, "round LONG, nf DOUBLE, sum_r LONG, frontier LONG")
+
+
+def effective_diameter(graph: LinkGraph, q: float = 0.9,
+                       max_rounds: int = 64, num_trials: int = 8,
+                       hash_fn: str = "xxhash64", salt: int = 0) -> float:
+    """Effective diameter: smallest t with NF(t) >= q * NF(last round).
+    Sketch-based (HyperANF methodology) — compare with the exact
+    sampled-pivot ``traversal.diameter_approx``."""
+    curve = anf(graph, max_rounds=max_rounds, num_trials=num_trials,
+                hash_fn=hash_fn, salt=salt).collect()
+    if not curve:
+        return 0.0
+    target = q * curve[-1].nf
+    for row in curve:
+        if row.nf >= target:
+            return float(row.round)
+    return float(curve[-1].round)

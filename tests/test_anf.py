@@ -1,0 +1,108 @@
+"""ANF (FM-sketch neighborhood function) — bit-exact propagation vs a
+pure-Python simulation, estimator accuracy vs exact BFS reachability,
+and saturation/termination behavior."""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+
+import pytest
+
+from graphscope_spark import LinkGraph, anf, anf_sketches, effective_diameter
+from tests.conftest import power_law_graph
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def _lzb(x: int) -> int:
+    i = 0
+    while x & (1 << i):
+        i += 1
+    return i
+
+
+def _simulate(vertices, edges, rounds: int, trials: int):
+    """Pure-Python FM propagation with the same 'vid:k' sha2 init."""
+    out = {v: [] for v in vertices}
+    for u, v in edges:
+        out[u].append(v)
+    m = {v: [(lambda h: (h & -h) if h else 1)(_h60(f"{v}:{k}"))
+             for k in range(trials)] for v in vertices}
+    for _ in range(rounds):
+        new = {v: [m[v][k] | reduce(lambda a, u: a | m[u][k], out[v], 0)
+                   for k in range(trials)] for v in vertices}
+        if new == m:
+            break
+        m = new
+    return {v: sum(_lzb(m[v][k]) for k in range(trials)) for v in vertices}
+
+
+def _reach_sizes(vertices, edges, rounds: int):
+    """|N_rounds(v)| exactly, by BFS."""
+    out = {v: [] for v in vertices}
+    for u, v in edges:
+        out[u].append(v)
+    sizes = {}
+    for s in vertices:
+        seen = {s}
+        frontier = [s]
+        for _ in range(rounds):
+            nxt = [w for u in frontier for w in out[u] if w not in seen]
+            seen.update(nxt)
+            frontier = nxt
+            if not frontier:
+                break
+        sizes[s] = len(seen)
+    return sizes
+
+
+def test_anf_sketches_bit_exact_vs_simulation(spark):
+    vertices, edges = power_law_graph(n=80, m=200, seed=7)
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  directed=True)
+    got = {r.vid: r.r_sum
+           for r in anf_sketches(g, rounds=3, num_trials=4,
+                                 hash_fn="sha2").collect()}
+    exp = _simulate(sorted({v for e in edges for v in e}), edges, 3, 4)
+    assert got == exp
+
+
+def test_anf_curve_monotone_and_saturates(spark):
+    # path 0->1->...->5: NF curve is nondecreasing, frontier hits 0 at
+    # the graph's depth and the run stops early (registers saturated)
+    edges = [(i, i + 1) for i in range(5)]
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  directed=True)
+    curve = anf(g, max_rounds=20, num_trials=8, hash_fn="sha2").collect()
+    assert curve[-1].frontier == 0
+    assert len(curve) <= 6  # depth 5 + the empty confirming round
+    nfs = [r.nf for r in curve]
+    assert nfs == sorted(nfs)
+
+
+def test_anf_estimate_tracks_exact_reachability(spark):
+    # FM with K trials has ~0.78/sqrt(K) relative std error; with K=32
+    # the TOTAL over all vertices (errors partially independent) lands
+    # well within 35% of the exact neighborhood function
+    vertices, edges = power_law_graph(n=120, m=500, seed=3)
+    vs = sorted({v for e in edges for v in e})
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  directed=True)
+    curve = anf(g, max_rounds=30, num_trials=32).collect()
+    exact_total = sum(_reach_sizes(vs, edges, 30).values())
+    est_total = curve[-1].nf
+    assert est_total == pytest.approx(exact_total, rel=0.35)
+
+
+def test_effective_diameter_path_graph(spark):
+    # undirected 9-path: 90% of pairs are within distance <= 7;
+    # the sketch estimate must land near the exact effective diameter
+    e = [(i, i + 1) for i in range(8)]
+    sym = e + [(b, a) for a, b in e]
+    g = LinkGraph(spark, spark.createDataFrame(sym, "src LONG, dst LONG"),
+                  directed=False)
+    d = effective_diameter(g, q=0.9, max_rounds=12, num_trials=32)
+    assert 4 <= d <= 8
