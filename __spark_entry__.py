@@ -1104,6 +1104,18 @@ def _q_anf_4r(spark, sf_dir):
     return anf_sketches(g, rounds=4, num_trials=4, hash_fn="sha2")
 
 
+def _q_ktruss_4_2r(spark, sf_dir):
+    """4-truss peeling, 2 bounded rounds, over the supplier
+    co-occurrence graph (the triangle-rich contract graph): surviving
+    edges + their round-2 support. Support counts are
+    orientation-independent, so the oracle replays the rounds with the
+    simple canonical (src<dst) orientation while the operator uses the
+    degree-ordered one (operators/ktruss.py)."""
+    from graphscope_spark.operators.ktruss import ktruss
+
+    return ktruss(_graph(spark, sf_dir, tri=True), k=4, max_rounds=2)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (the data-mixing knob):
     keep en at 35%, zh at 80%, everything else whole — membership is a
@@ -3087,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_cdlp": _q_modularity_cdlp,
         # --- new after the r04 window filled: r05-window candidates ---
         "anf_4r": _q_anf_4r,
+        "ktruss_4_2r": _q_ktruss_4_2r,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -3713,6 +3726,27 @@ def oracle_sql() -> dict[str, str]:
             FROM shared WHERE CAST(inter AS DOUBLE) / bsize >= 0.8"""
         ),
         "anf_4r": _anf_sql(rounds=4, trials=4),
+        "ktruss_4_2r": (
+            f"WITH e0 AS ({_TRI_EDGES_SQL}), "
+            "tri1 AS (SELECT x.src AS a, x.dst AS b, y.dst AS c FROM e0 x "
+            "JOIN e0 y ON y.src = x.dst "
+            "JOIN e0 z ON z.src = x.src AND z.dst = y.dst), "
+            "sup1 AS (SELECT src, dst, COUNT(*) AS c FROM ("
+            "SELECT a AS src, b AS dst FROM tri1 UNION ALL "
+            "SELECT b, c FROM tri1 UNION ALL SELECT a, c FROM tri1) "
+            "GROUP BY src, dst), "
+            "e1 AS (SELECT e0.src, e0.dst FROM e0 "
+            "JOIN sup1 s ON s.src = e0.src AND s.dst = e0.dst WHERE s.c >= 2), "
+            "tri2 AS (SELECT x.src AS a, x.dst AS b, y.dst AS c FROM e1 x "
+            "JOIN e1 y ON y.src = x.dst "
+            "JOIN e1 z ON z.src = x.src AND z.dst = y.dst), "
+            "sup2 AS (SELECT src, dst, COUNT(*) AS c FROM ("
+            "SELECT a AS src, b AS dst FROM tri2 UNION ALL "
+            "SELECT b, c FROM tri2 UNION ALL SELECT a, c FROM tri2) "
+            "GROUP BY src, dst) "
+            "SELECT e1.src, e1.dst, s.c AS support FROM e1 "
+            "JOIN sup2 s ON s.src = e1.src AND s.dst = e1.dst WHERE s.c >= 2"
+        ),
         "stratified_sample": (
             f"""SELECT doc_id, lang FROM documents
             WHERE {_h60_sql("doc_id::VARCHAR || '#42'")}

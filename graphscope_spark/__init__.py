@@ -86,6 +86,8 @@ from graphscope_spark.operators import (
     anf_sketches,
     articulation_points as articulation_points,
     effective_diameter,
+    ktruss,
+    truss_number_max,
     average_degree_connectivity,
     betweenness_centrality,
     degree_assortativity_coefficient,
@@ -140,6 +142,7 @@ __all__ = [
     "node_boundary", "edge_boundary", "eccentricity", "diameter_approx",
     "all_simple_paths", "sampling_path", "lpa_u2i", "path_expand",
     "anf", "anf_sketches", "effective_diameter",
+    "ktruss", "truss_number_max",
     "harmonic_centrality", "lcc_directed", "degeneracy", "dfs",
     "pattern_match", "pattern_count", "automorphism_count",
     "property_pattern_match", "property_pattern_count",

@@ -73,6 +73,10 @@ from graphscope_spark.operators.anf import (  # noqa: E402
 
 __all__ += ["anf", "anf_sketches", "effective_diameter"]
 
+from graphscope_spark.operators.ktruss import ktruss, truss_number_max  # noqa: E402
+
+__all__ += ["ktruss", "truss_number_max"]
+
 from graphscope_spark.operators.pagerank import (  # noqa: E402
     ArticleRankJob,
     PPRJob,

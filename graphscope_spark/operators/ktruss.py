@@ -1,0 +1,138 @@
+"""k-truss decomposition — iterative edge-support peeling.
+
+Beyond the reference's registry (its cohesive-subgraph family stops at
+k-core/k-shell/onion, apps/flash/core/*), k-truss is the edge-level
+analogue every large-graph toolkit pairs with it: the maximal subgraph in
+which every edge closes at least k-2 triangles *within the subgraph*
+(Cohen 2008). The peel loop reuses the triangle-counting shape the
+reference uses for gs::Triangles
+(/root/reference/analytical_engine/apps/clustering/triangles.h:70-139):
+each round degree-orders the surviving edge set, lists triangles by a
+two-hop join closed by a third, credits each triangle to its three edges,
+and drops edges with support < k-2 until a fixpoint.
+
+Scale shape: the orientation bounds the wedge-join fan-out to
+O(sqrt(E)) per vertex exactly as in triangle counting; each round is two
+joins + one aggregation over a strictly shrinking edge set; the
+driver-side loop truncates lineage per round (stats-reset ``truncate`` —
+the house rule for driver loops, see runtime/truncate.py) so plan cost
+stays flat however many peel rounds the graph needs.
+
+Support counts are orientation-independent, so a SQL oracle can replay a
+bounded number of rounds with the simpler canonical (src<dst)
+orientation and match values exactly (the ktruss_4_2r contract query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.runtime.truncate import Truncator
+
+
+def _canonical_edges(graph: LinkGraph) -> DataFrame:
+    """Each undirected edge once, as (src, dst) with src < dst."""
+    e = graph.und_edges().select("src", "dst")
+    return e.filter(F.col("src") < F.col("dst"))
+
+
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """(src, dst, support) for a canonical (src<dst) simple edge set:
+    support = number of triangles the edge participates in.
+
+    Degree-ordered orientation first (higher-(degree,id) endpoint →
+    lower), so the wedge join's per-vertex fan-out is O(sqrt(E)) on any
+    degree distribution — the same hub bound the reference gets from its
+    ordered set intersections."""
+    deg = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .groupBy("vid").agg(F.count("*").alias("deg"))
+    )
+    ds = deg.select(F.col("vid").alias("src"), F.col("deg").alias("sdeg"))
+    dd = deg.select(F.col("vid").alias("dst"), F.col("deg").alias("ddeg"))
+    ed = edges.join(ds, "src").join(dd, "dst")
+    fwd = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    o = ed.select(
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("src"),
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("dst"))
+
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+
+    # credit each triangle to its three edges, re-canonicalized
+    sides = tris.select(
+        F.array(
+            F.struct(F.least("a", "b").alias("s"), F.greatest("a", "b").alias("d")),
+            F.struct(F.least("b", "c").alias("s"), F.greatest("b", "c").alias("d")),
+            F.struct(F.least("a", "c").alias("s"), F.greatest("a", "c").alias("d")),
+        ).alias("es")
+    ).select(F.explode("es").alias("e")).select(
+        F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+    sup = sides.groupBy("src", "dst").agg(F.count("*").alias("support"))
+    return edges.join(sup, ["src", "dst"], "left").select(
+        "src", "dst",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"))
+
+
+def ktruss(graph: LinkGraph, k: int, max_rounds: int | None = None) -> DataFrame:
+    """Edges of the k-truss → (src, dst, support), src < dst; ``support``
+    is the edge's triangle count at the last evaluated round.
+
+    ``max_rounds`` bounds the peel (useful for bounded-round oracles and
+    for incremental passes); ``None`` runs to the fixpoint."""
+    if k < 3:
+        raise ValueError(f"k-truss requires k >= 3 (got {k})")
+    t = Truncator()
+    edges = t(_canonical_edges(graph), "edges")
+    rounds = 0
+    try:
+        while True:
+            supported = t(_edge_support(edges), "sup")
+            n_before = supported.count()
+            survivors = supported.filter(F.col("support") >= k - 2)
+            n_after = survivors.count()
+            rounds += 1
+            if n_after == n_before or n_after == 0 or (
+                    max_rounds is not None and rounds >= max_rounds):
+                # final state still referenced by the caller: copy it out
+                # of the Truncator before freeing loop state
+                out = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+                out.count()
+                return out
+            edges = t(survivors.select("src", "dst"), "edges")
+    finally:
+        t.close()
+
+
+def truss_number_max(graph: LinkGraph, k_start: int = 3) -> int:
+    """Largest k with a non-empty k-truss (trussness of the graph).
+
+    The (k+1)-truss is a subgraph of the k-truss, so the scan peels each
+    level's survivors instead of restarting from the full graph — later
+    (denser) levels run on ever-smaller edge sets."""
+    t = Truncator()
+    edges = t(_canonical_edges(graph), "edges")
+    k = k_start - 1
+    try:
+        while True:
+            # peel at level k+1 until fixpoint, starting from the
+            # previous level's survivors
+            while True:
+                supported = t(_edge_support(edges), "sup")
+                survivors = supported.filter(F.col("support") >= (k + 1) - 2)
+                n_before, n_after = supported.count(), survivors.count()
+                if n_after == 0:
+                    return k
+                edges = t(survivors.select("src", "dst"), "edges")
+                if n_after == n_before:
+                    break
+            k += 1
+    finally:
+        t.close()

@@ -1,0 +1,62 @@
+"""k-truss — pure-Python peel oracle on skewed random graphs, bounded
+rounds, trussness scan."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from graphscope_spark import LinkGraph, ktruss, truss_number_max
+from tests.conftest import power_law_graph
+
+
+def _py_ktruss(edges, k, max_rounds=None):
+    """Reference peel: canonical edge set until fixpoint (or bounded);
+    returns {edge: support_at_last_round}."""
+    cur = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    rounds = 0
+    while True:
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in cur}
+        nxt = {e for e in cur if sup[e] >= k - 2}
+        rounds += 1
+        if nxt == cur or not nxt or (max_rounds and rounds >= max_rounds):
+            return {e: sup[e] for e in nxt}
+        cur = nxt
+
+
+def _to_graph(spark, edges):
+    sym = list(edges) + [(b, a) for a, b in edges]
+    return LinkGraph(spark, spark.createDataFrame(sym, "src LONG, dst LONG"),
+                     directed=False)
+
+
+def test_ktruss_fixpoint_matches_python_oracle(spark):
+    _, edges = power_law_graph(n=60, m=400, seed=11, with_dangling=False)
+    g = _to_graph(spark, edges)
+    for k in (3, 4):
+        got = {(r.src, r.dst): r.support for r in ktruss(g, k).collect()}
+        assert got == _py_ktruss(edges, k)
+
+
+def test_ktruss_bounded_rounds(spark):
+    _, edges = power_law_graph(n=60, m=400, seed=5, with_dangling=False)
+    g = _to_graph(spark, edges)
+    got = {(r.src, r.dst): r.support
+           for r in ktruss(g, 4, max_rounds=2).collect()}
+    assert got == _py_ktruss(edges, 4, max_rounds=2)
+
+
+def test_trussness_k5_plus_path(spark):
+    # K5 has every edge in 3 triangles -> 5-truss; the pendant path
+    # contributes nothing
+    edges = list(combinations(range(5), 2)) + [(4, 5), (5, 6)]
+    g = _to_graph(spark, edges)
+    assert truss_number_max(g) == 5
+    t5 = ktruss(g, 5)
+    assert t5.count() == 10
+    assert t5.agg(F.min("support")).collect()[0][0] == 3
