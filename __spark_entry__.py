@@ -1116,6 +1116,28 @@ def _q_ktruss_4_2r(spark, sf_dir):
     return ktruss(_graph(spark, sf_dir, tri=True), k=4, max_rounds=2)
 
 
+def _q_link_pred_edges(spark, sf_dir):
+    """Link-prediction scores (NX compat family: jaccard / adamic-adar /
+    resource-allocation / preferential-attachment) evaluated over the
+    supplier co-occurrence graph's own edges — the edge-strength form of
+    the ebunch API (operators/link_prediction.py). Floats micro-rounded
+    with the same (score)*1e6 expression order on both engines."""
+    from graphscope_spark.operators.link_prediction import (
+        link_prediction_scores,
+    )
+
+    g = _graph(spark, sf_dir, tri=True)
+    pairs = _tri_edges(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v"))
+    s = link_prediction_scores(g, pairs)
+    return s.select(
+        "u", "v", "cn",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro"),
+        F.round(F.col("adamic_adar") * 1e6).cast("long").alias("aa_micro"),
+        F.round(F.col("resource_alloc") * 1e6).cast("long").alias("ra_micro"),
+        "pref_attach")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (the data-mixing knob):
     keep en at 35%, zh at 80%, everything else whole — membership is a
@@ -3100,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new after the r04 window filled: r05-window candidates ---
         "anf_4r": _q_anf_4r,
         "ktruss_4_2r": _q_ktruss_4_2r,
+        "link_pred_edges": _q_link_pred_edges,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -3726,6 +3749,28 @@ def oracle_sql() -> dict[str, str]:
             FROM shared WHERE CAST(inter AS DOUBLE) / bsize >= 0.8"""
         ),
         "anf_4r": _anf_sql(rounds=4, trials=4),
+        "link_pred_edges": (
+            f"WITH e AS ({_TRI_EDGES_SQL}), "
+            "adj AS (SELECT src AS v, dst AS n FROM e "
+            "UNION ALL SELECT dst AS v, src AS n FROM e), "
+            "deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v), "
+            "w AS (SELECT p.src AS u, p.dst AS v, a1.n FROM e p "
+            "JOIN adj a1 ON a1.v = p.src "
+            "JOIN adj a2 ON a2.v = p.dst AND a2.n = a1.n), "
+            "g AS (SELECT w.u, w.v, COUNT(*) AS cn, "
+            "SUM(1.0 / ln(d.d)) AS aa, SUM(1.0 / d.d) AS ra "
+            "FROM w JOIN deg d ON d.v = w.n GROUP BY w.u, w.v) "
+            "SELECT p.src AS u, p.dst AS v, COALESCE(g.cn, 0) AS cn, "
+            "CAST(ROUND((COALESCE(g.cn, 0) / "
+            "(du.d + dv.d - COALESCE(g.cn, 0))) * 1e6) AS BIGINT) "
+            "AS jaccard_micro, "
+            "CAST(ROUND(COALESCE(g.aa, 0) * 1e6) AS BIGINT) AS aa_micro, "
+            "CAST(ROUND(COALESCE(g.ra, 0) * 1e6) AS BIGINT) AS ra_micro, "
+            "du.d * dv.d AS pref_attach "
+            "FROM e p JOIN deg du ON du.v = p.src "
+            "JOIN deg dv ON dv.v = p.dst "
+            "LEFT JOIN g ON g.u = p.src AND g.v = p.dst"
+        ),
         "ktruss_4_2r": (
             f"WITH e0 AS ({_TRI_EDGES_SQL}), "
             "tri1 AS (SELECT x.src AS a, x.dst AS b, y.dst AS c FROM e0 x "

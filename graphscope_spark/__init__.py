@@ -86,7 +86,12 @@ from graphscope_spark.operators import (
     anf_sketches,
     articulation_points as articulation_points,
     effective_diameter,
+    adamic_adar_index,
+    jaccard_coefficient,
     ktruss,
+    link_prediction_scores,
+    preferential_attachment,
+    resource_allocation_index,
     truss_number_max,
     average_degree_connectivity,
     betweenness_centrality,
@@ -143,6 +148,8 @@ __all__ = [
     "all_simple_paths", "sampling_path", "lpa_u2i", "path_expand",
     "anf", "anf_sketches", "effective_diameter",
     "ktruss", "truss_number_max",
+    "link_prediction_scores", "jaccard_coefficient", "adamic_adar_index",
+    "resource_allocation_index", "preferential_attachment",
     "harmonic_centrality", "lcc_directed", "degeneracy", "dfs",
     "pattern_match", "pattern_count", "automorphism_count",
     "property_pattern_match", "property_pattern_count",

@@ -77,6 +77,18 @@ from graphscope_spark.operators.ktruss import ktruss, truss_number_max  # noqa: 
 
 __all__ += ["ktruss", "truss_number_max"]
 
+from graphscope_spark.operators.link_prediction import (  # noqa: E402
+    adamic_adar_index,
+    jaccard_coefficient,
+    link_prediction_scores,
+    preferential_attachment,
+    resource_allocation_index,
+)
+
+__all__ += ["link_prediction_scores", "jaccard_coefficient",
+            "adamic_adar_index", "resource_allocation_index",
+            "preferential_attachment"]
+
 from graphscope_spark.operators.pagerank import (  # noqa: E402
     ArticleRankJob,
     PPRJob,

@@ -1,0 +1,83 @@
+"""Link prediction — pure-Python common-neighbor oracle (NX formulas) on
+skewed random graphs, default d2 candidates and explicit ebunch."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from graphscope_spark import LinkGraph, link_prediction_scores
+from tests.conftest import power_law_graph
+
+
+def _py_scores(edges, pairs):
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for u, v in pairs:
+        nu, nv = adj.get(u, set()), adj.get(v, set())
+        cn = nu & nv
+        union = len(nu) + len(nv) - len(cn)
+        out[(u, v)] = (
+            len(cn),
+            len(cn) / union if union else 0.0,
+            sum(1.0 / math.log(len(adj[n])) for n in cn),
+            sum(1.0 / len(adj[n]) for n in cn),
+            len(nu) * len(nv),
+        )
+    return out
+
+
+def _d2_pairs(edges):
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    pairs = set()
+    for n, nbrs in adj.items():
+        for u in nbrs:
+            for v in nbrs:
+                if u < v and v not in adj[u]:
+                    pairs.add((u, v))
+    return pairs
+
+
+def _mk(spark, edges):
+    sym = list(edges) + [(b, a) for a, b in edges]
+    return LinkGraph(spark, spark.createDataFrame(sym, "src LONG, dst LONG"),
+                     directed=False)
+
+
+def test_link_prediction_d2_default_matches_oracle(spark):
+    _, edges = power_law_graph(n=80, m=300, seed=13, with_dangling=False)
+    g = _mk(spark, edges)
+    got = {(r.u, r.v): (r.cn, r.jaccard, r.adamic_adar, r.resource_alloc,
+                        r.pref_attach)
+           for r in link_prediction_scores(g).collect()}
+    want = _py_scores(edges, _d2_pairs(edges))
+    assert set(got) == set(want)
+    for p, (cn, jac, aa, ra, pa) in want.items():
+        gcn, gjac, gaa, gra, gpa = got[p]
+        assert (gcn, gpa) == (cn, pa)
+        assert gjac == pytest.approx(jac, abs=1e-12)
+        assert gaa == pytest.approx(aa, abs=1e-9)
+        assert gra == pytest.approx(ra, abs=1e-12)
+
+
+def test_link_prediction_explicit_ebunch_scores_edges(spark):
+    _, edges = power_law_graph(n=60, m=200, seed=4, with_dangling=False)
+    g = _mk(spark, edges)
+    pairs = spark.createDataFrame(sorted(edges), "u LONG, v LONG")
+    got = {(r.u, r.v): (r.cn, r.pref_attach)
+           for r in link_prediction_scores(g, pairs).collect()}
+    want = _py_scores(edges, sorted(edges))
+    assert len(got) == len(set(edges))
+    for p, (cn, _, _, _, pa) in want.items():
+        assert got[p] == (cn, pa)

@@ -296,3 +296,30 @@ def test_ivf_parquet_index_partition_pruning(spark, tmp_path):
     got = {(r["query_id"], r["vec_id"], r["rank"]) for r in res.collect()}
     want = {(r["query_id"], r["vec_id"], r["rank"]) for r in inline.collect()}
     assert got == want
+
+
+def test_anf_step_no_state_broadcast_no_cartesian(spark):
+    from graphscope_spark.operators.anf import ANFJob
+    from graphscope_spark.runtime.superstep import SuperstepRunner
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        g = _mk(spark)
+        runner = SuperstepRunner(spark)
+        job = ANFJob(g, num_trials=4, max_rounds=100)
+        state, scalars = runner.run(job, max_steps=2)
+        # force the dense regime: the frontier must not broadcast while
+        # it is O(V)-sized
+        scalars = dict(scalars, frontier=g.num_vertices)
+        raw, _fin = job.step(state, 3, scalars)
+        plan = _formatted(raw)
+        assert "BroadcastExchange" not in plan, \
+            "dense FM frontier must not broadcast"
+        assert "CartesianProduct" not in plan
+        # bit_or must partial-aggregate map-side (one partial+final pair),
+        # not ship raw per-edge messages through a single-stage agg
+        assert "partial_bit_or" in plan.lower().replace(" ", "_") or \
+            plan.count("HashAggregate") >= 2, \
+            f"expected map-side partial bit_or:\n{plan[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
