@@ -1,3 +1,4 @@
+from graphscope_spark.streaming.dedup import IncrementalMinHashDedup
 from graphscope_spark.streaming.edges import (
     read_edge_stream,
     running_degrees,
@@ -11,5 +12,5 @@ from graphscope_spark.streaming.incremental import (IncrementalPageRank,
 __all__ = [
     "read_edge_stream", "windowed_degrees", "streaming_exact_dedup",
     "running_degrees", "streaming_sessions",
-    "IncrementalWCC", "IncrementalPageRank",
+    "IncrementalWCC", "IncrementalPageRank", "IncrementalMinHashDedup",
 ]

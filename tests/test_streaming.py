@@ -197,3 +197,47 @@ def test_streaming_sessions_matches_batch(spark, tmp_path):
              for r in session_stats(
                  df.filter(F.col("user_id") < 3), gap_minutes=30).collect()}
     assert got == batch
+
+
+def test_incremental_minhash_dedup(spark, tmp_path):
+    from graphscope_spark.streaming import IncrementalMinHashDedup
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the river runs east past the old mill and the stone "
+            "bridge every single morning")
+    near = base.replace("morning", "evening")  # one token differs
+    distinct_a = ("completely different content about distributed query "
+                  "engines shuffle partitioning and adaptive execution "
+                  "plans running on large clusters of machines")
+    distinct_b = ("yet another unrelated document discussing sketch based "
+                  "cardinality estimation and register merging across "
+                  "supersteps of iterative graph algorithms at scale")
+
+    p = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalMinHashDedup(spark, state, sim_threshold=0.7)
+
+    batches = [
+        [(1, base), (2, distinct_a), (3, base)],       # 3 intra-batch dup of 1
+        [(4, near), (5, distinct_b)],                  # 4 cross-batch near-dup
+        [(6, distinct_a), (7, base)],                  # both cross-batch dups
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, "doc_id LONG, text STRING") \
+            .coalesce(1).write.mode("append").parquet(p)
+        q = inc.attach(
+            spark.readStream.schema("doc_id LONG, text STRING").parquet(p),
+            ckpt)
+        q.awaitTermination(180)
+
+    kept = {r["doc_id"] for r in inc.kept().collect()}
+    assert kept == {1, 2, 5}, kept
+
+    # resume from the same state dir: a fresh instance still rejects dups
+    inc2 = IncrementalMinHashDedup(spark, state, sim_threshold=0.7)
+    inc2.process_batch(
+        spark.createDataFrame([(8, near), (9, "tiny fresh doc")],
+                              "doc_id LONG, text STRING"))
+    kept2 = {r["doc_id"] for r in inc2.kept().collect()}
+    assert kept2 == {1, 2, 5, 9}, kept2
