@@ -1138,6 +1138,29 @@ def _q_link_pred_edges(spark, sf_dir):
         "pref_attach")
 
 
+def _q_tfidf_top3(spark, sf_dir):
+    """Top-3 tf-idf terms per document (smoothed idf), micro-rounded;
+    ties broken by term so the top-3 cut is deterministic."""
+    from graphscope_spark.functions import tfidf_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_terms(docs, top_k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df_count",
+        F.round(F.col("tfidf") * 1e6).cast("long").alias("tfidf_micro"))
+
+
+def _q_bm25_top10(spark, sf_dir):
+    """BM25 top-10 docs for the bag {spark, join, window} (k1=1.2,
+    b=0.75, Robertson idf); score micro-rounded, ties by doc_id."""
+    from graphscope_spark.functions import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, ["spark", "join", "window"], k=10)
+    return out.select(
+        "doc_id", F.round(F.col("score") * 1e6).cast("long").alias("score_micro"))
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (the data-mixing knob):
     keep en at 35%, zh at 80%, everything else whole — membership is a
@@ -3123,6 +3146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_4r": _q_anf_4r,
         "ktruss_4_2r": _q_ktruss_4_2r,
         "link_pred_edges": _q_link_pred_edges,
+        "tfidf_top3": _q_tfidf_top3,
+        "bm25_top10": _q_bm25_top10,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -3749,6 +3774,47 @@ def oracle_sql() -> dict[str, str]:
             FROM shared WHERE CAST(inter AS DOUBLE) / bsize >= 0.8"""
         ),
         "anf_4r": _anf_sql(rounds=4, trials=4),
+        "tfidf_top3": (
+            r"WITH toks AS (SELECT doc_id, unnest(list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks "
+            "GROUP BY doc_id, term), "
+            "dfreq AS (SELECT term, COUNT(*) AS df_count FROM tf "
+            "GROUP BY term), "
+            "n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_count, "
+            "tf.tf * (ln((n.n_docs + 1) / (dfreq.df_count + 1)) + 1) AS tfidf "
+            "FROM tf JOIN dfreq USING (term) CROSS JOIN n), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, term ASC) AS rk FROM s) "
+            "SELECT doc_id, term, tf, df_count, "
+            "CAST(ROUND(tfidf * 1e6) AS BIGINT) AS tfidf_micro "
+            "FROM r WHERE rk <= 3"
+        ),
+        "bm25_top10": (
+            r"WITH tok AS (SELECT doc_id, list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '') AS ts "
+            "FROM documents), "
+            "toks AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term "
+            "FROM tok), "
+            "q AS (SELECT doc_id, dl, term FROM toks "
+            "WHERE term IN ('spark', 'join', 'window')), "
+            "tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM q "
+            "GROUP BY doc_id, dl, term), "
+            "dfreq AS (SELECT term, COUNT(*) AS df_count FROM tf "
+            "GROUP BY term), "
+            "st AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl "
+            "FROM tok), "
+            "per AS (SELECT tf.doc_id, "
+            "ln(1 + (st.n_docs - dfreq.df_count + 0.5) / "
+            "(dfreq.df_count + 0.5)) * (tf.tf * (1.2 + 1)) / "
+            "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl)) AS s "
+            "FROM tf JOIN dfreq USING (term) CROSS JOIN st), "
+            "sc AS (SELECT doc_id, SUM(s) AS score FROM per GROUP BY doc_id) "
+            "SELECT doc_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_micro "
+            "FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
         "link_pred_edges": (
             f"WITH e AS ({_TRI_EDGES_SQL}), "
             "adj AS (SELECT src AS v, dst AS n FROM e "

@@ -8,9 +8,11 @@ where not, never per-row Python.
 """
 
 from graphscope_spark.functions.text import (
+    bm25_topk,
     fingerprint,
     langid,
     quality_score,
+    tfidf_terms,
     token_count,
     tokenize,
 )
@@ -62,6 +64,7 @@ from graphscope_spark.functions.codecs import (
 
 __all__ = [
     "tokenize", "token_count", "quality_score", "langid", "fingerprint",
+    "tfidf_terms", "bm25_topk",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
     "decontaminate",
     "hash_sample", "stratified_sample", "sample_gate", "pack_sequences",

@@ -88,3 +88,69 @@ def fingerprint(col, mult: int = _ROLL_MULT, mod: int = _ROLL_MOD) -> Column:
         F.lit(0).cast("long"),
         lambda h, t: (h * mult + F.ascii(t) * 1000 + 7 * F.length(t)) % mod,
     )
+
+
+def tfidf_terms(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", top_k: int | None = None) -> DataFrame:
+    """(doc_id, term, tf, df_count, tfidf) — smoothed tf-idf per
+    (document, term): idf = ln((N+1)/(df+1)) + 1.
+
+    One explode → (doc, term) count → per-term document frequency →
+    join, all JVM-side; the per-term df table joins by term (map-side
+    combine absorbs stopword-scale hub terms before the shuffle).
+    ``top_k`` keeps the k highest-tfidf terms per doc (ties broken by
+    term, deterministic) via a row_number window."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokenize(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_count"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    out = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df_count",
+            (F.col("tf") *
+             (F.log((F.col("n_docs") + 1) / (F.col("df_count") + 1)) + 1))
+            .alias("tfidf"))
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("tfidf"), F.asc("term"))
+        out = out.withColumn("rank", F.row_number().over(w)) \
+            .filter(F.col("rank") <= top_k).drop("rank")
+    return out
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, score) — top-k documents by BM25 for a bag of query
+    terms (Robertson/Sparck-Jones idf: ln(1 + (N-df+0.5)/(df+0.5))).
+
+    Corpus stats (N, avgdl) ride a broadcast one-row aggregate instead
+    of a driver collect, so the whole ranking is one lazy plan; ties
+    broken by doc_id ascending for determinism."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     token_count(F.col(text_col)).alias("dl"),
+                     F.explode(tokenize(F.col(text_col))).alias("term")) \
+        .filter(F.col("term").isin(*query_terms))
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_count"))
+    stats = df.select(
+        F.count("*").alias("n_docs"),
+        F.avg(token_count(F.col(text_col))).alias("avgdl"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df_count") + 0.5)
+                / (F.col("df_count") + 0.5))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * (F.col("tf") * (k1 + 1))
+             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+            .alias("s"))
+    )
+    scored = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

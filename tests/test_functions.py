@@ -425,3 +425,33 @@ def test_sessionize_gap_semantics(spark):
     st = {(r["user_id"], r["session"]): (r["n_events"], r["duration_sec"])
           for r in session_stats(ev, gap_minutes=30).collect()}
     assert st == {(1, 0): (2, 600.0), (1, 1): (2, 300.0), (2, 0): (1, 0.0)}
+
+
+def test_tfidf_and_bm25(spark):
+    import math
+
+    from graphscope_spark.functions import bm25_topk, tfidf_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "c c c d")],
+        "doc_id LONG, text STRING")
+    rows = {(r.doc_id, r.term): (r.tf, r.df_count, r.tfidf)
+            for r in tfidf_terms(docs).collect()}
+    # idf('a') = ln(4/3)+1 (df 2 of N 3, smoothed), tf in doc1 = 2
+    assert rows[(1, "a")][0] == 2 and rows[(1, "a")][1] == 2
+    assert rows[(1, "a")][2] == pytest.approx(
+        2 * (math.log(4 / 3) + 1), rel=1e-12)
+    # top_k=1 keeps the highest-tfidf term per doc, ties by term
+    top1 = {r.doc_id: r.term for r in tfidf_terms(docs, top_k=1).collect()}
+    assert top1[3] == "c"
+
+    got = [(r.doc_id, r.score) for r in
+           bm25_topk(docs, ["c"], k=2).collect()]
+    # doc3 has tf(c)=3 and wins; doc1 is the only other doc containing c
+    assert [d for d, _ in got] == [3, 1]
+    N, df = 3, 2
+    idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    avgdl = (4 + 2 + 4) / 3
+    tf, dl = 3, 4
+    want = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert got[0][1] == pytest.approx(want, rel=1e-12)
