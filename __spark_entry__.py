@@ -1138,6 +1138,29 @@ def _q_link_pred_edges(spark, sf_dir):
         "pref_attach")
 
 
+def _q_pii_redact(spark, sf_dir):
+    """Secret/PII scrub over the documents table with deterministic
+    injected credentials (an email, an IPv4, an AWS-style key per doc —
+    the testdata itself is clean, as corpus_clean injects dups for the
+    same reason): per-kind match counts + sha256 of the scrubbed text.
+    Patterns live in the Java-regex ∩ RE2 subset so the DuckDB oracle
+    replays the exact replacements (functions/pii.py)."""
+    from graphscope_spark.functions import redact_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 key AKIA"),
+            F.lpad(F.col("doc_id").cast("string"), 16, "0"),
+        ).alias("text"))
+    r = redact_pii(d)
+    return r.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("scrubbed_sha"),
+        "email_count", "ipv4_count", "aws_key_count", "n_redactions")
+
+
 def _q_tfidf_top3(spark, sf_dir):
     """Top-3 tf-idf terms per document (smoothed idf), micro-rounded;
     ties broken by term so the top-3 cut is deterministic."""
@@ -3148,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_edges": _q_link_pred_edges,
         "tfidf_top3": _q_tfidf_top3,
         "bm25_top10": _q_bm25_top10,
+        "pii_redact": _q_pii_redact,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -3774,6 +3798,39 @@ def oracle_sql() -> dict[str, str]:
             FROM shared WHERE CAST(inter AS DOUBLE) / bsize >= 0.8"""
         ),
         "anf_4r": _anf_sql(rounds=4, trials=4),
+        "pii_redact": (
+            r"WITH inj AS (SELECT doc_id, text || ' contact user' || "
+            r"CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || "
+            r"CAST(doc_id % 256 AS VARCHAR) || '.7 key AKIA' || "
+            r"lpad(CAST(doc_id AS VARCHAR), 16, '0') AS text "
+            "FROM documents), "
+            "red AS (SELECT doc_id, text, "
+            r"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            r"regexp_replace(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
+            r"'\bAKIA[0-9A-Z]{16}\b', '<AWS_KEY>', 'g'), "
+            r"'-----BEGIN [A-Z ]*PRIVATE KEY-----', '<PRIVATE_KEY>', 'g'), "
+            r"'\b[a-f0-9]{40,}\b', '<HEX_SECRET>', 'g') AS scrubbed "
+            "FROM inj) "
+            "SELECT doc_id, sha256(scrubbed) AS scrubbed_sha, "
+            r"len(regexp_extract_all(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT "
+            "AS email_count, "
+            r"len(regexp_extract_all(text, "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS ipv4_count, "
+            r"len(regexp_extract_all(text, "
+            r"'\bAKIA[0-9A-Z]{16}\b'))::BIGINT AS aws_key_count, "
+            r"(len(regexp_extract_all(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) + "
+            r"len(regexp_extract_all(text, "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) + "
+            r"len(regexp_extract_all(text, '\bAKIA[0-9A-Z]{16}\b')) + "
+            r"len(regexp_extract_all(text, "
+            r"'-----BEGIN [A-Z ]*PRIVATE KEY-----')) + "
+            r"len(regexp_extract_all(text, '\b[a-f0-9]{40,}\b')))::BIGINT "
+            "AS n_redactions FROM red"
+        ),
         "tfidf_top3": (
             r"WITH toks AS (SELECT doc_id, unnest(list_filter("
             r"string_split_regex(text, '\s+'), x -> x <> '')) AS term "

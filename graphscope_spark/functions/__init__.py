@@ -16,6 +16,8 @@ from graphscope_spark.functions.text import (
     token_count,
     tokenize,
 )
+from graphscope_spark.functions.pii import DEFAULT_RULES as PII_DEFAULT_RULES
+from graphscope_spark.functions.pii import redact_pii
 from graphscope_spark.functions.dedup import (
     decontaminate,
     exact_dedup,
@@ -65,6 +67,7 @@ from graphscope_spark.functions.codecs import (
 __all__ = [
     "tokenize", "token_count", "quality_score", "langid", "fingerprint",
     "tfidf_terms", "bm25_topk",
+    "redact_pii", "PII_DEFAULT_RULES",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
     "decontaminate",
     "hash_sample", "stratified_sample", "sample_gate", "pack_sequences",

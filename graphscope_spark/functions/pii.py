@@ -1,0 +1,59 @@
+"""PII / secret redaction — the code-corpus curation pass.
+
+Source-code corpora are scrubbed of credentials and contact data before
+training (the reference ships no such pass — its loaders ingest content
+verbatim — but any 100 TB code pipeline runs one). All patterns stay in
+the regex subset shared by Java regex (Spark) and RE2 (DuckDB): no
+lookaround, no backreferences — so the whole pass is value-oracle-able.
+
+JVM-side only: a fold of ``regexp_replace`` per pattern for the scrub,
+``regexp_extract_all`` sizes for the per-kind counts. One projection, no
+shuffle, whole-stage codegen — at 100 TB this runs at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (kind, pattern, replacement) — ORDER MATTERS: earlier rules must not
+# produce text later rules would re-match (replacements contain no
+# matchable characters: '<' '>' upper-case tags only)
+DEFAULT_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    ("hex_secret", r"\b[a-f0-9]{40,}\b", "<HEX_SECRET>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               rules: tuple[tuple[str, str, str], ...] = DEFAULT_RULES,
+               keep_counts: bool = True) -> DataFrame:
+    """Replace credential/contact matches in ``text_col``; adds
+    ``<kind>_count`` columns (matches found in the ORIGINAL text) and a
+    total ``n_redactions`` when ``keep_counts``.
+
+    Rules apply in order over the running result, so a custom rule list
+    composes like a sed pipeline."""
+    out = df
+    red = F.col(text_col)
+    for _, pat, repl in rules:
+        red = F.regexp_replace(red, pat, repl)
+    cols = [c for c in df.columns if c != text_col]
+    counts = []
+    if keep_counts:
+        counts = [
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+            .cast("long").alias(f"{kind}_count")
+            for kind, pat, _ in rules
+        ]
+    out = out.select(*cols, red.alias(text_col), *counts)
+    if keep_counts:
+        total = None
+        for kind, _, _ in rules:
+            c = F.col(f"{kind}_count")
+            total = c if total is None else (total + c)
+        out = out.withColumn("n_redactions", total)
+    return out
