@@ -291,7 +291,8 @@ def section_b(spark, sampled: Sampled) -> None:
     for name in ["pagerank_conv", "wcc", "triangles",
                  "rel_groupby_aggs", "rel_join_3way",
                  "typed_pattern", "exact_dedup", "pack_sequences",
-                 "png_decode"]:
+                 "png_decode", "anf_4r", "link_pred_edges",
+                 "tfidf_top3", "bm25_top10", "pii_redact"]:
         sampled.run(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
 

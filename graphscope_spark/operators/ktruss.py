@@ -27,10 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
 from graphscope_spark.graph import LinkGraph
-from graphscope_spark.runtime.truncate import Truncator
+from graphscope_spark.runtime.truncate import Truncator, truncate
 
 
 def _canonical_edges(graph: LinkGraph) -> DataFrame:
@@ -101,11 +99,10 @@ def ktruss(graph: LinkGraph, k: int, max_rounds: int | None = None) -> DataFrame
             rounds += 1
             if n_after == n_before or n_after == 0 or (
                     max_rounds is not None and rounds >= max_rounds):
-                # final state still referenced by the caller: copy it out
-                # of the Truncator before freeing loop state
-                out = survivors.persist(StorageLevel.MEMORY_AND_DISK)
-                out.count()
-                return out
+                # final state still referenced by the caller: truncate a
+                # copy OUT of the Truncator (independent block set) so
+                # t.close() can free every loop checkpoint
+                return truncate(survivors)
             edges = t(survivors.select("src", "dst"), "edges")
     finally:
         t.close()

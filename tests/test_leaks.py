@@ -23,7 +23,8 @@ def _mk(spark, n=60, m=240, seed=8):
 
 
 @pytest.mark.parametrize("algo", ["scc", "louvain", "betweenness",
-                                  "core_numbers", "voterank", "mis"])
+                                  "core_numbers", "voterank", "mis",
+                                  "ktruss"])
 def test_loop_algorithms_release_checkpoints(spark, algo):
     import graphscope_spark as gs
 
@@ -41,6 +42,8 @@ def test_loop_algorithms_release_checkpoints(spark, algo):
         gs.voterank(g, num_seeds=5)
     elif algo == "mis":
         gs.mis(g).count()
+    elif algo == "ktruss":
+        gs.ktruss(g, 3).count()
     after = _persistent_count(spark)
     # a loop of k iterations used to leak ~k block sets; now at most a
     # handful of live result/graph-cache entries may remain
