@@ -1184,6 +1184,98 @@ def _q_bm25_top10(spark, sf_dir):
         "doc_id", F.round(F.col("score") * 1e6).cast("long").alias("score_micro"))
 
 
+def _lic_injected(spark, sf_dir):
+    """documents with deterministic license headers prepended by
+    doc_id % 6 (the testdata text contains no license language itself —
+    same injection pattern as pii_redact's credentials)."""
+    did = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.when(did % 6 == 0,
+                F.concat(F.lit("SPDX-License-Identifier: BSD-2-Clause\n"),
+                         F.col("text")))
+         .when(did % 6 == 1,
+               F.concat(F.lit("Licensed under the Apache License, "
+                              "Version 2.0. "), F.col("text")))
+         .when(did % 6 == 2,
+               F.concat(F.lit("This file is part of Foo, covered by the "
+                              "GNU General Public License. "), F.col("text")))
+         .when(did % 6 == 3,
+               F.concat(F.lit("Permission is hereby granted, free of "
+                              "charge, to any person. "), F.col("text")))
+         .when(did % 6 == 4,
+               F.concat(F.lit("Redistribution and use in source and "
+                              "binary forms, with or without "
+                              "modification. "), F.col("text")))
+         .otherwise(F.col("text"))).alias("text"))
+
+
+def _q_license_detect(spark, sf_dir):
+    """SPDX-tag + canonical-phrase license detection over documents with
+    injected headers (functions/code.py): per-doc license id + family.
+    The tag case proves SPDX precedence (BSD-2-Clause comes only from
+    the tag, never a phrase)."""
+    from graphscope_spark.functions import detect_license
+
+    return (detect_license(_lic_injected(spark, sf_dir))
+            .select("doc_id", "license", "license_family"))
+
+
+def _q_code_quality(spark, sf_dir):
+    """The-Stack-style structure filters over documents rendered
+    multi-line (every ' table ' → newline, same literal regexp both
+    engines) with an auto-generated marker injected at doc_id % 97 == 0:
+    line geometry, alnum fraction, longest token, autogen flag."""
+    from graphscope_spark.functions import code_stats
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(did % 97 == 0, F.lit("// auto-generated do not edit\n"))
+            .otherwise(F.lit("")),
+            F.regexp_replace(F.col("text"), " table ", "\n")).alias("text"))
+    s = code_stats(d)
+    return s.select(
+        "doc_id", "n_lines", "max_line_len",
+        F.round(F.col("avg_line_len") * 1e6).cast("long").alias("avg_line_micro"),
+        F.round(F.col("alnum_frac") * 1e6).cast("long").alias("alnum_micro"),
+        "longest_token_len",
+        F.col("is_autogenerated").cast("int").alias("autogen"))
+
+
+def _q_vendored_docs(spark, sf_dir):
+    """Vendored-copy detection: byte-identical content in ≥2 distinct
+    sources, via a (sha256, source) shuffle only (functions/code.py).
+    doc_id % 37 == 0 rows are rewritten to one of three canonical blobs
+    so deterministic cross-source groups exist at every SF."""
+    from graphscope_spark.functions import vendored_groups
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.when(did % 37 == 0,
+               F.concat(F.lit("vendored blob "),
+                        (did % 3).cast("string")))
+        .otherwise(F.col("text")).alias("text"))
+    return (vendored_groups(d, group_col="source", id_col="doc_id")
+            .select("content_sha", "n_copies", "n_groups", "exemplar"))
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (dup 2/3-gram
+    fractions, top-token share) — pure array expressions, zero shuffle
+    (functions/code.py); micro-rounded for the value hash."""
+    from graphscope_spark.functions import repetition_stats
+
+    r = repetition_stats(_t(spark, sf_dir, "documents"))
+    return r.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("dup_2gram_frac") * 1e6).cast("long").alias("dup2_micro"),
+        F.round(F.col("dup_3gram_frac") * 1e6).cast("long").alias("dup3_micro"),
+        F.round(F.col("top_token_frac") * 1e6).cast("long").alias("toptok_micro"))
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (the data-mixing knob):
     keep en at 35%, zh at 80%, everything else whole — membership is a
@@ -3172,6 +3264,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": _q_tfidf_top3,
         "bm25_top10": _q_bm25_top10,
         "pii_redact": _q_pii_redact,
+        "license_detect": _q_license_detect,
+        "code_quality_flags": _q_code_quality,
+        "vendored_docs": _q_vendored_docs,
+        "repetition_stats": _q_repetition_stats,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -3871,6 +3967,109 @@ def oracle_sql() -> dict[str, str]:
             "sc AS (SELECT doc_id, SUM(s) AS score FROM per GROUP BY doc_id) "
             "SELECT doc_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_micro "
             "FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        "license_detect": (
+            "WITH inj AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 6 = 0 THEN 'SPDX-License-Identifier: "
+            "BSD-2-Clause' || chr(10) || text "
+            "WHEN doc_id % 6 = 1 THEN 'Licensed under the Apache License, "
+            "Version 2.0. ' || text "
+            "WHEN doc_id % 6 = 2 THEN 'This file is part of Foo, covered "
+            "by the GNU General Public License. ' || text "
+            "WHEN doc_id % 6 = 3 THEN 'Permission is hereby granted, free "
+            "of charge, to any person. ' || text "
+            "WHEN doc_id % 6 = 4 THEN 'Redistribution and use in source "
+            "and binary forms, with or without modification. ' || text "
+            "ELSE text END AS text FROM documents), "
+            "det AS (SELECT doc_id, CASE "
+            r"WHEN regexp_extract(text, 'SPDX-License-Identifier:\s*"
+            r"([A-Za-z0-9.+-]+)', 1) <> '' THEN "
+            r"regexp_extract(text, 'SPDX-License-Identifier:\s*"
+            r"([A-Za-z0-9.+-]+)', 1) "
+            "WHEN regexp_matches(text, '(?i)permission is hereby granted, "
+            "free of charge') THEN 'MIT' "
+            "WHEN regexp_matches(text, '(?i)licensed under the apache "
+            "license') THEN 'Apache-2.0' "
+            "WHEN regexp_matches(text, '(?i)gnu lesser general public "
+            "license') THEN 'LGPL-3.0-or-later' "
+            "WHEN regexp_matches(text, '(?i)gnu general public license') "
+            "THEN 'GPL-3.0-or-later' "
+            "WHEN regexp_matches(text, '(?i)redistribution and use in "
+            "source and binary forms') THEN 'BSD-3-Clause' "
+            "WHEN regexp_matches(text, '(?i)mozilla public license') "
+            "THEN 'MPL-2.0' "
+            "WHEN regexp_matches(text, '(?i)this is free and unencumbered "
+            "software') THEN 'Unlicense' "
+            "ELSE 'unknown' END AS license FROM inj) "
+            "SELECT doc_id, license, CASE "
+            "WHEN license IN ('MIT', 'Apache-2.0', 'BSD-2-Clause', "
+            "'BSD-3-Clause', 'ISC', 'Unlicense', 'Zlib', '0BSD') "
+            "THEN 'permissive' "
+            "WHEN license = 'unknown' THEN 'unknown' "
+            "ELSE 'copyleft' END AS license_family FROM det"
+        ),
+        "code_quality_flags": (
+            "WITH inj AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 97 = 0 THEN '// auto-generated do not "
+            "edit' || chr(10) ELSE '' END || "
+            "regexp_replace(text, ' table ', chr(10), 'g') AS text "
+            "FROM documents), "
+            "st AS (SELECT doc_id, text, "
+            "string_split(text, chr(10)) AS ls, "
+            r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') "
+            "AS ts FROM inj) "
+            "SELECT doc_id, len(ls)::BIGINT AS n_lines, "
+            "COALESCE(list_max(list_transform(ls, x -> length(x))), 0)"
+            "::BIGINT AS max_line_len, "
+            "CAST(ROUND((length(text) - len(ls) + 1)::DOUBLE / len(ls) "
+            "* 1e6) AS BIGINT) AS avg_line_micro, "
+            "CAST(ROUND(CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE "
+            "/ length(text) ELSE 0 END * 1e6) AS BIGINT) AS alnum_micro, "
+            "COALESCE(list_max(list_transform(ts, x -> length(x))), 0)"
+            "::BIGINT AS longest_token_len, "
+            "CAST(regexp_matches(text, '(?i)(auto-generated|automatically "
+            "generated|do not edit|generated by)') AS INT) AS autogen "
+            "FROM st"
+        ),
+        "vendored_docs": (
+            "WITH inj AS (SELECT doc_id, source, "
+            "CASE WHEN doc_id % 37 = 0 THEN 'vendored blob ' || "
+            "CAST(doc_id % 3 AS VARCHAR) ELSE text END AS text "
+            "FROM documents) "
+            "SELECT sha256(text) AS content_sha, "
+            "COUNT(*)::BIGINT AS n_copies, "
+            "COUNT(DISTINCT source)::BIGINT AS n_groups, "
+            "MIN(doc_id) AS exemplar "
+            "FROM inj GROUP BY sha256(text) "
+            "HAVING COUNT(DISTINCT source) >= 2"
+        ),
+        "repetition_stats": (
+            r"WITH toks AS (SELECT doc_id, list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "g AS (SELECT doc_id, t, "
+            "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), "
+            "i -> array_to_string(list_slice(t, i, i + 1), ' ')) "
+            "ELSE [] END AS g2, "
+            "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) "
+            "ELSE [] END AS g3 FROM toks), "
+            "top AS (SELECT doc_id, MAX(cnt) AS topc FROM ("
+            "SELECT doc_id, COUNT(*) AS cnt FROM ("
+            "SELECT doc_id, unnest(t) AS tok FROM toks) "
+            "GROUP BY doc_id, tok) GROUP BY doc_id) "
+            "SELECT g.doc_id, len(g.t)::BIGINT AS n_tokens, "
+            "CAST(ROUND(CASE WHEN len(g2) > 0 THEN "
+            "1 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0 END "
+            "* 1e6) AS BIGINT) AS dup2_micro, "
+            "CAST(ROUND(CASE WHEN len(g3) > 0 THEN "
+            "1 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0 END "
+            "* 1e6) AS BIGINT) AS dup3_micro, "
+            "CAST(ROUND(CASE WHEN len(g.t) > 0 THEN "
+            "COALESCE(top.topc, 0)::DOUBLE / len(g.t) ELSE 0 END "
+            "* 1e6) AS BIGINT) AS toptok_micro "
+            "FROM g LEFT JOIN top ON g.doc_id = top.doc_id"
         ),
         "link_pred_edges": (
             f"WITH e AS ({_TRI_EDGES_SQL}), "

@@ -18,6 +18,12 @@ from graphscope_spark.functions.text import (
 )
 from graphscope_spark.functions.pii import DEFAULT_RULES as PII_DEFAULT_RULES
 from graphscope_spark.functions.pii import redact_pii
+from graphscope_spark.functions.code import (
+    code_stats,
+    detect_license,
+    repetition_stats,
+    vendored_groups,
+)
 from graphscope_spark.functions.dedup import (
     decontaminate,
     exact_dedup,
@@ -68,6 +74,7 @@ __all__ = [
     "tokenize", "token_count", "quality_score", "langid", "fingerprint",
     "tfidf_terms", "bm25_topk",
     "redact_pii", "PII_DEFAULT_RULES",
+    "detect_license", "code_stats", "vendored_groups", "repetition_stats",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
     "decontaminate",
     "hash_sample", "stratified_sample", "sample_gate", "pack_sequences",
