@@ -1276,6 +1276,45 @@ def _q_repetition_stats(spark, sf_dir):
         F.round(F.col("top_token_frac") * 1e6).cast("long").alias("toptok_micro"))
 
 
+_SPAN_TAIL = (" shared span alpha beta gamma delta epsilon zeta eta "
+              "theta iota kappa")
+
+
+def _q_dup_spans(spark, sf_dir):
+    """Span-level exact-substring duplication (suffix-array-dedup
+    signal, functions/dedup.py): fraction of each doc's 8-token window
+    positions whose window occurs in another doc. doc_id % 11 == 0 rows
+    get a canonical 12-token tail appended so cross-doc spans exist
+    deterministically at every SF; hash_fn='raw' keeps window strings as
+    the key so the oracle replays exactly."""
+    from graphscope_spark.functions import dup_span_stats
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(did % 11 == 0, F.concat(F.col("text"), F.lit(_SPAN_TAIL)))
+        .otherwise(F.col("text")).alias("text"))
+    s = dup_span_stats(d, k=8, hash_fn="raw", max_bucket=None)
+    return s.select(
+        "doc_id", "n_grams", "dup_grams",
+        F.round(F.when(F.col("n_grams") > 0,
+                       F.col("dup_grams").cast("double") / F.col("n_grams"))
+                .otherwise(F.lit(0.0)) * 1e6).cast("long")
+        .alias("dupfrac_micro"))
+
+
+def _q_unigram_logppl(spark, sf_dir):
+    """Unigram-LM perplexity quality filter (functions/text.py): train
+    on the corpus itself, score each doc by mean negative
+    log-likelihood (nats/token), micro-rounded."""
+    from graphscope_spark.functions import unigram_logppl
+
+    s = unigram_logppl(_t(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("xent") * 1e6).cast("long").alias("xent_micro"))
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (the data-mixing knob):
     keep en at 35%, zh at 80%, everything else whole — membership is a
@@ -3268,6 +3307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality_flags": _q_code_quality,
         "vendored_docs": _q_vendored_docs,
         "repetition_stats": _q_repetition_stats,
+        "dup_spans": _q_dup_spans,
+        "unigram_logppl": _q_unigram_logppl,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -4043,6 +4084,45 @@ def oracle_sql() -> dict[str, str]:
             "MIN(doc_id) AS exemplar "
             "FROM inj GROUP BY sha256(text) "
             "HAVING COUNT(DISTINCT source) >= 2"
+        ),
+        "dup_spans": (
+            "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
+            f"text || '{_SPAN_TAIL}' ELSE text END AS text FROM documents), "
+            r"toks AS (SELECT doc_id, list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '') AS t "
+            "FROM inj), "
+            "g AS (SELECT doc_id, CASE WHEN len(t) >= 8 THEN "
+            "list_transform(range(1, len(t) - 6), "
+            "i -> array_to_string(list_slice(t, i, i + 7), ' ')) "
+            "ELSE [] END AS gs FROM toks), "
+            "pos AS (SELECT doc_id, unnest(gs) AS w FROM g), "
+            "per AS (SELECT doc_id, w, COUNT(*) AS c FROM pos "
+            "GROUP BY doc_id, w), "
+            "sup AS (SELECT w, COUNT(*) AS nd FROM per GROUP BY w), "
+            "agg AS (SELECT per.doc_id, SUM(c) AS tot, "
+            "SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS dup "
+            "FROM per JOIN sup USING (w) GROUP BY per.doc_id) "
+            "SELECT d.doc_id, COALESCE(tot, 0)::BIGINT AS n_grams, "
+            "COALESCE(dup, 0)::BIGINT AS dup_grams, "
+            "CAST(ROUND(CASE WHEN COALESCE(tot, 0) > 0 THEN "
+            "dup::DOUBLE / tot ELSE 0 END * 1e6) AS BIGINT) "
+            "AS dupfrac_micro "
+            "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
+        ),
+        "unigram_logppl": (
+            r"WITH tok AS (SELECT doc_id, unnest(list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '')) AS term "
+            "FROM documents), "
+            "vocab AS (SELECT term, COUNT(*) AS cnt FROM tok "
+            "GROUP BY term), "
+            "tot AS (SELECT SUM(cnt) AS total FROM vocab), "
+            "sc AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+            "-AVG(ln(cnt / total)) AS xent "
+            "FROM tok JOIN vocab USING (term) CROSS JOIN tot "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(n_tokens, 0)::BIGINT AS n_tokens, "
+            "CAST(ROUND(COALESCE(xent, 0) * 1e6) AS BIGINT) AS xent_micro "
+            "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
         ),
         "repetition_stats": (
             r"WITH toks AS (SELECT doc_id, list_filter("

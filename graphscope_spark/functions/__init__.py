@@ -15,6 +15,7 @@ from graphscope_spark.functions.text import (
     tfidf_terms,
     token_count,
     tokenize,
+    unigram_logppl,
 )
 from graphscope_spark.functions.pii import DEFAULT_RULES as PII_DEFAULT_RULES
 from graphscope_spark.functions.pii import redact_pii
@@ -26,6 +27,7 @@ from graphscope_spark.functions.code import (
 )
 from graphscope_spark.functions.dedup import (
     decontaminate,
+    dup_span_stats,
     exact_dedup,
     dedup_keep_list,
     minhash_lsh_pairs,
@@ -76,7 +78,7 @@ __all__ = [
     "redact_pii", "PII_DEFAULT_RULES",
     "detect_license", "code_stats", "vendored_groups", "repetition_stats",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
-    "decontaminate",
+    "decontaminate", "dup_span_stats", "unigram_logppl",
     "hash_sample", "stratified_sample", "sample_gate", "pack_sequences",
     "sessionize", "session_stats",
     "simhash", "simhash_pairs",

@@ -155,6 +155,56 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
             .filter(F.col("containment") >= threshold))
 
 
+def dup_span_stats(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 8,
+                   hash_fn: str = "xxhash64",
+                   max_bucket: int | None = 100_000) -> DataFrame:
+    """Exact-substring duplication, span-level (the signal behind
+    suffix-array training-data dedup): per document, how many of its
+    k-token window positions hold a window that also occurs in at least
+    one OTHER document.
+
+    Returns (doc_id, n_grams, dup_grams) — every input doc keeps a row
+    (n_grams = 0 when shorter than k tokens). Cross-document only:
+    within-doc repeats are ``repetition_stats``'s signal.
+
+    Scale shape: candidate generation by window key, never pairs. The
+    exchange carries (doc_id, 60-bit window hash, position count) —
+    one row per DISTINCT window per doc, bounded by token count; the
+    window text itself never shuffles (``hash_fn="raw"`` keeps the
+    string key instead so an external SQL engine can replay the exact
+    computation). Cross-doc support is one aggregate over the window
+    key; hub windows (boilerplate shared by millions of docs) are
+    dropped from numerator AND denominator once their doc-bucket
+    exceeds ``max_bucket``, exactly like stop-shingles.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = (df.select(F.col(id_col).alias("_id"), grams.alias("_gs"))
+           .select("_id", F.explode("_gs").alias("_g")))
+    key = (F.col("_g") if hash_fn == "raw"
+           else _hash60(F.col("_g"), hash_fn))
+    per = (pos.select("_id", key.alias("_w"))
+           .groupBy("_id", "_w").agg(F.count("*").alias("_c")))
+    sup = per.groupBy("_w").agg(F.count("*").alias("_nd"))
+    if max_bucket is not None:
+        sup = sup.filter(F.col("_nd") <= max_bucket)
+    marked = (per.join(sup, "_w")
+              .groupBy("_id")
+              .agg(F.sum("_c").alias("_tot"),
+                   F.sum(F.when(F.col("_nd") >= 2, F.col("_c"))
+                         .otherwise(F.lit(0))).alias("_dup")))
+    return (df.select(F.col(id_col).alias("_id"))
+            .join(marked, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("_tot", F.lit(0)).alias("n_grams"),
+                    F.coalesce("_dup", F.lit(0)).alias("dup_grams")))
+
+
 MINHASH_P = 2_147_483_647
 
 

@@ -154,3 +154,34 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     )
     scored = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def unigram_logppl(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """LM-perplexity quality filter, distributable analogue of the
+    CCNet/Gopher pass: train a unigram LM on the corpus itself (one
+    token-count aggregate), score each document by mean negative
+    log-likelihood in nats/token (``xent``; perplexity = exp(xent)).
+
+    Low xent ≈ stereotyped/boilerplate text, high xent ≈ rare-token
+    noise — the two tails a mixing pipeline trims. Shape: one explode,
+    one vocab aggregate (narrow: token → count), a join back on the
+    token key (AQE broadcasts the vocab when it fits), one per-doc sum.
+    No UDF, no driver collect — the corpus-total scalar rides a
+    broadcast one-row aggregate like bm25's stats.
+    """
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokenize(F.col(text_col))).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (tok.join(vocab, "term")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_tokens"),
+                   (-F.avg(F.log(F.col("cnt") / F.col("total"))))
+                   .alias("xent")))
+    return (df.select(F.col(id_col).alias("doc_id"))
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("xent", F.lit(0.0)).alias("xent")))

@@ -1,0 +1,75 @@
+"""dup_span_stats (exact-substring span duplication) and
+unigram_logppl (corpus-trained LM quality filter) — hand-computed
+expectations plus scale-shape plan checks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from graphscope_spark.functions import dup_span_stats, unigram_logppl
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_dup_spans_cross_doc_only(spark):
+    rows = [
+        (0, "a b c d e f g h x"),   # 7 3-gram windows, shares "a b c"
+        (1, "z z a b c q"),          # 4 windows, shares "a b c"
+        (2, "short"),                # < k tokens -> 0 windows
+        (3, "m n m n m n m"),        # within-doc repeats only -> 0 dup
+    ]
+    got = {r.doc_id: r for r in
+           dup_span_stats(_docs(spark, rows), k=3, hash_fn="raw").collect()}
+    assert (got[0].n_grams, got[0].dup_grams) == (7, 1)
+    assert (got[1].n_grams, got[1].dup_grams) == (4, 1)
+    assert (got[2].n_grams, got[2].dup_grams) == (0, 0)
+    assert (got[3].n_grams, got[3].dup_grams) == (5, 0)
+
+
+def test_dup_spans_hashed_matches_raw(spark):
+    rows = [(i, f"p q r s t u v w common tail one two {i % 2}")
+            for i in range(8)]
+    raw = {r.doc_id: (r.n_grams, r.dup_grams) for r in
+           dup_span_stats(_docs(spark, rows), k=4, hash_fn="raw").collect()}
+    hashed = {r.doc_id: (r.n_grams, r.dup_grams) for r in
+              dup_span_stats(_docs(spark, rows), k=4).collect()}
+    assert raw == hashed
+
+
+def test_dup_spans_max_bucket_drops_hub_windows(spark):
+    # every doc shares the same single window -> bucket size 6
+    rows = [(i, "one two three") for i in range(6)]
+    full = dup_span_stats(_docs(spark, rows), k=3, hash_fn="raw").collect()
+    assert all(r.dup_grams == 1 for r in full)
+    capped = dup_span_stats(_docs(spark, rows), k=3, hash_fn="raw",
+                            max_bucket=5).collect()
+    # hub window dropped from numerator AND denominator
+    assert all((r.n_grams, r.dup_grams) == (0, 0) for r in capped)
+
+
+def test_unigram_logppl_hand_computed(spark):
+    rows = [(0, "a a b"), (1, "b c"), (2, "")]
+    got = {r.doc_id: r for r in unigram_logppl(_docs(spark, rows)).collect()}
+    # vocab: a=2 b=2 c=1, total=5
+    assert got[0].n_tokens == 3
+    assert got[0].xent == pytest.approx(-math.log(2 / 5))
+    assert got[1].n_tokens == 2
+    assert got[1].xent == pytest.approx(-(math.log(2 / 5) + math.log(1 / 5)) / 2)
+    assert got[2].n_tokens == 0 and got[2].xent == 0.0
+
+
+def test_plans_stay_narrow(spark):
+    """dup_span_stats' exchanges must never carry the window string in
+    hashed mode (only the 60-bit key), and unigram_logppl must not plan
+    a cartesian product for the corpus-total scalar."""
+    df = _docs(spark, [(0, "a b c d e")])
+    plan = (dup_span_stats(df, k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    plan2 = (unigram_logppl(df)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan2
