@@ -190,11 +190,14 @@ def dup_span_stats(df: DataFrame, text_col: str = "text",
            else _hash60(F.col("_g"), hash_fn))
     per = (pos.select("_id", key.alias("_w"))
            .groupBy("_id", "_w").agg(F.count("*").alias("_c")))
-    sup = per.groupBy("_w").agg(F.count("*").alias("_nd"))
+    # cross-doc support via a window over the window-key partition: one
+    # scan, no self-join (the aggregate-then-join form re-reads the
+    # corpus for the support side — 2× scan cost at 100 TB)
+    marked = per.withColumn(
+        "_nd", F.count(F.lit(1)).over(Window.partitionBy("_w")))
     if max_bucket is not None:
-        sup = sup.filter(F.col("_nd") <= max_bucket)
-    marked = (per.join(sup, "_w")
-              .groupBy("_id")
+        marked = marked.filter(F.col("_nd") <= max_bucket)
+    marked = (marked.groupBy("_id")
               .agg(F.sum("_c").alias("_tot"),
                    F.sum(F.when(F.col("_nd") >= 2, F.col("_c"))
                          .otherwise(F.lit(0))).alias("_dup")))
