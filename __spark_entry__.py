@@ -156,11 +156,20 @@ def _tri_graph_small(spark: SparkSession, sf_dir: str):
     return LinkGraph(spark, _tri_edges_small(spark, sf_dir), directed=True)
 
 
+def _tri_graph_small_und(spark: SparkSession, sf_dir: str):
+    from graphscope_spark import LinkGraph
+
+    e = _tri_edges_small(spark, sf_dir)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return LinkGraph(spark, sym.distinct(), directed=False)
+
+
 # the small bounded graphs are rebuilt cheaply but run in MANY queries —
 # cache them too (the decorator must come after the defs they wrap share)
 _graph_small = _session_graph_cache(_graph_small)
 _graph_small_und = _session_graph_cache(_graph_small_und)
 _tri_graph_small = _session_graph_cache(_tri_graph_small)
+_tri_graph_small_und = _session_graph_cache(_tri_graph_small_und)
 
 
 @_session_graph_cache
@@ -1274,6 +1283,65 @@ def _q_repetition_stats(spark, sf_dir):
         F.round(F.col("dup_2gram_frac") * 1e6).cast("long").alias("dup2_micro"),
         F.round(F.col("dup_3gram_frac") * 1e6).cast("long").alias("dup3_micro"),
         F.round(F.col("top_token_frac") * 1e6).cast("long").alias("toptok_micro"))
+
+
+def _q_node2vec_walks(spark, sf_dir):
+    """node2vec (p=4, q=0.25) biased walks of length 3 from every
+    vertex of the small undirected co-purchase graph
+    (operators/node2vec.py): integer-weight deterministic sampler in
+    portable-sha2 mode, so the oracle unrolls the exact same three
+    join+window+pick steps in SQL. Output exploded to
+    (walk_id, step, vid) for the value hash."""
+    from graphscope_spark import node2vec_walks
+
+    g = _tri_graph_small_und(spark, sf_dir)
+    walks = node2vec_walks(g, length=3, p=4.0, q=0.25, hash_fn="sha2")
+    return walks.select(
+        "walk_id", F.posexplode("path").alias("step", "vid")).select(
+        "walk_id", F.col("step").cast("long").alias("step"), "vid")
+
+
+def _node2vec_sql(length: int = 3, w_ret: int = 250, w_mid: int = 1000,
+                  w_far: int = 4000, seed: int = 42) -> str:
+    """Unrolled node2vec walk replay (operators/node2vec.py): per step
+    one adjacency join, a LEFT self-join for the distance-1 test, a
+    per-walk cumulative-sum window, and the integer pick
+    R % total ∈ [cum−w, cum). The symmetric small graph has no sinks,
+    so every walk survives every step and no dead-carry branch is
+    needed."""
+    cte = [
+        f"tedges AS MATERIALIZED ({_TRI_EDGES_SMALL_SQL})",
+        "adj AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM tedges UNION SELECT dst, src FROM tedges))",
+        "s0 AS (SELECT vid AS walk_id, CAST(-1 AS BIGINT) AS prev, "
+        "vid AS cur, [vid] AS path FROM "
+        "(SELECT DISTINCT src AS vid FROM adj))",
+    ]
+    for k in range(length):
+        r = _h60_sql(f"walk_id::VARCHAR || ':{k}:{seed}'")
+        cte.append(
+            f"c{k} AS (SELECT s.walk_id, s.prev, s.cur, s.path, a.dst, "
+            f"CASE WHEN s.prev < 0 THEN {w_mid} "
+            f"WHEN a.dst = s.prev THEN {w_ret} "
+            f"WHEN nb.src IS NOT NULL THEN {w_mid} "
+            f"ELSE {w_far} END AS w "
+            f"FROM s{k} s JOIN adj a ON a.src = s.cur "
+            "LEFT JOIN adj nb ON nb.src = s.prev AND nb.dst = a.dst)")
+        cte.append(
+            f"w{k} AS (SELECT *, SUM(w) OVER (PARTITION BY walk_id "
+            "ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+            "ROW) AS cum, SUM(w) OVER (PARTITION BY walk_id) AS tot "
+            f"FROM c{k})")
+        cte.append(
+            f"s{k + 1} AS (SELECT walk_id, cur AS prev, dst AS cur, "
+            f"list_append(path, dst) AS path FROM w{k} "
+            f"WHERE ({r}) % tot >= cum - w AND ({r}) % tot < cum)")
+    steps = ",".join(f"({i})" for i in range(length + 1))
+    return (
+        "WITH " + ", ".join(cte) + " "
+        f"SELECT walk_id, CAST(k AS BIGINT) AS step, path[k + 1] AS vid "
+        f"FROM s{length}, (VALUES {steps}) t(k) WHERE len(path) > k"
+    )
 
 
 _SPAN_TAIL = (" shared span alpha beta gamma delta epsilon zeta eta "
@@ -3309,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "dup_spans": _q_dup_spans,
         "unigram_logppl": _q_unigram_logppl,
+        "node2vec_walks_3": _q_node2vec_walks,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -4085,6 +4154,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM inj GROUP BY sha256(text) "
             "HAVING COUNT(DISTINCT source) >= 2"
         ),
+        "node2vec_walks_3": _node2vec_sql(length=3),
         "dup_spans": (
             "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
             f"text || '{_SPAN_TAIL}' ELSE text END AS text FROM documents), "

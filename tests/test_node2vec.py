@@ -1,0 +1,82 @@
+"""node2vec_walks: structural validity, bias extremes, determinism
+across parallelism, and leak behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+import graphscope_spark as gs
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def tri_graph(spark):
+    # triangle 0-1-2 plus pendant 2-3, symmetric (undirected contract)
+    e = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    sym = e + [(b, a) for a, b in e]
+    df = spark.createDataFrame(sym, "src LONG, dst LONG")
+    return gs.LinkGraph(spark, df, directed=False)
+
+
+def _walks(g, **kw):
+    return {r.walk_id: list(r.path)
+            for r in gs.node2vec_walks(g, **kw).collect()}
+
+
+def test_walks_cover_all_vertices_and_follow_edges(spark, tri_graph):
+    got = _walks(tri_graph, length=4, hash_fn="sha2")
+    assert set(got) == {0, 1, 2, 3}
+    edges = {(r.src, r.dst) for r in tri_graph.edges.collect()}
+    for wid, path in got.items():
+        assert path[0] == wid
+        assert len(path) == 5  # no sinks in a symmetric graph
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in edges
+
+
+def test_deterministic_across_parallelism(spark, tri_graph):
+    a = _walks(tri_graph, length=4, p=2.0, q=0.5, hash_fn="sha2")
+    b = _walks(tri_graph, length=4, p=2.0, q=0.5, hash_fn="sha2")
+    assert a == b
+    # different seed -> (almost surely) different walks somewhere
+    c = _walks(tri_graph, length=4, p=2.0, q=0.5, seed=7, hash_fn="sha2")
+    assert a != c
+
+
+def test_return_bias_extreme(spark):
+    # star center 0 with leaves 1..4: from a leaf the ONLY move is back
+    # to 0; from 0 with tiny p (huge return weight) the walk returns to
+    # the previous leaf, so the path alternates 0, x, 0, x, ...
+    e = [(0, i) for i in range(1, 5)]
+    sym = e + [(b, a) for a, b in e]
+    g = gs.LinkGraph(spark, spark.createDataFrame(sym, "src LONG, dst LONG"),
+                     directed=False)
+    got = _walks(g, length=5, p=0.001, q=1.0, hash_fn="sha2")
+    path = got[0]
+    assert path[0] == 0
+    leaf = path[1]
+    assert path == [0, leaf] + [0, leaf] * 2
+
+
+def test_inout_bias_extreme(spark):
+    # path 0-1-2 plus edge 1-3: from 1 (prev=0), q tiny makes "far"
+    # nodes (2, 3: not adjacent to 0, not 0 itself) overwhelmingly
+    # preferred over returning to 0. With w_far huge vs w_ret, walk 0
+    # never returns to 0 at step 2.
+    e = [(0, 1), (1, 2), (1, 3), (2, 3)]
+    sym = e + [(b, a) for a, b in e]
+    g = gs.LinkGraph(spark, spark.createDataFrame(sym, "src LONG, dst LONG"),
+                     directed=False)
+    # scale large so round(scale/q) dominates: w_far = 1e6, w_ret = 1e3
+    got = _walks(g, length=2, p=1.0, q=0.001, scale=1000, hash_fn="sha2")
+    assert got[0][1] == 1 and got[0][2] in (2, 3)
+
+
+def test_no_persistent_leak(spark, tri_graph):
+    gs.node2vec_walks(tri_graph, length=3).count()
+    jsc = spark.sparkContext._jsc.sc()
+    n_persist = jsc.getPersistentRDDs().size()
+    # graph-lifetime caches (edges/vertices/sym) may remain; the walk's
+    # own adjacency + per-step checkpoints must be gone
+    gs.node2vec_walks(tri_graph, length=3).count()
+    assert jsc.getPersistentRDDs().size() <= n_persist + 1
