@@ -1302,7 +1302,8 @@ def _q_node2vec_walks(spark, sf_dir):
 
 
 def _node2vec_sql(length: int = 3, w_ret: int = 250, w_mid: int = 1000,
-                  w_far: int = 4000, seed: int = 42) -> str:
+                  w_far: int = 4000, seed: int = 42,
+                  final_select: str | None = None) -> str:
     """Unrolled node2vec walk replay (operators/node2vec.py): per step
     one adjacency join, a LEFT self-join for the distance-1 test, a
     per-walk cumulative-sum window, and the integer pick
@@ -1337,11 +1338,37 @@ def _node2vec_sql(length: int = 3, w_ret: int = 250, w_mid: int = 1000,
             f"list_append(path, dst) AS path FROM w{k} "
             f"WHERE ({r}) % tot >= cum - w AND ({r}) % tot < cum)")
     steps = ",".join(f"({i})" for i in range(length + 1))
-    return (
-        "WITH " + ", ".join(cte) + " "
-        f"SELECT walk_id, CAST(k AS BIGINT) AS step, path[k + 1] AS vid "
-        f"FROM s{length}, (VALUES {steps}) t(k) WHERE len(path) > k"
-    )
+    if final_select is None:
+        final_select = (
+            f"SELECT walk_id, CAST(k AS BIGINT) AS step, path[k + 1] AS vid "
+            f"FROM s{length}, (VALUES {steps}) t(k) WHERE len(path) > k")
+    return "WITH " + ", ".join(cte) + " " + final_select
+
+
+def _skipgram_sql(length: int = 3, window: int = 2) -> str:
+    """Walk replay + in-SQL pair expansion mirroring skipgram_pairs."""
+    pos = ",".join(f"({i})" for i in range(1, length + 1))
+    off = ",".join(f"({d})" for d in range(1, window + 1))
+    final = (
+        f", pr AS (SELECT path[i] AS center, path[i + d] AS context "
+        f"FROM s{length}, (VALUES {pos}) pos(i), (VALUES {off}) off(d) "
+        "WHERE i + d <= len(path)), "
+        "bi AS (SELECT center, context FROM pr "
+        "UNION ALL SELECT context, center FROM pr) "
+        "SELECT center, context, COUNT(*)::BIGINT AS cnt "
+        "FROM bi GROUP BY center, context")
+    return _node2vec_sql(length=length, final_select=final)
+
+
+def _q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context, cnt) corpus from the node2vec walks
+    (operators/node2vec.py::skipgram_pairs): window 2, both directions,
+    aggregated — array-built pairs, one explode, one narrow shuffle."""
+    from graphscope_spark import node2vec_walks, skipgram_pairs
+
+    g = _tri_graph_small_und(spark, sf_dir)
+    walks = node2vec_walks(g, length=3, p=4.0, q=0.25, hash_fn="sha2")
+    return skipgram_pairs(walks, window=2)
 
 
 _SPAN_TAIL = (" shared span alpha beta gamma delta epsilon zeta eta "
@@ -3378,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "unigram_logppl": _q_unigram_logppl,
         "node2vec_walks_3": _q_node2vec_walks,
+        "skipgram_pairs": _q_skipgram_pairs,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -4155,6 +4183,7 @@ def oracle_sql() -> dict[str, str]:
             "HAVING COUNT(DISTINCT source) >= 2"
         ),
         "node2vec_walks_3": _node2vec_sql(length=3),
+        "skipgram_pairs": _skipgram_sql(length=3, window=2),
         "dup_spans": (
             "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
             f"text || '{_SPAN_TAIL}' ELSE text END AS text FROM documents), "

@@ -127,3 +127,31 @@ def node2vec_walks(graph: LinkGraph, length: int = 4, p: float = 1.0,
         t.close()
         adj.unpersist()
         nbr.unpersist()
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2,
+                   path_col: str = "path") -> DataFrame:
+    """(center, context, cnt) — skip-gram training pairs from walk
+    paths: for every position i and offset 1..window emit both
+    directions, then aggregate counts. This is the corpus a
+    word2vec-style embedding trainer consumes downstream of
+    ``node2vec_walks``.
+
+    Pure array expressions build the per-walk pair list (no self-join,
+    no UDF); one explode + one (center, context) aggregate — the only
+    shuffle, key width two longs."""
+    path = F.col(path_col)
+    n = F.size(path)
+    fwd = F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.least(i + window, n - 1)),
+            lambda j: F.struct(F.element_at(path, i + 1).alias("center"),
+                               F.element_at(path, j + 1).alias("context"))),
+    ))).otherwise(F.array().cast("array<struct<center:long,context:long>>"))
+    pairs = (walks.select(F.explode(fwd).alias("pr"))
+             .select("pr.center", "pr.context"))
+    both = pairs.unionByName(
+        pairs.select(F.col("context").alias("center"),
+                     F.col("center").alias("context")))
+    return both.groupBy("center", "context").agg(F.count("*").alias("cnt"))

@@ -80,3 +80,17 @@ def test_no_persistent_leak(spark, tri_graph):
     # own adjacency + per-step checkpoints must be gone
     gs.node2vec_walks(tri_graph, length=3).count()
     assert jsc.getPersistentRDDs().size() <= n_persist + 1
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    walks = spark.createDataFrame(
+        [(0, [1, 2, 3]), (1, [7])], "walk_id LONG, path ARRAY<LONG>")
+    got = {(r.center, r.context): r.cnt
+           for r in gs.skipgram_pairs(walks, window=2).collect()}
+    # forward pairs: (1,2) (1,3) (2,3); mirrored: (2,1) (3,1) (3,2)
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1,
+                   (2, 1): 1, (3, 1): 1, (3, 2): 1}
+    single = gs.skipgram_pairs(
+        spark.createDataFrame([(1, [7])], "walk_id LONG, path ARRAY<LONG>"),
+        window=2).collect()
+    assert single == []
