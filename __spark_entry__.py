@@ -1371,6 +1371,51 @@ def _q_skipgram_pairs(spark, sf_dir):
     return skipgram_pairs(walks, window=2)
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """First 3 BPE tokenizer merges learned from the documents corpus
+    (functions/bpe.py): deterministic greedy pair-merge over the
+    word-frequency vocabulary; columns renamed lhs/rhs (left/right are
+    SQL keywords)."""
+    from graphscope_spark.functions import bpe_merges
+
+    out = bpe_merges(_t(spark, sf_dir, "documents"), rounds=3)
+    return out.select("rnd", F.col("left").alias("lhs"),
+                      F.col("right").alias("rhs"), "cnt")
+
+
+def _bpe_sql(rounds: int = 3) -> str:
+    """Merge-round replay of functions/bpe.py::bpe_merges — the fold
+    emulates Spark's aggregate() with single-element lists so
+    list_reduce has a same-typed accumulator."""
+    cte = [
+        r"words AS (SELECT tok AS w, COUNT(*) AS cnt FROM "
+        r"(SELECT unnest(list_filter(string_split_regex(text, '\s+'), "
+        r"x -> x <> '')) AS tok FROM documents) GROUP BY tok)",
+        "v0 AS (SELECT cnt, list_transform(range(1, length(w) + 1), "
+        "i -> substr(w, i, 1)) AS syms FROM words)",
+    ]
+    for r in range(rounds):
+        cte.append(
+            f"p{r} AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, "
+            f"SUM(cnt) AS pcnt FROM v{r}, "
+            "unnest(range(1, len(syms))) t(i) GROUP BY 1, 2)")
+        cte.append(
+            f"b{r} AS (SELECT lhs, rhs, pcnt FROM p{r} "
+            "ORDER BY pcnt DESC, lhs, rhs LIMIT 1)")
+        cte.append(
+            f"v{r + 1} AS (SELECT cnt, "
+            "list_reduce(list_transform(syms, s -> [s]), "
+            "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.lhs "
+            "AND x[1] = b.rhs "
+            "THEN list_append(acc[1:len(acc)-1], b.lhs || b.rhs) "
+            "ELSE list_append(acc, x[1]) END) AS syms "
+            f"FROM v{r}, b{r} b)")
+    fin = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnd, lhs, rhs, "
+        f"pcnt::BIGINT AS cnt FROM b{r}" for r in range(rounds))
+    return "WITH " + ", ".join(cte) + " " + fin
+
+
 _SPAN_TAIL = (" shared span alpha beta gamma delta epsilon zeta eta "
               "theta iota kappa")
 
@@ -3406,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logppl": _q_unigram_logppl,
         "node2vec_walks_3": _q_node2vec_walks,
         "skipgram_pairs": _q_skipgram_pairs,
+        "bpe_merges_3": _q_bpe_merges,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -4184,6 +4230,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "node2vec_walks_3": _node2vec_sql(length=3),
         "skipgram_pairs": _skipgram_sql(length=3, window=2),
+        "bpe_merges_3": _bpe_sql(rounds=3),
         "dup_spans": (
             "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
             f"text || '{_SPAN_TAIL}' ELSE text END AS text FROM documents), "

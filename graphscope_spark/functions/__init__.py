@@ -35,6 +35,7 @@ from graphscope_spark.functions.dedup import (
     simhash,
     simhash_pairs,
 )
+from graphscope_spark.functions.bpe import bpe_merges
 from graphscope_spark.functions.packing import pack_sequences
 from graphscope_spark.functions.sample import (
     hash_sample,
@@ -78,7 +79,7 @@ __all__ = [
     "redact_pii", "PII_DEFAULT_RULES",
     "detect_license", "code_stats", "vendored_groups", "repetition_stats",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
-    "decontaminate", "dup_span_stats", "unigram_logppl",
+    "decontaminate", "dup_span_stats", "unigram_logppl", "bpe_merges",
     "hash_sample", "stratified_sample", "sample_gate", "pack_sequences",
     "sessionize", "session_stats",
     "simhash", "simhash_pairs",

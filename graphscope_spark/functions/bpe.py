@@ -1,0 +1,89 @@
+"""BPE tokenizer-training statistics: distributed greedy merge rounds.
+
+The first stage of training a byte-pair-encoding tokenizer on a corpus
+(Sennrich et al., ACL 2016): count adjacent symbol pairs over the
+word-frequency table, merge the most frequent pair everywhere, repeat.
+At 100 TB the scale shape is what matters: after ONE aggregate the
+working set is the DISTINCT word vocabulary with counts — orders of
+magnitude smaller than the corpus — and every merge round rewrites
+only that vocabulary (an array fold per word, no shuffle) plus one
+narrow (left, right) pair-count aggregate.
+
+Fully deterministic: integer counts, ties broken lexicographically,
+greedy left-to-right non-overlapping merge (the standard BPE
+semantics, realized as a linear fold) — so the whole trainer replays
+exactly in SQL for the value oracle. No end-of-word marker (a
+simplification documented here; adding one is a one-line change to the
+symbol split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.text import tokenize
+
+
+def _adjacent_pairs(syms) -> Column:
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(syms) - 2),
+                    lambda i: F.struct(
+                        F.element_at(syms, i + 1).alias("left"),
+                        F.element_at(syms, i + 2).alias("right"))),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+
+
+def _merge_fold(syms, left, right) -> Column:
+    """Greedy left-to-right non-overlapping merge of (left, right) in a
+    symbol array — a linear fold; the guard uses try_element_at so the
+    empty accumulator never faults under ANSI mode."""
+    def step(acc, x):
+        hit = ((F.size(acc) > 0)
+               & (F.try_element_at(acc, F.lit(-1)) == left)
+               & (x == right))
+        return (F.when(hit,
+                       F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                                F.array(F.concat(left, right))))
+                .otherwise(F.concat(acc, F.array(x))))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_merges(df: DataFrame, text_col: str = "text",
+               rounds: int = 3) -> DataFrame:
+    """(rnd, left, right, cnt) — the first ``rounds`` BPE merges
+    learned from the corpus, in order, with the pair count each merge
+    was chosen at. One lazy plan: per round, a pair-count aggregate
+    over the vocabulary, a deterministic argmax (count desc, pair asc),
+    and a broadcast of the single winning row into the vocabulary
+    rewrite fold."""
+    words = (df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("cnt")))
+    # char split via the SQL form (substring with a column start); no
+    # regex lookahead, which the portable regex subset lacks
+    vocab = words.select(
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("syms"))
+
+    merges = None
+    for r in range(rounds):
+        pairs = (vocab.select("cnt",
+                              F.explode(_adjacent_pairs(F.col("syms")))
+                              .alias("pr"))
+                 .groupBy("pr.left", "pr.right")
+                 .agg(F.sum("cnt").alias("pcnt")))
+        best = (pairs.orderBy(F.desc("pcnt"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .select(F.lit(r).cast("long").alias("rnd"),
+                        "left", "right", F.col("pcnt").alias("cnt")))
+        merges = best if merges is None else merges.unionByName(best)
+        b = F.broadcast(best.select(F.col("left").alias("_a"),
+                                    F.col("right").alias("_b")))
+        vocab = (vocab.crossJoin(b)
+                 .select("cnt",
+                         _merge_fold(F.col("syms"), F.col("_a"),
+                                     F.col("_b")).alias("syms")))
+    return merges

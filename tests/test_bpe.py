@@ -1,0 +1,37 @@
+"""bpe_merges: the Sennrich et al. textbook example, determinism, and
+greedy non-overlapping merge semantics."""
+
+from __future__ import annotations
+
+from graphscope_spark.functions import bpe_merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING")
+
+
+def test_textbook_merges(spark):
+    df = _docs(spark, ["low low low lower lowest new newer newest"])
+    out = [(r.rnd, r.left, r.right, r.cnt)
+           for r in bpe_merges(df, rounds=4).collect()]
+    # (l,o) in low*3 + lower + lowest = 5; then (lo,w) = 5;
+    # then (e,w) in new/newer/newest = 3; then (n,ew) = 3
+    assert out == [(0, "l", "o", 5), (1, "lo", "w", 5),
+                   (2, "e", "w", 3), (3, "n", "ew", 3)]
+
+
+def test_greedy_nonoverlapping(spark):
+    # 'aaa' under merge (a,a): left-to-right gives ['aa','a'], so the
+    # second round's top pair is (aa, a), never an overlapping (a, a)
+    df = _docs(spark, ["aaa aaa"])
+    out = [(r.rnd, r.left, r.right, r.cnt)
+           for r in bpe_merges(df, rounds=2).collect()]
+    assert out == [(0, "a", "a", 4), (1, "aa", "a", 2)]
+
+
+def test_deterministic_tiebreak(spark):
+    # 'ab' and 'cd' both count 1: lexicographically smallest pair wins
+    df = _docs(spark, ["ab cd"])
+    out = [(r.left, r.right) for r in bpe_merges(df, rounds=1).collect()]
+    assert out == [("a", "b")]
