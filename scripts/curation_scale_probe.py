@@ -1,0 +1,76 @@
+"""Scale probe for the corpus-curation operator family.
+
+Synthesizes N deterministic word-salad documents (40-80 tokens over a
+500-word vocabulary, all JVM-side — no data leaves the cluster) and
+times each curation pass once, cold, at local[CPUS]. Prints one JSON
+line. The point is throughput SHAPE at millions of documents: per-doc
+array signals should run at generation speed, the shuffling ops
+(dup_span_stats, unigram_logppl, bpe_merges) at one narrow exchange
+each.
+
+Usage: python scripts/curation_scale_probe.py [n_docs] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from graphscope_spark import build_session
+    from graphscope_spark.functions import (
+        bpe_merges, code_stats, detect_license, dup_span_stats,
+        repetition_stats, unigram_logppl,
+    )
+
+    spark = build_session(cpus=CPUS, shuffle_partitions=CPUS,
+                          app_name="curation-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (spark.range(0, N, 1, CPUS)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat_ws(" ", F.transform(
+                        F.sequence(F.lit(1), 40 + F.pmod(F.col("id"), 41)),
+                        lambda j: F.concat(
+                            F.lit("w"),
+                            F.pmod(F.xxhash64(F.col("id"), j), F.lit(500))
+                            .cast("string")))).alias("text"))
+            .persist())
+    n_tokens = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    out = {"n_docs": N, "n_tokens": int(n_tokens), "cpus": CPUS, "ops": {}}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        out["ops"][name] = {"sec": round(dt, 2),
+                            "docs_per_sec": round(N / dt)}
+
+    run("code_stats", lambda: code_stats(docs).select(
+        F.sum("max_line_len")).first())
+    run("detect_license", lambda: detect_license(docs).groupBy(
+        "license").count().collect())
+    run("repetition_stats", lambda: repetition_stats(docs).select(
+        F.sum("n_tokens")).first())
+    run("unigram_logppl", lambda: unigram_logppl(docs).select(
+        F.sum("xent")).first())
+    run("dup_span_stats_k8", lambda: dup_span_stats(docs, k=8).select(
+        F.sum("dup_grams")).first())
+    run("bpe_merges_2r", lambda: bpe_merges(docs, rounds=2).collect())
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
