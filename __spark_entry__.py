@@ -594,6 +594,69 @@ def _q_pagerank_3iter(spark, sf_dir):
     )
 
 
+@_session_graph_cache
+def _graph_weighted(spark: SparkSession, sf_dir: str):
+    """Co-purchase graph with deterministic edge weights
+    1 + (src+dst) % 5 — integers in double, so weighted out-strength is
+    EXACT in both engines and only the rank products carry float
+    noise (absorbed by the micro rounding)."""
+    from graphscope_spark import LinkGraph
+
+    e = _edges(spark, sf_dir).select(
+        "src", "dst",
+        (F.lit(1.0) + (F.col("src") + F.col("dst")) % 5).alias("w"))
+    return LinkGraph(spark, e, directed=True)
+
+
+def _q_pagerank_weighted_3iter(spark, sf_dir):
+    """3 rounds of WEIGHTED PageRank (operators/pagerank.py
+    weight_col — NX's default semantics: share = rank·w/Σw)."""
+    from graphscope_spark.operators.pagerank import PageRankJob
+    from graphscope_spark.runtime.superstep import SuperstepRunner
+
+    g = _graph_weighted(spark, sf_dir)
+    job = PageRankJob(g, alpha=0.85, max_iter=10_000, tol=0.0,
+                      weight_col="w")
+    state, _ = SuperstepRunner(spark).run(job, max_steps=3)
+    return state.select(
+        "vid", F.round(F.col("rank") * 1e6).cast("long").alias("rank_micro")
+    )
+
+
+def _pagerank_weighted_sql(k: int, alpha: float = 0.85) -> str:
+    """k weighted NX-semantics rounds over the 1+(src+dst)%5 weights."""
+    ctes = [
+        "wedges AS MATERIALIZED (SELECT src, dst, "
+        "1.0 + (src + dst) % 5 AS w FROM edges)",
+        "wdeg AS MATERIALIZED (SELECT v.vid, COALESCE(SUM(e.w), 0.0) "
+        "AS deg FROM verts v LEFT JOIN wedges e ON e.src = v.vid "
+        "GROUP BY v.vid)",
+        "r0 AS MATERIALIZED (SELECT vid, deg, "
+        "1.0/(SELECT n FROM params) AS rank FROM wdeg)",
+        f"d0 AS MATERIALIZED (SELECT COALESCE({alpha} * "
+        "(1.0/(SELECT n FROM params)) * COUNT(*), 0.0) AS ds "
+        "FROM r0 WHERE deg = 0)",
+    ]
+    for i in range(1, k + 1):
+        p, d = f"r{i-1}", f"d{i-1}"
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid, v.deg, "
+            f"{alpha} * COALESCE(s.msum, 0.0) + ({1.0 - alpha} + "
+            f"(SELECT ds FROM {d})) / (SELECT n FROM params) AS rank "
+            f"FROM {p} v LEFT JOIN (SELECT e.dst AS vid, "
+            f"SUM(r.rank * e.w / r.deg) AS msum "
+            f"FROM wedges e JOIN {p} r ON e.src = r.vid AND r.deg > 0 "
+            "GROUP BY e.dst) s ON v.vid = s.vid)")
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE({alpha} * SUM(rank), "
+            f"0.0) AS ds FROM r{i} WHERE deg = 0)")
+    return (
+        _GRAPH_PRELUDE + ", " + ",\n".join(ctes)
+        + f"\nSELECT vid, CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_micro "
+        f"FROM r{k}"
+    )
+
+
 def _q_pagerank_push_8r(spark, sf_dir):
     from graphscope_spark.operators.pagerank import PageRankPushJob
     from graphscope_spark.runtime.superstep import SuperstepRunner
@@ -3452,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks_3": _q_node2vec_walks,
         "skipgram_pairs": _q_skipgram_pairs,
         "bpe_merges_3": _q_bpe_merges,
+        "pagerank_weighted_3iter": _q_pagerank_weighted_3iter,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -4231,6 +4295,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_walks_3": _node2vec_sql(length=3),
         "skipgram_pairs": _skipgram_sql(length=3, window=2),
         "bpe_merges_3": _bpe_sql(rounds=3),
+        "pagerank_weighted_3iter": _pagerank_weighted_sql(3),
         "dup_spans": (
             "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
             f"text || '{_SPAN_TAIL}' ELSE text END AS text FROM documents), "

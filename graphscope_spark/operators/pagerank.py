@@ -40,12 +40,18 @@ class PageRankJob(SuperstepJob):
 
     def __init__(self, graph: LinkGraph, alpha: float = 0.85,
                  max_iter: int = 100, tol: float = 1e-6, salt: int = 0,
-                 init_ranks: DataFrame | None = None):
+                 init_ranks: DataFrame | None = None,
+                 weight_col: str | None = None):
         self.graph = graph
         self.alpha = alpha
         self.max_iter = max_iter
         self.tol = tol
         self.salt = salt
+        # weight_col: NX-parity weighted PageRank (nx.pagerank weights by
+        # 'weight' by default) — out-strength replaces out-degree and a
+        # vertex's share splits w/Σw per edge. None keeps the pinned
+        # unweighted plan byte-for-byte (no extra column rides the join).
+        self.weight_col = weight_col
         # Ingress-style warm start (reference
         # docs/analytical_engine/ingress.md:1-28 — memoization-path
         # incrementalization): seed from a previous run's (vid, rank) so a
@@ -54,19 +60,35 @@ class PageRankJob(SuperstepJob):
         self.init_ranks = init_ranks
         # messages flow along stored edges (u→v ⇒ u's share reaches v);
         # an undirected LinkGraph already stores both directions.
-        self.msg_edges = graph.edges if graph.directed else graph.sym_edges()
+        e = graph.edges if graph.directed else graph.sym_edges()
+        if weight_col is not None:
+            e = e.select("src", "dst",
+                         F.col(weight_col).cast("double").alias("w"))
+        self.msg_edges = e
 
     def config(self) -> dict:
         return {"algo": self.name, "alpha": self.alpha, "max_iter": self.max_iter,
                 "tol": self.tol, "salt": self.salt,
+                "weight_col": self.weight_col,
                 "directed": self.graph.directed}
+
+    def _vertex_strength(self) -> DataFrame:
+        """(vid, deg) — weighted out-strength when weight_col is set
+        (Σw over out-edges, 0.0 for danglers), else plain out-degree."""
+        g = self.graph
+        if self.weight_col is None:
+            return g.out_degrees()
+        s = self.msg_edges.groupBy("src").agg(F.sum("w").alias("_s"))
+        return (g.vertices.select("vid")
+                .join(s, g.vertices["vid"] == s["src"], "left")
+                .select("vid", F.coalesce("_s", F.lit(0.0)).alias("deg")))
 
     def init(self, spark: SparkSession):
         g = self.graph
         n = g.num_vertices
         p = 1.0 / n
         if self.init_ranks is None:
-            state = g.out_degrees().select(
+            state = self._vertex_strength().select(
                 "vid", "deg", F.lit(p).alias("rank")
             )
             dangling_vnum = state.filter(F.col("deg") == 0).count()
@@ -74,7 +96,7 @@ class PageRankJob(SuperstepJob):
         else:
             prev = self.init_ranks.select("vid", F.col("rank").alias("r0"))
             state = (
-                g.out_degrees().join(prev, "vid", "left")
+                self._vertex_strength().join(prev, "vid", "left")
                 .select("vid", "deg", F.coalesce("r0", F.lit(p)).alias("rank"))
             )
             dangling_sum = self.alpha * float(
@@ -99,9 +121,14 @@ class PageRankJob(SuperstepJob):
         contrib = state.filter(F.col("deg") > 0).select(
             "vid", (F.col("rank") / F.col("deg")).alias("c")
         ).hint("shuffle_hash")
-        msgs = self.msg_edges.join(
-            contrib, self.msg_edges["src"] == contrib["vid"]
-        ).select("dst", "c", "src")
+        joined = self.msg_edges.join(
+            contrib, self.msg_edges["src"] == contrib["vid"])
+        if self.weight_col is None:
+            msgs = joined.select("dst", "c", "src")
+        else:
+            # per-edge share: rank · w / strength
+            msgs = joined.select(
+                "dst", (F.col("c") * F.col("w")).alias("c"), "src")
         # groupBy-sum gets map-side partial combine from Catalyst (the
         # reference's remote-combine); salt>0 additionally spreads a hub
         # dst's *reduce* work over `salt` sub-keys.
@@ -284,10 +311,14 @@ def pagerank(
     runner: SuperstepRunner | None = None,
     resume: bool = False,
     init_ranks: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Run PageRank to convergence; returns (vid, rank)."""
+    """Run PageRank to convergence; returns (vid, rank).
+
+    ``weight_col`` names an edge-weight column for NX-parity weighted
+    PageRank (share per edge = rank·w/Σw); None = unweighted."""
     job = PageRankJob(graph, alpha=alpha, max_iter=max_iter, tol=tol, salt=salt,
-                      init_ranks=init_ranks)
+                      init_ranks=init_ranks, weight_col=weight_col)
     runner = runner or SuperstepRunner(graph.spark)
     state, _ = runner.run(job, max_steps=max_iter + 1, resume=resume)
     return state.select("vid", "rank")

@@ -1,0 +1,65 @@
+"""Weighted PageRank: NetworkX parity (allclose 1e-6, the north-rule
+tolerance) and weight≡1 equivalence with the unweighted engine."""
+
+from __future__ import annotations
+
+import pytest
+
+import graphscope_spark as gs
+from pyspark.sql import functions as F
+
+EDGES = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+         (2, 3, 5.0), (3, 0, 0.5), (4, 2, 1.0)]  # 5 also exists, dangling
+
+
+def _graph(spark):
+    df = spark.createDataFrame(EDGES, "src LONG, dst LONG, w DOUBLE")
+    verts = spark.createDataFrame([(i,) for i in range(6)], "vid LONG")
+    return gs.LinkGraph(spark, df, vertices=verts, directed=True)
+
+
+def _nx_style_pagerank(n, edges, alpha=0.85, tol=1e-9, max_iter=500):
+    """Pure-Python power iteration with NX semantics (weighted shares,
+    dangling mass spread uniformly, L1 n·tol stop) — the container has
+    no scipy so nx.pagerank itself cannot run."""
+    strength = {v: 0.0 for v in range(n)}
+    for s, _, w in edges:
+        strength[s] += w
+    x = {v: 1.0 / n for v in range(n)}
+    for _ in range(max_iter):
+        nxt = {v: 0.0 for v in range(n)}
+        dangle = sum(x[v] for v in range(n) if strength[v] == 0.0)
+        for s, d, w in edges:
+            nxt[d] += alpha * x[s] * w / strength[s]
+        base = (1 - alpha) / n + alpha * dangle / n
+        nxt = {v: nxt[v] + base for v in nxt}
+        if sum(abs(nxt[v] - x[v]) for v in nxt) < n * tol:
+            return nxt
+        x = nxt
+    return x
+
+
+def test_matches_nx_semantics_weighted(spark):
+    g = _graph(spark)
+    got = {r.vid: r.rank
+           for r in gs.pagerank(g, tol=1e-9, weight_col="w").collect()}
+    want = _nx_style_pagerank(6, EDGES)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_unit_weights_equal_unweighted(spark):
+    g = _graph(spark)
+    df = spark.createDataFrame(
+        [(s, d, 1.0) for s, d, _ in EDGES], "src LONG, dst LONG, w DOUBLE")
+    g1 = gs.LinkGraph(spark, df,
+                      vertices=spark.createDataFrame(
+                          [(i,) for i in range(6)], "vid LONG"),
+                      directed=True)
+    a = {r.vid: r.rank for r in gs.pagerank(g, tol=1e-10).collect()}
+    b = {r.vid: r.rank
+         for r in gs.pagerank(g1, tol=1e-10, weight_col="w").collect()}
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
