@@ -1479,6 +1479,38 @@ def _bpe_sql(rounds: int = 3) -> str:
     return "WITH " + ", ".join(cte) + " " + fin
 
 
+def _q_funnel_levels(spark, sf_dir):
+    """Windowed funnel view→click→purchase, 1-day window
+    (functions/funnel.py): deepest step per user via the latest-start
+    DP; integer-µs arithmetic so the EXISTS-chain oracle matches
+    exactly (timestamps are globally unique in the testdata, so strict
+    time ordering is unambiguous)."""
+    from graphscope_spark.functions import funnel_levels
+
+    ev = _t(spark, sf_dir, "events")
+    lv = funnel_levels(ev, ["view", "click", "purchase"], within_s=86400)
+    return lv.select("user", F.col("level").cast("long").alias("level"))
+
+
+_FUNNEL_SQL = (
+    "WITH ev AS MATERIALIZED (SELECT user_id AS u, epoch_us(ts) AS t, "
+    "event_type AS ty FROM events "
+    "WHERE event_type IN ('view', 'click', 'purchase')), "
+    "c2 AS (SELECT DISTINCT a.u FROM ev a JOIN ev b ON b.u = a.u "
+    "AND a.ty = 'view' AND b.ty = 'click' AND b.t > a.t "
+    "AND b.t - a.t <= 86400000000), "
+    "c3 AS (SELECT DISTINCT a.u FROM ev a JOIN ev b ON b.u = a.u "
+    "JOIN ev c ON c.u = a.u WHERE a.ty = 'view' AND b.ty = 'click' "
+    "AND c.ty = 'purchase' AND b.t > a.t AND c.t > b.t "
+    "AND c.t - a.t <= 86400000000) "
+    "SELECT u AS user, CAST(CASE "
+    "WHEN u IN (SELECT u FROM c3) THEN 3 "
+    "WHEN u IN (SELECT u FROM c2) THEN 2 "
+    "WHEN u IN (SELECT DISTINCT u FROM ev WHERE ty = 'view') THEN 1 "
+    "ELSE 0 END AS BIGINT) AS level FROM (SELECT DISTINCT u FROM ev)"
+)
+
+
 _SPAN_TAIL = (" shared span alpha beta gamma delta epsilon zeta eta "
               "theta iota kappa")
 
@@ -3516,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": _q_skipgram_pairs,
         "bpe_merges_3": _q_bpe_merges,
         "pagerank_weighted_3iter": _q_pagerank_weighted_3iter,
+        "funnel_levels": _q_funnel_levels,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -4296,6 +4329,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_pairs": _skipgram_sql(length=3, window=2),
         "bpe_merges_3": _bpe_sql(rounds=3),
         "pagerank_weighted_3iter": _pagerank_weighted_sql(3),
+        "funnel_levels": _FUNNEL_SQL,
         "dup_spans": (
             "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
             f"text || '{_SPAN_TAIL}' ELSE text END AS text FROM documents), "

@@ -1,0 +1,84 @@
+"""Windowed funnel analysis over event streams.
+
+The classic product-analytics operator (ClickHouse's ``windowFunnel``):
+per user, the deepest prefix of ``steps`` completed by time-increasing
+events with (last.ts − first.ts) ≤ ``within``. Exact dynamic program,
+not a greedy scan: processing a user's events in time order, ``dp[i]``
+holds the LATEST chain-start time over all chains reaching step i — a
+later start strictly dominates (the window constraint only ever
+compares against the start), so keeping the max start is optimal.
+
+Scale shape: one filter to the step types, one groupBy(user) carrying
+(epoch-µs, step-index) pairs — the only shuffle, narrow rows — then a
+per-user sorted fold (array expressions, no UDF). Per-user state is
+k longs; per-user event lists are the same working set every funnel
+engine holds. All arithmetic is integer µs, so the SQL oracle matches
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NEG = -(1 << 62)
+
+
+def funnel_levels(events: DataFrame, steps: list[str], within_s: int,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """(user, level) — deepest funnel step each user reached (0..k)."""
+    k = len(steps)
+    w = int(within_s) * 1_000_000
+    idx = F.create_map(*[x for i, s in enumerate(steps)
+                         for x in (F.lit(s), F.lit(i))])
+    # cast handles TIMESTAMP_NTZ inputs; the DP only ever compares
+    # DIFFERENCES, so the session-timezone shift cancels (same pattern
+    # as sessionize's integer-µs arithmetic)
+    evs = (events.filter(F.col(type_col).isin(*steps))
+           .select(F.col(user_col).alias("user"),
+                   F.unix_micros(F.col(ts_col).cast("timestamp"))
+                   .alias("_ts"),
+                   idx[F.col(type_col)].cast("int").alias("_i")))
+    per = (evs.groupBy("user")
+           .agg(F.sort_array(F.collect_list(F.struct("_ts", "_i")))
+                .alias("_evs")))
+    init = F.array(*[F.lit(_NEG).cast("long") for _ in range(k)])
+
+    def advance(acc, e):
+        # the event updates only dp[e._i]; dp[0] takes the event time,
+        # dp[i>0] inherits the predecessor chain's start when the
+        # window still holds (element_at(acc, i) == 0-based acc[i-1],
+        # only evaluated on the i >= 1 branch)
+        return F.transform(
+            acc,
+            lambda x, i: (
+                F.when(e["_i"] != i, x)
+                .when(i == F.lit(0), F.greatest(x, e["_ts"]))
+                .otherwise(F.when(
+                    (F.try_element_at(acc, i) > F.lit(_NEG))
+                    & (e["_ts"] - F.try_element_at(acc, i) <= F.lit(w)),
+                    F.greatest(x, F.try_element_at(acc, i))).otherwise(x))))
+
+    dp = F.aggregate("_evs", init, advance)
+    level = F.size(F.filter(dp, lambda x: x > F.lit(_NEG)))
+    return per.select("user", level.alias("level"))
+
+
+def funnel_counts(events: DataFrame, steps: list[str], within_s: int,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """(step, step_name, users) — users reaching AT LEAST each step;
+    steps with zero users still get a row."""
+    lv = funnel_levels(events, steps, within_s, user_col, ts_col, type_col)
+    reached = (lv.filter(F.col("level") >= 1)
+               .select("user", F.explode(
+                   F.sequence(F.lit(1), F.col("level"))).alias("step"))
+               .groupBy("step").agg(F.count("*").alias("users")))
+    names = F.create_map(*[x for i, s in enumerate(steps)
+                           for x in (F.lit(i + 1), F.lit(s))])
+    all_steps = (lv.sparkSession.range(1, len(steps) + 1)
+                 .select(F.col("id").cast("int").alias("step")))
+    return (all_steps.join(reached, "step", "left")
+            .select("step", names[F.col("step")].alias("step_name"),
+                    F.coalesce("users", F.lit(0)).alias("users")))

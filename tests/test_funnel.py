@@ -1,0 +1,57 @@
+"""Windowed funnel DP: restart, latest-start dominance, out-of-order
+events, zero-level users, and empty-step rows in funnel_counts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from graphscope_spark.functions import funnel_counts, funnel_levels
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _t(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_type STRING")
+
+
+STEPS = ["view", "click", "purchase"]
+
+
+def test_funnel_levels_semantics(spark):
+    rows = [
+        # u1: full chain inside the window
+        (1, _t(0), "view"), (1, _t(10), "click"), (1, _t(50), "purchase"),
+        # u2: click BEFORE the view -> stuck at level 1
+        (2, _t(0), "click"), (2, _t(10), "view"),
+        # u3: first chain times out at purchase, restart completes
+        (3, _t(0), "view"), (3, _t(10), "click"),
+        (3, _t(200), "view"), (3, _t(210), "click"), (3, _t(250), "purchase"),
+        # u5: latest-start dominance — only the view@90 chain fits
+        (5, _t(0), "view"), (5, _t(90), "view"),
+        (5, _t(100), "click"), (5, _t(150), "purchase"),
+        # u6: relevant events but never a view -> level 0 row
+        (6, _t(0), "purchase"), (6, _t(5), "click"),
+    ]
+    lv = {r.user: r.level
+          for r in funnel_levels(_ev(spark, rows), STEPS, 100).collect()}
+    assert lv == {1: 3, 2: 1, 3: 3, 5: 3, 6: 0}
+
+
+def test_funnel_counts_zero_rows(spark):
+    rows = [(1, _t(0), "view"), (1, _t(10), "click")]
+    got = {r.step: (r.step_name, r.users)
+           for r in funnel_counts(_ev(spark, rows), STEPS, 100).collect()}
+    assert got == {1: ("view", 1), 2: ("click", 1), 3: ("purchase", 0)}
+
+
+def test_window_boundary_inclusive(spark):
+    rows = [(1, _t(0), "view"), (1, _t(100), "click"),
+            (2, _t(0), "view"), (2, _t(101), "click")]
+    lv = {r.user: r.level
+          for r in funnel_levels(_ev(spark, rows), STEPS, 100).collect()}
+    assert lv == {1: 2, 2: 1}  # <= within is inclusive
