@@ -1511,6 +1511,26 @@ _FUNNEL_SQL = (
 )
 
 
+def _q_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention over events (functions/funnel.py):
+    cohort = first-activity week index, users counted per later active
+    week — all integer µs/period arithmetic, exact vs the oracle."""
+    from graphscope_spark.functions import retention_matrix
+
+    return retention_matrix(_t(spark, sf_dir, "events"), period_s=604800)
+
+
+_RETENTION_SQL = (
+    "WITH act AS (SELECT DISTINCT user_id AS \"user\", "
+    "CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS per "
+    "FROM events), "
+    "fst AS (SELECT \"user\", MIN(per) AS cohort FROM act "
+    "GROUP BY \"user\") "
+    "SELECT cohort, per - cohort AS offset, COUNT(*)::BIGINT AS users "
+    "FROM act JOIN fst USING (\"user\") GROUP BY cohort, per - cohort"
+)
+
+
 _SPAN_TAIL = (" shared span alpha beta gamma delta epsilon zeta eta "
               "theta iota kappa")
 
@@ -3549,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_3": _q_bpe_merges,
         "pagerank_weighted_3iter": _q_pagerank_weighted_3iter,
         "funnel_levels": _q_funnel_levels,
+        "retention_weekly": _q_retention_weekly,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -4330,6 +4351,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges_3": _bpe_sql(rounds=3),
         "pagerank_weighted_3iter": _pagerank_weighted_sql(3),
         "funnel_levels": _FUNNEL_SQL,
+        "retention_weekly": _RETENTION_SQL,
         "dup_spans": (
             "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
             f"text || '{_SPAN_TAIL}' ELSE text END AS text FROM documents), "

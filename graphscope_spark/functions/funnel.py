@@ -82,3 +82,25 @@ def funnel_counts(events: DataFrame, steps: list[str], within_s: int,
     return (all_steps.join(reached, "step", "left")
             .select("step", names[F.col("step")].alias("step_name"),
                     F.coalesce("users", F.lit(0)).alias("users")))
+
+
+def retention_matrix(events: DataFrame, period_s: int = 604800,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """(cohort, offset, users) — classic cohort retention: users are
+    cohorted by the period of their first event (period index =
+    floor(epoch-µs / period), integer arithmetic) and counted in every
+    later period they were active in; offset 0 row = cohort size.
+
+    Shape: one distinct over (user, period) — narrow keys — one
+    per-user min, one count aggregate. All integers, exact in SQL."""
+    p = int(period_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    act = (events.select(F.col(user_col).alias("user"),
+                         F.floor(us / p).alias("per"))
+           .distinct())
+    first = act.groupBy("user").agg(F.min("per").alias("cohort"))
+    return (act.join(first, "user")
+            .groupBy("cohort", (F.col("per") - F.col("cohort"))
+                     .alias("offset"))
+            .agg(F.count("*").alias("users")))

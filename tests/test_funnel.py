@@ -55,3 +55,22 @@ def test_window_boundary_inclusive(spark):
     lv = {r.user: r.level
           for r in funnel_levels(_ev(spark, rows), STEPS, 100).collect()}
     assert lv == {1: 2, 2: 1}  # <= within is inclusive
+
+
+def test_retention_matrix_hand_computed(spark):
+    from graphscope_spark.functions import retention_matrix
+
+    week = 604800
+    rows = [
+        (1, _t(0), "view"), (1, _t(week + 5), "view"),       # w0, w1
+        (1, _t(3 * week + 5), "view"),                       # w3
+        (2, _t(week + 10), "view"),                          # cohort w1
+        (2, _t(2 * week + 10), "view"),                      # w2
+        (3, _t(5), "view"),                                  # cohort w0 only
+    ]
+    got = {(r.cohort, r.offset): r.users
+           for r in retention_matrix(_ev(spark, rows), week).collect()}
+    base = min(c for c, _ in got)  # absolute week index of T0
+    rel = {(c - base, o): u for (c, o), u in got.items()}
+    assert rel == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 1, (1, 1): 1}
