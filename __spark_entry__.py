@@ -1531,6 +1531,45 @@ _RETENTION_SQL = (
 )
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount",
+                 "l_returnflag", "l_linestatus"]
+
+
+def _q_profile_lineitem(spark, sf_dir):
+    """Single-scan column profile of lineitem (functions/profile.py):
+    nulls / exact distinct / micro-rounded extrema + exact interpolated
+    median for numerics, string extrema otherwise."""
+    from graphscope_spark.functions import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
+def _profile_sql() -> str:
+    num = {"l_quantity", "l_extendedprice", "l_discount"}
+    parts = []
+    for c in _PROFILE_COLS:
+        common = (
+            f"SELECT '{c}' AS \"column\", COUNT(*)::BIGINT AS n_rows, "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_nulls, "
+            f"COUNT(DISTINCT {c})::BIGINT AS n_distinct, ")
+        if c in num:
+            parts.append(common + (
+                f"CAST(ROUND(MIN({c}) * 1e6) AS BIGINT) AS min_micro, "
+                f"CAST(ROUND(MAX({c}) * 1e6) AS BIGINT) AS max_micro, "
+                f"CAST(ROUND(quantile_cont({c}, 0.5) * 1e6) AS BIGINT) "
+                "AS median_micro, "
+                "CAST(NULL AS VARCHAR) AS min_str, "
+                "CAST(NULL AS VARCHAR) AS max_str FROM lineitem"))
+        else:
+            parts.append(common + (
+                "CAST(NULL AS BIGINT) AS min_micro, "
+                "CAST(NULL AS BIGINT) AS max_micro, "
+                "CAST(NULL AS BIGINT) AS median_micro, "
+                f"MIN({c}) AS min_str, MAX({c}) AS max_str FROM lineitem"))
+    return " UNION ALL ".join(parts)
+
+
 _SPAN_TAIL = (" shared span alpha beta gamma delta epsilon zeta eta "
               "theta iota kappa")
 
@@ -3570,6 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_3iter": _q_pagerank_weighted_3iter,
         "funnel_levels": _q_funnel_levels,
         "retention_weekly": _q_retention_weekly,
+        "profile_lineitem": _q_profile_lineitem,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -4352,6 +4392,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted_3iter": _pagerank_weighted_sql(3),
         "funnel_levels": _FUNNEL_SQL,
         "retention_weekly": _RETENTION_SQL,
+        "profile_lineitem": _profile_sql(),
         "dup_spans": (
             "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
             f"text || '{_SPAN_TAIL}' ELSE text END AS text FROM documents), "

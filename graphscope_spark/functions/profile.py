@@ -1,0 +1,73 @@
+"""Column profiling — the data-quality pass a 100 TB ingestion runs
+before anything else: per-column null counts, distinct cardinality,
+range, and median, computed in ONE scan.
+
+All per-column statistics ride a single aggregate (multiple exact
+COUNT(DISTINCT) in one agg uses Spark's Expand — k× row fan-out in the
+map stage, still one shuffle of partial aggregates); the one-row result
+is then unpivoted driver-side into (column, …) rows, which costs
+nothing. Numeric extrema/median are micro-rounded longs so the profile
+is value-comparable across engines; string extrema pass through.
+
+At real scale swap ``exact=False`` for the sketched versions
+(approx_count_distinct / percentile_approx) — same single-scan shape,
+constant memory."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None,
+                    exact: bool = True) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_micro, max_micro,
+    median_micro, min_str, max_str) — one row per profiled column."""
+    cols = cols or df.columns
+    numeric = {f.name for f in df.schema.fields
+               if isinstance(f.dataType, NumericType)}
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .cast("long").alias(f"_nn_{c}"))
+        aggs.append((F.countDistinct(c) if exact
+                     else F.approx_count_distinct(c)).alias(f"_nd_{c}"))
+        if c in numeric:
+            aggs.append(F.round(F.min(c).cast("double") * 1e6)
+                        .cast("long").alias(f"_min_{c}"))
+            aggs.append(F.round(F.max(c).cast("double") * 1e6)
+                        .cast("long").alias(f"_max_{c}"))
+            med = (F.expr(f"percentile({c}, 0.5)") if exact
+                   else F.expr(f"percentile_approx({c}, 0.5)"))
+            aggs.append(F.round(med * 1e6).cast("long").alias(f"_med_{c}"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"_min_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"_max_{c}"))
+    one = df.agg(*aggs)
+    # unpivot as ONE explode of per-column structs — a union of selects
+    # over the aggregate would re-plan (and re-scan) it per branch
+    structs = []
+    for c in cols:
+        if c in numeric:
+            structs.append(F.struct(
+                F.lit(c).alias("column"), F.col("_rows").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_micro"),
+                F.col(f"_max_{c}").alias("max_micro"),
+                F.col(f"_med_{c}").alias("median_micro"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str")))
+        else:
+            structs.append(F.struct(
+                F.lit(c).alias("column"), F.col("_rows").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.lit(None).cast("long").alias("min_micro"),
+                F.lit(None).cast("long").alias("max_micro"),
+                F.lit(None).cast("long").alias("median_micro"),
+                F.col(f"_min_{c}").alias("min_str"),
+                F.col(f"_max_{c}").alias("max_str")))
+    return (one.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.*"))

@@ -1,0 +1,29 @@
+"""profile_columns: hand-computed stats, null handling, and the
+single-scan plan guarantee."""
+
+from __future__ import annotations
+
+from graphscope_spark.functions import profile_columns
+
+
+def test_profile_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "b"), (4, 20.0, None)],
+        "id LONG, x DOUBLE, s STRING")
+    got = {r.column: r for r in profile_columns(df, ["x", "s"]).collect()}
+    x = got["x"]
+    assert (x.n_rows, x.n_nulls, x.n_distinct) == (4, 1, 3)
+    assert (x.min_micro, x.max_micro) == (10_000_000, 30_000_000)
+    assert x.median_micro == 20_000_000  # exact interpolated median of 3
+    assert x.min_str is None
+    s = got["s"]
+    assert (s.n_nulls, s.n_distinct) == (1, 2)
+    assert (s.min_str, s.max_str) == ("a", "b")
+    assert s.min_micro is None
+
+
+def test_profile_single_scan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = (profile_columns(df, ["l_quantity", "l_returnflag"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("FileScan parquet") == 1
