@@ -1570,6 +1570,31 @@ def _profile_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _q_chunk_docs(spark, sf_dir):
+    """RAG-style sliding-window chunking of documents (32-token chunks,
+    8-token overlap; functions/packing.py::chunk_documents) — pure
+    token arithmetic, shuffle-free, exact SQL replay."""
+    from graphscope_spark.functions import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_tokens=32, overlap=8)
+
+
+_CHUNK_SQL = (
+    r"WITH toks AS (SELECT doc_id, list_filter("
+    r"string_split_regex(text, '\s+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "c AS (SELECT doc_id, t, len(t) AS n, "
+    "GREATEST(CAST(CEIL((len(t) - 8) / 24.0) AS INT), 1) AS k FROM toks) "
+    "SELECT doc_id, CAST(i AS BIGINT) AS chunk_no, "
+    "CAST(i * 24 AS BIGINT) AS start_tok, "
+    "CAST(LEAST(n - i * 24, 32) AS BIGINT) AS n_tokens, "
+    "array_to_string(list_slice(t, i * 24 + 1, LEAST(i * 24 + 32, n)), "
+    "' ') AS chunk "
+    "FROM c, unnest(range(0, k)) u(i)"
+)
+
+
 _SPAN_TAIL = (" shared span alpha beta gamma delta epsilon zeta eta "
               "theta iota kappa")
 
@@ -3610,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_levels": _q_funnel_levels,
         "retention_weekly": _q_retention_weekly,
         "profile_lineitem": _q_profile_lineitem,
+        "chunk_docs": _q_chunk_docs,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -4393,6 +4419,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_levels": _FUNNEL_SQL,
         "retention_weekly": _RETENTION_SQL,
         "profile_lineitem": _profile_sql(),
+        "chunk_docs": _CHUNK_SQL,
         "dup_spans": (
             "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
             f"text || '{_SPAN_TAIL}' ELSE text END AS text FROM documents), "

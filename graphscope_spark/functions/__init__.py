@@ -36,7 +36,7 @@ from graphscope_spark.functions.dedup import (
     simhash_pairs,
 )
 from graphscope_spark.functions.bpe import bpe_merges
-from graphscope_spark.functions.packing import pack_sequences
+from graphscope_spark.functions.packing import chunk_documents, pack_sequences
 from graphscope_spark.functions.sample import (
     hash_sample,
     sample_gate,
@@ -82,7 +82,7 @@ __all__ = [
     "detect_license", "code_stats", "vendored_groups", "repetition_stats",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
     "decontaminate", "dup_span_stats", "unigram_logppl", "bpe_merges",
-    "hash_sample", "stratified_sample", "sample_gate", "pack_sequences",
+    "hash_sample", "stratified_sample", "sample_gate", "pack_sequences", "chunk_documents",
     "sessionize", "session_stats", "funnel_levels", "funnel_counts", "retention_matrix", "profile_columns",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",

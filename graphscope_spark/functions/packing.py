@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphscope_spark.functions.dedup import _hash60
-from graphscope_spark.functions.text import token_count
+from graphscope_spark.functions.text import token_count, tokenize
 
 
 def pack_sequences(df: DataFrame, max_tokens: int = 2048,
@@ -67,3 +67,40 @@ def pack_sequences(df: DataFrame, max_tokens: int = 2048,
               .withColumn("bin_id",
                           F.expr(f"start_offset div {int(max_tokens)}")))
     return packed.select("doc_id", "n_tokens", "start_offset", "bin_id")
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, chunk_no, start_tok, n_tokens, chunk) — RAG-style
+    sliding-window chunking: windows of ``chunk_tokens`` whitespace
+    tokens with ``overlap`` tokens carried between consecutive chunks
+    (stride = chunk_tokens − overlap). The final partial window is kept
+    so no token is dropped; a doc shorter than one chunk yields exactly
+    one chunk.
+
+    Pure array expressions per row + one explode — shuffle-free, runs
+    at scan speed; chunk boundaries are pure token arithmetic so the
+    layout replays exactly in SQL."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2·stride, … while start < n (and at
+    # least one chunk for non-empty docs); last chunk may be short
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("long").alias("chunk_no"),
+            (c * stride).cast("long").alias("start_tok"),
+            F.least(n - c * stride, F.lit(chunk_tokens)).cast("long")
+            .alias("n_tokens"),
+            F.concat_ws(" ", F.slice(toks, c * stride + 1, chunk_tokens))
+            .alias("chunk")))
+    return (df.select(F.col(id_col).alias("doc_id"), F.explode(chunks)
+                      .alias("c"))
+            .select("doc_id", "c.chunk_no", "c.start_tok", "c.n_tokens",
+                    "c.chunk"))

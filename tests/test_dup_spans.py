@@ -73,3 +73,20 @@ def test_plans_stay_narrow(spark):
     plan2 = (unigram_logppl(df)
              ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan2
+
+
+def test_chunk_documents_layout(spark):
+    from graphscope_spark.functions import chunk_documents
+
+    rows = [(0, " ".join(f"t{i}" for i in range(20))), (1, "x"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = [(r.doc_id, r.chunk_no, r.start_tok, r.n_tokens)
+           for r in chunk_documents(df, chunk_tokens=8, overlap=2)
+           .orderBy("doc_id", "chunk_no").collect()]
+    # doc0: 20 tokens, stride 6 -> ceil(18/6)=3 chunks; full coverage,
+    # 2-token overlap between consecutive chunks
+    assert got == [(0, 0, 0, 8), (0, 1, 6, 8), (0, 2, 12, 8),
+                   (1, 0, 0, 1), (2, 0, 0, 0)]
+    plan = (chunk_documents(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
