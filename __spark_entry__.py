@@ -1595,6 +1595,26 @@ _CHUNK_SQL = (
 )
 
 
+def _q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream
+    (functions/funnel.py::event_transitions)."""
+    from graphscope_spark.functions import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+_TRANSITIONS_SQL = (
+    "WITH p AS (SELECT event_type AS next_type, "
+    "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) "
+    "AS prev_type FROM events), "
+    "c AS (SELECT prev_type, next_type, COUNT(*) AS cnt FROM p "
+    "WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type) "
+    "SELECT prev_type, next_type, cnt, "
+    "CAST(ROUND(cnt / SUM(cnt) OVER (PARTITION BY prev_type) * 1e6) "
+    "AS BIGINT) AS prob_micro FROM c"
+)
+
+
 _SPAN_TAIL = (" shared span alpha beta gamma delta epsilon zeta eta "
               "theta iota kappa")
 
@@ -3636,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_weekly": _q_retention_weekly,
         "profile_lineitem": _q_profile_lineitem,
         "chunk_docs": _q_chunk_docs,
+        "event_transitions": _q_event_transitions,
         # --- green in r02, rotated out since (r02 rows stand as evidence) ---
         "ppr_5r": _q_ppr_5r,
         "articlerank_5r": _q_articlerank_5r,
@@ -4420,6 +4441,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_weekly": _RETENTION_SQL,
         "profile_lineitem": _profile_sql(),
         "chunk_docs": _CHUNK_SQL,
+        "event_transitions": _TRANSITIONS_SQL,
         "dup_spans": (
             "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
             f"text || '{_SPAN_TAIL}' ELSE text END AS text FROM documents), "

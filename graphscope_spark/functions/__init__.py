@@ -42,7 +42,7 @@ from graphscope_spark.functions.sample import (
     sample_gate,
     stratified_sample,
 )
-from graphscope_spark.functions.funnel import funnel_counts, funnel_levels, retention_matrix
+from graphscope_spark.functions.funnel import event_transitions, funnel_counts, funnel_levels, retention_matrix
 from graphscope_spark.functions.profile import profile_columns
 from graphscope_spark.functions.sessions import session_stats, sessionize
 from graphscope_spark.functions.similarity import (
@@ -83,7 +83,7 @@ __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
     "decontaminate", "dup_span_stats", "unigram_logppl", "bpe_merges",
     "hash_sample", "stratified_sample", "sample_gate", "pack_sequences", "chunk_documents",
-    "sessionize", "session_stats", "funnel_levels", "funnel_counts", "retention_matrix", "profile_columns",
+    "sessionize", "session_stats", "funnel_levels", "funnel_counts", "retention_matrix", "profile_columns", "event_transitions",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
     "kmeans_centroids", "ivf_kmeans_topk", "ivf_index",

@@ -104,3 +104,29 @@ def retention_matrix(events: DataFrame, period_s: int = 604800,
             .groupBy("cohort", (F.col("per") - F.col("cohort"))
                      .alias("offset"))
             .agg(F.count("*").alias("users")))
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """(prev_type, next_type, cnt, prob_micro) — first-order Markov
+    transition matrix of the event stream: consecutive event pairs per
+    user (time order; timestamps are totaly ordered per user), counted
+    and row-normalized.
+
+    One shuffle to sort per user (lag window), one (prev, next) count
+    aggregate, probabilities via a window over prev_type."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).cast("timestamp"))
+    pairs = (events.select(F.col(type_col).alias("next_type"),
+                           F.lag(type_col).over(w).alias("prev_type"))
+             .filter(F.col("prev_type").isNotNull()))
+    cnt = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("cnt"))
+    tot = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type", "next_type", "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(tot) * 1e6)
+        .cast("long").alias("prob_micro"))

@@ -74,3 +74,16 @@ def test_retention_matrix_hand_computed(spark):
     rel = {(c - base, o): u for (c, o), u in got.items()}
     assert rel == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
                    (1, 0): 1, (1, 1): 1}
+
+
+def test_event_transitions_hand_computed(spark):
+    from graphscope_spark.functions import event_transitions
+
+    rows = [(1, _t(0), "a"), (1, _t(1), "b"), (1, _t(2), "a"),
+            (1, _t(3), "b"),
+            (2, _t(0), "a"), (2, _t(1), "c")]
+    got = {(r.prev_type, r.next_type): (r.cnt, r.prob_micro)
+           for r in event_transitions(_ev(spark, rows)).collect()}
+    # from 'a': 2x ->b, 1x ->c; from 'b': 1x ->a
+    assert got == {("a", "b"): (2, 666667), ("a", "c"): (1, 333333),
+                   ("b", "a"): (1, 1000000)}
