@@ -292,7 +292,9 @@ def section_b(spark, sampled: Sampled) -> None:
                  "rel_groupby_aggs", "rel_join_3way",
                  "typed_pattern", "exact_dedup", "pack_sequences",
                  "png_decode", "anf_4r", "link_pred_edges",
-                 "tfidf_top3", "bm25_top10", "pii_redact"]:
+                 "tfidf_top3", "bm25_top10", "pii_redact",
+                 "dup_spans", "license_detect", "repetition_stats",
+                 "funnel_levels", "profile_lineitem"]:
         sampled.run(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
 
