@@ -55,10 +55,19 @@ def node2vec_walks(graph: LinkGraph, length: int = 4, p: float = 1.0,
     ``length`` edges, second-order (p, q)-biased; stops early at sinks.
 
     ``p``/``q`` are quantized to integer weights at 1/``scale``
-    resolution (exact for the usual 0.25/0.5/1/2/4 grid)."""
+    resolution (exact for the usual 0.25/0.5/1/2/4 grid). The no-prev
+    sentinel is -1, so vertex ids must be non-negative (true for every
+    LinkGraph built through the dense vid map; asserted here for raw
+    edge frames)."""
     w_ret = max(1, round(scale / p))
     w_far = max(1, round(scale / q))
     w_mid = scale
+
+    min_vid = graph.vertices.agg(F.min("vid")).first()[0]
+    if min_vid is not None and min_vid < 0:
+        raise ValueError("node2vec_walks requires non-negative vertex "
+                         "ids (-1 is the no-prev sentinel); remap via "
+                         "LinkGraph.from_oid_edges")
 
     adj = (graph.edges.select("src", "dst").distinct()
            .repartition(graph.num_partitions, "src")
