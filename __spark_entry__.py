@@ -3522,6 +3522,77 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_pagerank_conv(spark, "/root/testdata/sf0.001")
 
 
+# ---- temporal joins + OLAP grouping extensions (round 4, session 3) ------
+
+def _q_asof_last_view(spark, sf_dir):
+    """As-of (point-in-time) join: for every click, the latest 'view'
+    value at or before it by the same user (functions/temporal.py —
+    union+window single-shuffle plan, no inequality join).  The right
+    side is pre-aggregated to one row per (user, ts) so the match is
+    deterministic."""
+    from graphscope_spark.functions.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("view_value")))
+    j = asof_join(clicks, views, on="user_id", left_ts="ts", right_ts="ts")
+    # unmatched lefts keep left-join semantics; sentinel -1 instead of null
+    # because the gate's value compare treats NaN != NaN
+    return j.select("event_id", "user_id",
+                    F.coalesce(F.unix_micros(F.col("ts_r")), F.lit(-1))
+                    .alias("view_us"),
+                    F.coalesce("view_value", F.lit(-1.0)).alias("view_value"))
+
+
+def _q_interval_clicks(spark, sf_dir):
+    """Interval/range join: clicks landing inside [error_ts, error_ts+10min]
+    per user (functions/temporal.py — bin-expansion equi-join, never a
+    per-key cartesian), aggregated per error event."""
+    from graphscope_spark.functions.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("err_id"), "user_id",
+                      F.col("ts").alias("w_start"),
+                      (F.col("ts") + F.expr("INTERVAL 600 SECONDS"))
+                      .alias("w_end")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    j = interval_join(clicks, errors, on="user_id", point_ts="ts",
+                      start_col="w_start", end_col="w_end", bin_width_s=600)
+    return (j.groupBy("err_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value")))
+
+
+def _q_rel_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (GIE GroupBy extension; DuckDB oracle uses
+    GROUP BY ROLLUP) — subtotal rows surfaced via COALESCE('ALL')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.count("*").alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                    "sum_qty", "n"))
+
+
+def _q_rel_cube(spark, sf_dir):
+    """CUBE over orders (status × priority): all 4 grouping sets in one
+    pass — Catalyst expands to a single Expand + partial agg, one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("sum_total"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+                    "n", "sum_total"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records the FIRST 50
     # entries per round.  Queries that have never had a driver row (the
@@ -3663,6 +3734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_assortativity": _q_attr_assortativity,
         "numeric_assortativity": _q_numeric_assortativity,
         "subgraph_counts": _q_subgraph_counts,
+        # --- new in r04 session 3 (outside the r04 window; rotate in r05) ---
+        "asof_last_view": _q_asof_last_view,
+        "interval_clicks": _q_interval_clicks,
+        "rel_rollup": _q_rel_rollup,
+        "rel_cube": _q_rel_cube,
     }
 
 
@@ -4578,5 +4654,46 @@ def oracle_sql() -> dict[str, str]:
                    p.pprefix + c.cum - c.n_tokens AS start_offset,
                    (p.pprefix + c.cum - c.n_tokens) // 512 AS bin_id
             FROM cums c JOIN pre p USING (pkey)"""
+        ),
+        "asof_last_view": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "r AS (SELECT user_id, ts, MAX(value) AS view_value FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id, ts), "
+            "m AS (SELECT l.event_id, MAX(r.ts) AS mts FROM l "
+            "JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts "
+            "GROUP BY l.event_id) "
+            "SELECT l.event_id, l.user_id, "
+            "COALESCE(epoch_us(m.mts), -1)::BIGINT AS view_us, "
+            "COALESCE(r.view_value, -1.0) AS view_value "
+            "FROM l LEFT JOIN m ON l.event_id = m.event_id "
+            "LEFT JOIN r ON r.user_id = l.user_id AND r.ts = m.mts"
+        ),
+        "interval_clicks": (
+            "WITH e AS (SELECT event_id AS err_id, user_id, ts FROM events "
+            "WHERE event_type = 'error'), "
+            "c AS (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT e.err_id, COUNT(*)::BIGINT AS n_clicks, "
+            "CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS sum_value "
+            "FROM e JOIN c ON c.user_id = e.user_id AND c.ts >= e.ts "
+            "AND c.ts <= e.ts + INTERVAL 600 SECONDS "
+            "GROUP BY e.err_id"
+        ),
+        "rel_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS rf, "
+            "COALESCE(l_linestatus, 'ALL') AS ls, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS sum_qty, COUNT(*)::BIGINT AS n "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "rel_cube": (
+            "SELECT COALESCE(o_orderstatus, 'ALL') AS st, "
+            "COALESCE(o_orderpriority, 'ALL') AS pri, "
+            "COUNT(*)::BIGINT AS n, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS sum_total "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
         ),
     }

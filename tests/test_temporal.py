@@ -1,0 +1,125 @@
+"""asof_join / interval_join vs brute-force pandas oracles."""
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.temporal import asof_join, interval_join
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds):
+    return EPOCH + dt.timedelta(seconds=seconds)
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    rnd = random.Random(7)
+    left = [(i, rnd.randrange(5), _ts(rnd.randrange(0, 5000)))
+            for i in range(120)]
+    # unique (key, ts) on the right so the match is deterministic
+    seen, right = set(), []
+    while len(right) < 80:
+        k, s = rnd.randrange(5), rnd.randrange(0, 5000)
+        if (k, s) in seen:
+            continue
+        seen.add((k, s))
+        right.append((k, _ts(s), float(len(right))))
+    ldf = _mk(spark, left, ["lid", "k", "ts"])
+    rdf = _mk(spark, right, ["k", "ts", "val"])
+    return left, right, ldf, rdf
+
+
+def _brute_asof(left, right, direction, tol=None):
+    out = {}
+    for lid, k, ts in left:
+        if direction == "backward":
+            cands = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= ts]
+            best = max(cands) if cands else None
+        else:
+            cands = [(rts, v) for (rk, rts, v) in right if rk == k and rts >= ts]
+            best = min(cands) if cands else None
+        if best and tol is not None and abs((best[0] - ts).total_seconds()) > tol:
+            best = None
+        out[lid] = best
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_bruteforce(spark, sides, direction):
+    left, right, ldf, rdf = sides
+    got = {r["lid"]: (r["ts_r"], r["val"])
+           for r in asof_join(ldf, rdf, on="k", direction=direction).collect()}
+    exp = _brute_asof(left, right, direction)
+    assert set(got) == set(exp)
+    for lid, best in exp.items():
+        if best is None:
+            assert got[lid] == (None, None), lid
+        else:
+            assert got[lid] == best, lid
+
+
+def test_asof_tolerance(spark, sides):
+    left, right, ldf, rdf = sides
+    got = {r["lid"]: (r["ts_r"], r["val"])
+           for r in asof_join(ldf, rdf, on="k", tolerance_s=300).collect()}
+    exp = _brute_asof(left, right, "backward", tol=300)
+    for lid, best in exp.items():
+        assert got[lid] == (best if best else (None, None)), lid
+
+
+def test_asof_equal_ts_is_inclusive(spark):
+    ldf = _mk(spark, [(1, 0, _ts(100))], ["lid", "k", "ts"])
+    rdf = _mk(spark, [(0, _ts(100), 5.0)], ["k", "ts", "val"])
+    for direction in ("backward", "forward"):
+        row = asof_join(ldf, rdf, on="k", direction=direction).collect()[0]
+        assert row["val"] == 5.0
+
+
+def test_interval_join_matches_bruteforce(spark):
+    rnd = random.Random(11)
+    pts = [(i, rnd.randrange(4), _ts(rnd.randrange(0, 4000))) for i in range(150)]
+    ivs = [(j, rnd.randrange(4), rnd.randrange(0, 3500), rnd.randrange(50, 900))
+           for j in range(40)]
+    pdf = _mk(spark, pts, ["pid", "k", "ts"])
+    idf = _mk(spark, [(j, k, _ts(s), _ts(s + d)) for (j, k, s, d) in ivs],
+              ["iid", "k", "w_start", "w_end"])
+    got = {(r["pid"], r["iid"])
+           for r in interval_join(pdf, idf, on="k", point_ts="ts",
+                                  start_col="w_start", end_col="w_end",
+                                  bin_width_s=300).collect()}
+    exp = set()
+    for pid, pk, pts_ in pts:
+        for iid, ik, s, d in ivs:
+            if pk == ik and _ts(s) <= pts_ <= _ts(s + d):
+                exp.add((pid, iid))
+    assert got == exp
+
+
+def test_interval_join_no_key(spark):
+    pdf = _mk(spark, [(0, _ts(10)), (1, _ts(500)), (2, _ts(2000))],
+              ["pid", "ts"])
+    idf = _mk(spark, [(0, _ts(0), _ts(600))], ["iid", "w_start", "w_end"])
+    got = sorted(r["pid"] for r in interval_join(
+        pdf, idf, on=None, point_ts="ts", start_col="w_start",
+        end_col="w_end", bin_width_s=100).collect())
+    assert got == [0, 1]
+
+
+def test_asof_no_inequality_join_in_plan(spark, sides):
+    """The whole point: the plan must be window-over-union, not a range
+    join (per-key cartesian)."""
+    _, _, ldf, rdf = sides
+    plan = asof_join(ldf, rdf, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
