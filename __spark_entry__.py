@@ -3569,6 +3569,16 @@ def _q_interval_clicks(spark, sf_dir):
                  .cast("double").alias("sum_value")))
 
 
+def _q_hll_users(spark, sf_dir):
+    """HLL distinct-user sketch per event_type (functions/sketch.py):
+    exact-integer register table (trailing-zeros rho, portable sha2-60
+    hash), reproduced bit-for-bit by the DuckDB oracle."""
+    from graphscope_spark.functions.sketch import hll_sketch
+
+    return hll_sketch(_t(spark, sf_dir, "events"), "user_id",
+                      group_cols=["event_type"], p=8, hash_fn="sha2")
+
+
 def _q_rel_rollup(spark, sf_dir):
     """ROLLUP hierarchy totals (GIE GroupBy extension; DuckDB oracle uses
     GROUP BY ROLLUP) — subtotal rows surfaced via COALESCE('ALL')."""
@@ -3739,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_clicks": _q_interval_clicks,
         "rel_rollup": _q_rel_rollup,
         "rel_cube": _q_rel_cube,
+        "hll_users": _q_hll_users,
     }
 
 
@@ -4695,5 +4706,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
             "AS sum_total "
             "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+        ),
+        "hll_users": (
+            "WITH h AS (SELECT event_type, "
+            f"{_h60_sql('user_id::VARCHAR')} AS h FROM events), "
+            "d AS (SELECT event_type, h & 255 AS register, h >> 8 AS w "
+            "FROM h), "
+            "r AS (SELECT event_type, register, "
+            "CASE WHEN w > 0 THEN length(bin(w & -w)) ELSE 53 END AS rho "
+            "FROM d) "
+            "SELECT event_type, register, MAX(rho)::INT AS rho_max "
+            "FROM r GROUP BY event_type, register"
         ),
     }

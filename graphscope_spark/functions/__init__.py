@@ -46,6 +46,11 @@ from graphscope_spark.functions.funnel import event_transitions, funnel_counts, 
 from graphscope_spark.functions.profile import profile_columns
 from graphscope_spark.functions.sessions import session_stats, sessionize
 from graphscope_spark.functions.temporal import asof_join, interval_join
+from graphscope_spark.functions.sketch import (
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
 from graphscope_spark.functions.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
@@ -86,6 +91,7 @@ __all__ = [
     "hash_sample", "stratified_sample", "sample_gate", "pack_sequences", "chunk_documents",
     "sessionize", "session_stats", "funnel_levels", "funnel_counts", "retention_matrix", "profile_columns", "event_transitions",
     "asof_join", "interval_join",
+    "hll_sketch", "hll_merge", "hll_estimate",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
     "kmeans_centroids", "ivf_kmeans_topk", "ivf_index",

@@ -1,0 +1,100 @@
+"""Mergeable distinct-count sketches (HyperLogLog) as DataFrame plans.
+
+``approx_count_distinct`` gives Spark-private HLL++ bytes you cannot
+merge across engines, store in a table, or re-verify.  These operators
+build the sketch IN the data model instead: a register table
+``(group…, register, rho_max)`` that is
+
+* exact-integer (no floating point until estimation), so a SQL oracle
+  reproduces it bit-for-bit in any engine via the portable sha2-60 hash
+  (`dedup._hash60`, the same dual xxhash64/sha2 design as MinHash);
+* mergeable by construction — union register tables and re-take
+  ``max(rho)`` per register: that IS the HLL union, enabling
+  incremental daily sketches folded into a 100 TB-corpus total without
+  rescanning;
+* one narrow shuffle: groupBy(group…, register) with a map-side
+  partial max.
+
+rho uses the trailing-zeros flavor (rho = index of lowest set bit + 1),
+statistically identical to Flajolet's leading-zeros form but computable
+with exact integer ops in both Spark and DuckDB: ``length(bin(w & -w))``
+(no floating ``log2`` whose boundary rounding differs between engines).
+The FM-sketch ANF operator (operators/anf.py) uses the same trick.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.dedup import _hash60
+
+_HASH_BITS = 60
+
+
+def _rho(w: Column, q: int) -> Column:
+    """1 + trailing zeros of the q-bit integer w; q+1 when w == 0."""
+    return (F.when(w > 0, F.length(F.bin(w.bitwiseAND(-w))))
+            .otherwise(F.lit(q + 1)).cast("int"))
+
+
+def hll_sketch(df: DataFrame, key_col: str, group_cols: list[str] | None = None,
+               p: int = 8, hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-group HLL register table: (group…, register, rho_max).
+
+    Only registers hit by ≥1 key appear; absent registers mean rho 0
+    (``hll_estimate`` accounts for them).  p register-index bits leave
+    q = 60 − p bits for the rho geometric.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16]: {p}")
+    m, q = 1 << p, _HASH_BITS - p
+    groups = list(group_cols or [])
+    h = _hash60(F.col(key_col).cast("string"), hash_fn)
+    w = F.shiftright(h, p)
+    return (df.select(*groups,
+                      h.bitwiseAND(F.lit(m - 1)).alias("register"),
+                      _rho(w, q).alias("_rho"))
+            .groupBy(*groups, "register")
+            .agg(F.max("_rho").alias("rho_max")))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of HLL sketches over the same (group…, register) layout —
+    just re-max the registers.  Distributive, associative, idempotent."""
+    groups = [c for c in sketches[0].columns if c not in ("register", "rho_max")]
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return (u.groupBy(*groups, "register")
+            .agg(F.max("rho_max").alias("rho_max")))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    Classic HLL estimator with the small-range (linear-counting)
+    correction; relative error ≈ 1.04/√m.  Floating point happens only
+    here, after the exact-integer sketch.
+    """
+    m = 1 << p
+    alpha = (0.673 if p == 4 else 0.697 if p == 5 else 0.709 if p == 6
+             else 0.7213 / (1.0 + 1.079 / m))
+    groups = [c for c in sketch.columns if c not in ("register", "rho_max")]
+    agg = (sketch.groupBy(*groups)
+           .agg(F.sum(F.pow(F.lit(2.0), -F.col("rho_max"))).alias("_z_hit"),
+                F.count("*").alias("_hit")))
+    # absent registers contribute 2^0 each to Z, and all of V
+    z = F.col("_z_hit") + (F.lit(m) - F.col("_hit"))
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("_hit")
+    est = F.when((raw <= 2.5 * m) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)).otherwise(raw)
+    return agg.select(*groups, est.alias("estimate"))
+
+
+def hll_error_bound(p: int) -> float:
+    """Expected relative standard error of the estimator at precision p."""
+    return 1.04 / math.sqrt(1 << p)

@@ -1,0 +1,76 @@
+"""HLL sketch: exact register replication, merge law, estimator error."""
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.sketch import (
+    hll_error_bound,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_registers(keys, p):
+    m, q = 1 << p, 60 - p
+    regs = {}
+    for k in keys:
+        h = _h60(str(k))
+        reg, w = h & (m - 1), h >> p
+        rho = (w & -w).bit_length() if w > 0 else q + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"k": [f"key-{i}" for i in range(500)],
+                      "grp": [i % 3 for i in range(500)]}))
+
+
+def test_registers_match_pure_python(spark, docs):
+    got = {(r["grp"], r["register"]): r["rho_max"]
+           for r in hll_sketch(docs, "k", ["grp"], p=8,
+                               hash_fn="sha2").collect()}
+    for g in range(3):
+        exp = _py_registers([f"key-{i}" for i in range(500) if i % 3 == g], 8)
+        mine = {reg: rho for (gg, reg), rho in got.items() if gg == g}
+        assert mine == exp, g
+
+
+def test_merge_equals_sketch_of_union(spark, docs):
+    a = docs.filter(F.col("grp") == 0).drop("grp")
+    b = docs.filter(F.col("grp") != 0).drop("grp")
+    merged = {(r["register"], r["rho_max"]) for r in hll_merge(
+        hll_sketch(a, "k", p=6, hash_fn="sha2"),
+        hll_sketch(b, "k", p=6, hash_fn="sha2")).collect()}
+    direct = {(r["register"], r["rho_max"])
+              for r in hll_sketch(docs, "k", p=6, hash_fn="sha2").collect()}
+    assert merged == direct
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "sha2"])
+def test_estimate_within_error_bound(spark, hash_fn):
+    n = 3000
+    df = spark.range(n).select(F.concat(F.lit("u"), "id").alias("k"))
+    # duplicate every row: distinct count must not change
+    df = df.union(df)
+    p = 9
+    est = hll_estimate(hll_sketch(df, "k", p=p, hash_fn=hash_fn),
+                       p=p).collect()[0]["estimate"]
+    assert abs(est - n) / n < 4 * hll_error_bound(p), est
+
+
+def test_estimate_small_range_correction(spark):
+    df = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    est = hll_estimate(hll_sketch(df, "k", p=8), p=8).collect()[0]["estimate"]
+    assert abs(est - 10) < 2, est
