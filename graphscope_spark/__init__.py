@@ -17,6 +17,7 @@ Public surface:
 """
 
 from graphscope_spark.graph import LinkGraph
+from graphscope_spark.iceberg import IcebergLite
 from graphscope_spark.session import build_session
 from graphscope_spark.operators import (
     acyclic_triangle_count,
@@ -157,6 +158,7 @@ __all__ = [
     "property_pattern_match", "property_pattern_count",
     "property_automorphism_count",
     "cycle_plus_triangle_count",
+    "IcebergLite",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,285 @@
+"""Minimal Apache Avro object-container codec (pure Python, no deps).
+
+Implements the subset of the public Avro 1.11 spec that Iceberg's
+metadata layer needs (`iceberg.py`): object container files with the
+null codec, and the binary encoding for null / boolean / int / long /
+float / double / bytes / string / fixed / record / array / map / union.
+Enums, named-type references, aliases, logical types and the deflate /
+snappy codecs are out of scope — our writer never emits them.
+
+Schemas are plain parsed-JSON values (dict / list / str), exactly as
+they appear in the container header's ``avro.schema`` metadata entry.
+
+This is metadata-plane code: manifests are O(#data-files) small records,
+read and written on the driver — the data plane stays parquet read by
+Spark executors.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+from typing import Any, Iterable
+
+MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
+               "bytes", "string"}
+
+
+# --------------------------------------------------------------------------
+# binary encoding
+
+class _Writer:
+    def __init__(self) -> None:
+        self.buf = io.BytesIO()
+
+    def long(self, n: int) -> None:
+        z = (n << 1) ^ (n >> 63)
+        z &= (1 << 70) - 1  # bounded varint work value
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                self.buf.write(bytes([b | 0x80]))
+            else:
+                self.buf.write(bytes([b]))
+                return
+
+    def raw(self, b: bytes) -> None:
+        self.buf.write(b)
+
+    def bytes_(self, b: bytes) -> None:
+        self.long(len(b))
+        self.buf.write(b)
+
+    def string(self, s: str) -> None:
+        self.bytes_(s.encode("utf-8"))
+
+
+class _Reader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def long(self) -> int:
+        shift, acc = 0, 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        n = acc >> 1
+        return (n ^ -(acc & 1))
+
+    def raw(self, n: int) -> bytes:
+        out = self.data[self.pos:self.pos + n]
+        if len(out) != n:
+            raise EOFError("truncated avro data")
+        self.pos += n
+        return out
+
+    def bytes_(self) -> bytes:
+        return self.raw(self.long())
+
+    def string(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+    def at_end(self) -> bool:
+        return self.pos >= len(self.data)
+
+
+def _write_datum(w: _Writer, schema: Any, value: Any) -> None:
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return
+        if t == "boolean":
+            w.raw(b"\x01" if value else b"\x00")
+        elif t in ("int", "long"):
+            w.long(int(value))
+        elif t == "float":
+            w.raw(struct.pack("<f", float(value)))
+        elif t == "double":
+            w.raw(struct.pack("<d", float(value)))
+        elif t == "bytes":
+            w.bytes_(bytes(value))
+        elif t == "string":
+            w.string(value)
+        else:
+            raise ValueError(f"unsupported primitive: {t}")
+    elif isinstance(schema, list):  # union: pick first branch matching
+        idx, branch = _union_branch(schema, value)
+        w.long(idx)
+        _write_datum(w, branch, value)
+    elif schema["type"] == "record":
+        for f in schema["fields"]:
+            _write_datum(w, f["type"], value[f["name"]])
+    elif schema["type"] == "array":
+        if value:
+            w.long(len(value))
+            for item in value:
+                _write_datum(w, schema["items"], item)
+        w.long(0)
+    elif schema["type"] == "map":
+        if value:
+            w.long(len(value))
+            for k, v in value.items():
+                w.string(k)
+                _write_datum(w, schema["values"], v)
+        w.long(0)
+    elif schema["type"] == "fixed":
+        b = bytes(value)
+        if len(b) != schema["size"]:
+            raise ValueError("fixed size mismatch")
+        w.raw(b)
+    else:
+        raise ValueError(f"unsupported schema: {schema!r}")
+
+
+def _union_branch(schema: list, value: Any) -> tuple[int, Any]:
+    def tag(s: Any) -> str:
+        return s if isinstance(s, str) else s["type"]
+    if value is None:
+        for i, s in enumerate(schema):
+            if tag(s) == "null":
+                return i, s
+        raise ValueError("no null branch for None")
+    for i, s in enumerate(schema):
+        if tag(s) != "null":
+            return i, s
+    raise ValueError("union has only null")
+
+
+def _read_datum(r: _Reader, schema: Any) -> Any:
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return None
+        if t == "boolean":
+            return r.raw(1) == b"\x01"
+        if t in ("int", "long"):
+            return r.long()
+        if t == "float":
+            return struct.unpack("<f", r.raw(4))[0]
+        if t == "double":
+            return struct.unpack("<d", r.raw(8))[0]
+        if t == "bytes":
+            return r.bytes_()
+        if t == "string":
+            return r.string()
+        raise ValueError(f"unsupported primitive: {t}")
+    if isinstance(schema, list):
+        return _read_datum(r, schema[r.long()])
+    t = schema["type"]
+    if t == "record":
+        return {f["name"]: _read_datum(r, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:  # block with byte-size prefix
+                n = -n
+                r.long()
+            for _ in range(n):
+                out.append(_read_datum(r, schema["items"]))
+    if t == "map":
+        out = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                k = r.string()  # key MUST decode before value (RHS-first!)
+                out[k] = _read_datum(r, schema["values"])
+    if t == "fixed":
+        return r.raw(schema["size"])
+    raise ValueError(f"unsupported schema: {schema!r}")
+
+
+# --------------------------------------------------------------------------
+# object container files
+
+def write_container(path: str, schema: Any, records: Iterable[dict],
+                    sync: bytes | None = None,
+                    metadata: dict[str, bytes] | None = None) -> None:
+    """Write an Avro object container file (null codec, single block).
+
+    ``sync`` defaults to a deterministic marker derived from the schema
+    so repeated writes of the same table are byte-identical."""
+    import hashlib
+    schema_json = json.dumps(schema, separators=(",", ":"))
+    if sync is None:
+        sync = hashlib.sha256(schema_json.encode()).digest()[:16]
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+
+    header = _Writer()
+    header.raw(MAGIC)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": b"null"}
+    meta.update(metadata or {})
+    header.long(len(meta))
+    for k, v in meta.items():
+        header.string(k)
+        header.bytes_(v)
+    header.long(0)
+    header.raw(sync)
+
+    body = _Writer()
+    recs = list(records)
+    for rec in recs:
+        _write_datum(body, schema, rec)
+    payload = body.buf.getvalue()
+
+    block = _Writer()
+    if recs:
+        block.long(len(recs))
+        block.long(len(payload))
+        block.raw(payload)
+        block.raw(sync)
+
+    with open(path, "wb") as f:
+        f.write(header.buf.getvalue())
+        f.write(block.buf.getvalue())
+
+
+def read_container(path: str) -> tuple[Any, list[Any]]:
+    """Read an Avro object container file → (schema, records)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    r = _Reader(data)
+    if r.raw(4) != MAGIC:
+        raise ValueError(f"not an avro container: {path}")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            k = r.string()  # key MUST decode before value (RHS-first!)
+            meta[k] = r.bytes_()
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b""):
+        raise ValueError(f"unsupported avro codec: {codec!r}")
+    schema = json.loads(meta["avro.schema"].decode())
+    sync = r.raw(16)
+    records: list[Any] = []
+    while not r.at_end():
+        count = r.long()
+        r.long()  # block byte size (null codec: records follow inline)
+        for _ in range(count):
+            records.append(_read_datum(r, schema))
+        if r.raw(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+    return schema, records

@@ -1,0 +1,901 @@
+"""IcebergLite: a spec-shaped Apache Iceberg v2 table layout for the
+north-rule corpus ("Iceberg table of source-code repositories",
+BASELINE.json input_hint) — pure Python metadata plane over Spark-written
+parquet data files.
+
+The on-disk layout follows the public Iceberg table spec
+(https://iceberg.apache.org/spec/):
+
+* ``metadata/version-hint.text`` → latest metadata version,
+* ``metadata/v{N}.metadata.json`` — format-version 2 table metadata
+  (schemas with field ids, partition specs, snapshot log),
+* ``metadata/snap-{id}.avro`` — the snapshot's *manifest list*
+  (one ``manifest_file`` record per manifest),
+* ``metadata/manifest-{id}.avro`` — *manifests* of ``manifest_entry``
+  records carrying per-file partition values, record counts and
+  column min/max bounds in the spec's single-value binary encoding,
+* ``data/{commit}/...`` — parquet data files written by Spark
+  (hive-style ``k=v`` partition directories).
+
+Scan planning mirrors Iceberg's: manifests are pruned with partition
+values and column bounds BEFORE Spark ever sees a path, so a filtered
+read of a 10^12-file table touches only the matching files; the data
+plane stays a plain ``spark.read.parquet`` with full predicate pushdown
+and column pruning.  The metadata plane is O(#files) driver work, same
+as Iceberg's own planner; :meth:`IcebergLite.files_df` additionally
+reads manifests *in executors* (``mapInPandas`` over manifest paths) for
+metadata queries at scale.
+
+Documented deviations from the spec (each keeps the structure, trades
+byte-level compatibility for zero dependencies):
+
+* Avro files use the null codec (no deflate) — ``avrolite.py``.
+* ``data_file.partition`` is a string map of the hive directory values,
+  not the typed ``r102`` struct (the typed values are recovered from the
+  table schema at plan time).
+* The ``bucket[N]`` transform hashes with xxhash64(seed=42) — Spark's
+  built-in — rather than murmur3_x86_32, so bucket values can be
+  computed JVM-side with ``F.xxhash64``; the pure-Python :func:`xxh64`
+  below computes identical values for literal pruning.
+
+Reference parity: GraphScope ingests graph data from external storage
+via its loaders (arrow_fragment_loader.h); this module is the analogous
+ingestion surface for the corpus tables the north rule names.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import urllib.parse
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphscope_spark import avrolite
+
+# --------------------------------------------------------------------------
+# xxHash64 (public algorithm, Collet) — must match Spark's F.xxhash64
+# (seed 42; longs hashed as 8-byte little-endian, strings as UTF-8).
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, val: int) -> int:
+    acc = (acc + val * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """xxHash64 of ``data`` — bit-identical to Spark's ``xxhash64`` for
+    string columns (and for long columns via :func:`xxh64_long`)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        acc = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            acc = ((acc ^ _round(0, v)) * _P1 + _P4) & _M64
+    else:
+        acc = (seed + _P5) & _M64
+    acc = (acc + n) & _M64
+    while i + 8 <= n:
+        acc ^= _round(0, int.from_bytes(data[i:i + 8], "little"))
+        acc = (_rotl(acc, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        acc ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        acc = (_rotl(acc, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        acc ^= (data[i] * _P5) & _M64
+        acc = (_rotl(acc, 11) * _P1) & _M64
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * _P2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _P3) & _M64
+    acc ^= acc >> 32
+    return acc
+
+
+def _signed64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """Spark ``xxhash64(long)``: the value's 8 little-endian bytes."""
+    return xxh64(struct.pack("<q", int(v)), seed)
+
+
+def bucket_value(value: Any, n: int) -> int:
+    """The lite ``bucket[n]`` transform: ``pmod(xxhash64(value), n)``,
+    matching ``F.pmod(F.xxhash64(col), n)`` JVM-side."""
+    if isinstance(value, str):
+        h = xxh64(value.encode("utf-8"))
+    else:
+        h = xxh64_long(int(value))
+    return _signed64(h) % n  # Python % is already a positive mod
+
+
+# --------------------------------------------------------------------------
+# schema conversion (Spark → Iceberg JSON with field ids)
+
+_ATOMIC = {
+    T.BooleanType: "boolean", T.IntegerType: "int", T.LongType: "long",
+    T.FloatType: "float", T.DoubleType: "double", T.StringType: "string",
+    T.BinaryType: "binary", T.DateType: "date", T.TimestampType: "timestamptz",
+}
+
+
+def _iceberg_type(dt: T.DataType, alloc) -> Any:
+    for cls, name in _ATOMIC.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return {"type": "list", "element-id": alloc(),
+                "element": _iceberg_type(dt.elementType, alloc),
+                "element-required": not dt.containsNull}
+    if isinstance(dt, T.MapType):
+        return {"type": "map", "key-id": alloc(), "value-id": alloc(),
+                "key": _iceberg_type(dt.keyType, alloc),
+                "value": _iceberg_type(dt.valueType, alloc),
+                "value-required": not dt.valueContainsNull}
+    if isinstance(dt, T.StructType):
+        return {"type": "struct",
+                "fields": [{"id": alloc(), "name": f.name,
+                            "required": not f.nullable,
+                            "type": _iceberg_type(f.dataType, alloc)}
+                           for f in dt.fields]}
+    raise ValueError(f"unsupported type for IcebergLite: {dt}")
+
+
+def spark_to_iceberg_schema(schema: T.StructType) -> dict:
+    counter = {"n": 0}
+
+    def alloc() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    fields = [{"id": alloc(), "name": f.name, "required": not f.nullable,
+               "type": _iceberg_type(f.dataType, alloc)}
+              for f in schema.fields]
+    return {"type": "struct", "schema-id": 0, "fields": fields,
+            "last-column-id": counter["n"]}
+
+
+def iceberg_to_spark_type(t: Any) -> T.DataType:
+    if isinstance(t, str):
+        rev = {v: k for k, v in _ATOMIC.items()}
+        if t in rev:
+            return rev[t]()
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1:t.index(")")].split(",")
+            return T.DecimalType(int(p), int(s))
+        raise ValueError(f"unknown iceberg type {t}")
+    if t["type"] == "list":
+        return T.ArrayType(iceberg_to_spark_type(t["element"]),
+                           not t.get("element-required", False))
+    if t["type"] == "map":
+        return T.MapType(iceberg_to_spark_type(t["key"]),
+                         iceberg_to_spark_type(t["value"]),
+                         not t.get("value-required", False))
+    if t["type"] == "struct":
+        return T.StructType([
+            T.StructField(f["name"], iceberg_to_spark_type(f["type"]),
+                          not f["required"]) for f in t["fields"]])
+    raise ValueError(f"unknown iceberg type {t!r}")
+
+
+# --------------------------------------------------------------------------
+# single-value binary encoding (spec Appendix D "Single-value serialization")
+
+def encode_bound(value: Any, type_name: str) -> bytes | None:
+    if value is None:
+        return None
+    if type_name == "boolean":
+        return b"\x01" if value else b"\x00"
+    if type_name == "int":
+        return struct.pack("<i", int(value))
+    if type_name == "long":
+        return struct.pack("<q", int(value))
+    if type_name == "float":
+        return struct.pack("<f", float(value))
+    if type_name == "double":
+        return struct.pack("<d", float(value))
+    if type_name == "string":
+        return str(value).encode("utf-8")
+    if type_name == "binary":
+        return bytes(value)
+    return None  # nested / unsupported: no bound recorded
+
+
+def decode_bound(raw: bytes | None, type_name: str) -> Any:
+    if raw is None:
+        return None
+    if type_name == "boolean":
+        return raw == b"\x01"
+    if type_name == "int":
+        return struct.unpack("<i", raw)[0]
+    if type_name == "long":
+        return struct.unpack("<q", raw)[0]
+    if type_name == "float":
+        return struct.unpack("<f", raw)[0]
+    if type_name == "double":
+        return struct.unpack("<d", raw)[0]
+    if type_name == "string":
+        return raw.decode("utf-8")
+    if type_name == "binary":
+        return raw
+    return None
+
+
+# --------------------------------------------------------------------------
+# avro schemas for manifests (spec field names; null-codec containers)
+
+_KV_BYTES = {"type": "array", "items": {
+    "type": "record", "name": "kv_bytes", "fields": [
+        {"name": "key", "type": "int"}, {"name": "value", "type": "bytes"}]}}
+_KV_LONG = {"type": "array", "items": {
+    "type": "record", "name": "kv_long", "fields": [
+        {"name": "key", "type": "int"}, {"name": "value", "type": "long"}]}}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},          # 1=ADDED 0=EXISTING 2=DELETED
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file", "fields": [
+                {"name": "content", "type": "int"},  # 0=data
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "partition", "type": {"type": "map",
+                                               "values": ["null", "string"]}},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "value_counts", "type": ["null", dict(_KV_LONG)]},
+                {"name": "null_value_counts", "type": ["null", dict(_KV_LONG)]},
+                {"name": "lower_bounds", "type": ["null", dict(_KV_BYTES)]},
+                {"name": "upper_bounds", "type": ["null", dict(_KV_BYTES)]},
+            ]}},
+    ]}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+    ]}
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _stable_id(*parts: Any) -> int:
+    """Deterministic positive 63-bit snapshot/manifest id."""
+    return _signed64(xxh64("|".join(map(str, parts)).encode(), seed=0)) & ((1 << 63) - 1)
+
+
+class DataFile:
+    """One planned data file: absolute path + metadata used for pruning."""
+
+    __slots__ = ("path", "partition", "record_count", "file_size",
+                 "lower_bounds", "upper_bounds", "null_counts", "value_counts",
+                 "snapshot_id")
+
+    def __init__(self, path, partition, record_count, file_size,
+                 lower_bounds, upper_bounds, null_counts, value_counts,
+                 snapshot_id):
+        self.path = path
+        self.partition = partition          # {name: str|None} hive values
+        self.record_count = record_count
+        self.file_size = file_size
+        self.lower_bounds = lower_bounds    # {field_id: bytes}
+        self.upper_bounds = upper_bounds
+        self.null_counts = null_counts      # {field_id: long}
+        self.value_counts = value_counts
+        self.snapshot_id = snapshot_id
+
+    def __repr__(self):  # pragma: no cover
+        return f"DataFile({self.path!r}, partition={self.partition}, rows={self.record_count})"
+
+
+class IcebergLite:
+    """A spec-shaped Iceberg v2 table rooted at ``location``.
+
+    >>> tbl = IcebergLite.write(df, "/tmp/t", partition_by=["lang"])
+    >>> tbl = IcebergLite.write(df2, "/tmp/t", mode="append")
+    >>> tbl.read(spark, filters=[("lang", "=", "python")])     # pruned scan
+    >>> tbl.read(spark, snapshot_id=tbl.history()[0]["snapshot-id"])
+    """
+
+    def __init__(self, location: str):
+        self.location = os.path.abspath(location)
+        self.metadata_dir = os.path.join(self.location, "metadata")
+        self.data_dir = os.path.join(self.location, "data")
+
+    # ---------------- metadata loading
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.metadata_dir, "version-hint.text"))
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.metadata_dir, "version-hint.text")) as f:
+            return int(f.read().strip())
+
+    def metadata(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.metadata_dir, f"v{v}.metadata.json")) as f:
+            return json.load(f)
+
+    def schema(self) -> T.StructType:
+        md = self.metadata()
+        sch = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+        return T.StructType([
+            T.StructField(f["name"], iceberg_to_spark_type(f["type"]),
+                          not f["required"]) for f in sch["fields"]])
+
+    def partition_spec(self) -> list[dict]:
+        md = self.metadata()
+        spec = next(s for s in md["partition-specs"]
+                    if s["spec-id"] == md["default-spec-id"])
+        return spec["fields"]
+
+    def snapshots(self) -> list[dict]:
+        return self.metadata().get("snapshots", [])
+
+    def history(self) -> list[dict]:
+        return self.metadata().get("snapshot-log", [])
+
+    def current_snapshot_id(self) -> int | None:
+        return self.metadata().get("current-snapshot-id")
+
+    def _snapshot(self, snapshot_id: int | None = None) -> dict:
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(f"{self.location}: table has no snapshots")
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise ValueError(f"unknown snapshot {snapshot_id}")
+
+    # ---------------- scan planning
+
+    def _manifests(self, snapshot_id: int | None = None) -> list[dict]:
+        snap = self._snapshot(snapshot_id)
+        _, entries = avrolite.read_container(
+            os.path.join(self.location, snap["manifest-list"]))
+        return entries
+
+    def _manifest_entries(self, manifest_path: str) -> list[dict]:
+        _, entries = avrolite.read_container(
+            os.path.join(self.location, manifest_path))
+        return entries
+
+    @staticmethod
+    def _entry_to_datafile(e: dict, base: str) -> DataFile:
+        df_ = e["data_file"]
+        part = {k: (None if v == _HIVE_NULL else v)
+                for k, v in df_["partition"].items()}
+        kv = lambda lst: {r["key"]: r["value"] for r in (lst or [])}
+        return DataFile(
+            os.path.join(base, df_["file_path"]), part,
+            df_["record_count"], df_["file_size_in_bytes"],
+            kv(df_["lower_bounds"]), kv(df_["upper_bounds"]),
+            kv(df_["null_value_counts"]), kv(df_["value_counts"]),
+            e["snapshot_id"])
+
+    def _field_ids(self) -> dict[str, tuple[int, str]]:
+        """column name → (field_id, iceberg type name) for top-level atomics."""
+        md = self.metadata()
+        sch = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+        out = {}
+        for f in sch["fields"]:
+            if isinstance(f["type"], str):
+                out[f["name"]] = (f["id"], f["type"])
+        return out
+
+    def _typed_partition(self, part: dict[str, str | None]) -> dict[str, Any]:
+        """Hive string partition values → typed Python values."""
+        fields = self.schema()
+        types = {f.name: f.dataType for f in fields.fields}
+        spec = {p["name"]: p for p in self.partition_spec()}
+        out: dict[str, Any] = {}
+        for k, v in part.items():
+            if v is None:
+                out[k] = None
+                continue
+            v = urllib.parse.unquote(v)
+            tr = spec.get(k, {}).get("transform", "identity")
+            if tr.startswith("bucket["):
+                out[k] = int(v)
+            else:
+                dt = types.get(k)
+                if isinstance(dt, (T.IntegerType, T.LongType)):
+                    out[k] = int(v)
+                elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                    out[k] = float(v)
+                elif isinstance(dt, T.BooleanType):
+                    out[k] = v.lower() == "true"
+                else:
+                    out[k] = v
+        return out
+
+    def plan_files(self, snapshot_id: int | None = None,
+                   filters: list[tuple] | None = None) -> list[DataFile]:
+        """Iceberg-style scan planning: manifest entries pruned by partition
+        values (identity + bucket transforms) and column min/max bounds.
+        Pruning is conservative — :meth:`read` re-applies ``filters``
+        exactly, so a kept-but-non-matching file only costs I/O."""
+        files = []
+        for m in self._manifests(snapshot_id):
+            for e in self._manifest_entries(m["manifest_path"]):
+                if e["status"] == 2:        # DELETED
+                    continue
+                files.append(self._entry_to_datafile(e, self.location))
+        if filters:
+            fids = self._field_ids()
+            spec = {p["name"]: p for p in self.partition_spec()}
+            files = [f for f in files
+                     if _file_matches(f, filters, fids, spec, self._typed_partition)]
+        return files
+
+    # ---------------- reading
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None,
+             filters: list[tuple] | None = None,
+             columns: list[str] | None = None) -> DataFrame:
+        """Read the table (optionally at a past snapshot / with filters).
+
+        Files are grouped per commit directory so Spark's hive partition
+        discovery (``basePath``) recovers partition columns; filters are
+        re-applied exactly on the DataFrame (planning already pruned
+        non-matching files, so Spark reads only survivors)."""
+        files = self.plan_files(snapshot_id, filters)
+        return self._read_files(spark, files, filters, columns)
+
+    def _read_files(self, spark, files, filters=None, columns=None) -> DataFrame:
+        schema = self.schema()
+        if not files:
+            return spark.createDataFrame([], schema if columns is None else
+                                         T.StructType([f for f in schema.fields
+                                                       if f.name in columns]))
+        by_commit: dict[str, list[str]] = {}
+        for f in files:
+            rel = os.path.relpath(f.path, self.data_dir)
+            commit = rel.split(os.sep, 1)[0]
+            by_commit.setdefault(commit, []).append(f.path)
+        parts = [p["name"] for p in self.partition_spec()]
+        dfs = []
+        for commit, paths in sorted(by_commit.items()):
+            base = os.path.join(self.data_dir, commit)
+            df = spark.read.option("basePath", base).parquet(*sorted(paths))
+            # partition dirs are inferred; cast to the table schema's types
+            for f_ in schema.fields:
+                if f_.name in parts and f_.name in df.columns:
+                    df = df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
+            dfs.append(df.select([f_.name for f_ in schema.fields
+                                  if f_.name in df.columns]))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        if filters:
+            out = out.filter(_filters_to_column(filters))
+        if columns:
+            out = out.select(*columns)
+        return out
+
+    # ---------------- incremental reads
+
+    def _snapshot_chain(self) -> list[int]:
+        return [s["snapshot-id"] for s in self.snapshots()]
+
+    def incremental_files(self, from_snapshot_id: int,
+                          to_snapshot_id: int | None = None) -> list[DataFile]:
+        """Data files ADDED strictly after ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (an Iceberg incremental append scan)."""
+        chain = self._snapshot_chain()
+        if from_snapshot_id not in chain:
+            raise ValueError(f"unknown snapshot {from_snapshot_id}")
+        to = to_snapshot_id if to_snapshot_id is not None else chain[-1]
+        lo, hi = chain.index(from_snapshot_id), chain.index(to)
+        wanted = set(chain[lo + 1:hi + 1])
+        files = []
+        for m in self._manifests(to):
+            if m["added_snapshot_id"] not in wanted:
+                continue
+            for e in self._manifest_entries(m["manifest_path"]):
+                if e["status"] == 1 and e["snapshot_id"] in wanted:
+                    files.append(self._entry_to_datafile(e, self.location))
+        return files
+
+    def read_incremental(self, spark: SparkSession, from_snapshot_id: int,
+                         to_snapshot_id: int | None = None) -> DataFrame:
+        return self._read_files(
+            spark, self.incremental_files(from_snapshot_id, to_snapshot_id))
+
+    # ---------------- distributed metadata scan
+
+    def files_df(self, spark: SparkSession,
+                 snapshot_id: int | None = None) -> DataFrame:
+        """Manifest entries as a DataFrame, manifests parsed IN EXECUTORS
+        (``mapInPandas`` over manifest paths) — the scale path for
+        metadata queries over millions of files."""
+        paths = [os.path.join(self.location, m["manifest_path"])
+                 for m in self._manifests(snapshot_id)]
+        base = self.location
+        out_schema = T.StructType([
+            T.StructField("file_path", T.StringType()),
+            T.StructField("snapshot_id", T.LongType()),
+            T.StructField("record_count", T.LongType()),
+            T.StructField("file_size_in_bytes", T.LongType()),
+            T.StructField("partition", T.MapType(T.StringType(), T.StringType())),
+        ])
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from graphscope_spark import avrolite as av
+            for b in batches:
+                rows = []
+                for p in b["path"]:
+                    _, entries = av.read_container(p)
+                    for e in entries:
+                        if e["status"] == 2:
+                            continue
+                        d = e["data_file"]
+                        rows.append((os.path.join(base, d["file_path"]),
+                                     e["snapshot_id"], d["record_count"],
+                                     d["file_size_in_bytes"], d["partition"]))
+                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+        src = spark.createDataFrame([(p,) for p in paths], "path string")
+        return src.repartition(max(1, min(len(paths), 32))).mapInPandas(scan, out_schema)
+
+    # ---------------- writing
+
+    @classmethod
+    def write(cls, df: DataFrame, location: str,
+              partition_by: list[str] | None = None,
+              bucket_by: tuple[str, int] | None = None,
+              mode: str = "overwrite",
+              properties: dict[str, str] | None = None) -> "IcebergLite":
+        """Commit ``df`` as a new snapshot.
+
+        ``partition_by`` — identity-transform partition columns.
+        ``bucket_by=(col, n)`` — adds a ``{col}_bucket`` partition via the
+        lite bucket transform (``pmod(xxhash64(col), n)``, JVM-side).
+        ``mode`` — ``overwrite`` starts a fresh table history, ``append``
+        adds a snapshot on top of the current one.
+
+        Each commit writes its parquet under ``data/{seq:05d}/`` — the
+        committing writer therefore *knows* its file set (no listing
+        diff), exactly how Iceberg writers track pending files."""
+        tbl = cls(location)
+        parts = list(partition_by or [])
+        spec_fields = []
+        if mode not in ("overwrite", "append"):
+            raise ValueError("mode must be 'overwrite' or 'append'")
+        fresh = mode == "overwrite" or not tbl.exists()
+        if mode == "overwrite" and os.path.exists(tbl.location):
+            # refuse to clobber a directory that is not an IcebergLite table
+            if not tbl.exists() and os.listdir(tbl.location):
+                raise ValueError(
+                    f"{location} exists and is not an IcebergLite table")
+            import shutil
+            shutil.rmtree(tbl.location)
+
+        out_df = df
+        field_ids_source = {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
+        for i, c in enumerate(parts):
+            spec_fields.append({"name": c, "transform": "identity",
+                                "source-id": field_ids_source.get(c, 0),
+                                "field-id": 1000 + i})
+        if bucket_by is not None:
+            col, n = bucket_by
+            bname = f"{col}_bucket"
+            out_df = out_df.withColumn(
+                bname, F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int"))
+            spec_fields.append({"name": bname, "transform": f"bucket[{n}]",
+                                "source-id": field_ids_source.get(col, 0),
+                                "field-id": 1000 + len(parts)})
+            parts.append(bname)
+
+        prev_md = tbl.metadata() if (not fresh and tbl.exists()) else None
+        seq = (prev_md["last-sequence-number"] + 1) if prev_md else 1
+        commit_dir = os.path.join(tbl.data_dir, f"{seq:05d}")
+        writer = out_df.write.mode("errorifexists")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(commit_dir)
+
+        data_schema = spark_to_iceberg_schema(df.schema)
+        fid_of = {f["name"]: (f["id"], f["type"]) for f in data_schema["fields"]
+                  if isinstance(f["type"], str)}
+        new_files = _collect_file_stats(commit_dir, tbl.location, fid_of)
+
+        snap_id = _stable_id("snap", location, seq,
+                             *(f[0] for f in new_files))
+        manifest_name = f"manifest-{snap_id}-{seq}.avro"
+        os.makedirs(tbl.metadata_dir, exist_ok=True)
+        entries = []
+        for rel_path, pvals, rc, size, lows, ups, nulls, vals in new_files:
+            entries.append({
+                "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": rel_path, "file_format": "PARQUET",
+                    "partition": pvals, "record_count": rc,
+                    "file_size_in_bytes": size,
+                    "value_counts": [{"key": k, "value": v} for k, v in sorted(vals.items())] or None,
+                    "null_value_counts": [{"key": k, "value": v} for k, v in sorted(nulls.items())] or None,
+                    "lower_bounds": [{"key": k, "value": v} for k, v in sorted(lows.items())] or None,
+                    "upper_bounds": [{"key": k, "value": v} for k, v in sorted(ups.items())] or None,
+                }})
+        manifest_path = os.path.join(tbl.metadata_dir, manifest_name)
+        avrolite.write_container(manifest_path, MANIFEST_ENTRY_SCHEMA, entries)
+
+        added_rows = sum(f[2] for f in new_files)
+        new_manifest = {
+            "manifest_path": os.path.relpath(manifest_path, tbl.location),
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(new_files), "existing_files_count": 0,
+            "deleted_files_count": 0, "added_rows_count": added_rows,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        }
+        manifests = [new_manifest]
+        parent_id = None
+        if prev_md and prev_md.get("current-snapshot-id") is not None:
+            parent_id = prev_md["current-snapshot-id"]
+            prev_snap = next(s for s in prev_md["snapshots"]
+                             if s["snapshot-id"] == parent_id)
+            _, prev_manifests = avrolite.read_container(
+                os.path.join(tbl.location, prev_snap["manifest-list"]))
+            manifests = prev_manifests + [new_manifest]
+
+        mlist_name = f"snap-{snap_id}-1.avro"
+        avrolite.write_container(os.path.join(tbl.metadata_dir, mlist_name),
+                                 MANIFEST_FILE_SCHEMA, manifests)
+
+        now_ms = int(time.time() * 1000)
+        total_rows = added_rows + (
+            int(prev_md["snapshots"][-1]["summary"].get("total-records", 0))
+            if prev_md and prev_md.get("snapshots") else 0)
+        snapshot = {
+            "snapshot-id": snap_id,
+            **({"parent-snapshot-id": parent_id} if parent_id else {}),
+            "sequence-number": seq, "timestamp-ms": now_ms,
+            "manifest-list": os.path.join("metadata", mlist_name),
+            "summary": {"operation": "append" if parent_id else "overwrite",
+                        "added-data-files": str(len(new_files)),
+                        "added-records": str(added_rows),
+                        "total-records": str(total_rows)},
+            "schema-id": 0,
+        }
+        prev_version = tbl.current_version() if tbl.exists() else 0
+        md = {
+            "format-version": 2,
+            "table-uuid": f"{_stable_id('uuid', tbl.location):032x}",
+            "location": tbl.location,
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": data_schema["last-column-id"],
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0,
+                         "fields": data_schema["fields"]}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": dict(properties or {}),
+            "current-snapshot-id": snap_id,
+            "snapshots": ((prev_md["snapshots"] if prev_md else []) + [snapshot]),
+            "snapshot-log": ((prev_md.get("snapshot-log", []) if prev_md else [])
+                             + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}]),
+            "metadata-log": [],
+        }
+        version = prev_version + 1
+        with open(os.path.join(tbl.metadata_dir,
+                               f"v{version}.metadata.json"), "w") as f:
+            json.dump(md, f, indent=1)
+        with open(os.path.join(tbl.metadata_dir, "version-hint.text"), "w") as f:
+            f.write(str(version))
+        return tbl
+
+
+# --------------------------------------------------------------------------
+# write-side helpers
+
+def _collect_file_stats(commit_dir: str, location: str,
+                        fid_of: dict[str, tuple[int, str]]):
+    """Walk the freshly written commit dir, extract per-file partition
+    values (hive dirs) and column stats from parquet footers (pyarrow —
+    driver-side metadata plane, O(#new files))."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, names in os.walk(commit_dir):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, location)  # "data/00001/k=v/part-*.parquet"
+            pvals: dict[str, str | None] = {}
+            for seg in os.path.relpath(root, commit_dir).split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    pvals[k] = None if v == _HIVE_NULL else urllib.parse.unquote(v)
+            meta = pq.ParquetFile(full).metadata
+            rc = meta.num_rows
+            lows: dict[int, bytes] = {}
+            ups: dict[int, bytes] = {}
+            nulls: dict[int, int] = {}
+            vals: dict[int, int] = {}
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    cname = col.path_in_schema.split(".")[0]
+                    if cname not in fid_of:
+                        continue
+                    fid, tname = fid_of[cname]
+                    vals[fid] = vals.get(fid, 0) + col.num_values
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    if st.null_count is not None:
+                        nulls[fid] = nulls.get(fid, 0) + st.null_count
+                    if st.has_min_max:
+                        lo = encode_bound(st.min, tname)
+                        hi = encode_bound(st.max, tname)
+                        if lo is not None and (
+                                fid not in lows or
+                                _cmp_bound(lo, lows[fid], tname) < 0):
+                            lows[fid] = lo
+                        if hi is not None and (
+                                fid not in ups or
+                                _cmp_bound(hi, ups[fid], tname) > 0):
+                            ups[fid] = hi
+            out.append((rel.replace(os.sep, "/"),
+                        {k: (v if v is not None else _HIVE_NULL) for k, v in pvals.items()},
+                        rc, os.path.getsize(full), lows, ups, nulls, vals))
+    return out
+
+
+def _cmp_bound(a: bytes, b: bytes, tname: str) -> int:
+    va, vb = decode_bound(a, tname), decode_bound(b, tname)
+    return (va > vb) - (va < vb)
+
+
+# --------------------------------------------------------------------------
+# filter evaluation
+
+_OPS = ("=", "!=", "<", "<=", ">", ">=", "in")
+
+
+def _filters_to_column(filters: list[tuple]):
+    expr = F.lit(True)
+    for col, op, val in filters:
+        c = F.col(col)
+        if op == "=":
+            e = c == val
+        elif op == "!=":
+            e = c != val
+        elif op == "<":
+            e = c < val
+        elif op == "<=":
+            e = c <= val
+        elif op == ">":
+            e = c > val
+        elif op == ">=":
+            e = c >= val
+        elif op == "in":
+            e = c.isin(list(val))
+        else:
+            raise ValueError(f"unsupported op {op!r} (one of {_OPS})")
+        expr = expr & e
+    return expr
+
+
+def _file_matches(f: DataFile, filters: list[tuple],
+                  fids: dict[str, tuple[int, str]],
+                  spec: dict[str, dict], typed_partition) -> bool:
+    """Conservative per-file predicate: False only when the file provably
+    contains no matching row (partition value or min/max bound excludes)."""
+    tp = typed_partition(f.partition)
+    bucket_of: dict[str, tuple[str, int]] = {}   # source col → (part name, n)
+    for pname, p in spec.items():
+        tr = p.get("transform", "identity")
+        if tr.startswith("bucket["):
+            src = pname[: -len("_bucket")] if pname.endswith("_bucket") else pname
+            bucket_of[src] = (pname, int(tr[len("bucket["):-1]))
+    for col, op, val in filters:
+        # identity partition pruning
+        if col in tp:
+            pv = tp[col]
+            if pv is None:
+                if op != "!=":
+                    return False
+                continue
+            if op == "=" and pv != val:
+                return False
+            if op == "!=" and pv == val:
+                return False
+            if op == "in" and pv not in val:
+                return False
+            if op == "<" and not pv < val:
+                return False
+            if op == "<=" and not pv <= val:
+                return False
+            if op == ">" and not pv > val:
+                return False
+            if op == ">=" and not pv >= val:
+                return False
+            continue
+        # bucket-transform pruning (equality / in only)
+        if col in bucket_of:
+            pname, n = bucket_of[col]
+            if pname in tp and tp[pname] is not None:
+                if op == "=" and bucket_value(val, n) != tp[pname]:
+                    return False
+                if op == "in" and tp[pname] not in {bucket_value(v, n) for v in val}:
+                    return False
+        # min/max bound pruning
+        if col in fids:
+            fid, tname = fids[col]
+            lo = decode_bound(f.lower_bounds.get(fid), tname)
+            hi = decode_bound(f.upper_bounds.get(fid), tname)
+            if lo is None or hi is None:
+                continue
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op == "in" and not any(lo <= v <= hi for v in val):
+                return False
+            if op == "<" and not lo < val:
+                return False
+            if op == "<=" and not lo <= val:
+                return False
+            if op == ">" and not hi > val:
+                return False
+            if op == ">=" and not hi >= val:
+                return False
+    return True

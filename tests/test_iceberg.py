@@ -1,0 +1,275 @@
+"""IcebergLite table format: avro codec, metadata shape, scan planning
+(partition / bounds / bucket pruning), time travel, incremental reads.
+
+The north-rule input is "an Iceberg table of source-code repositories"
+(BASELINE.json input_hint); these tests prove the corpus round-trips
+through the spec-shaped layout byte-exactly (content sha256 equality)
+and that planning prunes files the way Iceberg's own planner does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark import avrolite
+from graphscope_spark.iceberg import (
+    IcebergLite,
+    _signed64,
+    bucket_value,
+    decode_bound,
+    encode_bound,
+    xxh64,
+    xxh64_long,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# avrolite codec
+
+AVRO_SCHEMA = {"type": "record", "name": "t", "fields": [
+    {"name": "i", "type": "int"},
+    {"name": "l", "type": "long"},
+    {"name": "s", "type": "string"},
+    {"name": "u", "type": ["null", "string"]},
+    {"name": "m", "type": {"type": "map", "values": ["null", "long"]}},
+    {"name": "a", "type": {"type": "array", "items": "double"}},
+    {"name": "b", "type": "bytes"},
+    {"name": "f", "type": {"type": "fixed", "name": "fx", "size": 2}},
+]}
+
+AVRO_ROWS = [
+    {"i": -1, "l": 2**40, "s": "héllo", "u": None,
+     "m": {"x": 1, "y": None}, "a": [1.5, -2.5], "b": b"\x00\xff", "f": b"ab"},
+    {"i": 0, "l": -(2**40), "s": "", "u": "set",
+     "m": {}, "a": [], "b": b"", "f": b"cd"},
+]
+
+
+def test_avro_roundtrip(tmp_path):
+    p = str(tmp_path / "t.avro")
+    avrolite.write_container(p, AVRO_SCHEMA, AVRO_ROWS)
+    schema, rows = avrolite.read_container(p)
+    assert schema == AVRO_SCHEMA
+    assert rows == AVRO_ROWS
+
+
+def test_avro_deterministic_bytes(tmp_path):
+    p1, p2 = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    avrolite.write_container(p1, AVRO_SCHEMA, AVRO_ROWS)
+    avrolite.write_container(p2, AVRO_SCHEMA, AVRO_ROWS)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_avro_map_key_decodes_before_value(tmp_path):
+    # regression: Python evaluates the RHS of `d[k()] = v()` first — a
+    # map read as value-then-key garbles every entry.
+    p = str(tmp_path / "m.avro")
+    schema = {"type": "map", "values": ["null", "string"]}
+    rec = {"lang": "py", "x": None, "long_key_name": "v"}
+    avrolite.write_container(p, schema, [rec])
+    _, rows = avrolite.read_container(p)
+    assert rows == [rec]
+
+
+def test_avro_empty_container(tmp_path):
+    p = str(tmp_path / "e.avro")
+    avrolite.write_container(p, AVRO_SCHEMA, [])
+    schema, rows = avrolite.read_container(p)
+    assert schema == AVRO_SCHEMA and rows == []
+
+
+# --------------------------------------------------------------------------
+# xxh64 parity with Spark (bucket pruning depends on bit-identical hashes)
+
+def test_xxh64_matches_spark(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i * 7}" * (i % 9)) for i in range(-3, 60)], "v long, s string")
+    rows = df.select("v", "s", F.xxhash64("v").alias("hv"),
+                     F.xxhash64("s").alias("hs")).collect()
+    for r in rows:
+        assert _signed64(xxh64_long(r.v)) == r.hv
+        assert _signed64(xxh64(r.s.encode())) == r.hs
+
+
+def test_bucket_value_matches_spark(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    rows = df.select(
+        "v", F.pmod(F.xxhash64("v"), F.lit(8)).cast("int").alias("b")).collect()
+    for r in rows:
+        assert bucket_value(r.v, 8) == r.b
+
+
+def test_bound_encoding_roundtrip():
+    for v, t in [(7, "int"), (-(2**40), "long"), (1.5, "double"),
+                 (True, "boolean"), ("abc", "string"), (b"\x01", "binary")]:
+        assert decode_bound(encode_bound(v, t), t) == v
+    assert encode_bound(None, "long") is None
+    assert decode_bound(None, "long") is None
+
+
+# --------------------------------------------------------------------------
+# table round-trip + metadata shape
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def table(spark, docs, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("ice") / "docs_table")
+    return IcebergLite.write(docs, loc, partition_by=["lang"])
+
+
+def test_roundtrip_content_sha256(spark, docs, table):
+    back = table.read(spark)
+    assert set(back.columns) == set(docs.columns)
+    a = sorted(r.h for r in docs.select(
+        F.sha2(F.col("text"), 256).alias("h")).collect())
+    b = sorted(r.h for r in back.select(
+        F.sha2(F.col("text"), 256).alias("h")).collect())
+    assert a == b  # input_hint per-row invariant: content sha256 equality
+    assert back.count() == docs.count()
+
+
+def test_metadata_json_shape(table):
+    md = table.metadata()
+    assert md["format-version"] == 2
+    assert md["current-snapshot-id"] == md["snapshots"][-1]["snapshot-id"]
+    sch = md["schemas"][0]
+    ids = [f["id"] for f in sch["fields"]]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    spec = md["partition-specs"][0]["fields"]
+    assert spec[0]["name"] == "lang" and spec[0]["transform"] == "identity"
+    assert spec[0]["field-id"] == 1000
+    # version hint points at a readable metadata file
+    v = table.current_version()
+    assert os.path.exists(os.path.join(table.metadata_dir,
+                                       f"v{v}.metadata.json"))
+    # manifest list + manifest are valid avro with spec field names
+    snap = md["snapshots"][-1]
+    _, manifests = avrolite.read_container(
+        os.path.join(table.location, snap["manifest-list"]))
+    assert manifests and {"manifest_path", "added_snapshot_id",
+                          "added_rows_count"} <= manifests[0].keys()
+    _, entries = avrolite.read_container(
+        os.path.join(table.location, manifests[0]["manifest_path"]))
+    e = entries[0]
+    assert e["status"] == 1
+    assert e["data_file"]["file_format"] == "PARQUET"
+    assert "lang" in e["data_file"]["partition"]
+
+
+def test_partition_pruning(spark, docs, table):
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    assert len(langs) > 1
+    target = sorted(langs)[0]
+    pruned = table.plan_files(filters=[("lang", "=", target)])
+    assert 0 < len(pruned) < len(table.plan_files())
+    assert all(f.partition["lang"] == target for f in pruned)
+    got = table.read(spark, filters=[("lang", "=", target)]).count()
+    assert got == docs.filter(F.col("lang") == target).count()
+
+
+def test_in_filter_and_columns(spark, docs, table):
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())[:2]
+    out = table.read(spark, filters=[("lang", "in", langs)],
+                     columns=["doc_id", "lang"])
+    assert out.columns == ["doc_id", "lang"]
+    assert out.count() == docs.filter(F.col("lang").isin(langs)).count()
+
+
+def test_minmax_file_skipping(spark, docs, tmp_path):
+    loc = str(tmp_path / "ranged")
+    t = IcebergLite.write(docs.repartitionByRange(6, "doc_id"), loc)
+    lo_files = t.plan_files(filters=[("doc_id", "<=", 5)])
+    assert len(lo_files) < len(t.plan_files())
+    assert (t.read(spark, filters=[("doc_id", "<=", 5)]).count()
+            == docs.filter("doc_id <= 5").count())
+    # equality on a value outside every file's range plans zero files
+    assert t.plan_files(filters=[("doc_id", "=", 10**9)]) == []
+    empty = t.read(spark, filters=[("doc_id", "=", 10**9)])
+    assert empty.count() == 0 and set(empty.columns) == set(docs.columns)
+
+
+def test_bucket_transform_pruning(spark, docs, tmp_path):
+    loc = str(tmp_path / "bucketed")
+    t = IcebergLite.write(docs, loc, bucket_by=("doc_id", 8))
+    some_id = docs.select(F.min("doc_id")).collect()[0][0]
+    pruned = t.plan_files(filters=[("doc_id", "=", some_id)])
+    assert len(pruned) < len(t.plan_files())
+    rows = t.read(spark, filters=[("doc_id", "=", some_id)]).collect()
+    assert len(rows) == 1 and rows[0].doc_id == some_id
+    # the derived bucket column is partition metadata, not table schema
+    assert "doc_id_bucket" not in t.read(spark).columns
+
+
+def test_append_time_travel_incremental(spark, docs, tmp_path):
+    loc = str(tmp_path / "snap")
+    med = docs.approxQuantile("n_chars", [0.5], 0.0)[0]
+    lo = docs.filter(F.col("n_chars") < med)
+    hi = docs.filter(F.col("n_chars") >= med)
+    t = IcebergLite.write(lo, loc, partition_by=["lang"])
+    s1 = t.current_snapshot_id()
+    t = IcebergLite.write(hi, loc, partition_by=["lang"], mode="append")
+    s2 = t.current_snapshot_id()
+    assert [h["snapshot-id"] for h in t.history()] == [s1, s2]
+    assert t.read(spark).count() == docs.count()
+    assert t.read(spark, snapshot_id=s1).count() == lo.count()
+    inc = t.read_incremental(spark, s1)
+    assert inc.count() == hi.count()
+    assert t.snapshots()[-1]["parent-snapshot-id"] == s1
+    assert int(t.snapshots()[-1]["summary"]["total-records"]) == docs.count()
+    # incremental from the head is empty
+    assert t.incremental_files(s2) == []
+
+
+def test_overwrite_resets_history(spark, docs, tmp_path):
+    loc = str(tmp_path / "ow")
+    IcebergLite.write(docs, loc, partition_by=["lang"])
+    t = IcebergLite.write(docs.limit(3), loc, mode="overwrite")
+    assert len(t.snapshots()) == 1
+    assert t.read(spark).count() == 3
+
+
+def test_overwrite_refuses_foreign_dir(spark, docs, tmp_path):
+    loc = str(tmp_path / "not_a_table")
+    os.makedirs(loc)
+    with open(os.path.join(loc, "something.txt"), "w") as f:
+        f.write("precious")
+    with pytest.raises(ValueError, match="not an IcebergLite table"):
+        IcebergLite.write(docs.limit(1), loc)
+
+
+def test_files_df_distributed_scan(spark, docs, table):
+    fdf = table.files_df(spark)
+    total = fdf.agg(F.sum("record_count").alias("n")).collect()[0][0]
+    assert total == docs.count()
+    assert fdf.count() == len(table.plan_files())
+
+
+def test_corpus_through_iceberg(spark, tmp_path):
+    """North-rule wiring: synthesized source-code corpus → IcebergLite →
+    import-graph extraction gives the identical edge table (and identical
+    content sha256 set) as the direct path."""
+    from graphscope_spark.corpus import ingest, resolve_edges, synthesize_corpus
+
+    corpus = synthesize_corpus(spark, n_files=48, files_per_repo=12, seed=7)
+    loc = str(tmp_path / "corpus")
+    t = IcebergLite.write(corpus, loc, partition_by=["lang"],
+                          bucket_by=("repo", 4))
+    back = t.read(spark)
+    direct = sorted(r.h for r in corpus.select(
+        F.sha2(F.col("content"), 256).alias("h")).collect())
+    via = sorted(r.h for r in back.select(
+        F.sha2(F.col("content"), 256).alias("h")).collect())
+    assert direct == via
+    e1 = resolve_edges(ingest(corpus)).select("src_oid", "dst_oid")
+    e2 = resolve_edges(ingest(back)).select("src_oid", "dst_oid")
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
