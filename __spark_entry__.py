@@ -3657,6 +3657,50 @@ def _q_iceberg_time_travel(spark, sf_dir):
                  F.sum("n_chars").alias("sum_chars")))
 
 
+_ICEBERG_MAINT_CACHE: dict = {}
+
+
+def _q_iceberg_maintenance(spark, sf_dir):
+    """Table maintenance lifecycle over IcebergLite: three small appends
+    (the second EVOLVES the schema with a new `tag` column and inherits
+    the partition spec), a dynamic partition overwrite that replaces only
+    lang='de' rows with recomputed tags, then compaction
+    (`rewrite_data_files`, a "replace" snapshot merging the per-append
+    small files).  The final read must see: all non-de rows exactly once
+    with tag only on the %3==1 append, and de rows entirely from the
+    overwrite — the oracle states that end state in closed form.  Every
+    metadata step (manifest rewrite, schema-id bump, snapshot summaries)
+    sits under this one aggregate."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ICEBERG_MAINT_CACHE:
+        import tempfile
+
+        from graphscope_spark.iceberg import IcebergLite
+
+        loc = os.path.join(tempfile.mkdtemp(prefix="gs_icemaint_"), "docs")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        IcebergLite.write(docs.filter(F.col("doc_id") % 3 == 0), loc,
+                          partition_by=["lang"])
+        with_tag = (docs.filter(F.col("doc_id") % 3 == 1)
+                    .withColumn("tag", (F.col("n_chars") * 2).cast("long")))
+        IcebergLite.write(with_tag, loc, mode="append")   # schema evolution
+        IcebergLite.write(docs.filter(F.col("doc_id") % 3 == 2), loc,
+                          mode="append")
+        de = (docs.filter(F.col("lang") == "de")
+              .withColumn("tag", (F.col("n_chars") * 3).cast("long")))
+        t = IcebergLite.write(de, loc, mode="overwrite_partitions")
+        t = t.compact(spark, min_input_files=2)
+        _ICEBERG_MAINT_CACHE.clear()
+        _ICEBERG_MAINT_CACHE[key] = t
+    t = _ICEBERG_MAINT_CACHE[key]
+    return (t.read(spark)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum("tag").alias("sum_tag")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records the FIRST 50
     # entries per round.  Queries that have never had a driver row (the
@@ -3806,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users": _q_hll_users,
         "iceberg_roundtrip": _q_iceberg_roundtrip,
         "iceberg_time_travel": _q_iceberg_time_travel,
+        "iceberg_maintenance": _q_iceberg_maintenance,
     }
 
 
@@ -4782,5 +4827,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, COUNT(*)::BIGINT AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents WHERE doc_id % 4 < 2 GROUP BY lang"
+        ),
+        "iceberg_maintenance": (
+            # end state after: 3 appends (%3 splits; %3==1 carries
+            # tag=2*n_chars via schema evolution), dynamic partition
+            # overwrite of lang='de' with tag=3*n_chars, and compaction
+            # (row-preserving). Non-de rows: all docs, tag only on %3==1.
+            "WITH final AS ("
+            "  SELECT doc_id, lang, n_chars, "
+            "         CASE WHEN doc_id % 3 = 1 THEN 2 * n_chars END AS tag "
+            "  FROM documents WHERE lang <> 'de' "
+            "  UNION ALL "
+            "  SELECT doc_id, lang, n_chars, 3 * n_chars AS tag "
+            "  FROM documents WHERE lang = 'de') "
+            "SELECT lang, COUNT(*)::BIGINT AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(SUM(tag) AS BIGINT) AS sum_tag "
+            "FROM final GROUP BY lang"
         ),
     }

@@ -189,6 +189,98 @@ def spark_to_iceberg_schema(schema: T.StructType) -> dict:
             "last-column-id": counter["n"]}
 
 
+# Iceberg-legal primitive promotions (spec "Schema Evolution").
+_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def _strip_type_ids(t: Any) -> Any:
+    """Structural view of an iceberg type with all ids removed, so two
+    independently-allocated types can be compared for equality."""
+    if isinstance(t, str):
+        return t
+    if t["type"] == "list":
+        return {"type": "list", "element": _strip_type_ids(t["element"]),
+                "element-required": t.get("element-required", False)}
+    if t["type"] == "map":
+        return {"type": "map", "key": _strip_type_ids(t["key"]),
+                "value": _strip_type_ids(t["value"]),
+                "value-required": t.get("value-required", False)}
+    return {"type": "struct",
+            "fields": [{"name": f["name"], "required": f["required"],
+                        "type": _strip_type_ids(f["type"])}
+                       for f in t["fields"]]}
+
+
+def merge_schema(prev_md: dict, df_schema: T.StructType) -> dict:
+    """Schema evolution for an append: existing columns KEEP their field
+    ids (with int→long / float→double widening allowed), new columns get
+    fresh ids above ``last-column-id`` and are always optional (old data
+    files lack them).  Raises on any other type change — evolution never
+    reuses or re-types an id (Iceberg spec "Schema Evolution").
+
+    Returns ``{"fields", "last-column-id", "changed"}``."""
+    cur = next(s for s in prev_md["schemas"]
+               if s["schema-id"] == prev_md["current-schema-id"])
+    by_name = {f["name"]: f for f in cur["fields"]}
+    fields = [dict(f) for f in cur["fields"]]
+    counter = {"n": prev_md["last-column-id"]}
+
+    def alloc() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    changed = False
+    for sf in df_schema.fields:
+        throwaway = {"n": 1 << 30}
+
+        def talloc() -> int:
+            throwaway["n"] += 1
+            return throwaway["n"]
+
+        want = _iceberg_type(sf.dataType, talloc)
+        if sf.name in by_name:
+            old = by_name[sf.name]["type"]
+            if _strip_type_ids(old) == _strip_type_ids(want):
+                continue
+            if (isinstance(old, str) and isinstance(want, str)
+                    and (old, want) in _PROMOTIONS):
+                for f in fields:
+                    if f["name"] == sf.name:
+                        f["type"] = want
+                changed = True
+                continue
+            raise ValueError(
+                f"schema evolution: column {sf.name!r} has type {want!r}, "
+                f"table has {old!r} (only int->long / float->double "
+                f"widening is allowed)")
+        else:
+            fid = alloc()
+            fields.append({"id": fid, "name": sf.name, "required": False,
+                           "type": _iceberg_type(sf.dataType, alloc)})
+            changed = True
+    return {"fields": fields, "last-column-id": counter["n"],
+            "changed": changed}
+
+
+def _spec_args(prev_md: dict):
+    """Reconstruct the ``(partition_by, bucket_by)`` write arguments from a
+    table's stored default partition spec (used to inherit partitioning on
+    append when the caller doesn't re-specify it)."""
+    spec = next(s for s in prev_md["partition-specs"]
+                if s["spec-id"] == prev_md["default-spec-id"])["fields"]
+    cur = next(s for s in prev_md["schemas"]
+               if s["schema-id"] == prev_md["current-schema-id"])
+    name_of = {f["id"]: f["name"] for f in cur["fields"]}
+    parts, bucket = [], None
+    for p in spec:
+        if p["transform"] == "identity":
+            parts.append(p["name"])
+        elif p["transform"].startswith("bucket["):
+            bucket = (name_of[p["source-id"]],
+                      int(p["transform"][7:-1]))
+    return (parts or None), bucket
+
+
 def iceberg_to_spark_type(t: Any) -> T.DataType:
     if isinstance(t, str):
         rev = {v: k for k, v in _ATOMIC.items()}
@@ -243,11 +335,13 @@ def decode_bound(raw: bytes | None, type_name: str) -> Any:
     if type_name == "int":
         return struct.unpack("<i", raw)[0]
     if type_name == "long":
-        return struct.unpack("<q", raw)[0]
+        # files written before an int->long promotion carry 4-byte bounds
+        return struct.unpack("<i" if len(raw) == 4 else "<q", raw)[0]
     if type_name == "float":
         return struct.unpack("<f", raw)[0]
     if type_name == "double":
-        return struct.unpack("<d", raw)[0]
+        # files written before a float->double promotion carry 4-byte bounds
+        return struct.unpack("<f" if len(raw) == 4 else "<d", raw)[0]
     if type_name == "string":
         return raw.decode("utf-8")
     if type_name == "binary":
@@ -507,12 +601,19 @@ class IcebergLite:
         for commit, paths in sorted(by_commit.items()):
             base = os.path.join(self.data_dir, commit)
             df = spark.read.option("basePath", base).parquet(*sorted(paths))
-            # partition dirs are inferred; cast to the table schema's types
+            # align each commit group to the CURRENT table schema:
+            # files written before a column was added read back as null
+            # there (schema evolution), inferred partition dirs and
+            # promoted primitives (int->long) cast to the schema type
             for f_ in schema.fields:
-                if f_.name in parts and f_.name in df.columns:
-                    df = df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
-            dfs.append(df.select([f_.name for f_ in schema.fields
-                                  if f_.name in df.columns]))
+                if f_.name not in df.columns:
+                    df = df.withColumn(f_.name,
+                                       F.lit(None).cast(f_.dataType))
+                elif (f_.name in parts
+                      or df.schema[f_.name].dataType != f_.dataType):
+                    df = df.withColumn(f_.name,
+                                       F.col(f_.name).cast(f_.dataType))
+            dfs.append(df.select([f_.name for f_ in schema.fields]))
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -529,21 +630,34 @@ class IcebergLite:
 
     def incremental_files(self, from_snapshot_id: int,
                           to_snapshot_id: int | None = None) -> list[DataFile]:
-        """Data files ADDED strictly after ``from_snapshot_id`` up to and
-        including ``to_snapshot_id`` (an Iceberg incremental append scan)."""
+        """Data files APPENDED strictly after ``from_snapshot_id`` up to
+        and including ``to_snapshot_id`` (an Iceberg incremental append
+        scan).  Each append snapshot's files come from ITS OWN manifest
+        list, so a later compaction ("replace") in range is transparent;
+        an "overwrite" in range raises — rows were deleted, an append-only
+        delta no longer exists (Iceberg's IncrementalAppendScan does the
+        same)."""
         chain = self._snapshot_chain()
         if from_snapshot_id not in chain:
             raise ValueError(f"unknown snapshot {from_snapshot_id}")
         to = to_snapshot_id if to_snapshot_id is not None else chain[-1]
         lo, hi = chain.index(from_snapshot_id), chain.index(to)
-        wanted = set(chain[lo + 1:hi + 1])
+        snaps = {s["snapshot-id"]: s for s in self.snapshots()}
         files = []
-        for m in self._manifests(to):
-            if m["added_snapshot_id"] not in wanted:
+        for sid in chain[lo + 1:hi + 1]:
+            op = snaps[sid]["summary"].get("operation", "append")
+            if op == "overwrite":
+                raise ValueError(
+                    f"incremental scan range contains overwrite snapshot "
+                    f"{sid}: the range is not append-only")
+            if op != "append":        # "replace" rewrites, adds no rows
                 continue
-            for e in self._manifest_entries(m["manifest_path"]):
-                if e["status"] == 1 and e["snapshot_id"] in wanted:
-                    files.append(self._entry_to_datafile(e, self.location))
+            for m in self._manifests(sid):
+                if m["added_snapshot_id"] != sid:
+                    continue
+                for e in self._manifest_entries(m["manifest_path"]):
+                    if e["status"] == 1 and e["snapshot_id"] == sid:
+                        files.append(self._entry_to_datafile(e, self.location))
         return files
 
     def read_incremental(self, spark: SparkSession, from_snapshot_id: int,
@@ -601,16 +715,24 @@ class IcebergLite:
         ``bucket_by=(col, n)`` — adds a ``{col}_bucket`` partition via the
         lite bucket transform (``pmod(xxhash64(col), n)``, JVM-side).
         ``mode`` — ``overwrite`` starts a fresh table history, ``append``
-        adds a snapshot on top of the current one.
+        adds a snapshot on top of the current one, ``overwrite_partitions``
+        replaces exactly the partitions present in ``df`` (Spark's dynamic
+        partition overwrite, as an Iceberg "overwrite" snapshot) and keeps
+        every other partition's files.
+
+        Appends may evolve the schema: new columns get fresh field ids and
+        old files read back with nulls there; int→long / float→double
+        widen in place; anything else raises (see :func:`merge_schema`).
+        On append the table's partition spec is inherited when
+        ``partition_by``/``bucket_by`` are not re-specified.
 
         Each commit writes its parquet under ``data/{seq:05d}/`` — the
         committing writer therefore *knows* its file set (no listing
         diff), exactly how Iceberg writers track pending files."""
         tbl = cls(location)
-        parts = list(partition_by or [])
-        spec_fields = []
-        if mode not in ("overwrite", "append"):
-            raise ValueError("mode must be 'overwrite' or 'append'")
+        if mode not in ("overwrite", "append", "overwrite_partitions"):
+            raise ValueError("mode must be 'overwrite', 'append' or "
+                             "'overwrite_partitions'")
         fresh = mode == "overwrite" or not tbl.exists()
         if mode == "overwrite" and os.path.exists(tbl.location):
             # refuse to clobber a directory that is not an IcebergLite table
@@ -620,23 +742,52 @@ class IcebergLite:
             import shutil
             shutil.rmtree(tbl.location)
 
-        out_df = df
-        field_ids_source = {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
+        prev_md = tbl.metadata() if not fresh else None
+
+        # schema: fresh positional allocation, or id-stable evolution merge
+        if prev_md is None:
+            sch = spark_to_iceberg_schema(df.schema)
+            schemas = [{"type": "struct", "schema-id": 0,
+                        "fields": sch["fields"]}]
+            schema_id, last_col_id = 0, sch["last-column-id"]
+        else:
+            merged = merge_schema(prev_md, df.schema)
+            schemas = [dict(s) for s in prev_md["schemas"]]
+            last_col_id = merged["last-column-id"]
+            if merged["changed"]:
+                schema_id = max(s["schema-id"] for s in schemas) + 1
+                schemas.append({"type": "struct", "schema-id": schema_id,
+                                "fields": merged["fields"]})
+            else:
+                schema_id = prev_md["current-schema-id"]
+        cur_fields = next(s for s in schemas
+                          if s["schema-id"] == schema_id)["fields"]
+        fid_by_name = {f["name"]: f["id"] for f in cur_fields}
+
+        # partition spec: explicit, or inherited from the table on append
+        if prev_md is not None and partition_by is None and bucket_by is None:
+            partition_by, bucket_by = _spec_args(prev_md)
+        parts = list(partition_by or [])
+        spec_fields = []
         for i, c in enumerate(parts):
             spec_fields.append({"name": c, "transform": "identity",
-                                "source-id": field_ids_source.get(c, 0),
+                                "source-id": fid_by_name.get(c, 0),
                                 "field-id": 1000 + i})
+        out_df = df
         if bucket_by is not None:
             col, n = bucket_by
             bname = f"{col}_bucket"
             out_df = out_df.withColumn(
                 bname, F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int"))
             spec_fields.append({"name": bname, "transform": f"bucket[{n}]",
-                                "source-id": field_ids_source.get(col, 0),
+                                "source-id": fid_by_name.get(col, 0),
                                 "field-id": 1000 + len(parts)})
             parts.append(bname)
+        if mode == "overwrite_partitions" and not parts:
+            raise ValueError("overwrite_partitions requires a partitioned "
+                             "table (pass partition_by/bucket_by or append "
+                             "to one)")
 
-        prev_md = tbl.metadata() if (not fresh and tbl.exists()) else None
         seq = (prev_md["last-sequence-number"] + 1) if prev_md else 1
         commit_dir = os.path.join(tbl.data_dir, f"{seq:05d}")
         writer = out_df.write.mode("errorifexists")
@@ -644,15 +795,42 @@ class IcebergLite:
             writer = writer.partitionBy(*parts)
         writer.parquet(commit_dir)
 
-        data_schema = spark_to_iceberg_schema(df.schema)
-        fid_of = {f["name"]: (f["id"], f["type"]) for f in data_schema["fields"]
+        fid_of = {f["name"]: (f["id"], f["type"]) for f in cur_fields
                   if isinstance(f["type"], str)}
         new_files = _collect_file_stats(commit_dir, tbl.location, fid_of)
 
+        drop = None
+        operation = "append" if prev_md is not None else "overwrite"
+        if mode == "overwrite_partitions" and prev_md is not None:
+            replaced = {tuple(sorted(f[1].items())) for f in new_files}
+            drop = (lambda e: tuple(sorted(
+                e["data_file"]["partition"].items())) in replaced)
+            operation = "overwrite"
+
+        props = (properties if properties is not None
+                 else (prev_md.get("properties", {}) if prev_md else {}))
+        return tbl._commit(new_files=new_files, seq=seq, operation=operation,
+                           prev_md=prev_md, schemas=schemas,
+                           schema_id=schema_id, last_col_id=last_col_id,
+                           spec_fields=spec_fields, properties=props,
+                           drop=drop)
+
+    def _commit(self, *, new_files, seq, operation, prev_md, schemas,
+                schema_id, last_col_id, spec_fields, properties,
+                drop=None) -> "IcebergLite":
+        """Write manifest + manifest list + metadata json for one snapshot.
+
+        ``drop`` — optional predicate over previous *manifest entries*;
+        matching entries are removed and the survivors rewritten into one
+        merged EXISTING manifest (status 0, original snapshot ids and
+        sequence numbers kept) — how Iceberg represents partition
+        overwrites and compaction rewrites.  With ``drop=None`` previous
+        manifests carry forward untouched (the fast append path)."""
+        location = self.location
         snap_id = _stable_id("snap", location, seq,
                              *(f[0] for f in new_files))
         manifest_name = f"manifest-{snap_id}-{seq}.avro"
-        os.makedirs(tbl.metadata_dir, exist_ok=True)
+        os.makedirs(self.metadata_dir, exist_ok=True)
         entries = []
         for rel_path, pvals, rc, size, lows, ups, nulls, vals in new_files:
             entries.append({
@@ -667,12 +845,12 @@ class IcebergLite:
                     "lower_bounds": [{"key": k, "value": v} for k, v in sorted(lows.items())] or None,
                     "upper_bounds": [{"key": k, "value": v} for k, v in sorted(ups.items())] or None,
                 }})
-        manifest_path = os.path.join(tbl.metadata_dir, manifest_name)
+        manifest_path = os.path.join(self.metadata_dir, manifest_name)
         avrolite.write_container(manifest_path, MANIFEST_ENTRY_SCHEMA, entries)
 
         added_rows = sum(f[2] for f in new_files)
         new_manifest = {
-            "manifest_path": os.path.relpath(manifest_path, tbl.location),
+            "manifest_path": os.path.relpath(manifest_path, self.location),
             "manifest_length": os.path.getsize(manifest_path),
             "partition_spec_id": 0, "content": 0,
             "sequence_number": seq, "min_sequence_number": seq,
@@ -683,44 +861,82 @@ class IcebergLite:
         }
         manifests = [new_manifest]
         parent_id = None
+        deleted_files = deleted_rows = 0
         if prev_md and prev_md.get("current-snapshot-id") is not None:
             parent_id = prev_md["current-snapshot-id"]
             prev_snap = next(s for s in prev_md["snapshots"]
                              if s["snapshot-id"] == parent_id)
             _, prev_manifests = avrolite.read_container(
-                os.path.join(tbl.location, prev_snap["manifest-list"]))
-            manifests = prev_manifests + [new_manifest]
+                os.path.join(self.location, prev_snap["manifest-list"]))
+            if drop is None:
+                manifests = prev_manifests + [new_manifest]
+            else:
+                keep = []
+                for m in prev_manifests:
+                    for e in self._manifest_entries(m["manifest_path"]):
+                        if e["status"] == 2:
+                            continue
+                        if drop(e):
+                            deleted_files += 1
+                            deleted_rows += e["data_file"]["record_count"]
+                        else:
+                            keep.append({**e, "status": 0})
+                if keep:
+                    mname = f"manifest-{snap_id}-{seq}-existing.avro"
+                    mpath = os.path.join(self.metadata_dir, mname)
+                    avrolite.write_container(mpath, MANIFEST_ENTRY_SCHEMA,
+                                             keep)
+                    manifests = [{
+                        "manifest_path": os.path.relpath(mpath,
+                                                         self.location),
+                        "manifest_length": os.path.getsize(mpath),
+                        "partition_spec_id": 0, "content": 0,
+                        "sequence_number": seq,
+                        "min_sequence_number": min(e["sequence_number"]
+                                                   for e in keep),
+                        "added_snapshot_id": snap_id,
+                        "added_files_count": 0,
+                        "existing_files_count": len(keep),
+                        "deleted_files_count": 0,
+                        "added_rows_count": 0,
+                        "existing_rows_count": sum(
+                            e["data_file"]["record_count"] for e in keep),
+                        "deleted_rows_count": 0,
+                    }, new_manifest]
 
         mlist_name = f"snap-{snap_id}-1.avro"
-        avrolite.write_container(os.path.join(tbl.metadata_dir, mlist_name),
+        avrolite.write_container(os.path.join(self.metadata_dir, mlist_name),
                                  MANIFEST_FILE_SCHEMA, manifests)
 
         now_ms = int(time.time() * 1000)
-        total_rows = added_rows + (
+        prev_total = (
             int(prev_md["snapshots"][-1]["summary"].get("total-records", 0))
             if prev_md and prev_md.get("snapshots") else 0)
+        total_rows = prev_total + added_rows - deleted_rows
         snapshot = {
             "snapshot-id": snap_id,
             **({"parent-snapshot-id": parent_id} if parent_id else {}),
             "sequence-number": seq, "timestamp-ms": now_ms,
             "manifest-list": os.path.join("metadata", mlist_name),
-            "summary": {"operation": "append" if parent_id else "overwrite",
+            "summary": {"operation": operation,
                         "added-data-files": str(len(new_files)),
                         "added-records": str(added_rows),
+                        **({"deleted-data-files": str(deleted_files),
+                            "deleted-records": str(deleted_rows)}
+                           if drop is not None else {}),
                         "total-records": str(total_rows)},
-            "schema-id": 0,
+            "schema-id": schema_id,
         }
-        prev_version = tbl.current_version() if tbl.exists() else 0
+        prev_version = self.current_version() if self.exists() else 0
         md = {
             "format-version": 2,
-            "table-uuid": f"{_stable_id('uuid', tbl.location):032x}",
-            "location": tbl.location,
+            "table-uuid": f"{_stable_id('uuid', self.location):032x}",
+            "location": self.location,
             "last-sequence-number": seq,
             "last-updated-ms": now_ms,
-            "last-column-id": data_schema["last-column-id"],
-            "current-schema-id": 0,
-            "schemas": [{"type": "struct", "schema-id": 0,
-                         "fields": data_schema["fields"]}],
+            "last-column-id": last_col_id,
+            "current-schema-id": schema_id,
+            "schemas": schemas,
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
@@ -734,12 +950,83 @@ class IcebergLite:
             "metadata-log": [],
         }
         version = prev_version + 1
-        with open(os.path.join(tbl.metadata_dir,
+        with open(os.path.join(self.metadata_dir,
                                f"v{version}.metadata.json"), "w") as f:
             json.dump(md, f, indent=1)
-        with open(os.path.join(tbl.metadata_dir, "version-hint.text"), "w") as f:
+        with open(os.path.join(self.metadata_dir, "version-hint.text"), "w") as f:
             f.write(str(version))
-        return tbl
+        return self
+
+    # ---------------- maintenance
+
+    def compact(self, spark: SparkSession,
+                target_file_size_bytes: int = 128 * 1024 * 1024,
+                min_input_files: int = 2) -> "IcebergLite":
+        """Rewrite small data files into ~target-size files (Iceberg's
+        ``rewrite_data_files``, committed as a "replace" snapshot).
+
+        Per partition, files under the target size are read back and
+        rewritten as fewer, larger files; row content is unchanged and
+        time travel to pre-compaction snapshots still sees the original
+        files.  The small-file problem is THE operational tax of frequent
+        appends at 100 TB: planning cost, manifest size and open-file
+        overhead scale with file COUNT, not bytes — a table taking one
+        small append per minute accretes half a million files a year
+        unless something merges them."""
+        prev_md = self.metadata()
+        by_part: dict[tuple, list[DataFile]] = {}
+        for f in self.plan_files():
+            by_part.setdefault(tuple(sorted(f.partition.items())),
+                               []).append(f)
+        rewrite: list[DataFile] = []
+        for _, fs in sorted(by_part.items()):
+            small = [f for f in fs if f.file_size < target_file_size_bytes]
+            if len(small) >= min_input_files:
+                rewrite.extend(small)
+        if not rewrite:
+            return self
+
+        df = self._read_files(spark, rewrite)
+        cur = next(s for s in prev_md["schemas"]
+                   if s["schema-id"] == prev_md["current-schema-id"])
+        name_of = {f["id"]: f["name"] for f in cur["fields"]}
+        parts = []
+        for p in self.partition_spec():
+            parts.append(p["name"])
+            tr = p["transform"]
+            if tr.startswith("bucket[") and p["name"] not in df.columns:
+                # bucket values live only in dir names; recompute to rewrite
+                n = int(tr[7:-1])
+                df = df.withColumn(p["name"], F.pmod(
+                    F.xxhash64(F.col(name_of[p["source-id"]])),
+                    F.lit(n)).cast("int"))
+        n_out = max(1, -(-sum(f.file_size for f in rewrite)
+                         // target_file_size_bytes))
+        df = (df.repartition(n_out, *[F.col(c) for c in parts])
+              if parts else df.repartition(n_out))
+
+        seq = prev_md["last-sequence-number"] + 1
+        commit_dir = os.path.join(self.data_dir, f"{seq:05d}")
+        writer = df.write.mode("errorifexists")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(commit_dir)
+        fid_of = {f["name"]: (f["id"], f["type"]) for f in cur["fields"]
+                  if isinstance(f["type"], str)}
+        new_files = _collect_file_stats(commit_dir, self.location, fid_of)
+
+        dropped = {os.path.relpath(f.path, self.location).replace(os.sep, "/")
+                   for f in rewrite}
+        return self._commit(
+            new_files=new_files, seq=seq, operation="replace",
+            prev_md=prev_md, schemas=prev_md["schemas"],
+            schema_id=prev_md["current-schema-id"],
+            last_col_id=prev_md["last-column-id"],
+            spec_fields=next(s for s in prev_md["partition-specs"]
+                             if s["spec-id"] == prev_md["default-spec-id"]
+                             )["fields"],
+            properties=prev_md.get("properties", {}),
+            drop=lambda e: e["data_file"]["file_path"] in dropped)
 
 
 # --------------------------------------------------------------------------

@@ -273,3 +273,136 @@ def test_corpus_through_iceberg(spark, tmp_path):
     e1 = resolve_edges(ingest(corpus)).select("src_oid", "dst_oid")
     e2 = resolve_edges(ingest(back)).select("src_oid", "dst_oid")
     assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
+
+
+# --------------------------------------------------------------------------
+# dynamic partition overwrite / schema evolution / compaction
+
+def test_overwrite_partitions_replaces_only_touched(spark, docs, tmp_path):
+    loc = str(tmp_path / "dpo")
+    t = IcebergLite.write(docs, loc, partition_by=["lang"])
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    target, keep = langs[0], langs[1:]
+    repl = docs.filter(F.col("lang") == target).limit(2) \
+               .withColumn("text", F.lit("REPLACED"))
+    t = IcebergLite.write(repl, loc, mode="overwrite_partitions")
+    # replaced partition holds exactly the new rows
+    got = t.read(spark, filters=[("lang", "=", target)])
+    assert got.count() == 2
+    assert [r.text for r in got.collect()] == ["REPLACED", "REPLACED"]
+    # untouched partitions are intact
+    for lg in keep:
+        assert (t.read(spark, filters=[("lang", "=", lg)]).count()
+                == docs.filter(F.col("lang") == lg).count())
+    snap = t.snapshots()[-1]
+    assert snap["summary"]["operation"] == "overwrite"
+    assert int(snap["summary"]["deleted-records"]) == \
+        docs.filter(F.col("lang") == target).count()
+    assert int(snap["summary"]["total-records"]) == t.read(spark).count()
+    # time travel still sees the pre-overwrite rows
+    s1 = t.history()[0]["snapshot-id"]
+    assert t.read(spark, snapshot_id=s1).count() == docs.count()
+    # an overwrite inside an incremental range is refused
+    with pytest.raises(ValueError, match="overwrite"):
+        t.incremental_files(s1)
+
+
+def test_overwrite_partitions_requires_partitioning(spark, docs, tmp_path):
+    loc = str(tmp_path / "dpo_unpart")
+    with pytest.raises(ValueError, match="partitioned"):
+        IcebergLite.write(docs, loc, mode="overwrite_partitions")
+
+
+def test_schema_evolution_add_column(spark, docs, tmp_path):
+    loc = str(tmp_path / "evo")
+    base = docs.select("doc_id", "lang", "n_chars")
+    t = IcebergLite.write(base, loc, partition_by=["lang"])
+    md0 = t.metadata()
+    extra = base.limit(3).withColumn("stars", F.lit(7).cast("int"))
+    # partition spec inherited: no partition_by on the append
+    t = IcebergLite.write(extra, loc, mode="append")
+    md1 = t.metadata()
+    assert md1["current-schema-id"] == md0["current-schema-id"] + 1
+    # existing columns keep their ids; the new column gets a fresh one
+    old = {f["name"]: f["id"] for s in md0["schemas"]
+           if s["schema-id"] == md0["current-schema-id"]
+           for f in s["fields"]}
+    new = {f["name"]: f["id"] for s in md1["schemas"]
+           if s["schema-id"] == md1["current-schema-id"]
+           for f in s["fields"]}
+    assert all(new[k] == v for k, v in old.items())
+    assert new["stars"] == md0["last-column-id"] + 1
+    back = t.read(spark)
+    assert back.columns == ["doc_id", "lang", "n_chars", "stars"]
+    assert back.filter(F.col("stars").isNull()).count() == base.count()
+    assert back.filter(F.col("stars") == 7).count() == 3
+    # partition pruning still works across both schema versions
+    lg = base.select(F.min("lang")).collect()[0][0]
+    assert (t.read(spark, filters=[("lang", "=", lg)]).count()
+            == base.filter(F.col("lang") == lg).count()
+            + extra.filter(F.col("lang") == lg).count())
+
+
+def test_schema_evolution_promotion_and_rejection(spark, docs, tmp_path):
+    loc = str(tmp_path / "promo")
+    base = docs.select("doc_id", F.col("n_chars").cast("int").alias("n"))
+    t = IcebergLite.write(base, loc)
+    widened = docs.limit(2).select(
+        "doc_id", (F.col("n_chars").cast("long") + (1 << 40)).alias("n"))
+    t = IcebergLite.write(widened, loc, mode="append")
+    sch = t.schema()
+    assert sch["n"].dataType.typeName() == "long"
+    back = t.read(spark)
+    assert back.count() == base.count() + 2
+    assert back.filter(F.col("n") >= (1 << 40)).count() == 2
+    # long -> int narrowing is not legal evolution
+    narrowed = docs.limit(1).select(
+        "doc_id", F.col("n_chars").cast("int").alias("n"))
+    with pytest.raises(ValueError, match="widening"):
+        IcebergLite.write(narrowed, loc, mode="append")
+
+
+def test_compaction_replace_snapshot(spark, docs, tmp_path):
+    loc = str(tmp_path / "compact")
+    # many small appends -> the small-file problem (every partition
+    # accretes one small file per append)
+    t = IcebergLite.write(docs.filter(F.col("doc_id") % 3 == 0),
+                          loc, partition_by=["lang"])
+    s_first = t.current_snapshot_id()
+    for rem in (1, 2):
+        t = IcebergLite.write(docs.filter(F.col("doc_id") % 3 == rem), loc,
+                              mode="append")
+    s_last = t.current_snapshot_id()
+    n_before = len(t.plan_files())
+    before = sorted(r.h for r in t.read(spark).select(
+        F.sha2(F.col("text"), 256).alias("h")).collect())
+
+    t = t.compact(spark)
+    assert t.snapshots()[-1]["summary"]["operation"] == "replace"
+    assert len(t.plan_files()) < n_before
+    after = sorted(r.h for r in t.read(spark).select(
+        F.sha2(F.col("text"), 256).alias("h")).collect())
+    assert after == before                      # row content unchanged
+    assert int(t.snapshots()[-1]["summary"]["total-records"]) == len(before)
+    # time travel to a pre-compaction snapshot sees the original files
+    assert t.read(spark, snapshot_id=s_last).count() == len(before)
+    # incremental append scan is transparent across the replace:
+    # appends after s_first are still the delta, compaction adds no rows
+    inc = t.read_incremental(spark, s_first)
+    assert inc.count() == len(before) - docs.filter(
+        F.col("doc_id") % 3 == 0).count()
+    # compacting an already-compacted table is a no-op (no new snapshot)
+    n_snaps = len(t.snapshots())
+    t2 = t.compact(spark)
+    assert len(t2.snapshots()) == n_snaps
+
+
+def test_compaction_preserves_bucket_spec(spark, docs, tmp_path):
+    loc = str(tmp_path / "compact_bucket")
+    t = IcebergLite.write(docs.limit(4), loc, bucket_by=("doc_id", 4))
+    t = IcebergLite.write(docs.limit(8), loc, mode="append")  # inherit spec
+    t = t.compact(spark)
+    some_id = docs.select(F.min("doc_id")).collect()[0][0]
+    pruned = t.plan_files(filters=[("doc_id", "=", some_id)])
+    assert 0 < len(pruned) < len(t.plan_files())
+    assert t.read(spark).count() == 12
