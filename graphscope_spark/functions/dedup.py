@@ -169,7 +169,7 @@ def dup_span_stats(df: DataFrame, text_col: str = "text",
     within-doc repeats are ``repetition_stats``'s signal.
 
     Scale shape: candidate generation by window key, never pairs. The
-    exchange carries (doc_id, 60-bit window hash, position count) —
+    exchange carries (doc_id, 64-bit window hash, position count) —
     one row per DISTINCT window per doc, bounded by token count; the
     window text itself never shuffles (``hash_fn="raw"`` keeps the
     string key instead so an external SQL engine can replay the exact
@@ -177,8 +177,19 @@ def dup_span_stats(df: DataFrame, text_col: str = "text",
     key; hub windows (boilerplate shared by millions of docs) are
     dropped from numerator AND denominator once their doc-bucket
     exceeds ``max_bucket``, exactly like stop-shingles.
+
+    ``hash_fn`` picks the window-key engine — all modes return
+    identical stats (keys only need identity, not equality across
+    modes): ``"fast"`` (Arrow/numpy rolling hash in one mapInPandas
+    pass, ~5× the HOF path — the 100 TB default choice),
+    ``"xxhash64"`` (pure JVM expression path, no Python workers),
+    ``"raw"``/``"sha2"`` (string window keys, SQL-replayable oracle
+    modes).
     """
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    if hash_fn == "fast":
+        per = _window_counts_arrow(df, text_col, id_col, k)
+        return _dup_span_finish(df, per, id_col, max_bucket)
     if hash_fn in ("raw", "sha2"):
         # window STRINGS as the key ("raw", or sha2-hashed) —
         # SQL-replayable, but building n·k-char strings dominates at
@@ -205,9 +216,17 @@ def dup_span_stats(df: DataFrame, text_col: str = "text",
            else _hash60(F.col("_g"), "sha2"))
     per = (pos.select("_id", key.alias("_w"))
            .groupBy("_id", "_w").agg(F.count("*").alias("_c")))
-    # cross-doc support via a window over the window-key partition: one
-    # scan, no self-join (the aggregate-then-join form re-reads the
-    # corpus for the support side — 2× scan cost at 100 TB)
+    return _dup_span_finish(df, per, id_col, max_bucket)
+
+
+def _dup_span_finish(df: DataFrame, per: DataFrame, id_col: str,
+                     max_bucket: int | None) -> DataFrame:
+    """Shared dup_span tail: (doc, window-key, positions) → per-doc stats.
+
+    Cross-doc support via a window over the window-key partition: one
+    scan, no self-join (the aggregate-then-join form re-reads the
+    corpus for the support side — 2× scan cost at 100 TB).
+    """
     marked = per.withColumn(
         "_nd", F.count(F.lit(1)).over(Window.partitionBy("_w")))
     if max_bucket is not None:
@@ -221,6 +240,85 @@ def dup_span_stats(df: DataFrame, text_col: str = "text",
             .select(F.col("_id").alias(id_col),
                     F.coalesce("_tot", F.lit(0)).alias("n_grams"),
                     F.coalesce("_dup", F.lit(0)).alias("dup_grams")))
+
+
+def _window_counts_arrow(df: DataFrame, text_col: str, id_col: str,
+                         k: int) -> DataFrame:
+    """(doc, 64-bit window key, position count) via one Arrow pass.
+
+    The ``hash_fn="fast"`` engine: Spark's higher-order functions are
+    interpreted (not whole-stage-codegen'd), so hashing every k-token
+    slice with ``transform(sequence(...), i -> xxhash64(slice(...)))``
+    is bounded by expression-tree evaluation, not by hashing (measured
+    ~1M windows/s on 32 threads regardless of hash choice). This path
+    moves the whole per-document computation into one vectorized
+    ``mapInPandas`` stage: whitespace tokenize (pandas C splitter,
+    same semantics as ``split(text, r'\\s+')`` + drop-empties), SipHash
+    per token (``pd.util.hash_array``, fixed key → deterministic across
+    workers/runs), rolling k-window polynomial fold (odd 64-bit base →
+    per-token mix is a bijection mod 2^64), then a batch-local
+    lexsort to emit ONE row per distinct (doc, window) with its count —
+    the same narrow exchange shape the HOF path feeds the support
+    aggregate. Key VALUES differ from xxhash64 mode; key IDENTITY
+    (equal windows ↔ equal keys, up to 2^-64 collisions) is the only
+    contract, so the returned stats match the other modes exactly.
+    Embarrassingly parallel: no shuffle until the support aggregate.
+    """
+    import numpy as np
+
+    base = np.uint64(0x9E3779B97F4A7C15)
+    pow_vec = np.power(base, np.arange(k, dtype=np.uint64)[::-1])
+    empty = {"_id": np.array([], dtype=np.int64),
+             "_w": np.array([], dtype=np.int64),
+             "_c": np.array([], dtype=np.int64)}
+
+    def _starts(nw: "np.ndarray") -> "np.ndarray":
+        # window-start offsets within each doc, concatenated:
+        # [0..nw0-1, 0..nw1-1, ...] without a Python loop
+        out = np.ones(int(nw.sum()), dtype=np.int64)
+        out[0] = 0
+        out[np.cumsum(nw)[:-1]] = -(nw[:-1] - 1)
+        return np.cumsum(out)
+
+    def _roll(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(empty)
+                continue
+            toks = pdf["_t"].str.split()
+            lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+            keep = lens >= k
+            if not keep.any():
+                yield pd.DataFrame(empty)
+                continue
+            ls = lens[keep]
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks[keep]])
+            hs = pd.util.hash_array(flat)          # uint64, deterministic
+            nw = ls - k + 1
+            # all k-windows of the concatenated stream; valid starts only
+            # (cross-doc windows are sliced away by the start index)
+            win = np.lib.stride_tricks.sliding_window_view(hs, k)
+            keys = win @ pow_vec                   # uint64 wraparound fold
+            starts = np.repeat(np.cumsum(ls) - ls, nw) + _starts(nw)
+            wv = keys[starts]
+            dv = np.repeat(pdf["_id"][keep].to_numpy(), nw)
+            order = np.lexsort((wv, dv))
+            dv, wv = dv[order], wv[order]
+            first = np.empty(len(dv), dtype=bool)
+            first[0] = True
+            first[1:] = (dv[1:] != dv[:-1]) | (wv[1:] != wv[:-1])
+            idx = np.flatnonzero(first)
+            yield pd.DataFrame({
+                "_id": dv[idx],
+                "_w": wv[idx].view(np.int64),
+                "_c": np.diff(np.append(idx, len(dv))),
+            })
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    return src.mapInPandas(_roll, "_id long, _w long, _c long")
 
 
 MINHASH_P = 2_147_483_647

@@ -66,6 +66,8 @@ def main() -> None:
         F.sum("xent")).first())
     run("dup_span_stats_k8", lambda: dup_span_stats(docs, k=8).select(
         F.sum("dup_grams")).first())
+    run("dup_span_stats_k8_fast", lambda: dup_span_stats(
+        docs, k=8, hash_fn="fast").select(F.sum("dup_grams")).first())
     run("bpe_merges_2r", lambda: bpe_merges(docs, rounds=2).collect())
 
     print(json.dumps(out))

@@ -40,6 +40,38 @@ def test_dup_spans_hashed_matches_raw(spark):
     assert raw == hashed
 
 
+def test_dup_spans_fast_matches_raw(spark):
+    """The Arrow rolling-hash engine must return the exact same stats
+    as the string-key oracle mode on every edge case: short docs,
+    empty text, multi-space/tab/newline whitespace, within-doc repeats
+    and cross-doc dups (key identity, not key values, is the
+    contract)."""
+    rows = [
+        (0, "a b c d e f g h x"),
+        (1, "z  z a b\tc q"),          # whitespace runs + tab
+        (2, "short"),
+        (3, "m n m n m n m"),
+        (4, ""),
+        (5, "  lead trail  "),
+        (6, "a b c d e f g h x"),      # full exact dup of doc 0
+    ]
+    for k in (3, 4):
+        raw = {r.doc_id: (r.n_grams, r.dup_grams) for r in
+               dup_span_stats(_docs(spark, rows), k=k,
+                              hash_fn="raw").collect()}
+        fast = {r.doc_id: (r.n_grams, r.dup_grams) for r in
+                dup_span_stats(_docs(spark, rows), k=k,
+                               hash_fn="fast").collect()}
+        assert raw == fast
+
+
+def test_dup_spans_fast_max_bucket(spark):
+    rows = [(i, "one two three") for i in range(6)]
+    capped = dup_span_stats(_docs(spark, rows), k=3, hash_fn="fast",
+                            max_bucket=5).collect()
+    assert all((r.n_grams, r.dup_grams) == (0, 0) for r in capped)
+
+
 def test_dup_spans_max_bucket_drops_hub_windows(spark):
     # every doc shares the same single window -> bucket size 6
     rows = [(i, "one two three") for i in range(6)]
