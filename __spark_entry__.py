@@ -3763,6 +3763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "sessionize": _q_sessionize,
         "gremlin_text": _q_gremlin_text,
+        # last window slot: swapped in for the already-green graph_degree
+        "anf_4r": _q_anf_4r,
         # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
@@ -3815,7 +3817,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": _q_louvain,
         "modularity_cdlp": _q_modularity_cdlp,
         # --- new after the r04 window filled: r05-window candidates ---
-        "anf_4r": _q_anf_4r,
         "ktruss_4_2r": _q_ktruss_4_2r,
         "link_pred_edges": _q_link_pred_edges,
         "tfidf_top3": _q_tfidf_top3,
