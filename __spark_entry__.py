@@ -3701,6 +3701,267 @@ def _q_iceberg_maintenance(spark, sf_dir):
                  F.sum("tag").alias("sum_tag")))
 
 
+# ---------------------------------------------------------------------------
+# round-4 batch: contract queries for operator families that were
+# implemented + pytest-oracled but never had a driver CORRECTNESS row
+# (VERDICT r03 "✓T" rows): eccentricity / APSP / has-path / simple-path,
+# DFS, the Pregel user-program surface, and the GraphAr + CSV source
+# roundtrips.  All integer-valued → bit-exact oracles.
+# ---------------------------------------------------------------------------
+
+
+def _ordered_vids(g, k: int, desc: bool = False) -> list[int]:
+    col = F.col("vid").desc() if desc else F.col("vid").asc()
+    return [int(r["vid"]) for r in
+            g.vertices.select("vid").orderBy(col).limit(k).collect()]
+
+
+def _msbfs_small_ctes(rounds: int, srcs_sql: str) -> str:
+    """CTE chain appended to _SMALL_PRELUDE: multi-source BFS closure over
+    ``sym`` from the vertices ``srcs_sql`` yields (one ``source`` column);
+    final CTE ``p{rounds}`` holds (source, vid, depth) for every reached
+    pair.  Extra rounds past the true eccentricity are no-ops (empty
+    frontier), mirroring the engine's run-to-fixpoint msbfs."""
+    ctes = [f"srcs AS MATERIALIZED ({srcs_sql})",
+            "p0 AS MATERIALIZED (SELECT source, source AS vid, 0 AS depth FROM srcs)"]
+    for i in range(1, rounds + 1):
+        p = f"p{i-1}"
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT DISTINCT f.source, e.dst AS vid, {i} AS depth "
+            f"FROM sym e JOIN {p} f ON e.src = f.vid AND f.depth = {i-1} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {p} a WHERE a.source = f.source AND a.vid = e.dst))")
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT * FROM {p} UNION ALL SELECT * FROM n{i})")
+    return _SMALL_PRELUDE + ", " + ",\n".join(ctes)
+
+
+_SRCS_20_SQL = "SELECT vid AS source FROM verts ORDER BY vid LIMIT 20"
+_MSBFS_ROUNDS = 10  # small-graph diameter is 3-4 at every SF; wide margin
+
+_ECC_20_SQL = (
+    _msbfs_small_ctes(_MSBFS_ROUNDS, _SRCS_20_SQL)
+    + f"\nSELECT source AS vid, CAST(MAX(depth) AS BIGINT) AS ecc "
+    f"FROM p{_MSBFS_ROUNDS} GROUP BY source")
+
+_APSP_20_SQL = (
+    _msbfs_small_ctes(_MSBFS_ROUNDS, _SRCS_20_SQL)
+    + f"\nSELECT source, vid, CAST(depth AS BIGINT) AS depth FROM p{_MSBFS_ROUNDS}")
+
+
+def _q_ecc_20src(spark, sf_dir):
+    """Per-source eccentricity (max finite BFS depth), explicit 20-source
+    mode — the exact small-graph path of flash_diameter_approx's pivot
+    sweep (reference apps/flash/measurement/diameter_approx.h)."""
+    from graphscope_spark import eccentricity
+
+    g = _graph_small_und(spark, sf_dir)
+    return eccentricity(g, sources=_ordered_vids(g, 20)).select(
+        "vid", F.col("ecc").cast("long").alias("ecc"))
+
+
+def _q_apsp_20src(spark, sf_dir):
+    """all_pairs_shortest_path_length (reference yaml:220) restricted to
+    20 landmark sources — the documented scale mode of the all-pairs
+    contract; one batched msbfs, (source, vid, depth) pair state."""
+    from graphscope_spark import all_pairs_shortest_path_length
+
+    g = _graph_small_und(spark, sf_dir)
+    return all_pairs_shortest_path_length(
+        g, sources=_ordered_vids(g, 20)).select(
+        "source", "vid", F.col("depth").cast("long").alias("depth"))
+
+
+_HAS_PATH_SQL = (
+    _msbfs_small_ctes(
+        _MSBFS_ROUNDS,
+        "SELECT vid AS source FROM verts ORDER BY vid LIMIT 4")
+    + f""",
+dsts AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid DESC) AS rn
+         FROM (SELECT vid FROM verts ORDER BY vid DESC LIMIT 4)),
+ss AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS rn FROM srcs),
+pairs AS (SELECT ss.source AS src, dsts.vid AS dst FROM ss JOIN dsts USING (rn)
+          UNION ALL SELECT (SELECT MIN(source) FROM srcs), -999)
+SELECT p.src, p.dst,
+       EXISTS (SELECT 1 FROM p{_MSBFS_ROUNDS} r
+               WHERE r.source = p.src AND r.vid = p.dst) AS has
+FROM pairs p""")
+
+
+def _q_has_path_4(spark, sf_dir):
+    """sssp_has_path (reference apps/sssp/sssp_has_path.h): boolean
+    reachability for the 4 (i-th smallest, i-th largest) vid pairs plus
+    one guaranteed-absent target."""
+    from graphscope_spark.operators.paths import sssp_has_path
+
+    g = _graph_small_und(spark, sf_dir)
+    lo, hi = _ordered_vids(g, 4), _ordered_vids(g, 4, desc=True)
+    pairs = list(zip(lo, hi)) + [(lo[0], -999)]
+    rows = [(a, b, sssp_has_path(g, a, b)) for a, b in pairs]
+    return spark.createDataFrame(rows, "src LONG, dst LONG, has BOOLEAN")
+
+
+_SIMPLE_PATH_SQL = _SMALL_PRELUDE + """,
+e0 AS (SELECT src AS p0, dst AS s0 FROM sym ORDER BY src, dst LIMIT 1),
+nx AS (SELECT MIN(dst) AS p1 FROM sym, e0 WHERE src = e0.s0 AND dst <> e0.p0)
+SELECT * FROM (
+  SELECT 'single_vertex' AS check_name, TRUE AS ok
+  UNION ALL SELECT 'one_edge', TRUE
+  UNION ALL SELECT 'repeat_vertex', FALSE
+  UNION ALL SELECT 'two_edge',
+    EXISTS (SELECT 1 FROM sym, e0, nx WHERE src = e0.s0 AND dst = nx.p1)
+  UNION ALL SELECT 'missing_edge',
+    EXISTS (SELECT 1 FROM sym, e0 WHERE src = e0.p0 AND dst = 999999)
+)"""
+
+
+def _q_simple_path_checks(spark, sf_dir):
+    """is_simple_path (reference apps/simple_path/is_simple_path.h, NX
+    semantics): five derived cases — single vertex, a real edge, a
+    repeated vertex, a 2-edge path, a missing edge."""
+    from graphscope_spark.operators.paths import is_simple_path
+
+    g = _graph_small_und(spark, sf_dir)
+    e0 = g.edges.select("src", "dst").orderBy("src", "dst").first()
+    p0, s0 = int(e0["src"]), int(e0["dst"])
+    p1 = int(g.edges.filter((F.col("src") == s0) & (F.col("dst") != p0))
+             .agg(F.min("dst")).first()[0])
+    cases = [
+        ("single_vertex", [p0]),
+        ("one_edge", [p0, s0]),
+        ("repeat_vertex", [p0, s0, p0]),
+        ("two_edge", [p0, s0, p1]),
+        ("missing_edge", [p0, 999_999]),
+    ]
+    rows = [(name, is_simple_path(g, path)) for name, path in cases]
+    return spark.createDataFrame(rows, "check_name STRING, ok BOOLEAN")
+
+
+def _tree_edges(spark, sf_dir):
+    """Deterministic 4-level tree: 0 → regions (1+rk) → nations (10+nk) →
+    customers (100+ck); vid bands never collide."""
+    r = _t(spark, sf_dir, "region").select(
+        F.lit(0).cast("long").alias("src"),
+        (F.lit(1) + F.col("r_regionkey")).cast("long").alias("dst"))
+    n = _t(spark, sf_dir, "nation").select(
+        (F.lit(1) + F.col("n_regionkey")).cast("long").alias("src"),
+        (F.lit(10) + F.col("n_nationkey")).cast("long").alias("dst"))
+    c = _t(spark, sf_dir, "customer").select(
+        (F.lit(10) + F.col("c_nationkey")).cast("long").alias("src"),
+        (F.lit(100) + F.col("c_custkey")).cast("long").alias("dst"))
+    return r.unionByName(n).unionByName(c)
+
+
+@_session_graph_cache
+def _tree_graph(spark, sf_dir):
+    from graphscope_spark import LinkGraph
+
+    return LinkGraph(spark, _tree_edges(spark, sf_dir), directed=True)
+
+
+_DFS_TREE_SQL = """
+WITH nats AS (SELECT 1 + n_regionkey AS v1, 10 + n_nationkey AS v2 FROM nation),
+allv AS (
+  SELECT 0 AS vid, CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+         CAST(NULL AS BIGINT) AS v3
+  UNION ALL SELECT 1 + r_regionkey, 1 + r_regionkey, NULL, NULL FROM region
+  UNION ALL SELECT v2, v1, v2, NULL FROM nats
+  UNION ALL SELECT 100 + c_custkey, n.v1, n.v2, 100 + c_custkey
+    FROM customer c JOIN nats n ON 10 + c_nationkey = n.v2)
+SELECT vid, ROW_NUMBER() OVER (
+  ORDER BY v1 NULLS FIRST, v2 NULLS FIRST, v3 NULLS FIRST) - 1 AS dfs_rank
+FROM allv"""
+
+
+def _q_dfs_tree(spark, sf_dir):
+    """dfs (reference app_dfs, NX-compat sequential token walk): preorder
+    rank with ascending-vid neighbor order over a derived region→nation→
+    customer tree.  On a tree the preorder rank is exactly the
+    lexicographic order of the unique root path — the oracle sorts root
+    paths, giving a full value check of the walk order."""
+    from graphscope_spark import dfs
+
+    return dfs(_tree_graph(spark, sf_dir), source=0).select(
+        "vid", F.col("rank").cast("long").alias("dfs_rank"))
+
+
+def _q_pregel_wcc(spark, sf_dir):
+    """The @pregel user-program surface (reference python/graphscope/
+    analytical/udf — Init/Compute with a min combiner): HashMin WCC
+    written as a PregelProgram, verified against the unrolled HashMin
+    oracle.  Exercises message/combine/update plumbing end-to-end."""
+    from graphscope_spark.pregel import PregelProgram, run_pregel
+
+    g = _graph_small(spark, sf_dir)
+    prog = PregelProgram(
+        init_value=F.col("vid"),
+        message=lambda e: e.select("dst", F.col("value").alias("msg")),
+        combine=F.min,
+        update=lambda v, m: F.least(v, F.coalesce(m, v)),
+        undirected_messages=True,
+    )
+    return run_pregel(g, prog).select(
+        "vid", F.col("value").cast("long").alias("comp"))
+
+
+_DEGREE_BY_NODE_SQL = (
+    _SMALL_PRELUDE
+    + "\nSELECT vid AS node, CAST(deg AS BIGINT) AS deg FROM deg")
+
+_GRAPHAR_CACHE: dict = {}
+
+
+def _q_graphar_roundtrip(spark, sf_dir):
+    """GraphAr archive roundtrip (reference GraphAr spec,
+    docs/zh/interactive_engine/data_import): densify the small edge set
+    via the oid→vid map, save_graphar (id-sorted chunks, offset arrays),
+    load_graphar, and report out-degrees keyed by ORIGINAL id — any
+    chunking/offset corruption surfaces as a degree diff.  Archive is
+    written once per session (the gate and bench reread the same one)."""
+    import tempfile
+
+    from graphscope_spark import LinkGraph
+    from graphscope_spark.graphar import load_graphar, save_graphar
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GRAPHAR_CACHE:
+        e = _edges_small(spark, sf_dir).select(
+            F.col("src").cast("string").alias("src_oid"),
+            F.col("dst").cast("string").alias("dst_oid"))
+        g = LinkGraph.from_oid_edges(spark, e, directed=True)
+        yml = save_graphar(g, tempfile.mkdtemp(prefix="gs_graphar_"))
+        _GRAPHAR_CACHE.clear()
+        _GRAPHAR_CACHE[key] = yml
+    g2 = load_graphar(spark, _GRAPHAR_CACHE[key])
+    return (g2.vertices.select("vid", "oid").join(g2.out_degrees(), "vid")
+            .select(F.col("oid").cast("long").alias("node"), "deg"))
+
+
+_CSV_CACHE: dict = {}
+
+
+def _q_csv_graph_degree(spark, sf_dir):
+    """CSV source loader with the reference's ``path#opt=val`` URI syntax
+    (reference python/graphscope/dataset — Loader(path, header_row=...,
+    delimiter=...)): small edges written as a pipe-delimited CSV, loaded
+    via load_csv_graph (oid densification included), out-degrees by
+    original id."""
+    import tempfile
+
+    from graphscope_spark.sources import load_csv_graph
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CSV_CACHE:
+        pdf = _edges_small(spark, sf_dir).toPandas()
+        path = os.path.join(tempfile.mkdtemp(prefix="gs_csv_"), "edges.csv")
+        pdf.to_csv(path, sep="|", index=False)
+        _CSV_CACHE.clear()
+        _CSV_CACHE[key] = path
+    g = load_csv_graph(spark, f"{_CSV_CACHE[key]}#header_row=true&delimiter=|",
+                       src_col="src", dst_col="dst")
+    return (g.vertices.select("vid", "oid").join(g.out_degrees(), "vid")
+            .select(F.col("oid").cast("long").alias("node"), "deg"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records the FIRST 50
     # entries per round.  Queries that have never had a driver row (the
@@ -3852,6 +4113,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip": _q_iceberg_roundtrip,
         "iceberg_time_travel": _q_iceberg_time_travel,
         "iceberg_maintenance": _q_iceberg_maintenance,
+        # --- r04 session 3: previously test-only operator families ---
+        "ecc_20src": _q_ecc_20src,
+        "apsp_20src": _q_apsp_20src,
+        "has_path_4": _q_has_path_4,
+        "simple_path_checks": _q_simple_path_checks,
+        "dfs_tree": _q_dfs_tree,
+        "pregel_wcc": _q_pregel_wcc,
+        "graphar_roundtrip": _q_graphar_roundtrip,
+        "csv_graph_degree": _q_csv_graph_degree,
     }
 
 
@@ -4846,4 +5116,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(tag) AS BIGINT) AS sum_tag "
             "FROM final GROUP BY lang"
         ),
+        "ecc_20src": _ECC_20_SQL,
+        "apsp_20src": _APSP_20_SQL,
+        "has_path_4": _HAS_PATH_SQL,
+        "simple_path_checks": _SIMPLE_PATH_SQL,
+        "dfs_tree": _DFS_TREE_SQL,
+        "pregel_wcc": _wcc_sql(10, _SMALL_PRELUDE),
+        "graphar_roundtrip": _DEGREE_BY_NODE_SQL,
+        "csv_graph_degree": _DEGREE_BY_NODE_SQL,
     }
