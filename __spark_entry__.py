@@ -3907,6 +3907,203 @@ _DEGREE_BY_NODE_SQL = (
     _SMALL_PRELUDE
     + "\nSELECT vid AS node, CAST(deg AS BIGINT) AS deg FROM deg")
 
+
+def _core_ctes(rounds: int) -> str:
+    """h-index core-number fixpoint (Lü et al. 2016 — the engine's
+    core_numbers recurrence) unrolled: c0 = und degree; round i sets
+    c(v) = min(c(v), h-index of {min(c(v), c(u)) : u ∈ N(v)}).  The
+    update is idempotent at the fixpoint, so extra rounds are no-ops —
+    mirroring the engine's run-until-unchanged loop."""
+    ctes = [
+        "c0 AS MATERIALIZED (SELECT v.vid, COALESCE(d.c, 0) AS c FROM verts v "
+        "LEFT JOIN (SELECT src AS vid, COUNT(*) AS c FROM sym GROUP BY src) d "
+        "USING (vid))"]
+    for i in range(1, rounds + 1):
+        p = f"c{i-1}"
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT vid, MAX(LEAST(cnb, rn)) AS h FROM ("
+            f"SELECT nb.vid, nb.cnb, ROW_NUMBER() OVER "
+            f"(PARTITION BY nb.vid ORDER BY nb.cnb DESC) AS rn FROM ("
+            f"SELECT e.dst AS vid, LEAST(cs.c, cd.c) AS cnb FROM sym e "
+            f"JOIN {p} cs ON e.src = cs.vid JOIN {p} cd ON e.dst = cd.vid) nb"
+            f") GROUP BY vid)")
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT v.vid, LEAST(v.c, COALESCE(h.h, 0)) AS c "
+            f"FROM {p} v LEFT JOIN h{i} h USING (vid))")
+    return _SMALL_PRELUDE + ", " + ",\n".join(ctes)
+
+
+_CORE_ROUNDS = 16
+
+_CORE_NUMBERS_SQL = (
+    _core_ctes(_CORE_ROUNDS)
+    + f"\nSELECT vid, CAST(c AS BIGINT) AS core FROM c{_CORE_ROUNDS}")
+
+_KSHELL_MAX_SQL = (
+    _core_ctes(_CORE_ROUNDS)
+    + f"\nSELECT vid FROM c{_CORE_ROUNDS} "
+    f"WHERE c = (SELECT MAX(c) FROM c{_CORE_ROUNDS})")
+
+_DEGENERACY_SQL = (
+    _core_ctes(_CORE_ROUNDS)
+    + f"\nSELECT CAST(MAX(c) AS BIGINT) AS degeneracy FROM c{_CORE_ROUNDS}")
+
+
+def _q_core_numbers(spark, sf_dir):
+    """core_numbers (reference core_numbers / flash degeneracy-ordering
+    apps): per-vertex core number via the h-index fixpoint."""
+    from graphscope_spark import core_numbers
+
+    return core_numbers(_graph_small_und(spark, sf_dir)).select(
+        "vid", F.col("core").cast("long").alias("core"))
+
+
+def _q_kshell_max(spark, sf_dir):
+    """kshell (reference kshell app): the innermost shell — vertices
+    whose core number equals the graph degeneracy, computed by the
+    engine as kcore(k) \\ kcore(k+1) peeling (non-empty at every SF,
+    unlike a fixed k: sf0.001 cores top out at 10, sf0.01 at 28) — the
+    oracle derives the same set from the core-number fixpoint."""
+    from graphscope_spark import degeneracy, kshell
+
+    g = _graph_small_und(spark, sf_dir)
+    return kshell(g, k=degeneracy(g)).select("vid")
+
+
+def _q_degeneracy(spark, sf_dir):
+    """flash_degeneracy (reference apps/flash/core/degeneracy-ordering.h):
+    max core number as a one-row stat."""
+    from graphscope_spark import degeneracy
+
+    d = degeneracy(_graph_small_und(spark, sf_dir))
+    return spark.createDataFrame([(d,)], "degeneracy LONG")
+
+
+def _sssp_path_sql(k: int, source: int = 0) -> str:
+    """k frontier Bellman-Ford rounds carrying the min-(dist, parent)
+    struct tie-break of SSSPPathJob (full relaxation per round is
+    state-identical to the engine's frontier relaxation — any candidate
+    that improves a vertex must come from a just-changed neighbor)."""
+    ctes = [f"d0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = {source} THEN 0.0 END AS dist, "
+            f"CAST(NULL AS BIGINT) AS par FROM verts)"]
+    for i in range(1, k + 1):
+        p = f"d{i-1}"
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT dst AS vid, nd, cpar FROM ("
+            f"SELECT e.dst, c.dist + e.w AS nd, e.src AS cpar, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY c.dist + e.w, e.src) AS rn "
+            f"FROM symw e JOIN {p} c ON e.src = c.vid AND c.dist IS NOT NULL) WHERE rn = 1)")
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT v.vid, "
+            f"CASE WHEN m.nd IS NOT NULL AND (v.dist IS NULL OR m.nd < v.dist) "
+            f"THEN m.nd ELSE v.dist END AS dist, "
+            f"CASE WHEN m.nd IS NOT NULL AND (v.dist IS NULL OR m.nd < v.dist) "
+            f"THEN m.cpar ELSE v.par END AS par "
+            f"FROM {p} v LEFT JOIN m{i} m USING (vid))")
+    return (
+        _WGRAPH_PRELUDE + ", " + ",\n".join(ctes)
+        + f"\nSELECT vid, CAST(COALESCE(ROUND(dist * 1e6), -1) AS BIGINT) AS dist_micro, "
+        f"COALESCE(par, -1) AS parent FROM d{k}")
+
+
+def _q_sssp_path8(spark, sf_dir):
+    """sssp_path (reference apps/sssp/sssp_path.h): the shortest-path
+    TREE — per-vertex distance plus predecessor, min-(dist, parent)
+    tie-break, 8 supersteps."""
+    from graphscope_spark.operators.traversal import SSSPPathJob
+    from graphscope_spark.runtime.superstep import SuperstepRunner
+
+    g = _wgraph(spark, sf_dir)
+    state, _ = SuperstepRunner(spark).run(
+        SSSPPathJob(g, source=0, weight_col="w"), max_steps=8)
+    return state.select(
+        "vid",
+        F.when(F.col("dist") == float("inf"), F.lit(-1))
+        .otherwise(F.round(F.col("dist") * 1e6)).cast("long").alias("dist_micro"),
+        F.coalesce(F.col("parent"), F.lit(-1)).cast("long").alias("parent"))
+
+
+_XTINY_EDGES_SQL = (
+    "SELECT DISTINCT l_partkey AS src, 100000 + l_suppkey AS dst "
+    "FROM lineitem WHERE l_partkey <= 8"
+)
+
+_XTINY_PRELUDE = f"""
+WITH RECURSIVE xedges AS MATERIALIZED ({_XTINY_EDGES_SQL}),
+xsym AS MATERIALIZED (SELECT src, dst FROM xedges UNION ALL SELECT dst AS src, src AS dst FROM xedges),
+xverts AS (SELECT DISTINCT src AS vid FROM xsym)
+"""
+
+
+def _xtiny_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 8)
+    return (li.select(F.col("l_partkey").alias("src"),
+                      (F.lit(100000) + F.col("l_suppkey")).alias("dst"))
+            .distinct())
+
+
+@_session_graph_cache
+def _xtiny_graph_und(spark, sf_dir):
+    from graphscope_spark import LinkGraph
+
+    e = _xtiny_edges(spark, sf_dir)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return LinkGraph(spark, sym, directed=False)
+
+
+_ALL_SIMPLE_PATHS_SQL = _XTINY_PRELUDE + """,
+ends AS (SELECT MIN(vid) AS s,
+                (SELECT vid FROM xverts ORDER BY vid LIMIT 1 OFFSET 1) AS t
+         FROM xverts),
+walk AS (
+  SELECT list_value(s) AS path, s AS cur, 0 AS n FROM ends
+  UNION ALL
+  SELECT list_append(w.path, e.dst), e.dst, w.n + 1
+  FROM walk w JOIN xsym e ON e.src = w.cur
+  WHERE w.n < 4 AND w.cur <> (SELECT t FROM ends)
+    AND NOT list_contains(w.path, e.dst)
+)
+SELECT list_aggregate(list_transform(path, x -> CAST(x AS VARCHAR)),
+                      'string_agg', '-') AS path_str
+FROM walk WHERE cur = (SELECT t FROM ends)"""
+
+
+def _q_all_simple_paths(spark, sf_dir):
+    """all_simple_paths (reference apps/simple_path/all_simple_paths.h,
+    NX semantics): every simple path between the two smallest vids with
+    ≤ 4 edges, breadth-batched expansion."""
+    from graphscope_spark import all_simple_paths
+
+    g = _xtiny_graph_und(spark, sf_dir)
+    s, t = _ordered_vids(g, 2)
+    return all_simple_paths(g, s, t, cutoff=4).select(
+        F.array_join("path", "-").alias("path_str"))
+
+
+_PATH_EXPAND_PATHS_SQL = _XTINY_PRELUDE + """,
+srcs AS (SELECT vid AS s FROM xverts ORDER BY vid LIMIT 2),
+p1 AS (SELECT CAST(s AS VARCHAR) || '-' || CAST(e.dst AS VARCHAR) AS path_str,
+              s, e.dst AS cur
+       FROM srcs JOIN xsym e ON e.src = srcs.s),
+p2 AS (SELECT p1.path_str || '-' || CAST(e.dst AS VARCHAR) AS path_str
+       FROM p1 JOIN xsym e ON e.src = p1.cur
+       WHERE e.dst <> p1.s)
+SELECT path_str FROM p1
+UNION ALL
+SELECT path_str FROM p2"""
+
+
+def _q_path_expand_paths(spark, sf_dir):
+    """GIE PathExpand with result_opt = full path (algebra.proto:308-357):
+    simple paths of 1-2 hops from the two smallest vids, path column
+    materialized (the vertex-mode variant is path_expand_2_3)."""
+    from graphscope_spark import path_expand
+
+    g = _xtiny_graph_und(spark, sf_dir)
+    return path_expand(g, _ordered_vids(g, 2), min_hops=1, max_hops=2,
+                       mode="path").select(
+        F.array_join("path", "-").alias("path_str"))
+
 _GRAPHAR_CACHE: dict = {}
 
 
@@ -4122,6 +4319,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pregel_wcc": _q_pregel_wcc,
         "graphar_roundtrip": _q_graphar_roundtrip,
         "csv_graph_degree": _q_csv_graph_degree,
+        "core_numbers": _q_core_numbers,
+        "kshell_max": _q_kshell_max,
+        "degeneracy": _q_degeneracy,
+        "sssp_path_8r": _q_sssp_path8,
+        "all_simple_paths_4": _q_all_simple_paths,
+        "path_expand_paths": _q_path_expand_paths,
     }
 
 
@@ -5124,4 +5327,10 @@ def oracle_sql() -> dict[str, str]:
         "pregel_wcc": _wcc_sql(10, _SMALL_PRELUDE),
         "graphar_roundtrip": _DEGREE_BY_NODE_SQL,
         "csv_graph_degree": _DEGREE_BY_NODE_SQL,
+        "core_numbers": _CORE_NUMBERS_SQL,
+        "kshell_max": _KSHELL_MAX_SQL,
+        "degeneracy": _DEGENERACY_SQL,
+        "sssp_path_8r": _sssp_path_sql(8),
+        "all_simple_paths_4": _ALL_SIMPLE_PATHS_SQL,
+        "path_expand_paths": _PATH_EXPAND_PATHS_SQL,
     }
