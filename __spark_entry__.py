@@ -4127,6 +4127,45 @@ def _q_path_expand_paths(spark, sf_dir):
                        mode="path").select(
         F.array_join("path", "-").alias("path_str"))
 
+def _neighbor_sample_sql(fanouts=(3, 2), n_seeds: int = 10,
+                         seed: int = 7) -> str:
+    """Exact SQL replay of neighbor_sample(hash_fn='portable'): per hop,
+    rank each frontier vertex's distinct out-neighbors by the mod-2^31
+    LCG mix (dst tie-break) and keep the top fanout; next frontier =
+    distinct sampled neighbors."""
+    p = 2147483647
+    ctes = [
+        "dsym AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym)",
+        f"f0 AS (SELECT vid AS src FROM verts ORDER BY vid LIMIT {n_seeds})"]
+    pieces = []
+    for hop, fanout in enumerate(fanouts):
+        h = (f"((e.src % {p}) * 48271 + (e.dst % {p}) * 16807 "
+             f"+ {hop} * 69621 + {seed}) % {p}")
+        ctes.append(
+            f"s{hop} AS MATERIALIZED (SELECT {hop} AS hop, src, dst FROM ("
+            f"SELECT e.src, e.dst, ROW_NUMBER() OVER "
+            f"(PARTITION BY e.src ORDER BY {h}, e.dst) AS rk "
+            f"FROM dsym e JOIN f{hop} f USING (src)) WHERE rk <= {fanout})")
+        ctes.append(
+            f"f{hop + 1} AS (SELECT DISTINCT dst AS src FROM s{hop})")
+        pieces.append(f"SELECT hop, src, dst FROM s{hop}")
+    return (_SMALL_PRELUDE + ", " + ",\n".join(ctes)
+            + "\n" + "\nUNION ALL\n".join(pieces))
+
+
+def _q_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style layered fanout sampling (the GNN-training data-prep
+    op; deterministic portable-hash ranking so the oracle replays the
+    exact sample): 10 smallest seeds, fanouts (3, 2)."""
+    from graphscope_spark import neighbor_sample
+
+    g = _graph_small_und(spark, sf_dir)
+    seeds = _ordered_vids(g, 10)
+    return neighbor_sample(g, seeds, fanouts=(3, 2), seed=7,
+                           hash_fn="portable").select(
+        F.col("hop").cast("int").alias("hop"), "src", "dst")
+
+
 _GRAPHAR_CACHE: dict = {}
 
 
@@ -4348,6 +4387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_path_8r": _q_sssp_path8,
         "all_simple_paths_4": _q_all_simple_paths,
         "path_expand_paths": _q_path_expand_paths,
+        "neighbor_sample_2hop": _q_neighbor_sample,
     }
 
 
@@ -5356,4 +5396,5 @@ def oracle_sql() -> dict[str, str]:
         "sssp_path_8r": _sssp_path_sql(8),
         "all_simple_paths_4": _ALL_SIMPLE_PATHS_SQL,
         "path_expand_paths": _PATH_EXPAND_PATHS_SQL,
+        "neighbor_sample_2hop": _neighbor_sample_sql((3, 2), 10, 7),
     }

@@ -108,6 +108,7 @@ from graphscope_spark.operators import (
     path_expand,
     node2vec_walks,
     skipgram_pairs,
+    neighbor_sample,
     sampling_path,
     scc,
     sssp_average_length,
@@ -148,7 +149,7 @@ __all__ = [
     "sssp_path", "sssp_average_length", "sssp_has_path", "is_simple_path",
     "degree_assortativity_coefficient", "average_degree_connectivity",
     "node_boundary", "edge_boundary", "eccentricity", "diameter_approx",
-    "all_simple_paths", "sampling_path", "lpa_u2i", "path_expand", "node2vec_walks", "skipgram_pairs",
+    "all_simple_paths", "sampling_path", "neighbor_sample", "lpa_u2i", "path_expand", "node2vec_walks", "skipgram_pairs",
     "anf", "anf_sketches", "effective_diameter",
     "ktruss", "truss_number_max",
     "link_prediction_scores", "jaccard_coefficient", "adamic_adar_index",

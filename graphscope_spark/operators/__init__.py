@@ -52,11 +52,12 @@ from graphscope_spark.operators.betweenness import betweenness_centrality  # noq
 
 __all__ += ["betweenness_centrality"]
 
-from graphscope_spark.operators.sampling import all_simple_paths, sampling_path  # noqa: E402
+from graphscope_spark.operators.sampling import (  # noqa: E402
+    all_simple_paths, neighbor_sample, sampling_path)
 from graphscope_spark.operators.node2vec import node2vec_walks, skipgram_pairs  # noqa: E402
 from graphscope_spark.operators.lpa_u2i import lpa_u2i  # noqa: E402
 
-__all__ += ["all_simple_paths", "sampling_path", "lpa_u2i", "node2vec_walks", "skipgram_pairs"]
+__all__ += ["all_simple_paths", "sampling_path", "neighbor_sample", "lpa_u2i", "node2vec_walks", "skipgram_pairs"]
 
 from graphscope_spark.operators.traversal import (  # noqa: E402
     diameter_approx,

@@ -103,3 +103,79 @@ def all_simple_paths(graph: LinkGraph, source: int, target: int,
         free_truncated(df)
     edges.unpersist()
     return out
+
+
+_PORTABLE_P = 2147483647  # 2^31 - 1: keeps every product below 2^52 (no ANSI overflow)
+
+
+def _portable_rank_hash(seed: int, hop: int):
+    """Deterministic per-edge rank hash both Spark and ANSI SQL can
+    compute exactly: all operands reduced mod 2^31-1 before the multiply
+    so products stay < 2^52 (Spark 4 runs ANSI mode — BIGINT overflow
+    raises).  Collisions are fine: callers always tie-break by dst."""
+    p = F.lit(_PORTABLE_P)
+    return F.pmod(
+        F.pmod(F.col("src"), p) * 48271
+        + F.pmod(F.col("dst"), p) * 16807
+        + F.lit(hop) * 69621 + F.lit(seed), p)
+
+
+def neighbor_sample(graph: LinkGraph, seeds, fanouts=(10, 5),
+                    seed: int = 42, hash_fn: str = "fast") -> DataFrame:
+    """(hop, src, dst) — GraphSAGE-style layered neighbor sampling for
+    GNN mini-batch training: hop 0 samples ≤ fanouts[0] out-neighbors of
+    each seed, hop 1 samples ≤ fanouts[1] out-neighbors of each hop-0
+    frontier vertex, and so on (the reference scopes its learning engine
+    out of the analytical core, but this is the data-prep op a
+    GraphScope-learning user runs upstream of training; semantics follow
+    the standard layered-fanout sampler).
+
+    Deterministic at any parallelism: neighbors of each (src, hop) are
+    ranked by a hash of (seed, hop, src, dst) with a dst tie-break and
+    the top `fanout` kept — a per-src window (shuffle on src, no global
+    sort), so re-running at 1000 executors yields byte-identical blocks.
+    ``hash_fn='fast'`` ranks with JVM xxhash64 (the scale path);
+    ``'portable'`` uses a mod-2^31 LCG mix so an external engine can
+    replay the exact sample (the oracle path — same convention as
+    functions/dedup.py's hash_fn).
+
+    ``seeds``: list of vids, or a one-column DataFrame. The frontier of
+    each hop is the distinct sampled-neighbor set (revisits across hops
+    allowed, as in standard samplers). Frontier joins switch
+    broadcast/shuffle_hash on frontier size like the traversal family.
+    """
+    if hash_fn not in ("fast", "portable"):
+        raise ValueError("hash_fn must be 'fast' or 'portable'")
+    spark = graph.spark
+    edges = graph.edges.select("src", "dst").distinct()
+    if isinstance(seeds, DataFrame):
+        frontier = seeds.select(F.col(seeds.columns[0]).cast("long")
+                                .alias("src")).distinct()
+    else:
+        frontier = spark.createDataFrame(
+            [(int(s),) for s in seeds], "src LONG").distinct()
+    t = Truncator()
+    frontier = t(frontier, "frontier").persist(StorageLevel.MEMORY_AND_DISK)
+    out = None
+    nv = max(1, graph.num_vertices)
+    for hop, fanout in enumerate(fanouts):
+        hint = "broadcast" if frontier.count() < 0.05 * nv else "shuffle_hash"
+        if hash_fn == "fast":
+            h = F.xxhash64(F.lit(seed), F.lit(hop), F.col("src"), F.col("dst"))
+        else:
+            h = _portable_rank_hash(seed, hop)
+        sampled = (
+            edges.join(frontier.hint(hint), "src")
+            .withColumn("_rk", F.row_number().over(
+                Window.partitionBy("src").orderBy(h.asc(), F.col("dst").asc())))
+            .filter(F.col("_rk") <= fanout)
+            .select(F.lit(hop).alias("hop"), "src", "dst")
+        )
+        sampled = t(sampled, "sampled")
+        piece = sampled
+        out = piece if out is None else out.unionByName(piece)
+        out = t(out, "out")
+        frontier = t(sampled.select(F.col("dst").alias("src")).distinct(),
+                     "frontier")
+    return out if out is not None else spark.createDataFrame(
+        [], "hop INT, src LONG, dst LONG")

@@ -149,3 +149,53 @@ def test_path_expand(spark, tiny_graph):
     for p in paths:
         assert 2 <= len(p) <= 4 and len(set(p)) == len(p)
         assert all((a, b) in eset for a, b in zip(p, p[1:]))
+
+
+# ---------------------------------------------------------------------------
+# neighbor_sample (GraphSAGE-style layered fanout sampling)
+
+def _oracle_neighbor_sample(edges, seeds, fanouts, seed):
+    P = 2147483647
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    frontier, out = sorted(set(seeds)), []
+    for hop, fanout in enumerate(fanouts):
+        nxt = set()
+        for s in frontier:
+            nbrs = sorted(adj.get(s, ()))
+            ranked = sorted(
+                nbrs, key=lambda d: (((s % P) * 48271 + (d % P) * 16807
+                                      + hop * 69621 + seed) % P, d))
+            for d in ranked[:fanout]:
+                out.append((hop, s, d))
+                nxt.add(d)
+        frontier = sorted(nxt)
+    return sorted(out)
+
+
+def test_neighbor_sample_matches_oracle(spark):
+    from graphscope_spark.operators.sampling import neighbor_sample
+
+    rnd = random.Random(11)
+    edges = sorted({(rnd.randrange(30), rnd.randrange(30)) for _ in range(150)
+                    if True})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    g = LinkGraph(spark, df, directed=True)
+    seeds = [0, 1, 2, 3, 4]
+    got = sorted((r.hop, r.src, r.dst) for r in
+                 neighbor_sample(g, seeds, fanouts=(3, 2), seed=9,
+                                 hash_fn="portable").collect())
+    assert got == _oracle_neighbor_sample(edges, seeds, (3, 2), 9)
+    # fanout bound holds per (hop, src)
+    from collections import Counter
+    cnt = Counter((h, s) for h, s, _ in got)
+    assert all(c <= 3 for (h, _), c in cnt.items() if h == 0)
+    assert all(c <= 2 for (h, _), c in cnt.items() if h == 1)
+    # deterministic under the fast path too (self-consistency)
+    a = sorted(map(tuple, neighbor_sample(g, seeds, (3, 2), seed=9).collect()))
+    b = sorted(map(tuple, neighbor_sample(g, seeds, (3, 2), seed=9).collect()))
+    assert a == b  # different hash ⇒ different sample, but reproducible
+    eset = set(edges)
+    assert all((s, d) in eset for _, s, d in a)
