@@ -4166,6 +4166,45 @@ def _q_neighbor_sample(spark, sf_dir):
         F.col("hop").cast("int").alias("hop"), "src", "dst")
 
 
+def _negative_edges_sql(k: int = 2, oversample: int = 8,
+                        seed: int = 7) -> str:
+    """Exact SQL replay of negative_sample_edges(hash_fn='portable'):
+    per positive edge, k*oversample hash-proposed candidate ids; drop
+    misses (not a vertex), src itself, and real out-edges; keep the
+    first k survivors by proposal index."""
+    p, m = 2147483647, k * oversample
+    h = (f"((e.src % {p}) * 48271 + (e.dst % {p}) * 16807 "
+         f"+ r.j * 69621 + {seed}) % {p}")
+    return (_SMALL_PRELUDE + f""",
+dsym AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
+vmax AS (SELECT MAX(vid) + 1 AS dom FROM verts),
+cand AS MATERIALIZED (
+  SELECT e.src, e.dst, r.j, ({h}) % (SELECT dom FROM vmax) AS cand
+  FROM dsym e CROSS JOIN (SELECT unnest(range(0, {m})) AS j) r),
+kept AS (
+  SELECT c.src, c.dst, c.j, c.cand,
+         ROW_NUMBER() OVER (PARTITION BY c.src, c.dst ORDER BY c.j) AS rk
+  FROM cand c
+  JOIN verts v ON v.vid = c.cand
+  WHERE c.cand <> c.src
+    AND NOT EXISTS (SELECT 1 FROM dsym e2
+                    WHERE e2.src = c.src AND e2.dst = c.cand))
+SELECT src, dst AS pos_dst, cand AS neg_dst, CAST(j AS BIGINT) AS j
+FROM kept WHERE rk <= {k}""")
+
+
+def _q_negative_edges(spark, sf_dir):
+    """Deterministic negative sampling for link-prediction / embedding
+    training: 2 negatives per positive edge, portable hash so the
+    oracle replays the exact candidate sequence."""
+    from graphscope_spark import negative_sample_edges
+
+    g = _graph_small_und(spark, sf_dir)
+    return negative_sample_edges(g, k=2, seed=7, oversample=8,
+                                 hash_fn="portable").select(
+        "src", "pos_dst", "neg_dst", F.col("j").cast("long").alias("j"))
+
+
 _GRAPHAR_CACHE: dict = {}
 
 
@@ -4388,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_simple_paths_4": _q_all_simple_paths,
         "path_expand_paths": _q_path_expand_paths,
         "neighbor_sample_2hop": _q_neighbor_sample,
+        "negative_edges_k2": _q_negative_edges,
     }
 
 
@@ -5397,4 +5437,5 @@ def oracle_sql() -> dict[str, str]:
         "all_simple_paths_4": _ALL_SIMPLE_PATHS_SQL,
         "path_expand_paths": _PATH_EXPAND_PATHS_SQL,
         "neighbor_sample_2hop": _neighbor_sample_sql((3, 2), 10, 7),
+        "negative_edges_k2": _negative_edges_sql(2, 8, 7),
     }

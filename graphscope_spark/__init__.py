@@ -91,6 +91,7 @@ from graphscope_spark.operators import (
     jaccard_coefficient,
     ktruss,
     link_prediction_scores,
+    negative_sample_edges,
     preferential_attachment,
     resource_allocation_index,
     truss_number_max,
@@ -152,7 +153,7 @@ __all__ = [
     "all_simple_paths", "sampling_path", "neighbor_sample", "lpa_u2i", "path_expand", "node2vec_walks", "skipgram_pairs",
     "anf", "anf_sketches", "effective_diameter",
     "ktruss", "truss_number_max",
-    "link_prediction_scores", "jaccard_coefficient", "adamic_adar_index",
+    "link_prediction_scores", "negative_sample_edges", "jaccard_coefficient", "adamic_adar_index",
     "resource_allocation_index", "preferential_attachment",
     "harmonic_centrality", "lcc_directed", "degeneracy", "dfs",
     "pattern_match", "pattern_count", "automorphism_count",

@@ -83,11 +83,12 @@ from graphscope_spark.operators.link_prediction import (  # noqa: E402
     adamic_adar_index,
     jaccard_coefficient,
     link_prediction_scores,
+    negative_sample_edges,
     preferential_attachment,
     resource_allocation_index,
 )
 
-__all__ += ["link_prediction_scores", "jaccard_coefficient",
+__all__ += ["link_prediction_scores", "negative_sample_edges", "jaccard_coefficient",
             "adamic_adar_index", "resource_allocation_index",
             "preferential_attachment"]
 

@@ -81,3 +81,44 @@ def test_link_prediction_explicit_ebunch_scores_edges(spark):
     assert len(got) == len(set(edges))
     for p, (cn, _, _, _, pa) in want.items():
         assert got[p] == (cn, pa)
+
+
+def test_negative_sample_edges_matches_oracle(spark):
+    import random
+
+    from graphscope_spark.operators.link_prediction import (
+        negative_sample_edges)
+    from graphscope_spark import LinkGraph
+
+    P = 2147483647
+    rnd = random.Random(5)
+    edges = sorted({(rnd.randrange(20), rnd.randrange(20))
+                    for _ in range(60)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    g = LinkGraph(spark, df, directed=True)
+    k, ov, seed = 2, 8, 3
+    got = sorted((r.src, r.pos_dst, r.neg_dst, r.j) for r in
+                 negative_sample_edges(g, k=k, seed=seed, oversample=ov,
+                                       hash_fn="portable").collect())
+    # pure-python replay
+    verts = {v for e in edges for v in e}
+    vmax = max(verts) + 1
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    want = []
+    for s, d in edges:
+        kept = 0
+        for j in range(k * ov):
+            c = ((s % P) * 48271 + (d % P) * 16807 + j * 69621 + seed) % P % vmax
+            if c == s or c not in verts or c in adj.get(s, ()):
+                continue
+            want.append((s, d, c, j))
+            kept += 1
+            if kept == k:
+                break
+    assert got == sorted(want)
+    # negatives are never true edges
+    eset = set(edges)
+    assert all((s, c) not in eset for s, _, c, _ in got)
