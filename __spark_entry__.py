@@ -4260,6 +4260,188 @@ def _q_csv_graph_degree(spark, sf_dir):
             .select(F.col("oid").cast("long").alias("node"), "deg"))
 
 
+# --- r04 session 4: mixture planning, learned quality scoring, SemDeDup ---
+
+# deterministic dyadic pseudo-model for the quality-classifier contract:
+# w[bucket] = ((bucket*37 + 11) % 197 - 98) / 128  (exact multiples of
+# 1/128, so the per-doc fold is associative and engine-identical)
+_LOGREG_NBUCKETS = 4096
+
+
+def _logreg_weights() -> list[float]:
+    return [((i * 37 + 11) % 197 - 98) / 128.0
+            for i in range(_LOGREG_NBUCKETS)]
+
+
+def _q_quality_logreg(spark, sf_dir):
+    """fastText-style hashed-ngram linear quality classifier inference
+    (functions/text.py::hashed_logreg_score) — the learned upgrade of the
+    heuristic quality_score. Weight table broadcast as a plan literal;
+    scoring is a shuffle-free projection (no join, no UDF). Portable
+    sha2 hashing so DuckDB replays buckets exactly; dyadic weights keep
+    the fold order-independent."""
+    from graphscope_spark.functions.text import hashed_logreg_score
+
+    return hashed_logreg_score(
+        _t(spark, sf_dir, "documents"), _logreg_weights(), hash_fn="sha2")
+
+
+_MIXTURE_TARGETS = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+_MIXTURE_BUDGET = 8192
+
+
+def _q_mixture_plan(spark, sf_dir):
+    """Static domain-mixing plan (functions/sample.py::mixture_plan):
+    per-domain token census → sampling rate + epoch count against a
+    dyadic target-share recipe and a fixed token budget. One narrow
+    groupBy(domain); the plan is a handful of rows."""
+    from graphscope_spark.functions.sample import mixture_plan
+
+    return mixture_plan(_t(spark, sf_dir, "documents"), _MIXTURE_TARGETS,
+                        token_budget=_MIXTURE_BUDGET)
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (functions/similarity.py::semdedup):
+    exact-arithmetic k-means clusters bound the quadratic pair search,
+    exact cosine verifies candidates, HashMin WCC collapses the pair
+    graph to canonical keeps. Same deterministic perturbed-clone
+    augmentation as cosine_neardup (the synthetic embeddings are
+    near-orthogonal, max natural cosine ≈ 0.51, so clone pairs at
+    ≈ 0.95+ are the planted near-dups; threshold 0.8 has wide margins
+    on both sides)."""
+    from graphscope_spark.functions.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # perturb BEFORE renaming the id (see _q_cosine_neardup's NB)
+    clone = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") + F.lit(0.02) *
+            (((i + F.lit(1)) * 37 + F.col("vec_id")) % 7 - 3).cast("double"),
+        ).alias("embedding"),
+    ).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    aug = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionAll(clone)
+    return semdedup(aug, threshold=0.8, ncentroids=8, iters=2)
+
+
+def _quality_logreg_sql(nbuckets: int = _LOGREG_NBUCKETS) -> str:
+    """hashed_logreg_score in SQL: same tokens + space-joined bigrams,
+    same portable 60-bit bucket hash, same dyadic weight formula, mean
+    logit + sign label."""
+    h = _h60_sql("ft")
+    return rf"""WITH t AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+f AS MATERIALIZED (
+  SELECT doc_id, unnest(list_concat(t,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS ft
+  FROM t),
+s AS (
+  SELECT doc_id, COUNT(*) AS n_feats,
+         SUM((((({h}) % {nbuckets}) * 37 + 11) % 197 - 98) / 128.0) AS wsum
+  FROM f GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_feats, 0)::INT AS n_feats,
+       COALESCE(s.wsum / s.n_feats, 0.0) AS score,
+       COALESCE(s.wsum / s.n_feats, 0.0) > 0 AS quality_pass
+FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
+def _mixture_plan_sql(targets: dict[str, float] = _MIXTURE_TARGETS,
+                      budget: int = _MIXTURE_BUDGET) -> str:
+    """mixture_plan in SQL: same token census, target shares inlined as
+    a CASE recipe, same need/rate/epochs arithmetic."""
+    case = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in sorted(targets.items()))
+    return rf"""WITH agg AS (
+  SELECT source AS domain, COUNT(*)::BIGINT AS docs,
+         SUM(len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')))::BIGINT AS tokens,
+         CASE source {case} ELSE 0.0 END AS target_share
+  FROM documents GROUP BY source)
+SELECT domain, docs, tokens, target_share,
+       target_share * {float(budget)!r} AS need_tokens,
+       (target_share * {float(budget)!r}) / tokens AS sample_rate,
+       CAST(ceil((target_share * {float(budget)!r}) / tokens) AS INT) AS epochs
+FROM agg"""
+
+
+def _semdedup_sql(threshold: float = 0.8, ncentroids: int = 8,
+                  iters: int = 2, dim: int = 64, scale: int = 1024) -> str:
+    """semdedup in SQL: the same augmented (original + perturbed clone)
+    table, the SAME deterministic Lloyd training as _ivf_kmeans_sql
+    (smallest-id init, dyadic grid, max-cosine assignment, empty
+    clusters carried), within-cluster exact-cosine pairs, then the
+    recursive min-label closure + keep-list from _dedup_clusters_sql."""
+    def cos(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {b}) / "
+                f"(sqrt(list_dot_product({a}, {a})) * "
+                f"sqrt(list_dot_product({b}, {b}))))")
+
+    parts = [f"""WITH raw AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+aug AS MATERIALIZED (
+  SELECT vec_id, v FROM raw
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(1, {dim + 1}),
+                        i -> v[i] + 0.02 * (((i * 37 + vec_id) % 7) - 3))
+  FROM raw),
+base AS MATERIALIZED (
+  SELECT vec_id, v,
+         list_transform(v, x -> floor(x * {scale} + 0.5) / {scale}) AS qv
+  FROM aug),
+c0 AS MATERIALIZED (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
+  FROM (SELECT vec_id, qv FROM base ORDER BY vec_id LIMIT {ncentroids}))"""]
+    sim = cos("b.qv", "c.cv")
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {sim} DESC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN c{t - 1} c) WHERE rn = 1)""")
+        parts.append(f"""m{t} AS (
+  SELECT cid, list(sx ORDER BY pos) AS cv FROM (
+    SELECT a.cid, r.pos, sum(b.qv[r.pos]) / count(*) AS sx
+    FROM a{t} a JOIN base b USING (vec_id)
+    CROSS JOIN (SELECT UNNEST(range(1, {dim + 1})) AS pos) r
+    GROUP BY a.cid, r.pos) GROUP BY cid)""")
+        parts.append(f"""c{t} AS MATERIALIZED (
+  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+  FROM c{t - 1} c LEFT JOIN m{t} m USING (cid))""")
+    parts.append(f"""assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {sim} DESC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN c{iters} c) WHERE rn = 1)""")
+    parts.append(f"""cand AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN base bx ON bx.vec_id = x.vec_id
+  JOIN base bb ON bb.vec_id = y.vec_id
+  WHERE {cos("bx.v", "bb.v")} >= {threshold})""")
+    pair_query = ",\n".join(parts) + "\nSELECT id_a, id_b FROM cand"
+    return f"""WITH RECURSIVE pairs AS ({pair_query}),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(id, lab) AS (
+  SELECT a, a FROM (SELECT a FROM sym UNION SELECT b FROM sym)
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.id),
+comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+univ AS (SELECT vec_id FROM embeddings
+         UNION ALL SELECT vec_id + 100000 FROM embeddings)
+SELECT u.vec_id, COALESCE(c.cluster, u.vec_id) AS cluster,
+       COALESCE(c.cluster, u.vec_id) = u.vec_id AS keep
+FROM univ u LEFT JOIN comp c ON u.vec_id = c.id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records the FIRST 50
     # entries per round.  Queries that have never had a driver row (the
@@ -4428,6 +4610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_expand_paths": _q_path_expand_paths,
         "neighbor_sample_2hop": _q_neighbor_sample,
         "negative_edges_k2": _q_negative_edges,
+        # --- r04 session 4: corpus-composition + learned-quality family ---
+        "quality_logreg": _q_quality_logreg,
+        "mixture_plan": _q_mixture_plan,
+        "semdedup_keep": _q_semdedup,
     }
 
 
@@ -5438,4 +5624,7 @@ def oracle_sql() -> dict[str, str]:
         "path_expand_paths": _PATH_EXPAND_PATHS_SQL,
         "neighbor_sample_2hop": _neighbor_sample_sql((3, 2), 10, 7),
         "negative_edges_k2": _negative_edges_sql(2, 8, 7),
+        "quality_logreg": _quality_logreg_sql(),
+        "mixture_plan": _mixture_plan_sql(),
+        "semdedup_keep": _semdedup_sql(),
     }

@@ -10,8 +10,10 @@ where not, never per-row Python.
 from graphscope_spark.functions.text import (
     bm25_topk,
     fingerprint,
+    hashed_logreg_score,
     langid,
     quality_score,
+    text_features,
     tfidf_terms,
     token_count,
     tokenize,
@@ -39,6 +41,7 @@ from graphscope_spark.functions.bpe import bpe_merges
 from graphscope_spark.functions.packing import chunk_documents, pack_sequences
 from graphscope_spark.functions.sample import (
     hash_sample,
+    mixture_plan,
     sample_gate,
     stratified_sample,
 )
@@ -59,6 +62,7 @@ from graphscope_spark.functions.similarity import (
     ivf_kmeans_topk,
     ivf_topk,
     kmeans_centroids,
+    semdedup,
 )
 from graphscope_spark.functions.multimodal import (
     decode_image_stub,
@@ -83,18 +87,19 @@ from graphscope_spark.functions.codecs import (
 
 __all__ = [
     "tokenize", "token_count", "quality_score", "langid", "fingerprint",
-    "tfidf_terms", "bm25_topk",
+    "tfidf_terms", "bm25_topk", "hashed_logreg_score", "text_features",
     "redact_pii", "PII_DEFAULT_RULES",
     "detect_license", "code_stats", "vendored_groups", "repetition_stats",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
     "decontaminate", "dup_span_stats", "unigram_logppl", "bpe_merges",
-    "hash_sample", "stratified_sample", "sample_gate", "pack_sequences", "chunk_documents",
+    "hash_sample", "stratified_sample", "sample_gate", "mixture_plan",
+    "pack_sequences", "chunk_documents",
     "sessionize", "session_stats", "funnel_levels", "funnel_counts", "retention_matrix", "profile_columns", "event_transitions",
     "asof_join", "interval_join",
     "hll_sketch", "hll_merge", "hll_estimate",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
-    "kmeans_centroids", "ivf_kmeans_topk", "ivf_index",
+    "kmeans_centroids", "ivf_kmeans_topk", "ivf_index", "semdedup",
     "media_table", "decode_image_stub", "sample_frames_stub", "real_decode",
     "encode_bmp", "decode_bmp", "bmp_media", "decode_bmp_features",
     "encode_wav", "decode_wav", "wav_media", "decode_wav_features",

@@ -55,3 +55,42 @@ def stratified_sample(df: DataFrame, strata_col: str,
     for k, v in fractions.items():
         frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
     return df.filter(sample_gate(F.col(key_col), seed, hash_fn) < frac)
+
+
+def mixture_plan(df: DataFrame, targets: dict[str, float],
+                 token_budget: int, domain_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Static data-mixing plan (domain reweighting) for training-corpus
+    composition → one row per domain: ``(domain, docs, tokens,
+    target_share, need_tokens, sample_rate, epochs)``.
+
+    Given target mixture shares (e.g. from a DoReMi-style optimization
+    or a hand-tuned recipe) and a total token budget, compute for every
+    domain how many tokens it must contribute (``need_tokens = share ×
+    budget``), the per-row sampling rate against what the domain
+    actually holds (``sample_rate = need / tokens``; > 1 means the
+    domain repeats), and the epoch count (``ceil(rate)``) a sequential
+    reader needs. Domains absent from ``targets`` get share 0 —
+    dropped from the mix. Feed ``sample_rate`` per-domain into
+    ``stratified_sample`` to materialize the mixture deterministically.
+
+    Scale shape: ONE narrow groupBy(domain) aggregate over the corpus
+    (map-side partial sums; token counting is a projection) — the plan
+    itself is a handful of rows. Shares that are dyadic rationals keep
+    every derived value exact and engine-replayable.
+    """
+    from graphscope_spark.functions.text import token_count
+
+    share_map = F.create_map(
+        *[F.lit(x) for k, v in sorted(targets.items())
+          for x in (k, float(v))])
+    return (df.groupBy(F.col(domain_col).alias("domain"))
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum(token_count(F.col(text_col))).alias("tokens"))
+            .withColumn("target_share",
+                        F.coalesce(F.element_at(share_map, F.col("domain")),
+                                   F.lit(0.0)))
+            .withColumn("need_tokens",
+                        F.col("target_share") * F.lit(float(token_budget)))
+            .withColumn("sample_rate", F.col("need_tokens") / F.col("tokens"))
+            .withColumn("epochs", F.ceil("sample_rate").cast("int")))

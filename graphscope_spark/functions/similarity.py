@@ -329,3 +329,56 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semdedup(df: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", threshold: float = 0.8,
+             ncentroids: int = 8, iters: int = 2, scale: int = 1024,
+             max_cluster: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication") → ``(id, cluster, keep)``.
+
+    Pipeline, every stage deterministic and engine-replayable:
+
+    1. cluster the corpus with the library's exact-arithmetic Lloyd
+       k-means (``kmeans_centroids``: smallest-id init, dyadic-grid
+       quantization, max-cosine assignment with ties to the smaller cid);
+    2. emit candidate pairs ONLY within a cluster (the SemDeDup insight:
+       semantic duplicates share a cluster, so the quadratic pair search
+       shrinks from O(N²) to Σ|cluster|²), verified by exact cosine on
+       the raw double vectors;
+    3. collapse the pair graph to canonical representatives with
+       ``dedup_keep_list`` (HashMin connected components — transitive
+       closure, smallest id kept).
+
+    Scale shape: parallelism of the pair stage is the cluster count —
+    at corpus scale raise ``ncentroids`` so clusters stay bounded (the
+    paper uses ~100k clusters for LAION-scale data); ``max_cluster``
+    additionally drops degenerate clusters larger than the cap from the
+    pair search entirely (the same hub-guard contract as ``max_bucket``
+    in the text dedup family). The WCC stage runs on the tiny near-dup
+    pair graph only.
+    """
+    from graphscope_spark.functions.dedup import dedup_keep_list
+
+    cents = kmeans_centroids(df, ncentroids=ncentroids, iters=iters,
+                             id_col=id_col, vec_col=vec_col, scale=scale)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+    assigned = _with_nearest_cid(base, quantize_vec(F.col("_v"), scale),
+                                 cents).select("cid", "_id", "_v")
+    if max_cluster is not None:
+        sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+        assigned = (assigned.join(F.broadcast(sizes), "cid")
+                    .filter(F.col("_n") <= max_cluster).drop("_n"))
+    a = assigned.select("cid", F.col("_id").alias("id_a"),
+                        F.col("_v").alias("_va"))
+    b = assigned.select("cid", F.col("_id").alias("id_b"),
+                        F.col("_v").alias("_vb"))
+    pairs = (a.join(b, "cid")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(cosine_sim(F.col("_va"), F.col("_vb")) >= threshold)
+             .select("id_a", "id_b"))
+    return dedup_keep_list(df.select(F.col(id_col)), pairs, id_col=id_col)

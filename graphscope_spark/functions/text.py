@@ -185,3 +185,62 @@ def unigram_logppl(df: DataFrame, text_col: str = "text",
             .select("doc_id",
                     F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                     F.coalesce("xent", F.lit(0.0)).alias("xent")))
+
+
+def text_features(col, bigrams: bool = True) -> Column:
+    """Unigram + (optionally) bigram feature strings for a text column —
+    the fastText feature map. Bigrams are space-joined adjacent token
+    pairs (tokens never contain whitespace, so the joined string cannot
+    collide with a unigram)."""
+    toks = tokenize(col)
+    if not bigrams:
+        return toks
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.concat(toks, pairs)
+
+
+def hashed_logreg_score(df: DataFrame, weights: list[float],
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bias: float = 0.0, bigrams: bool = True,
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE over hashed
+    n-gram features → ``(id, n_feats, score, quality_pass)``.
+
+    The production way to score 100 TB of text against a trained quality
+    model (the heuristic ``quality_score`` is the bootstrap; this is the
+    learned upgrade): features = unigrams + bigrams, hashed into
+    ``len(weights)`` buckets, ``score = bias + mean(weights[bucket])``,
+    ``quality_pass = score > 0`` (the logit sign — apply a sigmoid
+    downstream if a probability is needed; the logit is kept raw here so
+    the value is exact rational arithmetic, engine-replayable).
+
+    Scale shape: the weight table is the MODEL, not data — fastText-size
+    models are a few thousand to a few million floats, broadcast into the
+    plan as an array literal, so scoring is a shuffle-free projection
+    that runs at parquet-scan speed with no join and no UDF. The fold
+    stays exact (hence partitioning/engine-independent) when the weights
+    are dyadic rationals — quantize a trained model with
+    ``round(w * 128) / 128`` to keep the oracle property.
+
+    ``hash_fn``: ``xxhash64`` (default, JVM-native) or ``sha2`` (the
+    portable 60-bit hash every engine can replay — ``dedup._hash60``).
+    """
+    from graphscope_spark.functions.dedup import _hash60
+
+    nb = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    feats = text_features(F.col(text_col), bigrams=bigrams)
+    wsum = F.aggregate(
+        feats, F.lit(0.0),
+        lambda acc, t: acc + F.element_at(warr, (_hash60(t, hash_fn) % nb
+                                                 + 1).cast("int")))
+    n = F.size(feats)
+    score = F.when(n > 0, F.lit(float(bias)) + wsum / n) \
+             .otherwise(F.lit(float(bias)))
+    return df.select(
+        F.col(id_col), n.alias("n_feats"), score.alias("score")) \
+        .withColumn("quality_pass", F.col("score") > 0)

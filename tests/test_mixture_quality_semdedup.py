@@ -1,0 +1,105 @@
+"""Semantic tests for the corpus-composition family: mixture_plan,
+hashed_logreg_score, semdedup. (Value equality vs DuckDB is covered by
+the gate mirror in test_entry.py — these check the semantics proper.)"""
+import math
+
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.sample import mixture_plan
+from graphscope_spark.functions.similarity import semdedup
+from graphscope_spark.functions.text import hashed_logreg_score, text_features
+
+
+def test_mixture_plan_math(spark):
+    df = spark.createDataFrame(
+        [("web", "a b c d"), ("web", "e f"), ("code", "x y z"),
+         ("books", "one")],
+        ["source", "text"])
+    plan = {r["domain"]: r for r in
+            mixture_plan(df, {"web": 0.75, "code": 0.25},
+                         token_budget=48).collect()}
+    web = plan["web"]
+    assert web["docs"] == 2 and web["tokens"] == 6
+    assert web["need_tokens"] == 36.0
+    assert web["sample_rate"] == 6.0 and web["epochs"] == 6
+    code = plan["code"]
+    assert code["sample_rate"] == 4.0 and code["epochs"] == 4
+    # domain absent from the recipe is dropped (share 0)
+    books = plan["books"]
+    assert books["target_share"] == 0.0 and books["epochs"] == 0
+
+
+def test_text_features_bigrams(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "solo"), (3, "")],
+                               ["doc_id", "text"])
+    rows = {r["doc_id"]: r["f"] for r in
+            df.select("doc_id",
+                      text_features(F.col("text")).alias("f")).collect()}
+    assert rows[1] == ["a", "b", "c", "a b", "b c"]
+    assert rows[2] == ["solo"]
+    assert rows[3] == []
+
+
+def test_hashed_logreg_matches_python_reference(spark):
+    # tiny model; xxhash64 (fast path) — compare against a pure-Python
+    # re-computation routed through Spark's own xxhash64 for the buckets
+    w = [((i * 13 + 5) % 31 - 15) / 32.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "tok"), (3, "")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in hashed_logreg_score(df, w).collect()}
+    feats = {1: ["the", "quick", "brown", "fox",
+                 "the quick", "quick brown", "brown fox"],
+             2: ["tok"], 3: []}
+    all_feats = sorted({f for fs in feats.values() for f in fs})
+    bdf = spark.createDataFrame([(f,) for f in all_feats], ["f"])
+    bucket = {r["f"]: r["b"] for r in bdf.select(
+        "f", (F.xxhash64("f").bitwiseAND(F.lit((1 << 60) - 1))
+              % len(w)).alias("b")).collect()}
+    for d, fs in feats.items():
+        row = out[d]
+        assert row["n_feats"] == len(fs)
+        if fs:
+            expect = sum(w[bucket[f]] for f in fs) / len(fs)
+            assert math.isclose(row["score"], expect, rel_tol=0, abs_tol=0)
+            assert row["quality_pass"] == (expect > 0)
+        else:
+            assert row["score"] == 0.0 and not row["quality_pass"]
+
+
+def _planted_vectors():
+    # 3 well-separated directions, 4 members each (scaled copies =>
+    # cosine 1 within a group), plus one singleton
+    base = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0],
+            2: [0.0, 0.0, 1.0, 0.0]}
+    rows = []
+    vid = 0
+    for gid, v in base.items():
+        for k in range(1, 5):
+            rows.append((vid, [x * k + 0.001 * gid for x in v]))
+            vid += 1
+    rows.append((vid, [0.5, 0.5, 0.5, 0.5]))
+    return rows
+
+
+def test_semdedup_collapses_planted_groups(spark):
+    df = spark.createDataFrame(_planted_vectors(), ["vec_id", "embedding"])
+    out = semdedup(df, threshold=0.99, ncentroids=3, iters=2).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 13
+    # each planted group collapses to its smallest id
+    for g in range(3):
+        ids = list(range(g * 4, g * 4 + 4))
+        clusters = {by_id[i]["cluster"] for i in ids}
+        assert clusters == {ids[0]}
+        assert [by_id[i]["keep"] for i in ids] == [True, False, False, False]
+    # the singleton keeps itself
+    assert by_id[12]["keep"] and by_id[12]["cluster"] == 12
+
+
+def test_semdedup_max_cluster_guard(spark):
+    df = spark.createDataFrame(_planted_vectors(), ["vec_id", "embedding"])
+    # cap below the planted group size -> no pairs survive, all kept
+    out = semdedup(df, threshold=0.99, ncentroids=3, iters=2,
+                   max_cluster=2).collect()
+    assert all(r["keep"] for r in out)
