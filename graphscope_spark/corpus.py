@@ -149,7 +149,9 @@ def extract_imports(content: pd.Series, lang: pd.Series) -> pd.Series:
             continue
         if lg == "python":
             found = pd.Series(text.splitlines()).str.extract(_PY_IMPORT)
-            toks = found[0].fillna(found[1]).dropna().tolist()
+            # combine_first keeps object dtype (fillna on object columns
+            # trips pandas' downcasting FutureWarning on every Arrow batch)
+            toks = found[0].combine_first(found[1]).dropna().tolist()
         elif lg == "c":
             toks = pd.Series(text.splitlines()).str.extract(_C_INCLUDE)[0].dropna().tolist()
         elif lg == "java":
