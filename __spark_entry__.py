@@ -2283,29 +2283,25 @@ SELECT query_id, vec_id, rank FROM (
   FROM scored) WHERE rank <= {k}"""
 
 
-def _ivf_kmeans_sql(k: int = 5, ncentroids: int = 8, iters: int = 2,
-                    nprobe: int = 2, dim: int = 64, scale: int = 1024,
-                    nq: int = 10) -> str:
-    """ivf_kmeans_topk in SQL: the SAME deterministic Lloyd training
-    (smallest-id init, dyadic-grid quantization so cluster sums are
-    exact/associative, max-cosine assignment with ties to the smaller
-    cid, empty clusters carried) unrolled as one CTE chain, then the
-    same nprobe probe + exact re-rank. Cosines are written as explicit
-    dot/(sqrt·sqrt) to match the engine's fold."""
-    def cos(a: str, b: str) -> str:
-        return (f"(list_dot_product({a}, {b}) / "
-                f"(sqrt(list_dot_product({a}, {a})) * "
-                f"sqrt(list_dot_product({b}, {b}))))")
+def _lloyd_cos(a: str, b: str) -> str:
+    """Explicit dot/(sqrt·sqrt) cosine — matches the engine's fold."""
+    return (f"(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))))")
 
-    parts = [f"""WITH base AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> floor(x * {scale} + 0.5) / {scale}) AS qv
-  FROM embeddings),
-c0 AS MATERIALIZED (
+
+def _lloyd_parts(ncentroids: int, iters: int, dim: int) -> list[str]:
+    """The deterministic Lloyd-training CTE chain (c0 → a/m/c per
+    iteration → assign) over an in-scope ``base(vec_id, qv)`` CTE — the
+    exact SQL replay of ``kmeans_centroids`` (smallest-id init, dyadic
+    grid so cluster sums are exact/associative, max-cosine assignment
+    with ties to the smaller cid, empty clusters carried). ONE shared
+    builder for _ivf_kmeans_sql and _semdedup_sql so the two oracles'
+    training replays can never silently diverge."""
+    sim = _lloyd_cos("b.qv", "c.cv")
+    parts = [f"""c0 AS MATERIALIZED (
   SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
   FROM (SELECT vec_id, qv FROM base ORDER BY vec_id LIMIT {ncentroids}))"""]
-    sim = cos("b.qv", "c.cv")
     for t in range(1, iters + 1):
         parts.append(f"""a{t} AS (
   SELECT vec_id, cid FROM (
@@ -2328,6 +2324,23 @@ c0 AS MATERIALIZED (
            ROW_NUMBER() OVER (PARTITION BY b.vec_id
                               ORDER BY {sim} DESC, c.cid ASC) AS rn
     FROM base b CROSS JOIN c{iters} c) WHERE rn = 1)""")
+    return parts
+
+
+def _ivf_kmeans_sql(k: int = 5, ncentroids: int = 8, iters: int = 2,
+                    nprobe: int = 2, dim: int = 64, scale: int = 1024,
+                    nq: int = 10) -> str:
+    """ivf_kmeans_topk in SQL: the deterministic Lloyd training replay
+    (shared ``_lloyd_parts`` chain), then the same nprobe probe + exact
+    re-rank."""
+    cos = _lloyd_cos
+    parts = [f"""WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * {scale} + 0.5) / {scale}) AS qv
+  FROM embeddings)"""]
+    sim = cos("b.qv", "c.cv")
+    parts += _lloyd_parts(ncentroids, iters, dim)
     parts.append(f"""qprobe AS (
   SELECT query_id, cid FROM (
     SELECT b.vec_id AS query_id, c.cid,
@@ -4353,19 +4366,33 @@ FROM documents d LEFT JOIN s USING (doc_id)"""
 
 def _mixture_plan_sql(targets: dict[str, float] = _MIXTURE_TARGETS,
                       budget: int = _MIXTURE_BUDGET) -> str:
-    """mixture_plan in SQL: same token census, target shares inlined as
-    a CASE recipe, same need/rate/epochs arithmetic."""
+    """mixture_plan in SQL: same token census (full-outer-joined against
+    the recipe's domain list so unfillable targets surface as docs=0
+    rows), target shares inlined as a CASE recipe, same need/rate/epochs
+    arithmetic (rate/epochs 0 when the domain holds no tokens)."""
     case = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in sorted(targets.items()))
-    return rf"""WITH agg AS (
+    vals = ", ".join(f"('{k}')" for k in sorted(targets))
+    return rf"""WITH census AS (
   SELECT source AS domain, COUNT(*)::BIGINT AS docs,
          SUM(len(list_filter(string_split_regex(text, '\s+'),
-                             x -> x <> '')))::BIGINT AS tokens,
-         CASE source {case} ELSE 0.0 END AS target_share
-  FROM documents GROUP BY source)
+                             x -> x <> '')))::BIGINT AS tokens
+  FROM documents GROUP BY source),
+agg AS (
+  SELECT COALESCE(census.domain, recipe.domain) AS domain,
+         COALESCE(docs, 0)::BIGINT AS docs,
+         COALESCE(tokens, 0)::BIGINT AS tokens,
+         CASE COALESCE(census.domain, recipe.domain) {case} ELSE 0.0 END
+           AS target_share
+  FROM census FULL OUTER JOIN (VALUES {vals}) recipe(domain)
+    ON census.domain = recipe.domain)
 SELECT domain, docs, tokens, target_share,
        target_share * {float(budget)!r} AS need_tokens,
-       (target_share * {float(budget)!r}) / tokens AS sample_rate,
-       CAST(ceil((target_share * {float(budget)!r}) / tokens) AS INT) AS epochs
+       CASE WHEN tokens > 0
+            THEN (target_share * {float(budget)!r}) / tokens
+            ELSE 0.0 END AS sample_rate,
+       CAST(ceil(CASE WHEN tokens > 0
+                      THEN (target_share * {float(budget)!r}) / tokens
+                      ELSE 0.0 END) AS INT) AS epochs
 FROM agg"""
 
 
@@ -4376,11 +4403,7 @@ def _semdedup_sql(threshold: float = 0.8, ncentroids: int = 8,
     (smallest-id init, dyadic grid, max-cosine assignment, empty
     clusters carried), within-cluster exact-cosine pairs, then the
     recursive min-label closure + keep-list from _dedup_clusters_sql."""
-    def cos(a: str, b: str) -> str:
-        return (f"(list_dot_product({a}, {b}) / "
-                f"(sqrt(list_dot_product({a}, {a})) * "
-                f"sqrt(list_dot_product({b}, {b}))))")
-
+    cos = _lloyd_cos
     parts = [f"""WITH raw AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 aug AS MATERIALIZED (
@@ -4393,33 +4416,8 @@ aug AS MATERIALIZED (
 base AS MATERIALIZED (
   SELECT vec_id, v,
          list_transform(v, x -> floor(x * {scale} + 0.5) / {scale}) AS qv
-  FROM aug),
-c0 AS MATERIALIZED (
-  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
-  FROM (SELECT vec_id, qv FROM base ORDER BY vec_id LIMIT {ncentroids}))"""]
-    sim = cos("b.qv", "c.cv")
-    for t in range(1, iters + 1):
-        parts.append(f"""a{t} AS (
-  SELECT vec_id, cid FROM (
-    SELECT b.vec_id, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY b.vec_id
-                              ORDER BY {sim} DESC, c.cid ASC) AS rn
-    FROM base b CROSS JOIN c{t - 1} c) WHERE rn = 1)""")
-        parts.append(f"""m{t} AS (
-  SELECT cid, list(sx ORDER BY pos) AS cv FROM (
-    SELECT a.cid, r.pos, sum(b.qv[r.pos]) / count(*) AS sx
-    FROM a{t} a JOIN base b USING (vec_id)
-    CROSS JOIN (SELECT UNNEST(range(1, {dim + 1})) AS pos) r
-    GROUP BY a.cid, r.pos) GROUP BY cid)""")
-        parts.append(f"""c{t} AS MATERIALIZED (
-  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
-  FROM c{t - 1} c LEFT JOIN m{t} m USING (cid))""")
-    parts.append(f"""assign AS (
-  SELECT vec_id, cid FROM (
-    SELECT b.vec_id, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY b.vec_id
-                              ORDER BY {sim} DESC, c.cid ASC) AS rn
-    FROM base b CROSS JOIN c{iters} c) WHERE rn = 1)""")
+  FROM aug)"""]
+    parts += _lloyd_parts(ncentroids, iters, dim)
     parts.append(f"""cand AS (
   SELECT x.vec_id AS id_a, y.vec_id AS id_b
   FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id

@@ -71,7 +71,11 @@ def mixture_plan(df: DataFrame, targets: dict[str, float],
     actually holds (``sample_rate = need / tokens``; > 1 means the
     domain repeats), and the epoch count (``ceil(rate)``) a sequential
     reader needs. Domains absent from ``targets`` get share 0 —
-    dropped from the mix. Feed ``sample_rate`` per-domain into
+    dropped from the mix. Target domains absent from the CORPUS (missing
+    data, or a typo in the recipe) still get a row — ``docs = tokens =
+    0`` with ``need_tokens > 0`` and ``sample_rate = epochs = 0`` — so
+    an unfillable target is an explicit plan row, never a silent
+    underfill of the token budget. Feed ``sample_rate`` per-domain into
     ``stratified_sample`` to materialize the mixture deterministically.
 
     Scale shape: ONE narrow groupBy(domain) aggregate over the corpus
@@ -84,13 +88,24 @@ def mixture_plan(df: DataFrame, targets: dict[str, float],
     share_map = F.create_map(
         *[F.lit(x) for k, v in sorted(targets.items())
           for x in (k, float(v))])
-    return (df.groupBy(F.col(domain_col).alias("domain"))
-            .agg(F.count(F.lit(1)).alias("docs"),
-                 F.sum(token_count(F.col(text_col))).alias("tokens"))
+    census = (df.groupBy(F.col(domain_col).alias("domain"))
+              .agg(F.count(F.lit(1)).alias("docs"),
+                   F.sum(token_count(F.col(text_col))).alias("tokens")))
+    # target domains with no corpus rows must surface, not vanish
+    recipe = df.sparkSession.createDataFrame(
+        [(k,) for k in sorted(targets)], "domain STRING")
+    return (census.join(recipe, "domain", "full_outer")
+            .select(
+                "domain",
+                F.coalesce("docs", F.lit(0)).alias("docs"),
+                F.coalesce("tokens", F.lit(0)).alias("tokens"))
             .withColumn("target_share",
                         F.coalesce(F.element_at(share_map, F.col("domain")),
                                    F.lit(0.0)))
             .withColumn("need_tokens",
                         F.col("target_share") * F.lit(float(token_budget)))
-            .withColumn("sample_rate", F.col("need_tokens") / F.col("tokens"))
+            .withColumn("sample_rate",
+                        F.when(F.col("tokens") > 0,
+                               F.col("need_tokens") / F.col("tokens"))
+                        .otherwise(F.lit(0.0)))
             .withColumn("epochs", F.ceil("sample_rate").cast("int")))

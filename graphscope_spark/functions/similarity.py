@@ -367,8 +367,13 @@ def semdedup(df: DataFrame, id_col: str = "vec_id",
     base = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+    # three consumers below (sizes, both self-join sides) and no
+    # exchange reuse across their differing projections — persist, or
+    # the ncentroids-cosine assignment is paid 2-3x; released before
+    # return (the WCC closure consumes the pairs eagerly, severing
+    # the returned plan's lineage from this cache)
     assigned = _with_nearest_cid(base, quantize_vec(F.col("_v"), scale),
-                                 cents).select("cid", "_id", "_v")
+                                 cents).select("cid", "_id", "_v").persist()
     if max_cluster is not None:
         sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
         assigned = (assigned.join(F.broadcast(sizes), "cid")
@@ -381,4 +386,6 @@ def semdedup(df: DataFrame, id_col: str = "vec_id",
              .filter(F.col("id_a") < F.col("id_b"))
              .filter(cosine_sim(F.col("_va"), F.col("_vb")) >= threshold)
              .select("id_a", "id_b"))
-    return dedup_keep_list(df.select(F.col(id_col)), pairs, id_col=id_col)
+    out = dedup_keep_list(df.select(F.col(id_col)), pairs, id_col=id_col)
+    assigned.unpersist()
+    return out

@@ -232,7 +232,9 @@ def hashed_logreg_score(df: DataFrame, weights: list[float],
     from graphscope_spark.functions.dedup import _hash60
 
     nb = len(weights)
-    warr = F.array(*[F.lit(float(w)) for w in weights])
+    # one ArrayType Literal node, not a len(weights)-child CreateArray —
+    # fastText-size models (10^6 weights) must not explode the plan tree
+    warr = F.lit([float(w) for w in weights])
     feats = text_features(F.col(text_col), bigrams=bigrams)
     wsum = F.aggregate(
         feats, F.lit(0.0),

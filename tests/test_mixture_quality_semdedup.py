@@ -29,6 +29,21 @@ def test_mixture_plan_math(spark):
     assert books["target_share"] == 0.0 and books["epochs"] == 0
 
 
+def test_mixture_plan_missing_target_domain_surfaces(spark):
+    # a target domain with NO corpus rows must appear as an explicit
+    # docs=0 row (need > 0, rate/epochs 0) — not silently underfill
+    df = spark.createDataFrame([("web", "a b c d"), ("web", "e f")],
+                               ["source", "text"])
+    plan = {r["domain"]: r for r in
+            mixture_plan(df, {"web": 0.75, "ghost": 0.25},
+                         token_budget=48).collect()}
+    ghost = plan["ghost"]
+    assert ghost["docs"] == 0 and ghost["tokens"] == 0
+    assert ghost["target_share"] == 0.25 and ghost["need_tokens"] == 12.0
+    assert ghost["sample_rate"] == 0.0 and ghost["epochs"] == 0
+    assert plan["web"]["sample_rate"] == 6.0  # present domain unchanged
+
+
 def test_text_features_bigrams(spark):
     df = spark.createDataFrame([(1, "a b c"), (2, "solo"), (3, "")],
                                ["doc_id", "text"])
