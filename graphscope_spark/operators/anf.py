@@ -98,24 +98,28 @@ class ANFJob(SuperstepJob):
         hint = "broadcast" if sparse else "shuffle_hash"
         frontier = state.filter(F.col("changed")) \
             .select("vid", *self._mcols).hint(hint)
-        msgs = self.msg_edges.join(
-            frontier, self.msg_edges["dst"] == frontier["vid"]
-        ).select("src", *self._mcols)
+        joined = self.msg_edges.join(
+            frontier, self.msg_edges["dst"] == frontier["vid"])
         # bit_or is associative+commutative: Catalyst's map-side partial
         # aggregation absorbs most hub-key volume; salt>1 adds an explicit
         # two-phase reduce for extreme out-hubs (same shape as salted_agg,
-        # generalized to K value columns).
+        # generalized to K value columns). The salt must VARY within a
+        # src group to spread it — hash the sending neighbor's vid.
         ors = [F.expr(f"bit_or({c})").alias(f"o{k}")
                for k, c in enumerate(self._mcols)]
         if self.salt > 1:
-            partial = msgs.withColumn(
-                "_salt", F.pmod(F.xxhash64("vid"), F.lit(self.salt))
-            ).groupBy("src", "_salt").agg(*ors)
+            msgs = joined.select(
+                "src",
+                F.pmod(F.xxhash64(frontier["vid"]),
+                       F.lit(self.salt)).alias("_salt"),
+                *self._mcols)
+            partial = msgs.groupBy("src", "_salt").agg(*ors)
             merged = partial.groupBy("src").agg(
                 *[F.expr(f"bit_or(o{k})").alias(f"o{k}")
                   for k in range(self.num_trials)])
         else:
-            merged = msgs.groupBy("src").agg(*ors)
+            merged = joined.select("src", *self._mcols) \
+                .groupBy("src").agg(*ors)
         merged = merged.hint(hint)
 
         newm = [(state[c].bitwiseOR(F.coalesce(F.col(f"o{k}"), F.lit(0))))

@@ -39,10 +39,6 @@ from graphscope_spark.runtime.truncate import Truncator, truncate
 
 
 def _pick_hash(step: int, seed: int, hash_fn: str):
-    if hash_fn == "sha2":
-        return _hash60(
-            F.concat_ws(":", F.col("walk_id").cast("string"),
-                        F.lit(str(step)), F.lit(str(seed))), "sha2")
     return _hash60(F.concat_ws(
         ":", F.col("walk_id").cast("string"), F.lit(str(step)),
         F.lit(str(seed))), hash_fn)
@@ -88,15 +84,20 @@ def node2vec_walks(graph: LinkGraph, length: int = 4, p: float = 1.0,
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     tot_w = Window.partitionBy("walk_id")
 
-    # a symmetric (undirected) graph has no sinks — every vertex comes
-    # from an edge endpoint and owns the reverse edge — so dead-walk
-    # tracking (anti-join + checkpoint per step) is skipped there
+    # a symmetric (undirected) graph has no sinks once a walk is moving
+    # (arriving via an edge implies the back-edge exists) — so per-step
+    # dead-walk tracking (anti-join + checkpoint) is skipped there. The
+    # one undirected dead case is an ISOLATED vertex in an explicitly
+    # supplied vertex set: peel those length-0 walks once, up front.
     track_dead = graph.directed
 
     t = Truncator()
     done: list[DataFrame] = []
     try:
         state = t(state, "s0")
+        if not track_dead:
+            iso = state.join(adj, state["cur"] == adj["src"], "left_anti")
+            done.append(t(iso, "done_iso"))
         for step in range(length):
             if track_dead:
                 dead = state.join(adj, state["cur"] == adj["src"],

@@ -74,9 +74,17 @@ class IncrementalMinHashDedup:
             [], "band LONG, key LONG, rep_id LONG, rep_sig ARRAY<LONG>")
 
     def kept(self) -> DataFrame:
-        """(doc_id) admitted so far, across all processed batches."""
+        """(doc_id) admitted so far, across all processed batches.
+
+        distinct: a foreachBatch REPLAY (crash between the kept append
+        and the buckets append) re-appends the identical kept rows —
+        the recompute is deterministic, so the only artifact is exact
+        duplicate doc_ids in storage, collapsed here so consumers never
+        see them. The buckets state needs no such guard (its append is
+        idempotent by construction: left_anti vs state + rep_id != id)."""
         if os.path.exists(self._kept):
-            return self.spark.read.parquet(self._kept).select("doc_id")
+            return self.spark.read.parquet(self._kept) \
+                .select("doc_id").distinct()
         return self.spark.createDataFrame([], "doc_id LONG")
 
 
@@ -144,7 +152,9 @@ class IncrementalMinHashDedup:
         # state is first-owner-wins append-only (reps never change), so
         # each batch appends only its delta — per-batch write cost is
         # O(new buckets), not O(total admitted), however long the stream
-        # has run. kept first: its plan reads the pre-append state.
+        # has run. kept first: its plan reads the pre-append state. A
+        # foreachBatch replay re-appends identical kept rows (see
+        # kept()'s distinct-on-read guard).
         kept.select(F.col("id").alias("doc_id")) \
             .write.mode("append").parquet(self._kept)
         new_bkts.write.mode("append").parquet(self._live)

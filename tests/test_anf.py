@@ -68,6 +68,12 @@ def test_anf_sketches_bit_exact_vs_simulation(spark):
                                  hash_fn="sha2").collect()}
     exp = _simulate(sorted({v for e in edges for v in e}), edges, 3, 4)
     assert got == exp
+    # salted two-phase reduce (hub mitigation) is bit-identical —
+    # bit_or is associative/commutative, the salt only splits groups
+    salted = {r.vid: r.r_sum
+              for r in anf_sketches(g, rounds=3, num_trials=4,
+                                    hash_fn="sha2", salt=4).collect()}
+    assert salted == exp
 
 
 def test_anf_curve_monotone_and_saturates(spark):

@@ -34,6 +34,20 @@ def test_walks_cover_all_vertices_and_follow_edges(spark, tri_graph):
             assert (a, b) in edges
 
 
+def test_isolated_vertex_emits_length0_walk_undirected(spark):
+    # explicit vertex set with an isolated vertex: its walk must appear
+    # as the length-0 path [v], not silently vanish (one-walk-per-vertex
+    # contract — regression for the skipped dead-tracking on undirected)
+    e = [(0, 1), (1, 0)]
+    g = gs.LinkGraph(
+        spark, spark.createDataFrame(e, "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(0,), (1,), (7,)], "vid LONG"),
+        directed=False)
+    got = _walks(g, length=3, hash_fn="sha2")
+    assert set(got) == {0, 1, 7}
+    assert got[7] == [7]
+
+
 def test_deterministic_across_parallelism(spark, tri_graph):
     a = _walks(tri_graph, length=4, p=2.0, q=0.5, hash_fn="sha2")
     b = _walks(tri_graph, length=4, p=2.0, q=0.5, hash_fn="sha2")

@@ -241,3 +241,12 @@ def test_incremental_minhash_dedup(spark, tmp_path):
                               "doc_id LONG, text STRING"))
     kept2 = {r["doc_id"] for r in inc2.kept().collect()}
     assert kept2 == {1, 2, 5, 9}, kept2
+
+    # foreachBatch REPLAY (crash between the kept and buckets writes):
+    # reprocessing the identical batch must not duplicate kept rows or
+    # change the admitted set
+    inc2.process_batch(
+        spark.createDataFrame([(8, near), (9, "tiny fresh doc")],
+                              "doc_id LONG, text STRING"))
+    replay = [r["doc_id"] for r in inc2.kept().collect()]
+    assert sorted(replay) == [1, 2, 5, 9], replay
