@@ -1539,10 +1539,25 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount",
 def _q_profile_lineitem(spark, sf_dir):
     """Single-scan column profile of lineitem (functions/profile.py):
     nulls / exact distinct / micro-rounded extrema + exact interpolated
-    median for numerics, string extrema otherwise."""
+    median for numerics, string extrema otherwise.
+
+    Contract wrapper only: the profiler's structurally-NULL cells (micro
+    stats for string columns, string extrema for numerics) are coalesced
+    to sentinels (-1 / '') so the gate's value-hash never sees a NULL
+    numeric — this is the only contract query whose final output would
+    otherwise carry them, and NULL-vs-NaN normalization across two
+    engines is comparator-defined. The operator itself keeps NULLs."""
     from graphscope_spark.functions import profile_columns
 
-    return profile_columns(_t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+    p = profile_columns(_t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+    return p.select(
+        "column", "n_rows", "n_nulls", "n_distinct",
+        F.coalesce("min_micro", F.lit(-1)).alias("min_micro"),
+        F.coalesce("max_micro", F.lit(-1)).alias("max_micro"),
+        F.coalesce("median_micro", F.lit(-1)).alias("median_micro"),
+        F.coalesce("min_str", F.lit("")).alias("min_str"),
+        F.coalesce("max_str", F.lit("")).alias("max_str"),
+    )
 
 
 def _profile_sql() -> str:
@@ -1560,13 +1575,13 @@ def _profile_sql() -> str:
                 f"CAST(ROUND(MAX({c}) * 1e6) AS BIGINT) AS max_micro, "
                 f"CAST(ROUND(quantile_cont({c}, 0.5) * 1e6) AS BIGINT) "
                 "AS median_micro, "
-                "CAST(NULL AS VARCHAR) AS min_str, "
-                "CAST(NULL AS VARCHAR) AS max_str FROM lineitem"))
+                "'' AS min_str, "
+                "'' AS max_str FROM lineitem"))
         else:
             parts.append(common + (
-                "CAST(NULL AS BIGINT) AS min_micro, "
-                "CAST(NULL AS BIGINT) AS max_micro, "
-                "CAST(NULL AS BIGINT) AS median_micro, "
+                "CAST(-1 AS BIGINT) AS min_micro, "
+                "CAST(-1 AS BIGINT) AS max_micro, "
+                "CAST(-1 AS BIGINT) AS median_micro, "
                 f"MIN({c}) AS min_str, MAX({c}) AS max_str FROM lineitem"))
     return " UNION ALL ".join(parts)
 

@@ -69,11 +69,16 @@ for name, q in qs.items():
             elif len(s) != len(o):
                 match = f"ROWS {len(s)} vs {len(o)}"
             else:
-                ok = all(
-                    (abs(s[c].astype(float) - o[c].astype(float)) <= 1e-9).all()
-                    if str(s[c].dtype).startswith(("int", "float"))
-                    else (s[c].astype(str) == o[c].astype(str)).all()
-                    for c in s.columns)
+                def _col_ok(c):
+                    if str(s[c].dtype).startswith(("int", "float")):
+                        sv, ov = s[c].astype(float), o[c].astype(float)
+                        # NaN==NaN (same convention as the pytest gate
+                        # mirror's assert_series_equal)
+                        both_nan = sv.isna() & ov.isna()
+                        return ((abs(sv - ov) <= 1e-9) | both_nan).all()
+                    return (s[c].astype(str) == o[c].astype(str)).all()
+
+                ok = all(_col_ok(c) for c in s.columns)
                 match = "OK" if ok else "VALUES"
         except Exception as ex:  # noqa: BLE001
             err = "oracle: " + str(ex)[:120]
