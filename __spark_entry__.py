@@ -4455,6 +4455,28 @@ SELECT u.vec_id, COALESCE(c.cluster, u.vec_id) AS cluster,
 FROM univ u LEFT JOIN comp c ON u.vec_id = c.id"""
 
 
+# Gate-window rotation control: the driver's correctness gate records rows
+# for only the FIRST 50 queries() entries per round, so which queries get
+# fresh evidence is purely an ordering question.  When _WINDOW_ORDER is
+# non-empty, queries()/oracle_sql() pull exactly these names to the front
+# (in list order) and leave every other entry in its literal position —
+# rotating the window for a new round is then a one-list edit here instead
+# of moving 50 dict entries.  Unknown names raise immediately (typo guard).
+# Empty list = the dict-literal order below stands as-is (the r04 window).
+_WINDOW_ORDER: list[str] = []
+
+
+def _apply_window_order(base: dict) -> dict:
+    if not _WINDOW_ORDER:
+        return base
+    unknown = [n for n in _WINDOW_ORDER if n not in base]
+    if unknown:
+        raise KeyError(f"_WINDOW_ORDER names not in queries(): {unknown}")
+    ordered = {n: base[n] for n in _WINDOW_ORDER}
+    ordered.update({n: v for n, v in base.items() if n not in ordered})
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records the FIRST 50
     # entries per round.  Queries that have never had a driver row (the
@@ -4462,7 +4484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 5 that were green in r02 but rotated out of r03's window come
     # FIRST; the 50 long-green r03 queries trail and rotate back in over
     # subsequent rounds.  See VERDICT.md (round 3) "Next round #1".
-    return {
+    return _apply_window_order({
         # --- 23 never driver-verified (r03 ✓T) ---
         "msf_stats": _q_msf_stats,
         "color": _q_color,
@@ -4627,11 +4649,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logreg": _q_quality_logreg,
         "mixture_plan": _q_mixture_plan,
         "semdedup_keep": _q_semdedup,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _apply_window_order({
         "graph_degree": (
             f"WITH edges AS ({_EDGES_SQL}), "
             "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION SELECT dst FROM edges)) "
@@ -5640,4 +5662,4 @@ def oracle_sql() -> dict[str, str]:
         "quality_logreg": _quality_logreg_sql(),
         "mixture_plan": _mixture_plan_sql(),
         "semdedup_keep": _semdedup_sql(),
-    }
+    })

@@ -1,0 +1,60 @@
+"""The _WINDOW_ORDER rotation mechanism in __spark_entry__.py: when the
+list is empty the dict-literal order stands byte-for-byte; when set, the
+named queries move to the front (in list order) with everything else in
+its original relative position; unknown names fail fast.  The driver's
+correctness gate records rows for only the FIRST 50 queries() entries per
+round, so this ordering is the only control over which queries get fresh
+evidence — a silent misorder would burn a whole round's window."""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "spark_entry_window", Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+)
+entry_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(entry_mod)
+
+
+@pytest.fixture(autouse=True)
+def _restore_window_order():
+    saved = list(entry_mod._WINDOW_ORDER)
+    yield
+    entry_mod._WINDOW_ORDER[:] = saved
+
+
+def test_every_query_has_an_impl_and_sql_is_looked_up_by_name():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(qs) == set(oracles)  # every contract query is value-oracled
+
+
+def test_empty_window_order_is_identity():
+    entry_mod._WINDOW_ORDER[:] = []
+    first = list(entry_mod.queries())
+    assert first[0] == "msf_stats"  # the committed r04 window head
+    assert len(first) == len(set(first))
+
+
+def test_window_order_moves_names_to_front_stably():
+    entry_mod._WINDOW_ORDER[:] = []
+    base = list(entry_mod.queries())
+    head = [base[10], base[3], base[-1]]
+    entry_mod._WINDOW_ORDER[:] = head
+    reordered = list(entry_mod.queries())
+    assert reordered[:3] == head
+    # everything else keeps its original relative order
+    rest = [n for n in base if n not in head]
+    assert reordered[3:] == rest
+    # oracle lookup still resolves every reordered name
+    oracles = entry_mod.oracle_sql()
+    assert all(n in oracles for n in reordered)
+
+
+def test_window_order_typo_fails_fast():
+    entry_mod._WINDOW_ORDER[:] = ["definitely_not_a_query"]
+    with pytest.raises(KeyError, match="definitely_not_a_query"):
+        entry_mod.queries()
