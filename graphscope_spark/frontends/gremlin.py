@@ -14,13 +14,17 @@ plain groupBy/agg.
 Supported steps (python-keyword clashes renamed: ``in_``, ``is_``,
 ``not_``, ``id_``): V, hasLabel, has/hasNot, out/in_/both (single-hop,
 or the PathExpand sugar ``out("lo..hi", *labels)`` — hop range
-[lo, hi) upper-exclusive, ARBITRARY walks, END_V result, the defaults
-of supported_gremlin_steps.md §PathExpand), values, valueMap,
-elementMap, id_, label, constant, as_/select, where (tag predicate or
-anonymous-traversal existence), not_, dedup, order+by, groupCount+by,
+[lo, hi) upper-exclusive; ``with_('PATH_OPT', 'ARBITRARY'|'SIMPLE')``
+and ``with_('RESULT_OPT', 'END_V'|'ALL_V')`` configure it per
+supported_gremlin_steps.md §PathExpand, and ``endV()`` unfolds an
+ALL_V path collection), values, valueMap, elementMap, id_, label,
+constant, as_/select, where (tag predicate or anonymous-traversal
+existence), not_, dedup, order+by, groupCount+by,
 group().by(key).by(value) (value by(): fold list / property list /
 ``__.values(k).sum()``-style aggregator chains), count, sum, min_,
-max_, mean, is_, limit, union, repeat().times(), identity, unfold.
+max_, mean, is_, limit, coin, sample (both deterministic salted-hash
+variants — documented deviation), union, repeat().times(), identity,
+unfold.
 
 Edge-element steps (supported_gremlin_steps.md §Expand): E() source,
 outE/inE/bothE enter an EDGE stream (endpoint ids/labels + the
@@ -287,12 +291,13 @@ class GremlinTraversal:
     """Immutable traversal wrapper; every step returns a new one."""
 
     def __init__(self, pg, df: DataFrame, tags=(), value_col=None,
-                 pending=None, edge_props=None):
+                 pending=None, edge_props=None, pending_px=None):
         self.pg = pg
         self.df = df
         self.tags = tuple(tags)
         self.value_col = value_col      # set after values()/count()/...
         self._pending = pending         # 'order' | 'groupCount'
+        self._pending_px = pending_px   # set by a path-expand, for with_()
         self.edge_props = (None if edge_props is None
                            else tuple(edge_props))  # not-None = edge stream
 
@@ -307,6 +312,11 @@ class GremlinTraversal:
             raise ValueError(
                 f"gremlin: {step}() needs a graph element stream, the "
                 "current stream holds values")
+        if "_path" in self.df.columns:
+            raise ValueError(
+                f"gremlin: {step}() on an ALL_V path collection is "
+                "ambiguous (end vertex vs every path vertex) — unfold "
+                "the collection with endV() first")
 
     def _need_vertex(self, step):
         self._need_elem(step)
@@ -360,23 +370,103 @@ class GremlinTraversal:
                .withColumnRenamed("_l_to", "_label"))
         return self._next(out)
 
-    def _path_expand(self, labels, direction, lo: int, hi: int):
+    def _path_expand(self, labels, direction, lo: int, hi: int,
+                     path_opt: str = "ARBITRARY", result_opt: str = "END_V"):
         """Union of the k-fold expansions for k in [lo, hi) — one
-        traverser (row) per WALK, matching GIE's ARBITRARY path_opt;
-        END_V keeps only the walk's end vertex (plus carried tags)."""
+        traverser (row) per WALK. ``path_opt``/``result_opt`` are GIE's
+        with()-step options (supported_gremlin_steps.md §PathExpand):
+        ARBITRARY walks may revisit vertices, SIMPLE walks may not;
+        END_V keeps only the walk's end vertex (plus carried tags),
+        ALL_V keeps the whole vertex sequence as a path collection
+        (columns ``_path``/``_path_lb``, unfolded by :meth:`endV`).
+        The default ARBITRARY+END_V path carries no walk state at all —
+        at scale the per-hop frontier stays (vertex, tags)-wide."""
         if not (1 <= lo < hi):
             raise ValueError(
                 f"gremlin: path expand range '{lo}..{hi}' must satisfy "
                 "1 <= lo < hi (upper bound is EXCLUSIVE, GIE convention)")
+        track = path_opt == "SIMPLE" or result_opt != "END_V"
         cur, outs = self, []
+        if track:
+            # build under private names so the element-step path guard
+            # (_need_elem) doesn't fire on the in-flight expansion
+            cur = self._next(
+                self.df.withColumn("__walk", F.array(F.col("_elem")))
+                .withColumn("__walk_lb", F.array(F.col("_label"))))
         for k in range(1, hi):
             cur = cur._expand(labels, direction)
+            if track:
+                df = cur.df
+                if path_opt == "SIMPLE":
+                    # the hop may not revisit any vertex of its own walk
+                    df = df.filter(~F.exists(
+                        F.arrays_zip(F.col("__walk"), F.col("__walk_lb")),
+                        lambda p: (p["__walk"] == F.col("_elem"))
+                        & (p["__walk_lb"] == F.col("_label"))))
+                df = (df.withColumn(
+                        "__walk", F.concat(F.col("__walk"),
+                                           F.array(F.col("_elem"))))
+                      .withColumn(
+                        "__walk_lb", F.concat(F.col("__walk_lb"),
+                                              F.array(F.col("_label")))))
+                cur = cur._next(df)
             if k >= lo:
                 outs.append(cur.df)
         df = outs[0]
         for o in outs[1:]:
             df = df.unionByName(o)
-        return self._next(df)
+        if track:
+            df = (df.drop("__walk", "__walk_lb") if result_opt == "END_V"
+                  else df.withColumnRenamed("__walk", "_path")
+                  .withColumnRenamed("__walk_lb", "_path_lb"))
+        return self._next(df, pending_px=(
+            self, labels, direction, lo, hi,
+            {"PATH_OPT": path_opt, "RESULT_OPT": result_opt}))
+
+    _PX_OPTS = {"PATH_OPT": ("ARBITRARY", "SIMPLE"),
+                "RESULT_OPT": ("END_V", "ALL_V")}
+
+    def with_(self, key: str, value: str):
+        """The with()-step configurator of a PathExpand
+        (supported_gremlin_steps.md §PathExpand): must immediately follow
+        ``out/in_/both("lo..hi", ...)``; re-plans that expansion with the
+        requested PATH_OPT (ARBITRARY | SIMPLE) / RESULT_OPT (END_V |
+        ALL_V). ALL_V_E is not supported — edges are not first-class
+        members of a path collection in this engine (documented
+        deviation)."""
+        if self._pending_px is None:
+            raise ValueError(
+                "gremlin: with_() must immediately follow a path-expand "
+                "step like out('1..3')")
+        pre, labels, direction, lo, hi, opts = self._pending_px
+        key, value = str(key).upper(), str(value).upper()
+        if key not in self._PX_OPTS or value not in self._PX_OPTS[key]:
+            raise ValueError(
+                f"gremlin: with_({key!r}, {value!r}) — supported options: "
+                f"{dict(self._PX_OPTS)} (ALL_V_E is a documented deviation)")
+        opts = {**opts, key: value}
+        return pre._path_expand(labels, direction, lo, hi,
+                                path_opt=opts["PATH_OPT"],
+                                result_opt=opts["RESULT_OPT"])
+
+    def endV(self):
+        """endV()-step (supported_gremlin_steps.md §PathExpand): unfolds
+        an ALL_V path collection into one traverser per vertex of each
+        walk (walk order preserved relationally, not positionally); on an
+        END_V stream the traverser already IS the end vertex, so this is
+        the identity (matching the reference's running example)."""
+        if "_path" in self.df.columns:
+            keep = [c for c in self.df.columns
+                    if c not in ("_elem", "_label", "_path", "_path_lb")]
+            z = F.explode(
+                F.arrays_zip(F.col("_path"), F.col("_path_lb"))).alias("_pz")
+            df = (self.df.select(*keep, z)
+                  .select(*keep,
+                          F.col("_pz._path").alias("_elem"),
+                          F.col("_pz._path_lb").alias("_label")))
+            return self._next(df)
+        self._need_vertex("endV")
+        return self
 
     def out(self, *labels):
         return self._expand(labels, "out")
@@ -598,12 +688,55 @@ class GremlinTraversal:
             cols = [self._tag_col(t) for t in tags]
         elif self.edge_props is not None:
             cols = ["_esrc", "_esrc_lb", "_edst", "_edst_lb", "_elabel"]
+        elif "_path" in self.df.columns:
+            # an ALL_V traverser IS its walk — dedup whole paths
+            cols = ["_path", "_path_lb"]
         else:
             cols = ["_elem", "_label"]
         return self._next(self.df.dropDuplicates(cols))
 
     def limit(self, n: int):
         return self._next(self.df.limit(n))
+
+    def _row_hash(self, seed: int):
+        """A salted 64-bit hash of the traverser's identity (element id +
+        label for vertex streams, endpoint/label tuple for edge streams,
+        the value for value streams) — the gate used by coin()/sample()."""
+        if self.value_col is not None:
+            cols = [F.col(self.value_col)]
+        elif self.edge_props is not None:
+            cols = [F.col(c) for c in
+                    ("_esrc", "_esrc_lb", "_edst", "_edst_lb", "_elabel")]
+        else:
+            cols = [F.col("_elem"), F.col("_label")]
+            if "_path" in self.df.columns:   # an ALL_V traverser is a walk
+                cols = [F.col("_path"), F.col("_path_lb")]
+        return F.xxhash64(F.lit(int(seed)), *cols)
+
+    def coin(self, probability: float, seed: int = 42):
+        """coin()-step (supported_gremlin_steps.md §Statistics). Documented
+        deviation: the reference tosses a true random coin per traverser;
+        here the toss is a salted-hash gate on the traverser's identity —
+        the library's deterministic-sampling convention (same device as
+        functions.sampling.hash_sample), so results are reproducible and
+        duplicate traversers of one element toss the same coin."""
+        if not 0.0 <= probability <= 1.0:
+            raise ValueError("gremlin: coin() probability must be in "
+                             "[0.0, 1.0]")
+        gate = F.pmod(self._row_hash(seed), F.lit(1_000_000)) \
+            < F.lit(int(round(probability * 1_000_000)))
+        return self._next(self.df.filter(gate))
+
+    def sample(self, n: int, seed: int = 42):
+        """sample()-step (supported_gremlin_steps.md §Statistics): pass
+        through n pseudo-uniformly chosen traversers. Deterministic
+        deviation as coin(): the sample is the n smallest salted hashes
+        (a distributed TakeOrdered — no full sort materializes), so the
+        same seed always draws the same sample."""
+        if n < 0:
+            raise ValueError("gremlin: sample() size must be >= 0")
+        return self._next(
+            self.df.orderBy(self._row_hash(seed).asc()).limit(n))
 
     # ---- tags -----------------------------------------------------------
     def _tag_col(self, tag):

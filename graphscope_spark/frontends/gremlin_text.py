@@ -42,7 +42,8 @@ _TOKEN_RE = re.compile(r"""
 
 _RENAMES = {"in": "in_", "as": "as_", "not": "not_", "is": "is_",
             "id": "id_", "min": "min_", "max": "max_", "where_": "where_",
-            "sum": "sum", "mean": "mean", "union": "union"}
+            "sum": "sum", "mean": "mean", "union": "union",
+            "with": "with_"}
 
 _BOOLS = {"true": True, "false": False, "True": True, "False": False}
 

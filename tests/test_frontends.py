@@ -613,3 +613,101 @@ def test_gremlin_local_scope(pg):
     ).collect()[0][0] == 35
     assert gremlin_query(
         pg, "g.V().fold().count(local)").collect()[0][0] == 6
+
+
+# ---------------------------------------------------------------------------
+# PathExpand with()-options, endV(), coin()/sample()
+# ---------------------------------------------------------------------------
+
+def test_gremlin_path_expand_simple_opt(pg):
+    """with('PATH_OPT', 'SIMPLE') — walks may not revisit a vertex
+    (supported_gremlin_steps.md §PathExpand). both('2..3') from ann over
+    the undirected view of knows: ARBITRARY walks are 1-2-1, 1-2-3,
+    1-3-1, 1-3-2, 1-3-4; SIMPLE drops the two bounce-backs."""
+    g = traversal(pg)
+    start = g.V().has("person", "name", "ann")
+    arb = start.both("2..3", "knows").values("name").toList()
+    assert sorted(arb) == ["ann", "ann", "bob", "cyd", "dee"]
+    simple = (start.both("2..3", "knows")
+              .with_("PATH_OPT", "SIMPLE").values("name").toList())
+    assert sorted(simple) == ["bob", "cyd", "dee"]
+    # a DAG direction has no revisits: SIMPLE == ARBITRARY
+    assert sorted(start.out("1..3", "knows")
+                  .with_("PATH_OPT", "SIMPLE").values("name").toList()) == \
+        sorted(start.out("1..3", "knows").values("name").toList())
+
+
+def test_gremlin_path_expand_all_v_endv(pg):
+    """with('RESULT_OPT', 'ALL_V') keeps the walk as a path collection;
+    endV() unfolds it (one traverser per vertex of each walk).  Walks
+    from ann via out('1..3'): [1,2], [1,3], [1,2,3], [1,3,4]."""
+    g = traversal(pg)
+    t = (g.V().has("person", "name", "ann")
+         .out("1..3", "knows").with_("RESULT_OPT", "ALL_V"))
+    assert t.count().toList() == [4]          # one row per walk
+    names = t.endV().values("name").toList()
+    assert sorted(names) == ["ann", "ann", "ann", "ann", "bob", "bob",
+                             "cyd", "cyd", "cyd", "dee"]
+    # endV() on the default END_V stream is the identity (the reference's
+    # own running example: ...with('RESULT_OPT','END_V').endV())
+    a = (g.V().has("person", "name", "ann").out("1..3", "knows")
+         .endV().values("name").toList())
+    b = (g.V().has("person", "name", "ann").out("1..3", "knows")
+         .values("name").toList())
+    assert sorted(a) == sorted(b)
+    # dedup on a path collection dedups whole walks, not end vertices
+    assert t.dedup().count().toList() == [4]
+
+
+def test_gremlin_path_collection_guards(pg):
+    g = traversal(pg)
+    t = (g.V().has("person", "name", "ann")
+         .out("1..3", "knows").with_("RESULT_OPT", "ALL_V"))
+    with pytest.raises(ValueError, match="endV"):
+        t.values("name")
+    with pytest.raises(ValueError, match="endV"):
+        t.out("knows")
+    with pytest.raises(ValueError, match="immediately follow"):
+        g.V().with_("PATH_OPT", "SIMPLE")
+    with pytest.raises(ValueError, match="ALL_V_E"):
+        (g.V().out("1..3", "knows").with_("RESULT_OPT", "ALL_V_E"))
+    # combined options survive chained with_()
+    both = (g.V().has("person", "name", "ann").both("2..3", "knows")
+            .with_("PATH_OPT", "SIMPLE").with_("RESULT_OPT", "ALL_V"))
+    assert both.count().toList() == [3]
+
+
+def test_gremlin_coin_sample_deterministic(pg):
+    g = traversal(pg)
+    assert g.V().coin(1.0).count().toList() == [6]
+    assert g.V().coin(0.0).count().toList() == [0]
+    ids_a = sorted(r[0] for r in g.V().coin(0.5, seed=7).id_().toDF().collect())
+    ids_b = sorted(r[0] for r in g.V().coin(0.5, seed=7).id_().toDF().collect())
+    assert ids_a == ids_b                      # reproducible
+    all_ids = sorted(r[0] for r in g.V().id_().toDF().collect())
+    assert set(ids_a) <= set(all_ids)
+    assert g.V().sample(2).count().toList() == [2]
+    assert g.V().sample(100).count().toList() == [6]   # capped at stream size
+    s1 = sorted(r[0] for r in g.V().sample(3, seed=9).id_().toDF().collect())
+    s2 = sorted(r[0] for r in g.V().sample(3, seed=9).id_().toDF().collect())
+    assert s1 == s2 and len(s1) == 3
+    with pytest.raises(ValueError, match="probability"):
+        g.V().coin(1.5)
+
+
+def test_gremlin_text_with_step_and_statistics(pg):
+    from graphscope_spark import gremlin_query
+
+    df = gremlin_query(
+        pg, "g.V().has('person', 'name', 'ann')"
+            ".out('1..3', 'knows').with('RESULT_OPT', 'ALL_V')"
+            ".endV().values('name')")
+    assert sorted(r[0] for r in df.collect()) == [
+        "ann", "ann", "ann", "ann", "bob", "bob", "cyd", "cyd", "cyd", "dee"]
+    df = gremlin_query(
+        pg, "g.V().has('person', 'name', 'ann')"
+            ".both('2..3', 'knows').with('PATH_OPT', 'SIMPLE')"
+            ".values('name')")
+    assert sorted(r[0] for r in df.collect()) == ["bob", "cyd", "dee"]
+    assert gremlin_query(pg, "g.V().coin(1.0).count()").collect()[0][0] == 6
+    assert gremlin_query(pg, "g.V().sample(2).count()").collect()[0][0] == 2
