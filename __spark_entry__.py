@@ -1480,6 +1480,60 @@ def _bpe_sql(rounds: int = 3) -> str:
     return "WITH " + ", ".join(cte) + " " + fin
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """Train 3 BPE merges on the documents corpus, then tokenize the
+    corpus with them (functions/bpe.py::bpe_encode — each DISTINCT word
+    encoded once, positional regroup back to per-doc sequences). Output
+    scalars only: token count + the space-joined token string (the gate
+    hash compares scalar cells, not arrays)."""
+    from graphscope_spark.functions import bpe_encode, bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, bpe_merges(docs, rounds=3))
+    return enc.select("doc_id", "n_tokens",
+                      F.concat_ws(" ", "tokens").alias("toks_str"))
+
+
+def _bpe_encode_sql(rounds: int = 3) -> str:
+    """Replay of bpe_merges training (word key carried through the merge
+    rounds) + the encode join-back: final vocabulary maps each word to
+    its symbol list; documents re-join on the word key and reassemble in
+    word-position order."""
+    cte = [
+        r"words AS (SELECT tok AS w, COUNT(*) AS cnt FROM "
+        r"(SELECT unnest(list_filter(string_split_regex(text, '\s+'), "
+        r"x -> x <> '')) AS tok FROM documents) GROUP BY tok)",
+        "v0 AS (SELECT w, cnt, list_transform(range(1, length(w) + 1), "
+        "i -> substr(w, i, 1)) AS syms FROM words)",
+    ]
+    for r in range(rounds):
+        cte.append(
+            f"p{r} AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, "
+            f"SUM(cnt) AS pcnt FROM v{r}, "
+            "unnest(range(1, len(syms))) t(i) GROUP BY 1, 2)")
+        cte.append(
+            f"b{r} AS (SELECT lhs, rhs FROM p{r} "
+            "ORDER BY pcnt DESC, lhs, rhs LIMIT 1)")
+        cte.append(
+            f"v{r + 1} AS (SELECT w, cnt, "
+            "list_reduce(list_transform(syms, s -> [s]), "
+            "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.lhs "
+            "AND x[1] = b.rhs "
+            "THEN list_append(acc[1:len(acc)-1], b.lhs || b.rhs) "
+            "ELSE list_append(acc, x[1]) END) AS syms "
+            f"FROM v{r}, b{r} b)")
+    cte.append(
+        r"dt AS (SELECT doc_id, i AS pos, toks[i] AS w FROM "
+        r"(SELECT doc_id, list_filter(string_split_regex(text, '\s+'), "
+        r"x -> x <> '') AS toks FROM documents), "
+        r"unnest(range(1, len(toks) + 1)) t(i))")
+    return ("WITH " + ", ".join(cte) +
+            f" SELECT doc_id, CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens, "
+            f"array_to_string(flatten(list(v.syms ORDER BY pos)), ' ') "
+            f"AS toks_str FROM dt JOIN v{rounds} v USING (w) "
+            "GROUP BY doc_id")
+
+
 def _q_funnel_levels(spark, sf_dir):
     """Windowed funnel view→click→purchase, 1-day window
     (functions/funnel.py): deepest step per user via the latest-start
@@ -4649,6 +4703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logreg": _q_quality_logreg,
         "mixture_plan": _q_mixture_plan,
         "semdedup_keep": _q_semdedup,
+        "bpe_encode_docs": _q_bpe_encode,
     })
 
 
@@ -5662,4 +5717,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_logreg": _quality_logreg_sql(),
         "mixture_plan": _mixture_plan_sql(),
         "semdedup_keep": _semdedup_sql(),
+        "bpe_encode_docs": _bpe_encode_sql(rounds=3),
     })

@@ -37,7 +37,7 @@ from graphscope_spark.functions.dedup import (
     simhash,
     simhash_pairs,
 )
-from graphscope_spark.functions.bpe import bpe_merges
+from graphscope_spark.functions.bpe import bpe_encode, bpe_merges
 from graphscope_spark.functions.packing import chunk_documents, pack_sequences
 from graphscope_spark.functions.sample import (
     hash_sample,
@@ -92,6 +92,7 @@ __all__ = [
     "detect_license", "code_stats", "vendored_groups", "repetition_stats",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_keep_list",
     "decontaminate", "dup_span_stats", "unigram_logppl", "bpe_merges",
+    "bpe_encode",
     "hash_sample", "stratified_sample", "sample_gate", "mixture_plan",
     "pack_sequences", "chunk_documents",
     "sessionize", "session_stats", "funnel_levels", "funnel_counts", "retention_matrix", "profile_columns", "event_transitions",

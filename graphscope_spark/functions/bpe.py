@@ -87,3 +87,46 @@ def bpe_merges(df: DataFrame, text_col: str = "text",
                          _merge_fold(F.col("syms"), F.col("_a"),
                                      F.col("_b")).alias("syms")))
     return merges
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Tokenize a corpus with learned BPE merges: (id_col, tokens,
+    n_tokens), one row per document with at least one word.
+
+    ``merges`` is :func:`bpe_merges` output (or a plain ``[(left,
+    right), ...]`` list in learned order). It is a tiny model artifact —
+    one row per merge — so like the IVF centroids in
+    functions/similarity.py it is collected to the driver and baked into
+    the plan as literals; applying the merges in learned order with the
+    same greedy left-to-right fold as training reproduces training's
+    final vocabulary rewrite exactly.
+
+    100 TB shape: each DISTINCT word is encoded ONCE — the merge folds
+    run over the vocabulary (orders of magnitude smaller than the
+    corpus), then the encoded vocabulary joins back to the exploded
+    corpus on the narrow word key and per-document token sequences
+    reassemble order-exactly from the word positions. Corpus-sized data
+    crosses the shuffle twice (word key out, doc key back), never
+    through a merge fold.
+    """
+    if isinstance(merges, DataFrame):
+        pairs = [(r["left"], r["right"])
+                 for r in merges.orderBy("rnd").collect()]
+    else:
+        pairs = [(left, right) for left, right in merges]
+    toks = df.select(id_col, tokenize(F.col(text_col)).alias("_ws"))
+    enc = (toks.select(F.explode("_ws").alias("w")).distinct()
+           .select("w", F.expr(
+               "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+               .alias("syms")))
+    for left, right in pairs:
+        enc = enc.select("w", _merge_fold(
+            F.col("syms"), F.lit(left), F.lit(right)).alias("syms"))
+    ex = toks.select(id_col, F.posexplode("_ws").alias("pos", "w"))
+    return (ex.join(enc, "w")
+            .groupBy(id_col)
+            .agg(F.flatten(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                lambda s: s["syms"])).alias("tokens"))
+            .withColumn("n_tokens", F.size("tokens").cast("long")))

@@ -35,3 +35,74 @@ def test_deterministic_tiebreak(spark):
     df = _docs(spark, ["ab cd"])
     out = [(r.left, r.right) for r in bpe_merges(df, rounds=1).collect()]
     assert out == [("a", "b")]
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode — applying learned merges to the corpus
+# ---------------------------------------------------------------------------
+
+def _py_bpe_encode(texts, merges):
+    """Pure-Python reference: greedy left-to-right non-overlapping fold
+    per merge, applied in learned order (training's own rewrite)."""
+    def fold(syms, left, right):
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        return out
+
+    enc = {}
+    for t in texts:
+        for w in t.split():
+            if w and w not in enc:
+                syms = list(w)
+                for left, right in merges:
+                    syms = fold(syms, left, right)
+                enc[w] = syms
+    return [[tok for w in t.split() if w for tok in enc[w]] for t in texts]
+
+
+def test_bpe_encode_textbook(spark):
+    from graphscope_spark.functions import bpe_encode
+
+    texts = ["low low low lower lowest new newer newest"]
+    df = _docs(spark, texts)
+    merges = bpe_merges(df, rounds=4)
+    out = {r.doc_id: (list(r.tokens), r.n_tokens)
+           for r in bpe_encode(df, merges).collect()}
+    expect = _py_bpe_encode(texts, [("l", "o"), ("lo", "w"),
+                                    ("e", "w"), ("n", "ew")])
+    assert out[0][0] == expect[0]
+    assert out[0][1] == len(expect[0])
+    # 'low' -> ['low'], 'lower' -> ['low','e','r'], 'newest' -> ['n','ew','e','s','t']
+    assert expect[0][:3] == ["low", "low", "low"]
+    assert expect[0][3:6] == ["low", "e", "r"]
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    from graphscope_spark.functions import bpe_encode
+
+    texts = ["aaa abab banana", "ban ana aaa", "abba baab aa"]
+    df = _docs(spark, texts)
+    mdf = bpe_merges(df, rounds=3)
+    merges = [(r.left, r.right) for r in mdf.orderBy("rnd").collect()]
+    got = {r.doc_id: list(r.tokens) for r in bpe_encode(df, mdf).collect()}
+    expect = _py_bpe_encode(texts, merges)
+    assert got == {i: e for i, e in enumerate(expect)}
+    # plain merge-list input is accepted too
+    got2 = {r.doc_id: list(r.tokens)
+            for r in bpe_encode(df, merges).collect()}
+    assert got2 == got
+
+
+def test_bpe_encode_word_order_and_empty(spark):
+    from graphscope_spark.functions import bpe_encode
+
+    df = _docs(spark, ["b a b a", "   ", "c"])
+    out = {r.doc_id: list(r.tokens)
+           for r in bpe_encode(df, [("x", "y")]).collect()}
+    # token order follows word positions exactly; all-whitespace docs
+    # (no words) emit no row — documented inner semantics
+    assert out == {0: ["b", "a", "b", "a"], 2: ["c"]}
