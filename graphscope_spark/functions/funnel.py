@@ -28,6 +28,10 @@ def funnel_levels(events: DataFrame, steps: list[str], within_s: int,
                   user_col: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type") -> DataFrame:
     """(user, level) — deepest funnel step each user reached (0..k)."""
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            f"funnel steps must be distinct event types (got {steps}): "
+            "the step->index map cannot represent a repeated step")
     k = len(steps)
     w = int(within_s) * 1_000_000
     idx = F.create_map(*[x for i, s in enumerate(steps)

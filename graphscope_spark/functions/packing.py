@@ -46,7 +46,11 @@ def pack_sequences(df: DataFrame, max_tokens: int = 2048,
     skey = _hash60(F.concat(F.col(id_col).cast("string"),
                             F.lit(f"#{seed}")), hash_fn)
     toks = df.select(F.col(id_col).alias("doc_id"),
-                     token_count(F.col(text_col)).alias("n_tokens"),
+                     # null text counts 0 tokens — a NULL n_tokens would
+                     # poison this row's offsets (sum() skips it, the
+                     # subtraction nulls out)
+                     F.coalesce(token_count(F.col(text_col)), F.lit(0))
+                     .alias("n_tokens"),
                      skey.alias("skey"))
     toks = toks.withColumn("pkey", F.pmod(F.col("skey"),
                                           F.lit(num_streams)))
@@ -85,7 +89,9 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokenize(F.col(text_col))
+    # null text chunks like empty text (one empty chunk), not NULL rows
+    toks = F.coalesce(tokenize(F.col(text_col)),
+                      F.array().cast("array<string>"))
     n = F.size(toks)
     # chunk starts: 0, stride, 2·stride, … while start < n (and at
     # least one chunk for non-empty docs); last chunk may be short

@@ -27,47 +27,53 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None,
     cols = cols or df.columns
     numeric = {f.name for f in df.schema.fields
                if isinstance(f.dataType, NumericType)}
+    # the frame is positionally renamed up front (toDF never parses
+    # names), so source column names needing quoting — dots, spaces,
+    # even backticks — never feed F.col()/F.expr() identifier parsing
+    idx_of = {c: i for i, c in enumerate(df.columns)}
+    work = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
     aggs = [F.count(F.lit(1)).alias("_rows")]
-    for c in cols:
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                    .cast("long").alias(f"_nn_{c}"))
-        aggs.append((F.countDistinct(c) if exact
-                     else F.approx_count_distinct(c)).alias(f"_nd_{c}"))
+    for i, c in enumerate(cols):
+        sc = f"_c{idx_of[c]}"
+        aggs.append(F.sum(F.when(F.col(sc).isNull(), 1).otherwise(0))
+                    .cast("long").alias(f"_nn_{i}"))
+        aggs.append((F.countDistinct(sc) if exact
+                     else F.approx_count_distinct(sc)).alias(f"_nd_{i}"))
         if c in numeric:
-            aggs.append(F.round(F.min(c).cast("double") * 1e6)
-                        .cast("long").alias(f"_min_{c}"))
-            aggs.append(F.round(F.max(c).cast("double") * 1e6)
-                        .cast("long").alias(f"_max_{c}"))
-            med = (F.expr(f"percentile({c}, 0.5)") if exact
-                   else F.expr(f"percentile_approx({c}, 0.5)"))
-            aggs.append(F.round(med * 1e6).cast("long").alias(f"_med_{c}"))
+            aggs.append(F.round(F.min(sc).cast("double") * 1e6)
+                        .cast("long").alias(f"_min_{i}"))
+            aggs.append(F.round(F.max(sc).cast("double") * 1e6)
+                        .cast("long").alias(f"_max_{i}"))
+            med = (F.expr(f"percentile({sc}, 0.5)") if exact
+                   else F.expr(f"percentile_approx({sc}, 0.5)"))
+            aggs.append(F.round(med * 1e6).cast("long").alias(f"_med_{i}"))
         else:
-            aggs.append(F.min(F.col(c).cast("string")).alias(f"_min_{c}"))
-            aggs.append(F.max(F.col(c).cast("string")).alias(f"_max_{c}"))
-    one = df.agg(*aggs)
+            aggs.append(F.min(F.col(sc).cast("string")).alias(f"_min_{i}"))
+            aggs.append(F.max(F.col(sc).cast("string")).alias(f"_max_{i}"))
+    one = work.agg(*aggs)
     # unpivot as ONE explode of per-column structs — a union of selects
     # over the aggregate would re-plan (and re-scan) it per branch
     structs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         if c in numeric:
             structs.append(F.struct(
                 F.lit(c).alias("column"), F.col("_rows").alias("n_rows"),
-                F.col(f"_nn_{c}").alias("n_nulls"),
-                F.col(f"_nd_{c}").alias("n_distinct"),
-                F.col(f"_min_{c}").alias("min_micro"),
-                F.col(f"_max_{c}").alias("max_micro"),
-                F.col(f"_med_{c}").alias("median_micro"),
+                F.col(f"_nn_{i}").alias("n_nulls"),
+                F.col(f"_nd_{i}").alias("n_distinct"),
+                F.col(f"_min_{i}").alias("min_micro"),
+                F.col(f"_max_{i}").alias("max_micro"),
+                F.col(f"_med_{i}").alias("median_micro"),
                 F.lit(None).cast("string").alias("min_str"),
                 F.lit(None).cast("string").alias("max_str")))
         else:
             structs.append(F.struct(
                 F.lit(c).alias("column"), F.col("_rows").alias("n_rows"),
-                F.col(f"_nn_{c}").alias("n_nulls"),
-                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_nn_{i}").alias("n_nulls"),
+                F.col(f"_nd_{i}").alias("n_distinct"),
                 F.lit(None).cast("long").alias("min_micro"),
                 F.lit(None).cast("long").alias("max_micro"),
                 F.lit(None).cast("long").alias("median_micro"),
-                F.col(f"_min_{c}").alias("min_str"),
-                F.col(f"_max_{c}").alias("max_str")))
+                F.col(f"_min_{i}").alias("min_str"),
+                F.col(f"_max_{i}").alias("max_str")))
     return (one.select(F.explode(F.array(*structs)).alias("p"))
             .select("p.*"))

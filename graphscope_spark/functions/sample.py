@@ -90,7 +90,8 @@ def mixture_plan(df: DataFrame, targets: dict[str, float],
           for x in (k, float(v))])
     census = (df.groupBy(F.col(domain_col).alias("domain"))
               .agg(F.count(F.lit(1)).alias("docs"),
-                   F.sum(token_count(F.col(text_col))).alias("tokens")))
+                   F.sum(F.coalesce(token_count(F.col(text_col)),
+                                    F.lit(0))).alias("tokens")))
     # target domains with no corpus rows must surface, not vanish
     recipe = df.sparkSession.createDataFrame(
         [(k,) for k in sorted(targets)], "domain STRING")

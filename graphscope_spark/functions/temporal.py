@@ -62,21 +62,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     out_ts = right_ts + (suffix if right_ts == left_ts or right_ts in left.columns else "")
     out_names = {c: (c + suffix if c in left.columns else c) for c in val_cols}
 
+    # the match travels as ONE struct so the as-of row stays atomic — a
+    # per-column last(ignorenulls) would fill a NULL cell of the matched
+    # row with a stale value from an older row
+    from pyspark.sql.types import LongType, StructField, StructType
+    row_t = StructType(
+        [StructField("_rts", LongType())]
+        + [StructField("_v_" + c, right.schema[c].dataType)
+           for c in val_cols])
+
     l2 = left.select(
         *left.columns,
         _micros(F.col(left_ts)).alias("_ats"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_rts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias("_v_" + c)
-          for c in val_cols])
+        F.lit(None).cast(row_t).alias("_vrow"))
     r2 = right.select(
         *[F.col(k) for k in keys],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in keys],
         _micros(F.col(right_ts)).alias("_ats"),
         F.lit(0).alias("_side"),
-        _micros(F.col(right_ts)).alias("_rts"),
-        *[F.col(c).alias("_v_" + c) for c in val_cols])
+        F.struct(
+            _micros(F.col(right_ts)).alias("_rts"),
+            *[F.col(c).alias("_v_" + c) for c in val_cols]).alias("_vrow"))
+    # a right row with a NULL timestamp can never be an as-of match
+    # (pandas merge_asof rejects them outright)
+    r2 = r2.filter(F.col("_ats").isNotNull())
 
     u = l2.unionByName(r2.select(*l2.columns))
     # backward: right rows must be visible at equal ts → sort right (side
@@ -88,12 +99,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     w = (Window.partitionBy(*keys).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-    matched = u.select(
+    matched = (u.select(
         *u.columns,
-        F.last("_rts", ignorenulls=True).over(w).alias("_mts"),
-        *[F.last("_v_" + c, ignorenulls=True).over(w).alias("_m_" + c)
-          for c in val_cols])
-    matched = matched.filter(F.col("_side") == 1)
+        F.last("_vrow", ignorenulls=True).over(w).alias("_mrow"))
+        .filter(F.col("_side") == 1)
+        .select("*", F.col("_mrow._rts").alias("_mts"),
+                *[F.col("_mrow._v_" + c).alias("_m_" + c)
+                  for c in val_cols]))
 
     if tolerance_s is not None:
         tol = int(tolerance_s * 1_000_000)

@@ -132,12 +132,23 @@ def xxh64_long(v: int, seed: int = 42) -> int:
 
 
 def bucket_value(value: Any, n: int) -> int:
-    """The lite ``bucket[n]`` transform: ``pmod(xxhash64(value), n)``,
-    matching ``F.pmod(F.xxhash64(col), n)`` JVM-side."""
+    """The lite ``bucket[n]`` transform: ``pmod(xxhash64(value), n)``.
+
+    Only int and string source values are supported — the write side
+    hashes integral columns cast to LONG (``F.xxhash64(col.cast('long'))``,
+    8 little-endian bytes, matching :func:`xxh64_long`) and strings as
+    UTF-8 bytes.  Spark hashes raw IntegerType/DateType columns through a
+    4-byte path, so hashing them un-cast would make plan-time pruning
+    disagree with the written layout; :meth:`IcebergLite.write` therefore
+    restricts ``bucket_by`` to integral/string columns and casts."""
     if isinstance(value, str):
         h = xxh64(value.encode("utf-8"))
+    elif isinstance(value, int) and not isinstance(value, bool):
+        h = xxh64_long(value)
     else:
-        h = xxh64_long(int(value))
+        raise TypeError(
+            f"bucket_value supports int/str source values, got "
+            f"{type(value).__name__}")
     return _signed64(h) % n  # Python % is already a positive mod
 
 
@@ -536,7 +547,9 @@ class IcebergLite:
             if v is None:
                 out[k] = None
                 continue
-            v = urllib.parse.unquote(v)
+            # NOTE: manifest partition values are already percent-DECODED
+            # (_collect_file_stats unquotes the hive dir names once) — do
+            # not unquote again, a literal '%XX' in a value would corrupt
             tr = spec.get(k, {}).get("transform", "identity")
             if tr.startswith("bucket["):
                 out[k] = int(v)
@@ -548,6 +561,9 @@ class IcebergLite:
                     out[k] = float(v)
                 elif isinstance(dt, T.BooleanType):
                     out[k] = v.lower() == "true"
+                elif isinstance(dt, T.DateType):
+                    import datetime
+                    out[k] = datetime.date.fromisoformat(v)
                 else:
                     out[k] = v
         return out
@@ -598,22 +614,32 @@ class IcebergLite:
             by_commit.setdefault(commit, []).append(f.path)
         parts = [p["name"] for p in self.partition_spec()]
         dfs = []
-        for commit, paths in sorted(by_commit.items()):
-            base = os.path.join(self.data_dir, commit)
-            df = spark.read.option("basePath", base).parquet(*sorted(paths))
-            # align each commit group to the CURRENT table schema:
-            # files written before a column was added read back as null
-            # there (schema evolution), inferred partition dirs and
-            # promoted primitives (int->long) cast to the schema type
-            for f_ in schema.fields:
-                if f_.name not in df.columns:
-                    df = df.withColumn(f_.name,
-                                       F.lit(None).cast(f_.dataType))
-                elif (f_.name in parts
-                      or df.schema[f_.name].dataType != f_.dataType):
-                    df = df.withColumn(f_.name,
-                                       F.col(f_.name).cast(f_.dataType))
-            dfs.append(df.select([f_.name for f_ in schema.fields]))
+        # hive partition-type INFERENCE is lossy (string '007' → int 7 →
+        # cast back '7'); read partition dirs as raw strings and cast to
+        # the DECLARED schema type instead — exact for every type
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        infer_old = spark.conf.get(infer_key)
+        spark.conf.set(infer_key, "false")
+        try:
+            for commit, paths in sorted(by_commit.items()):
+                base = os.path.join(self.data_dir, commit)
+                df = spark.read.option("basePath", base).parquet(
+                    *sorted(paths))
+                # align each commit group to the CURRENT table schema:
+                # files written before a column was added read back as
+                # null there (schema evolution), partition dirs and
+                # promoted primitives (int->long) cast to the schema type
+                for f_ in schema.fields:
+                    if f_.name not in df.columns:
+                        df = df.withColumn(f_.name,
+                                           F.lit(None).cast(f_.dataType))
+                    elif (f_.name in parts
+                          or df.schema[f_.name].dataType != f_.dataType):
+                        df = df.withColumn(f_.name,
+                                           F.col(f_.name).cast(f_.dataType))
+                dfs.append(df.select([f_.name for f_ in schema.fields]))
+        finally:
+            spark.conf.set(infer_key, infer_old)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -734,15 +760,19 @@ class IcebergLite:
             raise ValueError("mode must be 'overwrite', 'append' or "
                              "'overwrite_partitions'")
         fresh = mode == "overwrite" or not tbl.exists()
-        if mode == "overwrite" and os.path.exists(tbl.location):
+        if mode == "overwrite" and os.path.exists(tbl.location) \
+                and not tbl.exists() and os.listdir(tbl.location):
             # refuse to clobber a directory that is not an IcebergLite table
-            if not tbl.exists() and os.listdir(tbl.location):
-                raise ValueError(
-                    f"{location} exists and is not an IcebergLite table")
-            import shutil
-            shutil.rmtree(tbl.location)
+            raise ValueError(
+                f"{location} exists and is not an IcebergLite table")
 
-        prev_md = tbl.metadata() if not fresh else None
+        # overwrite on an existing table does NOT delete anything up
+        # front: the new commit is written alongside the old history and
+        # the version-hint swap is the commit point; replaced files are
+        # removed only after that (Iceberg's own write-then-swap shape —
+        # a failure mid-write leaves the previous table fully intact)
+        old_md = tbl.metadata() if tbl.exists() else None
+        prev_md = None if fresh else old_md
 
         # schema: fresh positional allocation, or id-stable evolution merge
         if prev_md is None:
@@ -777,8 +807,21 @@ class IcebergLite:
         if bucket_by is not None:
             col, n = bucket_by
             bname = f"{col}_bucket"
+            src_t = df.schema[col].dataType
+            if isinstance(src_t, (T.ByteType, T.ShortType, T.IntegerType,
+                                  T.LongType)):
+                # cast to LONG so Spark hashes 8 LE bytes — the same bytes
+                # bucket_value hashes at plan time (raw IntegerType would
+                # go through Spark's 4-byte hash path and disagree)
+                hcol = F.xxhash64(F.col(col).cast("long"))
+            elif isinstance(src_t, T.StringType):
+                hcol = F.xxhash64(F.col(col))
+            else:
+                raise ValueError(
+                    f"bucket_by supports integral and string columns, "
+                    f"got {col}: {src_t.simpleString()}")
             out_df = out_df.withColumn(
-                bname, F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int"))
+                bname, F.pmod(hcol, F.lit(n)).cast("int"))
             spec_fields.append({"name": bname, "transform": f"bucket[{n}]",
                                 "source-id": fid_by_name.get(col, 0),
                                 "field-id": 1000 + len(parts)})
@@ -788,8 +831,15 @@ class IcebergLite:
                              "table (pass partition_by/bucket_by or append "
                              "to one)")
 
-        seq = (prev_md["last-sequence-number"] + 1) if prev_md else 1
+        seq = ((old_md["last-sequence-number"] + 1) if old_md is not None
+               else 1)
         commit_dir = os.path.join(tbl.data_dir, f"{seq:05d}")
+        if os.path.exists(commit_dir):
+            # seq is strictly greater than every committed sequence, so an
+            # existing dir can only be the orphan of a crashed,
+            # never-committed write — safe to clear
+            import shutil
+            shutil.rmtree(commit_dir)
         writer = out_df.write.mode("errorifexists")
         if parts:
             writer = writer.partitionBy(*parts)
@@ -809,11 +859,42 @@ class IcebergLite:
 
         props = (properties if properties is not None
                  else (prev_md.get("properties", {}) if prev_md else {}))
-        return tbl._commit(new_files=new_files, seq=seq, operation=operation,
-                           prev_md=prev_md, schemas=schemas,
-                           schema_id=schema_id, last_col_id=last_col_id,
-                           spec_fields=spec_fields, properties=props,
-                           drop=drop)
+        out = tbl._commit(new_files=new_files, seq=seq, operation=operation,
+                          prev_md=prev_md, schemas=schemas,
+                          schema_id=schema_id, last_col_id=last_col_id,
+                          spec_fields=spec_fields, properties=props,
+                          drop=drop)
+        if mode == "overwrite" and old_md is not None:
+            tbl._cleanup_replaced_history(keep_seq=seq)
+        return out
+
+    def _cleanup_replaced_history(self, keep_seq: int) -> None:
+        """After an overwrite COMMITS (version-hint swapped), physically
+        remove the replaced history: data commit dirs other than the new
+        one and metadata files the new version does not reference.  A
+        crash before or during this leaves orphan files only — the
+        committed table is already consistent (overwrite is documented as
+        fresh-history, so the old snapshots are garbage by contract)."""
+        import shutil
+        keep_dir = f"{keep_seq:05d}"
+        if os.path.isdir(self.data_dir):
+            for d in sorted(os.listdir(self.data_dir)):
+                p = os.path.join(self.data_dir, d)
+                if d != keep_dir and os.path.isdir(p):
+                    shutil.rmtree(p)
+        md = self.metadata()
+        keep = {f"v{self.current_version()}.metadata.json",
+                "version-hint.text"}
+        snap = next(s for s in md["snapshots"]
+                    if s["snapshot-id"] == md["current-snapshot-id"])
+        keep.add(os.path.basename(snap["manifest-list"]))
+        _, manifests = avrolite.read_container(
+            os.path.join(self.location, snap["manifest-list"]))
+        for m in manifests:
+            keep.add(os.path.basename(m["manifest_path"]))
+        for name in sorted(os.listdir(self.metadata_dir)):
+            if name not in keep:
+                os.remove(os.path.join(self.metadata_dir, name))
 
     def _commit(self, *, new_files, seq, operation, prev_md, schemas,
                 schema_id, last_col_id, spec_fields, properties,
@@ -1135,6 +1216,18 @@ def _file_matches(f: DataFile, filters: list[tuple],
         if tr.startswith("bucket["):
             src = pname[: -len("_bucket")] if pname.endswith("_bucket") else pname
             bucket_of[src] = (pname, int(tr[len("bucket["):-1]))
+    def _comparable(a, b) -> bool:
+        # prune only on same-type (or numeric/numeric) comparisons — a
+        # filter literal typed differently from the manifest value (e.g.
+        # a datetime filter on a timestamp-string partition) must keep
+        # the file, never wrongly exclude it; read() re-filters exactly
+        if isinstance(a, bool) != isinstance(b, bool):
+            return False
+        num = (int, float)
+        if isinstance(a, num) and isinstance(b, num):
+            return True
+        return type(a) is type(b)
+
     for col, op, val in filters:
         # identity partition pruning
         if col in tp:
@@ -1143,11 +1236,15 @@ def _file_matches(f: DataFile, filters: list[tuple],
                 if op != "!=":
                     return False
                 continue
+            if op == "in":
+                if all(_comparable(pv, v) for v in val) and pv not in val:
+                    return False
+                continue
+            if not _comparable(pv, val):
+                continue
             if op == "=" and pv != val:
                 return False
             if op == "!=" and pv == val:
-                return False
-            if op == "in" and pv not in val:
                 return False
             if op == "<" and not pv < val:
                 return False
@@ -1158,14 +1255,19 @@ def _file_matches(f: DataFile, filters: list[tuple],
             if op == ">=" and not pv >= val:
                 return False
             continue
-        # bucket-transform pruning (equality / in only)
+        # bucket-transform pruning (equality / in only; non-int/str
+        # filter literals can't be bucket-hashed — keep the file)
         if col in bucket_of:
             pname, n = bucket_of[col]
             if pname in tp and tp[pname] is not None:
-                if op == "=" and bucket_value(val, n) != tp[pname]:
-                    return False
-                if op == "in" and tp[pname] not in {bucket_value(v, n) for v in val}:
-                    return False
+                try:
+                    if op == "=" and bucket_value(val, n) != tp[pname]:
+                        return False
+                    if op == "in" and tp[pname] not in {
+                            bucket_value(v, n) for v in val}:
+                        return False
+                except TypeError:
+                    pass
         # min/max bound pruning
         if col in fids:
             fid, tname = fids[col]

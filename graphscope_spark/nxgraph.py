@@ -152,6 +152,11 @@ class DynamicGraph:
         seq = self._next_seq()
         w = (F.col(weight_col).cast("double") if weight_col
              else F.lit(1.0))
+        # drop malformed rows with a NULL endpoint in BOTH modes: the
+        # undirected least/greatest canonicalization would otherwise
+        # silently turn (NULL, v) into a phantom self-loop (v, v)
+        edges = edges.filter(F.col("src").isNotNull()
+                             & F.col("dst").isNotNull())
         src, dst = F.col("src").cast("long"), F.col("dst").cast("long")
         if not self.directed:
             src, dst = F.least(src, dst), F.greatest(src, dst)

@@ -477,3 +477,21 @@ def test_redact_pii(spark):
     assert got[4].private_key_count == 1 and "<PRIVATE_KEY>" in got[4].text
     assert got[5].n_redactions == 0 and got[5].text == rows[4][1]
     assert got[1].n_redactions == 2 and got[3].n_redactions == 2
+
+
+def test_pack_chunk_null_text_safe(spark):
+    """NULL text counts 0 tokens in pack_sequences (no NULL offsets) and
+    chunks like an empty doc in chunk_documents."""
+    from graphscope_spark.functions import chunk_documents, pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in pack_sequences(df, max_tokens=4).collect()}
+    assert out[1]["n_tokens"] == 0
+    assert all(r["start_offset"] is not None for r in out.values())
+    offs = sorted((r["start_offset"], r["n_tokens"]) for r in out.values())
+    assert offs[0][0] == 0 and sum(n for _, n in offs) == 5
+    ch = chunk_documents(df, chunk_tokens=4, overlap=1)
+    got = {r["doc_id"]: (r["n_tokens"], r["chunk"])
+           for r in ch.collect()}
+    assert got[1] == (0, "")        # one empty chunk, like empty text

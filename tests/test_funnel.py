@@ -87,3 +87,16 @@ def test_event_transitions_hand_computed(spark):
     # from 'a': 2x ->b, 1x ->c; from 'b': 1x ->a
     assert got == {("a", "b"): (2, 666667), ("a", "c"): (1, 333333),
                    ("b", "a"): (1, 1000000)}
+
+
+def test_funnel_repeated_steps_rejected(spark):
+    """A repeated event type cannot be represented by the step->index
+    map — raise a clear error instead of a runtime duplicate-map-key."""
+    import pytest
+    from graphscope_spark.functions import funnel_levels
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view")],
+        "user_id LONG, ts STRING, event_type STRING")
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_levels(df, ["view", "click", "view"], 3600)

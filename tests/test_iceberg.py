@@ -406,3 +406,96 @@ def test_compaction_preserves_bucket_spec(spark, docs, tmp_path):
     pruned = t.plan_files(filters=[("doc_id", "=", some_id)])
     assert 0 < len(pruned) < len(t.plan_files())
     assert t.read(spark).count() == 12
+
+
+# --------------------------------------------------------------------------
+# review-fix regressions: bucket typing, pruning conservatism, overwrite
+# durability, partition-value fidelity
+
+def test_bucket_pruning_int_column_roundtrip(spark, tmp_path):
+    """bucket_by on an IntegerType column: the write side casts to LONG
+    before xxhash64 so plan-time bucket_value (8-LE-byte hash) agrees —
+    an un-cast IntegerType goes through Spark's 4-byte hash path and the
+    matching file would be silently pruned."""
+    loc = str(tmp_path / "ibkt")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(40)],
+                               "year INT, name STRING")
+    t = IcebergLite.write(df, loc, bucket_by=("year", 8))
+    for probe in (0, 7, 21, 39):
+        got = t.read(spark, filters=[("year", "=", probe)]).collect()
+        assert [r["name"] for r in got] == [f"r{probe}"]
+        assert len(t.plan_files(filters=[("year", "=", probe)])) < 8
+
+
+def test_bucket_by_rejects_unsupported_type(spark, tmp_path):
+    df = spark.createDataFrame([(1.5, "x")], "v DOUBLE, name STRING")
+    with pytest.raises(ValueError, match="integral and string"):
+        IcebergLite.write(df, str(tmp_path / "ibad"), bucket_by=("v", 4))
+    with pytest.raises(TypeError, match="int/str"):
+        bucket_value(1.5, 4)
+    with pytest.raises(TypeError, match="int/str"):
+        bucket_value(True, 4)
+
+
+def test_partition_pruning_type_mismatch_is_conservative(spark, tmp_path):
+    """A filter literal typed differently from the manifest partition
+    value must KEEP the file (read() re-filters exactly) — never wrongly
+    exclude it. date-typed filters on a date partition still prune."""
+    import datetime as dt
+    loc = str(tmp_path / "idt")
+    df = spark.createDataFrame(
+        [(dt.date(2023, 1, 1), 1), (dt.date(2023, 1, 2), 2)],
+        "day DATE, v INT")
+    t = IcebergLite.write(df, loc, partition_by=["day"])
+    got = t.read(spark, filters=[("day", "=", dt.date(2023, 1, 1))])
+    assert [r["v"] for r in got.collect()] == [1]
+    # typed date filter prunes to the single matching file
+    assert len(t.plan_files(filters=[("day", "=", dt.date(2023, 1, 1))])) == 1
+    # mismatched literal type (string vs date): conservative keep-all at
+    # plan time; the exact re-filter then decides
+    assert len(t.plan_files(filters=[("day", "=", "2023-01-01")])) == 2
+
+
+def test_string_partition_values_survive_exactly(spark, tmp_path):
+    """'007' must not round-trip through int inference to '7', and a
+    literal %XX in a value must not be double-unquoted at plan time."""
+    loc = str(tmp_path / "istr")
+    df = spark.createDataFrame(
+        [("007", 1), ("a%20b", 2), ("plain", 3)], "tag STRING, v INT")
+    t = IcebergLite.write(df, loc, partition_by=["tag"])
+    back = {r["tag"]: r["v"] for r in t.read(spark).collect()}
+    assert back == {"007": 1, "a%20b": 2, "plain": 3}
+    for tag, v in back.items():
+        got = t.read(spark, filters=[("tag", "=", tag)]).collect()
+        assert [r["v"] for r in got] == [v]
+        assert len(t.plan_files(filters=[("tag", "=", tag)])) == 1
+
+
+def test_overwrite_failure_preserves_table(spark, docs, tmp_path):
+    """mode='overwrite' must not destroy the existing table before the
+    new commit lands: a mid-write failure leaves the old snapshot fully
+    readable (write-then-swap, the Iceberg shape)."""
+    loc = str(tmp_path / "idur")
+    IcebergLite.write(docs.limit(5), loc)
+    before = IcebergLite(loc).read(spark).count()
+    assert before == 5
+
+    from pyspark.sql.types import LongType
+    from pyspark.sql.functions import udf
+
+    @udf(LongType())
+    def boom(x):
+        raise RuntimeError("simulated mid-write failure")
+
+    bad = docs.limit(3).withColumn("doc_id", boom(F.col("doc_id")))
+    with pytest.raises(Exception):
+        IcebergLite.write(bad, loc, mode="overwrite")
+    t = IcebergLite(loc)
+    assert t.read(spark).count() == 5          # old table intact
+    assert len(t.snapshots()) == 1
+    # and a successful overwrite afterwards still works + cleans up
+    t2 = IcebergLite.write(docs.limit(2), loc, mode="overwrite")
+    assert t2.read(spark).count() == 2
+    assert len(t2.snapshots()) == 1
+    commits = sorted(os.listdir(os.path.join(loc, "data")))
+    assert len(commits) == 1                    # replaced history removed

@@ -147,3 +147,21 @@ def test_self_loop_degree_counts_twice_undirected(spark):
     d = {r.vid: r.degree for r in g.degree().collect()}
     assert d == {5: 3, 6: 1}
     assert g.number_of_edges() == 2
+
+
+def test_bulk_null_endpoints_dropped_not_selflooped(spark):
+    """A NULL endpoint in a bulk edge batch must be dropped in both
+    modes — undirected least/greatest canonicalization would otherwise
+    fabricate a self-loop on the non-null endpoint."""
+    from graphscope_spark.nxgraph import DynamicGraph
+
+    for directed in (True, False):
+        g = DynamicGraph(spark, directed=directed)
+        edges = spark.createDataFrame(
+            [(1, 2), (None, 5), (3, None)], "src LONG, dst LONG")
+        g.add_edges_df(edges)
+        snap = sorted((r["src"], r["dst"])
+                      for r in g.edges_snapshot().collect())
+        assert snap == [(1, 2)], (directed, snap)
+        assert sorted(r["vid"] for r in g.nodes_snapshot().collect()) \
+            == [1, 2]

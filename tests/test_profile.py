@@ -27,3 +27,17 @@ def test_profile_single_scan(spark):
     plan = (profile_columns(df, ["l_quantity", "l_returnflag"])
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("FileScan parquet") == 1
+
+
+def test_profile_awkward_column_names(spark):
+    """Quoted identifiers (spaces, dots, backticks) must profile — the
+    percentile expr is backtick-escaped and internal aliases are
+    positional, never parsed as identifiers."""
+    df = spark.createDataFrame(
+        [(1.0, "a", 2), (3.0, "b", 4)],
+        ["avg rate", "tag.name", "wei`rd"])
+    out = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(out) == {"avg rate", "tag.name", "wei`rd"}
+    assert out["avg rate"]["median_micro"] == 2_000_000
+    assert out["wei`rd"]["median_micro"] == 3_000_000
+    assert out["tag.name"]["min_str"] == "a"

@@ -123,3 +123,24 @@ def test_asof_no_inequality_join_in_plan(spark, sides):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_asof_match_row_is_atomic(spark):
+    """A NULL cell in the matched right row must come through as NULL —
+    not be back-filled from an older row (per-column last(ignorenulls)
+    would do that). pandas merge_asof semantics: the single right row."""
+    left = _mk(spark, [(1, "k", _ts(400))], ["lid", "k", "ts"])
+    right = spark.createDataFrame(
+        [("k", _ts(100), 5.0, "old"), ("k", _ts(300), None, "new")],
+        "k STRING, ts TIMESTAMP, price DOUBLE, tag STRING")
+    out = asof_join(left, right, on="k").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["tag"] == "new" and r["price"] is None
+    assert r["ts_r"] == _ts(300)
+    # a right row with a NULL timestamp is never a match
+    right2 = spark.createDataFrame(
+        [("k", None, 9.0, "bad")], "k STRING, ts TIMESTAMP, price DOUBLE, "
+        "tag STRING")
+    out2 = asof_join(left, right2, on="k").collect()
+    assert out2[0]["tag"] is None and out2[0]["ts_r"] is None
