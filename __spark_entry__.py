@@ -4872,7 +4872,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid": (
             r"""WITH toks AS (
-              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+              SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS t FROM documents),
             sc AS (
               SELECT doc_id,
                 len(list_filter(t, x -> x IN ('the','and','of','is','a','to'))) AS s_en,
@@ -5336,7 +5336,8 @@ def oracle_sql() -> dict[str, str]:
             r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
             r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
             r"'\bAKIA[0-9A-Z]{16}\b', '<AWS_KEY>', 'g'), "
-            r"'-----BEGIN [A-Z ]*PRIVATE KEY-----', '<PRIVATE_KEY>', 'g'), "
+            r"'-----BEGIN [A-Z ]*PRIVATE KEY-----([\s\S]*?"
+            r"-----END [A-Z ]*PRIVATE KEY-----)?', '<PRIVATE_KEY>', 'g'), "
             r"'\b[a-f0-9]{40,}\b', '<HEX_SECRET>', 'g') AS scrubbed "
             "FROM inj) "
             "SELECT doc_id, sha256(scrubbed) AS scrubbed_sha, "
@@ -5353,7 +5354,8 @@ def oracle_sql() -> dict[str, str]:
             r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) + "
             r"len(regexp_extract_all(text, '\bAKIA[0-9A-Z]{16}\b')) + "
             r"len(regexp_extract_all(text, "
-            r"'-----BEGIN [A-Z ]*PRIVATE KEY-----')) + "
+            r"'-----BEGIN [A-Z ]*PRIVATE KEY-----([\s\S]*?"
+            r"-----END [A-Z ]*PRIVATE KEY-----)?')) + "
             r"len(regexp_extract_all(text, '\b[a-f0-9]{40,}\b')))::BIGINT "
             "AS n_redactions FROM red"
         ),
@@ -5445,13 +5447,16 @@ def oracle_sql() -> dict[str, str]:
             "regexp_replace(text, ' table ', chr(10), 'g') AS text "
             "FROM documents), "
             "st AS (SELECT doc_id, text, "
-            "string_split(text, chr(10)) AS ls, "
+            "string_split(text, chr(10)) AS raw, "
             r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') "
-            "AS ts FROM inj) "
+            "AS ts FROM inj), "
+            "tr AS (SELECT *, CASE WHEN ends_with(text, chr(10)) "
+            "AND len(raw) > 1 THEN list_slice(raw, 1, len(raw) - 1) "
+            "ELSE raw END AS ls FROM st) "
             "SELECT doc_id, len(ls)::BIGINT AS n_lines, "
             "COALESCE(list_max(list_transform(ls, x -> length(x))), 0)"
             "::BIGINT AS max_line_len, "
-            "CAST(ROUND((length(text) - len(ls) + 1)::DOUBLE / len(ls) "
+            "CAST(ROUND((length(text) - len(raw) + 1)::DOUBLE / len(ls) "
             "* 1e6) AS BIGINT) AS avg_line_micro, "
             "CAST(ROUND(CASE WHEN length(text) > 0 THEN "
             "length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE "
@@ -5460,7 +5465,7 @@ def oracle_sql() -> dict[str, str]:
             "::BIGINT AS longest_token_len, "
             "CAST(regexp_matches(text, '(?i)(auto-generated|automatically "
             "generated|do not edit|generated by)') AS INT) AS autogen "
-            "FROM st"
+            "FROM tr"
         ),
         "vendored_docs": (
             "WITH inj AS (SELECT doc_id, source, "

@@ -23,7 +23,14 @@ DEFAULT_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
-    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    # non-greedy BEGIN..END span so the base64 key material is redacted,
+    # not just the header line; the span is optional so a truncated
+    # block (orphan BEGIN) still redacts its header. One match per
+    # block either way. RE2-safe — no lookaround/backreference.
+    ("private_key",
+     r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+     r"([\s\S]*?-----END [A-Z ]*PRIVATE KEY-----)?",
+     "<PRIVATE_KEY>"),
     ("hex_secret", r"\b[a-f0-9]{40,}\b", "<HEX_SECRET>"),
 )
 

@@ -124,7 +124,14 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     ``nprobe_ham`` buy recall.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # dim inference costs one eager first() job — pipelines that know
+        # their embedding width should pass dim= to keep the plan lazy
+        row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if row is None:  # empty (or all-null) input: no pairs, same schema
+            return df.select(F.col(id_col).alias("id_a"),
+                             F.col(id_col).alias("id_b"),
+                             F.lit(0.0).alias("sim")).limit(0)
+        dim = len(row[0])
     band_codes = F.array(*[
         _cell(F.col(vec_col), nbits, dim, seed, plane_offset=b * nbits)
         for b in range(bands)])
@@ -306,7 +313,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """Approximate top-k: search only cells within Hamming distance
     ``nprobe_ham`` of the query's random-hyperplane cell."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        # pass dim= in pipelines to avoid this eager inference job
+        row = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if row is None:  # empty corpus: no neighbors, same schema
+            return (corpus.select(F.col(id_col).alias("query_id"),
+                                  F.col(id_col).alias("vec_id"),
+                                  F.lit(0.0).alias("sim"),
+                                  F.lit(0).cast("int").alias("rank"))
+                    .limit(0))
+        dim = len(row[0])
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
                       _cell(F.col(vec_col), nbits, dim, seed).alias("cell"))
     probe_deltas = [0] + [sum(1 << i for i in bits)

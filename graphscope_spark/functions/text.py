@@ -63,19 +63,24 @@ _LANG_MARKERS = {
 def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-marker language ID: count marker hits per language, pick
     the max (ties → lexicographically smallest language code, 'und' when
-    no marker hits). A deterministic n-gram-style heuristic that stays in
-    one explode + aggregate."""
-    toks = df.select("*", F.explode(tokenize(F.col(text_col))).alias("_tok"))
-    scores = [
-        F.sum(F.when(F.col("_tok").isin(*marks), 1).otherwise(0)).alias(f"_s_{lang}")
-        for lang, marks in _LANG_MARKERS.items()
-    ]
-    agg = toks.groupBy(*df.columns).agg(*scores)
-    best = F.greatest(*[F.col(f"_s_{lang}") for lang in _LANG_MARKERS])
+    no marker hits — including empty/whitespace-only/null text).
+
+    A pure per-row projection (size-of-filter per language), so it is
+    shuffle-free, preserves input row count exactly (duplicates and
+    zero-token rows included), and never puts the full text column in a
+    shuffle key — the earlier explode+groupBy form dropped zero-token
+    rows, merged byte-identical rows, and shuffled on text."""
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+
+    def _hits(marks):  # closure factory: filter's lambda must be 1-arg
+        return F.size(F.filter(toks, lambda t: t.isin(*marks)))
+
+    scores = {lang: _hits(marks) for lang, marks in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
     lang_expr = F.when(best == 0, F.lit("und"))
     for lang in sorted(_LANG_MARKERS):
-        lang_expr = lang_expr.when(F.col(f"_s_{lang}") == best, F.lit(lang))
-    return agg.select(*df.columns, lang_expr.alias("lang_pred"))
+        lang_expr = lang_expr.when(scores[lang] == best, F.lit(lang))
+    return df.select("*", lang_expr.alias("lang_pred"))
 
 
 def fingerprint(col, mult: int = _ROLL_MULT, mod: int = _ROLL_MOD) -> Column:

@@ -236,7 +236,10 @@ def save_graphar(graph: LinkGraph, path: str, name: str = "graph",
         }]
     graph_yml = {
         "name": name,
-        "prefix": path if path.endswith("/") else path + "/",
+        # relative prefix (resolved against the yml's own directory on
+        # load) so the archive can be moved/copied/rsynced — an absolute
+        # path baked in here would break the moment the directory moves
+        "prefix": "./",
         "vertices": [f"{vertex_label}.vertex.yml"],
         "edges": [f"{triplet}.edge.yml"],
         "version": _VERSION,
@@ -258,6 +261,12 @@ def load_graphar(spark: SparkSession, graph_yml: str,
     with open(graph_yml) as f:
         meta = yaml.safe_load(f)
     prefix = meta["prefix"]
+    if not os.path.isabs(prefix):
+        # relative prefixes (what save_graphar writes) resolve against
+        # the graph.yml's directory, per the GraphAr relocatable layout;
+        # absolute prefixes (foreign archives) are honored as-is
+        prefix = os.path.join(os.path.dirname(os.path.abspath(graph_yml)),
+                              prefix)
     with open(os.path.join(prefix, meta["vertices"][0])) as f:
         vmeta = yaml.safe_load(f)
     with open(os.path.join(prefix, meta["edges"][0])) as f:

@@ -109,27 +109,47 @@ def ktruss(graph: LinkGraph, k: int, max_rounds: int | None = None) -> DataFrame
 
 
 def truss_number_max(graph: LinkGraph, k_start: int = 3) -> int:
-    """Largest k with a non-empty k-truss (trussness of the graph).
+    """Largest k (>= 2) with a non-empty k-truss — the graph's
+    trussness. Returns 0 for an edgeless graph (every truss is empty).
 
-    The (k+1)-truss is a subgraph of the k-truss, so the scan peels each
-    level's survivors instead of restarting from the full graph — later
-    (denser) levels run on ever-smaller edge sets."""
+    Any non-empty edge set is a non-empty 2-truss (the support
+    condition k-2 = 0 is vacuous), so every reported level is VERIFIED
+    non-empty: the scan only advances to k+1 after the (k+1)-truss peel
+    leaves survivors. ``k_start > 3`` is a jump hint — one peel checks
+    the (k_start-1)-truss directly; if the hint overshoots the true
+    trussness (that peel empties), the scan falls back to the full
+    ascending peel from k=2 instead of reporting the unverified
+    k_start-1. The (k+1)-truss is a subgraph of the k-truss, so each
+    ascent level peels the previous level's survivors, not the full
+    graph."""
     t = Truncator()
-    edges = t(_canonical_edges(graph), "edges")
-    k = k_start - 1
     try:
-        while True:
-            # peel at level k+1 until fixpoint, starting from the
-            # previous level's survivors
+        base = t(_canonical_edges(graph), "edges")
+        if base.count() == 0:
+            return 0
+
+        def peel(edges: DataFrame, k: int) -> DataFrame | None:
+            """k-truss of ``edges`` (threshold k-2, to fixpoint), or
+            None when it is empty."""
             while True:
                 supported = t(_edge_support(edges), "sup")
-                survivors = supported.filter(F.col("support") >= (k + 1) - 2)
+                survivors = supported.filter(F.col("support") >= k - 2)
                 n_before, n_after = supported.count(), survivors.count()
                 if n_after == 0:
-                    return k
+                    return None
                 edges = t(survivors.select("src", "dst"), "edges")
                 if n_after == n_before:
-                    break
-            k += 1
+                    return edges
+
+        k, edges = 2, base
+        if k_start > 3:
+            jump = peel(base, k_start - 1)
+            if jump is not None:
+                k, edges = k_start - 1, jump
+        while True:
+            nxt = peel(edges, k + 1)
+            if nxt is None:
+                return k
+            k, edges = k + 1, nxt
     finally:
         t.close()

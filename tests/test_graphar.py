@@ -143,3 +143,32 @@ def test_graphar_csc_copy_and_edge_properties(spark, tmp_path):
     assert got == {(s, d): w for s, d, w in rows}
     g.unpersist_all()
     g2.unpersist_all()
+
+
+def test_graphar_archive_is_relocatable(spark, tmp_path):
+    """The yml stores a RELATIVE prefix, so an archive can be moved /
+    rsynced and loaded from its new location (an absolute baked-in
+    prefix broke the moment the directory moved)."""
+    import shutil
+
+    vertices, edges = power_law_graph(n=60, m=200, seed=9,
+                                      with_dangling=False)
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  num_partitions=2)
+    src_root = str(tmp_path / "orig" / "gar")
+    yml = save_graphar(g, src_root, name="mv", vertex_chunk_size=32,
+                       edge_chunk_size=128)
+    meta = yaml.safe_load(open(yml))
+    assert not os.path.isabs(meta["prefix"]), meta["prefix"]
+
+    dst_root = str(tmp_path / "moved" / "gar")
+    os.makedirs(os.path.dirname(dst_root), exist_ok=True)
+    shutil.move(src_root, dst_root)
+    assert not os.path.exists(src_root)
+
+    g2 = load_graphar(spark, os.path.join(dst_root, "mv.graph.yml"),
+                      num_partitions=2)
+    got = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert got == set(edges)
+    g.unpersist_all()
+    g2.unpersist_all()

@@ -60,3 +60,23 @@ def test_trussness_k5_plus_path(spark):
     t5 = ktruss(g, 5)
     assert t5.count() == 10
     assert t5.agg(F.min("support")).collect()[0][0] == 3
+
+
+def test_truss_number_overshoot_kstart_falls_back(spark):
+    """k_start above the true trussness must still return the verified
+    trussness, not the unverified k_start-1; an edgeless graph has no
+    non-empty truss at all (returns 0)."""
+    # trussness 3: every edge in >=1 triangle, none in >=2 —
+    # two triangles sharing vertex 0
+    edges = [(0, 1), (1, 2), (0, 2), (0, 3), (3, 4), (0, 4)]
+    g = _to_graph(spark, edges)
+    assert truss_number_max(g) == 3
+    assert truss_number_max(g, k_start=5) == 3
+    assert truss_number_max(g, k_start=4) == 3
+    # a triangle-free path: trussness 2 from any k_start
+    g2 = _to_graph(spark, [(0, 1), (1, 2), (2, 3)])
+    assert truss_number_max(g2) == 2
+    assert truss_number_max(g2, k_start=6) == 2
+    # edgeless
+    g3 = _to_graph(spark, [])
+    assert truss_number_max(g3) == 0

@@ -250,3 +250,59 @@ def test_incremental_minhash_dedup(spark, tmp_path):
                               "doc_id LONG, text STRING"))
     replay = [r["doc_id"] for r in inc2.kept().collect()]
     assert sorted(replay) == [1, 2, 5, 9], replay
+
+
+def test_incremental_pagerank_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: redelivering the same batch_id
+    must not append its edges twice (a duplicated edge doubles its
+    weight in every future solve, permanently)."""
+    from graphscope_spark.streaming import IncrementalPageRank
+
+    state = str(tmp_path / "prstate")
+    inc = IncrementalPageRank(spark, state, tol=1e-10)
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "src LONG, dst LONG")
+    chord = spark.createDataFrame([(0, 5), (5, 2)], "src LONG, dst LONG")
+
+    inc.process_batch(ring, batch_id=0)
+    inc.process_batch(chord, batch_id=1)
+    ranks_once = {r["vid"]: r["rank"] for r in inc.ranks().collect()}
+    assert inc.edges().count() == 12
+
+    inc.process_batch(chord, batch_id=1)  # replay: same batch id
+    assert inc.edges().count() == 12      # NOT 14
+    ranks_replay = {r["vid"]: r["rank"] for r in inc.ranks().collect()}
+    assert ranks_replay.keys() == ranks_once.keys()
+    assert all(abs(ranks_replay[v] - ranks_once[v]) < 1e-9
+               for v in ranks_once)
+
+    # a fresh instance resumes from the same state dir and sees the
+    # deduped edge store
+    inc2 = IncrementalPageRank(spark, state, tol=1e-10)
+    assert inc2.edges().count() == 12
+    assert inc2.ranks() is not None
+
+
+def test_published_dir_survives_partial_swap(spark, tmp_path):
+    """_PublishedDir: the CURRENT pointer always names a complete table;
+    a leftover version directory from a crashed attempt is ignored and
+    cleaned up by the next publish."""
+    import os
+
+    from graphscope_spark.streaming.incremental import _PublishedDir
+
+    root = str(tmp_path / "state")
+    pub = _PublishedDir(root)
+    assert pub.path() is None
+    pub.publish(spark.createDataFrame([(1, 1)], "vid LONG, comp LONG"))
+    p1 = pub.path()
+    assert p1 is not None
+    # simulate a crashed second attempt: a half-written new version dir
+    # exists but CURRENT was never repointed
+    os.makedirs(os.path.join(root, "v_1", "junk"))
+    assert pub.path() == p1  # reader ignores the orphan
+    pub.publish(spark.createDataFrame([(2, 2)], "vid LONG, comp LONG"))
+    got = [(r["vid"], r["comp"])
+           for r in spark.read.parquet(pub.path()).collect()]
+    assert got == [(2, 2)]
+    assert not os.path.exists(p1)  # previous version reclaimed
