@@ -66,6 +66,9 @@ class _Reader:
     def long(self) -> int:
         shift, acc = 0, 0
         while True:
+            if self.pos >= len(self.data):  # truncated mid-varint:
+                # raise the same error type raw() uses, not IndexError
+                raise EOFError("truncated avro data")
             b = self.data[self.pos]
             self.pos += 1
             acc |= (b & 0x7F) << shift

@@ -69,6 +69,22 @@ _TOKEN_RE = re.compile(
     re.X,
 )
 
+_ESC_RE = re.compile(r"\\(u[0-9a-fA-F]{4}|.)")
+_ESC_MAP = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
+
+
+def unescape_string(body: str) -> str:
+    """Resolve Cypher/Gremlin string escapes: \\n \\t \\r \\b \\f
+    \\uXXXX plus pass-through for \\' \\" \\\\ (and any unknown escape,
+    which keeps the escaped character literally). Stripping just the
+    backslash — the old behavior — turned '\\n' into the letter 'n'."""
+    def repl(m):
+        s = m.group(1)
+        if len(s) == 5 and s[0] == "u":
+            return chr(int(s[1:], 16))
+        return _ESC_MAP.get(s, s)
+    return _ESC_RE.sub(repl, body)
+
 
 def _tokenize(text: str) -> list[tuple[str, object]]:
     out, pos = [], 0
@@ -82,7 +98,7 @@ def _tokenize(text: str) -> list[tuple[str, object]]:
             out.append(("num", float(s) if "." in s else int(s)))
         elif m.lastgroup == "str":
             body = m.group("str")[1:-1]
-            out.append(("str", re.sub(r"\\(.)", r"\1", body)))
+            out.append(("str", unescape_string(body)))
         elif m.lastgroup == "ident":
             out.append(("ident", m.group("ident")))
         elif m.lastgroup == "punct":
@@ -407,6 +423,12 @@ class _Parser:
             k = self._ident()
             self._expect(":")
             t, v = self._next()
+            if (t, v) == ("punct", "-"):  # negative number literal
+                t, v = self._next()
+                if t != "num":
+                    raise ValueError(
+                        f"cypher: property map literal, got ('-', {(t, v)})")
+                v = -v
             if t not in ("num", "str") and (t, str(v).lower()) not in (
                     ("ident", "true"), ("ident", "false")):
                 raise ValueError(f"cypher: property map literal, got {(t, v)}")
@@ -697,6 +719,25 @@ class _Ctx:
 def _q(col: str) -> str:
     return "`" + col.replace("`", "``") + "`"
 
+
+def _fn_size(frame):
+    """Cypher size() covers lists AND strings; Spark splits that into
+    size() (arrays/maps) and length() (strings). Resolve the rendered
+    argument's type against the frame to pick the right builtin —
+    always mapping to length() broke size(collect(...))."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    def fn_size(e, ctx):
+        inner = ", ".join(ctx.render(a) for a in e.args)
+        try:
+            dt = frame.df.selectExpr(f"({inner}) AS _sz").schema[0].dataType
+            if isinstance(dt, (ArrayType, MapType)):
+                return f"size({inner})"
+        except Exception:
+            pass  # unresolvable here — fall back to the string form
+        return f"length({inner})"
+    return fn_size
+
 # ---------------------------------------------------------------------------
 # compiler
 # ---------------------------------------------------------------------------
@@ -978,12 +1019,14 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
     # ---- compile the MATCH --------------------------------------------
     path_out_col: dict = {}           # path var -> hops column
     path_const: dict = {}             # path var -> constant length
-    # which path vars are referenced through length()?
+    # which path vars are referenced through length()? scan the stages
+    # AND the MATCH-level WHERE (length(p) in WHERE is just as valid as
+    # in RETURN — post_conjuncts render through the same match ctx)
     length_refs = {a.name
-                   for st in q.stages
-                   for e in ([i for i, _ in st.items]
-                             + [o for o, _ in st.order]
-                             + ([st.where] if st.where else []))
+                   for e in ([i for st in q.stages for i, _ in st.items]
+                             + [o for st in q.stages for o, _ in st.order]
+                             + [st.where for st in q.stages if st.where]
+                             + ([q.where] if q.where is not None else []))
                    if e is not None
                    for n in _walk(e)
                    if isinstance(n, Fn) and n.name == "length"
@@ -1321,7 +1364,7 @@ def _match_ctx(frame: _Frame, path_out_col, path_const, labels,
             "cypher: type() takes a single-label edge variable")
 
     return _Ctx(rv, rp, {"length": fn_length, "labels": fn_labels,
-                         "type": fn_type})
+                         "type": fn_type, "size": _fn_size(frame)})
 
 
 def _alias_ctx(frame: _Frame, cols: set) -> _Ctx:
@@ -1333,7 +1376,7 @@ def _alias_ctx(frame: _Frame, cols: set) -> _Ctx:
     def rp(var, key):
         return _q(frame.prop_col(var, key))
 
-    return _Ctx(rv, rp)
+    return _Ctx(rv, rp, {"size": _fn_size(frame)})
 
 
 def _apply_stage(df: DataFrame, st: Stage, ctx: _Ctx):

@@ -53,6 +53,15 @@ from pyspark.sql import functions as F
 _HOP_RANGE_RE = re.compile(r"(\d+)\.\.(\d+)")
 
 
+def _pred_values(vs):
+    """Normalize within/without arguments: varargs of scalars, or a
+    single list/tuple/set. A lone string argument is one value — never
+    a character sequence."""
+    if len(vs) == 1 and isinstance(vs[0], (list, tuple, set, frozenset)):
+        return list(vs[0])
+    return list(vs)
+
+
 class P:
     """Gremlin predicate (P.gt(10), P.within([...]), TextP-ish string
     forms). ``to_cond(col)`` renders it against a Column."""
@@ -76,9 +85,9 @@ class P:
         if k == "lte":
             return c <= F.lit(a[0])
         if k == "within":
-            return c.isin(list(a[0]))
+            return c.isin(a[0])
         if k == "without":
-            return ~c.isin(list(a[0]))
+            return ~c.isin(a[0])
         if k == "inside":
             return (c > F.lit(a[0])) & (c < F.lit(a[1]))
         if k == "outside":
@@ -99,8 +108,11 @@ class P:
     lt = classmethod(lambda cls, v: cls("lt", v))
     gte = classmethod(lambda cls, v: cls("gte", v))
     lte = classmethod(lambda cls, v: cls("lte", v))
-    within = classmethod(lambda cls, v: cls("within", v))
-    without = classmethod(lambda cls, v: cls("without", v))
+    # TinkerPop varargs form within('a','b') AND the collection form
+    # within(['a','b']); a single string is ONE value, never split
+    # into characters
+    within = classmethod(lambda cls, *vs: cls("within", _pred_values(vs)))
+    without = classmethod(lambda cls, *vs: cls("without", _pred_values(vs)))
     inside = classmethod(lambda cls, lo, hi: cls("inside", lo, hi))
     outside = classmethod(lambda cls, lo, hi: cls("outside", lo, hi))
     not_ = classmethod(lambda cls, p: cls("not", p))
@@ -351,14 +363,16 @@ class GremlinTraversal:
                             F.lit(d).alias("_l_from"),
                             F.col("src").alias("_e_to"),
                             F.lit(s).alias("_l_to"))
-            if direction == "out":
-                parts.append(fwd)
-            elif direction == "in":
-                parts.append(rev)
-            else:
+            # undirected graphs store each edge once: out/in/both all
+            # traverse both orientations exactly once (appending the
+            # opposite orientation ON TOP of a "both" pair would emit
+            # duplicate, endpoint-asymmetric traversers)
+            if direction == "both" or not self.pg.directed:
                 parts.extend((fwd, rev))
-            if not self.pg.directed:
-                parts.append(rev if direction == "out" else fwd)
+            elif direction == "out":
+                parts.append(fwd)
+            else:
+                parts.append(rev)
         hop = parts[0]
         for p in parts[1:]:
             hop = hop.unionByName(p)
@@ -483,14 +497,14 @@ class GremlinTraversal:
         parts, props = [], set()
         for el, s, d, df in _edge_rels_lb(self.pg, labels):
             fwd, rev = _edge_row(df, el, s, d, "f"), _edge_row(df, el, s, d, "r")
-            if direction == "out":
-                parts.append(fwd)
-            elif direction == "in":
-                parts.append(rev)
-            else:
+            # same orientation rule as _expand: undirected graphs treat
+            # out/in/both identically, one traverser per orientation
+            if direction == "both" or not self.pg.directed:
                 parts.extend((fwd, rev))
-            if not self.pg.directed:
-                parts.append(rev if direction == "out" else fwd)
+            elif direction == "out":
+                parts.append(fwd)
+            else:
+                parts.append(rev)
             props.update(c for c in df.columns if c not in ("src", "dst"))
         hop = parts[0]
         for p in parts[1:]:
@@ -608,6 +622,10 @@ class GremlinTraversal:
 
     def hasNot(self, key):
         self._need_elem("hasNot")
+        if self.edge_props is not None:  # edge stream: inline columns
+            if key not in self.edge_props:
+                return self  # no relation has the property: all pass
+            return self._next(self.df.filter(F.col(key).isNull()))
         try:
             j = self._prop_join(key, how="left")
         except ValueError:
@@ -789,15 +807,24 @@ class GremlinTraversal:
             .select(F.col("_pv").alias(key)),
             value_col=key, tags=())
 
+    def _all_prop_keys(self):
+        """Default key set for no-arg valueMap()/elementMap(): every
+        property any vertex label carries (TinkerPop's no-arg behavior
+        is the FULL map, not an empty one)."""
+        return tuple(sorted({c for vdf in self.pg._vertices.values()
+                             for c in vdf.columns if c != "id"}))
+
     def valueMap(self, *keys):
         self._need_elem("valueMap")
         if self.edge_props is not None:
+            keys = keys or tuple(sorted(self.edge_props))
             missing = [k for k in keys if k not in self.edge_props]
             if missing:
                 raise ValueError(f"gremlin: no edge relation has "
                                  f"properties {missing!r}")
             return self._next(self.df.select(*keys), value_col=None,
                               tags=(), edge_props=None)
+        keys = keys or self._all_prop_keys()
         t = self
         for k in keys:
             t = t._next(t._prop_join(k, how="left")
@@ -806,6 +833,18 @@ class GremlinTraversal:
 
     def elementMap(self, *keys):
         self._need_elem("elementMap")
+        if self.edge_props is not None:  # edge stream: label + endpoints
+            keys = keys or tuple(sorted(self.edge_props))
+            missing = [k for k in keys if k not in self.edge_props]
+            if missing:
+                raise ValueError(f"gremlin: no edge relation has "
+                                 f"properties {missing!r}")
+            return self._next(
+                self.df.select(F.col("_elabel").alias("label"),
+                               F.col("_esrc").alias("src"),
+                               F.col("_edst").alias("dst"), *keys),
+                value_col=None, tags=(), edge_props=None)
+        keys = keys or self._all_prop_keys()
         t = self
         for k in keys:
             t = t._next(t._prop_join(k, how="left")
@@ -864,6 +903,10 @@ class GremlinTraversal:
         return self._vagg(F.avg, "mean", scope)
 
     def fold(self):
+        if self.value_col is None and self.edge_props is not None:
+            raise ValueError(
+                "gremlin: fold() on an edge stream is not supported — "
+                "move to values(key) or a vertex step first")
         col = self.value_col or "_elem"
         return self._next(
             self.df.agg(F.sort_array(F.collect_list(F.col(col)))
@@ -903,7 +946,9 @@ class GremlinTraversal:
         if spec is None:
             pass
         elif isinstance(spec, str):
-            df, val = self._next(df)._prop_join(spec), "_pv"
+            # left join: groups whose members lack the value property
+            # keep their key (aggregates skip the NULLs)
+            df, val = self._next(df)._prop_join(spec, how="left"), "_pv"
         elif isinstance(spec, _Anon):
             saw_terminal = False
             for step, arg in spec.steps:
@@ -916,7 +961,8 @@ class GremlinTraversal:
                         raise ValueError(
                             "gremlin: at most one values() per group() "
                             "value by() chain")
-                    df, val = self._next(df)._prop_join(arg[0]), "_pv"
+                    df, val = self._next(df)._prop_join(arg[0],
+                                                        how="left"), "_pv"
                 elif step == "dedup":
                     distinct = True
                 elif step in ("count", "sum", "min", "max", "mean", "fold"):
@@ -947,10 +993,23 @@ class GremlinTraversal:
     def by(self, key=None, order: str = "asc"):
         if self._pending == "group":      # the KEY by()
             if key is None:
+                if self.value_col is None and self.edge_props is not None:
+                    raise ValueError(
+                        "gremlin: group() key by() on an edge stream "
+                        "needs a property key")
                 df = self.df.withColumn(
                     "_gk", F.col(self.value_col or "_elem"))
             elif isinstance(key, str):
-                df = self._prop_join(key).withColumnRenamed("_pv", "_gk")
+                if self.edge_props is not None:  # edge props are inline
+                    if key not in self.edge_props:
+                        raise ValueError(f"gremlin: no edge relation has "
+                                         f"property {key!r}")
+                    df = self.df.withColumn("_gk", F.col(key))
+                else:
+                    # left join: a label lacking the property groups
+                    # under a NULL key instead of silently vanishing
+                    df = self._prop_join(key, how="left") \
+                        .withColumnRenamed("_pv", "_gk")
             else:
                 raise ValueError(
                     "gremlin: group() key by() takes None or a property "
@@ -959,24 +1018,40 @@ class GremlinTraversal:
         if self._pending == "group_val":  # the VALUE by()
             return self._group_finalize(key)
         if self._pending == "order":
+            joined = False
             if key is None:
                 col = F.col(self.value_col or "_elem")
                 df = self.df
+            elif self.value_col is None and self.edge_props is not None:
+                if key not in self.edge_props:
+                    raise ValueError(f"gremlin: no edge relation has "
+                                     f"property {key!r}")
+                col, df = F.col(key), self.df
             elif self.value_col is None:
-                j = self._prop_join(key)
-                col, df = F.col("_pv"), j
+                # left join: traversers whose label lacks the property
+                # sort LAST instead of being silently dropped
+                j = self._prop_join(key, how="left")
+                col, df, joined = F.col("_pv"), j, True
             else:
                 col, df = F.col(key), self.df
-            df = df.orderBy(col.desc() if order == "desc" else col.asc())
-            if key is not None and self.value_col is None:
+            df = df.orderBy(col.desc_nulls_last() if order == "desc"
+                            else col.asc_nulls_last())
+            if joined:
                 df = df.drop("_pv")
             return self._next(df)
         if self._pending == "groupCount":
             if key is None:
                 out = (self.df.groupBy(F.col("_elem").alias("key"))
                        .agg(F.count(F.lit(1)).alias("count")))
+            elif self.edge_props is not None:  # edge props are inline
+                if key not in self.edge_props:
+                    raise ValueError(f"gremlin: no edge relation has "
+                                     f"property {key!r}")
+                out = (self.df.groupBy(F.col(key).alias("key"))
+                       .agg(F.count(F.lit(1)).alias("count")))
             else:
-                j = self._prop_join(key)
+                # left join: label-missing traversers count under NULL
+                j = self._prop_join(key, how="left")
                 out = (j.groupBy(F.col("_pv").alias("key"))
                        .agg(F.count(F.lit(1)).alias("count")))
             return self._next(out, value_col=None, tags=())

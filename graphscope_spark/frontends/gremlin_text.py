@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 
+from graphscope_spark.frontends.cypher import unescape_string
 from graphscope_spark.frontends.gremlin import P, TextP, _AnonFactory
 from graphscope_spark.frontends.gremlin import __ as _anon_factory
 from graphscope_spark.frontends.gremlin import traversal
@@ -122,8 +123,9 @@ class _Parser:
         kind, v = self._peek()
         if kind == "string":
             self._next()
-            body = v[1:-1]
-            return re.sub(r"\\(.)", r"\1", body)
+            # full escape resolution (\n \t \uXXXX ...) shared with the
+            # Cypher tokenizer — not just backslash stripping
+            return unescape_string(v[1:-1])
         if kind == "number":
             self._next()
             return float(v) if "." in v else int(v)
@@ -143,6 +145,10 @@ class _Parser:
                 return _BOOLS[v]
             if v in ("P", "TextP"):
                 return self._pexpr()
+            if self._peek(1) == ("punct", "(") \
+                    and _RENAMES.get(v, v) in P.__dict__:
+                # statically-imported predicate form: has('k', within(...))
+                return self._pexpr(bare=True)
             if v == "__":
                 self._next()
                 return self._chain(_anon_factory)
@@ -151,7 +157,20 @@ class _Parser:
             return v
         raise ValueError(f"gremlin text: bad argument token {v!r}")
 
-    def _pexpr(self):
+    def _pexpr(self, bare: bool = False):
+        if bare:  # statically-imported form: within(...), gt(...)
+            cls = P
+            _, meth = self._next()
+            meth = _RENAMES.get(meth, meth)
+            self._expect("(")
+            args = []
+            if self._peek() != ("punct", ")"):
+                args.append(self._arg())
+                while self._peek() == ("punct", ","):
+                    self._next()
+                    args.append(self._arg())
+            self._expect(")")
+            return getattr(cls, meth)(*args)
         _, cls_name = self._next()
         cls = P if cls_name == "P" else TextP
         self._expect(".")

@@ -711,3 +711,131 @@ def test_gremlin_text_with_step_and_statistics(pg):
     assert sorted(r[0] for r in df.collect()) == ["bob", "cyd", "dee"]
     assert gremlin_query(pg, "g.V().coin(1.0).count()").collect()[0][0] == 6
     assert gremlin_query(pg, "g.V().sample(2).count()").collect()[0][0] == 2
+
+
+# ---------------------------------------------------------------------------
+# round-4 review-fix regressions
+# ---------------------------------------------------------------------------
+
+def test_gremlin_both_undirected_no_duplicates(spark):
+    """Undirected graph, one stored orientation per edge: both() emits
+    each neighbor exactly once FROM EITHER endpoint (the double-fwd bug
+    gave asymmetric duplicate traversers); out/in/both coincide."""
+    v = spark.createDataFrame([(1, "a"), (2, "b")], "pid LONG, name STRING")
+    e = spark.createDataFrame([(1, 2)], "a LONG, b LONG")
+    upg = (PropertyGraph(spark, directed=False)
+           .add_vertices(v, "person", vid_field="pid")
+           .add_edges(e, "knows", src_label="person", dst_label="person"))
+    g = traversal(upg)
+    assert g.V("1").both().count().toDF().collect()[0][0] == 1
+    assert g.V("2").both().count().toDF().collect()[0][0] == 1
+    assert g.V("1").out().count().toDF().collect()[0][0] == 1
+    assert g.V("2").out().count().toDF().collect()[0][0] == 1
+    assert g.V("1").bothE().count().toDF().collect()[0][0] == 1
+    assert g.V("2").bothE().count().toDF().collect()[0][0] == 1
+
+
+def test_gremlin_within_varargs_and_single_string(pg):
+    """P.within('marko') must match the WHOLE string (not its chars);
+    the TinkerPop varargs form within('a','b') must work too."""
+    g = traversal(pg)
+    got = rows(g.V().has("name", P.within("ann")).values("name").toDF())
+    assert got == [("ann",)]
+    got2 = rows(g.V().has("name", P.within("ann", "bob"))
+                .values("name").toDF())
+    assert got2 == [("ann",), ("bob",)]
+    got3 = rows(g.V().has("name", P.within(["ann", "bob"]))
+                .values("name").toDF())
+    assert got3 == got2
+    got4 = rows(g.V().has("name", P.without("ann", "bob", "cyd", "dee"))
+                .values("name").toDF())
+    assert got4 == []
+
+
+def test_gremlin_order_by_keeps_label_missing_rows(pg):
+    """order().by('age'): software vertices (no age) must not vanish —
+    they sort last with NULL keys."""
+    g = traversal(pg)
+    out = g.V().order().by("age").toDF()
+    assert out.count() == 6  # 4 person + 2 software
+
+
+def test_gremlin_groupcount_by_includes_null_key_group(pg):
+    g = traversal(pg)
+    out = {r["key"]: r["count"]
+           for r in g.V().groupCount().by("city").toDF().collect()}
+    assert out.get("x") == 2 and out.get("y") == 2
+    assert out.get(None) == 2  # software vertices under the NULL key
+
+
+def test_gremlin_valuemap_no_args_full_map(pg):
+    g = traversal(pg)
+    out = g.V().hasLabel("person").valueMap().toDF()
+    assert set(out.columns) >= {"name", "age", "city"}
+    assert out.count() == 4
+    em = g.V().hasLabel("software").elementMap().toDF()
+    assert {"id", "label"} <= set(em.columns)
+
+
+def test_gremlin_edge_stream_hasnot_and_valuemap(pg):
+    g = traversal(pg)
+    # every knows edge has `since` -> hasNot filters all out
+    assert g.E("knows").hasNot("since").count().toDF().collect()[0][0] == 0
+    # property absent from every relation -> all pass
+    n = g.E("knows").hasNot("nope").count().toDF().collect()[0][0]
+    assert n == 4
+    vm = g.E("knows").valueMap().toDF()
+    assert vm.columns == ["since"] and vm.count() == 4
+    em = g.E("knows").elementMap().toDF()
+    assert {"label", "src", "dst", "since"} <= set(em.columns)
+
+
+def test_cypher_length_in_where(pg):
+    r = cypher_query(pg, """
+      MATCH p = (a:person)-[:knows*1..3]->(b:person)
+      WHERE length(p) = 2 AND a.name = 'ann'
+      RETURN b.name AS bn, length(p) AS hops
+    """)
+    assert rows(r) == [("cyd", 2), ("dee", 2)]
+
+
+def test_cypher_size_on_list_and_string(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)
+      WITH collect(a.name) AS xs
+      RETURN size(xs) AS n
+    """)
+    assert rows(r) == [(4,)]
+    r2 = cypher_query(
+        pg, "MATCH (a:person {name: 'ann'}) RETURN size(a.name) AS n")
+    assert rows(r2) == [(3,)]
+
+
+def test_cypher_escapes_and_negative_prop_map(spark):
+    v = spark.createDataFrame([(1, "line1\nline2", -5)],
+                              "pid LONG, bio STRING, bal LONG")
+    g2 = PropertyGraph(spark).add_vertices(v, "acct", vid_field="pid")
+    r = cypher_query(
+        g2, "MATCH (a:acct) WHERE a.bio CONTAINS 'line1\\nline2' "
+            "RETURN a.bal AS b")
+    assert rows(r) == [(-5,)]
+    r2 = cypher_query(g2, "MATCH (a:acct {bal: -5}) RETURN a.bal AS b")
+    assert rows(r2) == [(-5,)]
+
+
+def test_gremlin_text_escapes_and_within(pg):
+    from graphscope_spark.frontends.gremlin_text import gremlin_query
+
+    r = gremlin_query(
+        pg, "g.V().has('name', within('ann', 'bob')).values('name')")
+    assert rows(r) == [("ann",), ("bob",)]
+    from graphscope_spark.frontends.cypher import unescape_string
+    assert unescape_string(r"a\nb\tA") == "a\nb\tA"
+
+
+def test_avrolite_truncated_varint_raises_eoferror():
+    from graphscope_spark.avrolite import _Reader
+
+    r = _Reader(b"\xff")  # continuation bit set, no next byte
+    with pytest.raises(EOFError):
+        r.long()
