@@ -4255,8 +4255,13 @@ def _negative_edges_sql(k: int = 2, oversample: int = 8,
     misses (not a vertex), src itself, and real out-edges; keep the
     first k survivors by proposal index."""
     p, m = 2147483647, k * oversample
-    h = (f"((e.src % {p}) * 48271 + (e.dst % {p}) * 16807 "
-         f"+ r.j * 69621 + {seed}) % {p}")
+    # two 31-bit draws composed to ~62 bits — mirrors the operator's
+    # full-domain portable hash (link_prediction.py)
+    h1 = (f"((e.src % {p}) * 48271 + (e.dst % {p}) * 16807 "
+          f"+ r.j * 69621 + {seed}) % {p}")
+    h2 = (f"((e.dst % {p}) * 40692 + (e.src % {p}) * 69621 "
+          f"+ r.j * 48271 + {seed * 16807}) % {p}")
+    h = f"(({h1}) * {p} + ({h2}))"
     return (_SMALL_PRELUDE + f""",
 dsym AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
 vmax AS (SELECT MAX(vid) + 1 AS dom FROM verts),

@@ -142,8 +142,12 @@ class ANFJob(SuperstepJob):
         def finalize(st: DataFrame):
             vals = obs.get
             c = vals["c"] or 0
-            return ({"frontier": int(c), "nf": float(vals["nf"]),
-                     "sum_r": int(vals["sum_r"])}, c == 0)
+            # sums over an EMPTY vertex set aggregate to NULL — guard
+            # so an edgeless/empty graph converges instead of crashing
+            nf = vals["nf"]
+            return ({"frontier": int(c),
+                     "nf": float(nf) if nf is not None else 0.0,
+                     "sum_r": int(vals["sum_r"] or 0)}, c == 0)
 
         return new_state, finalize
 
@@ -166,17 +170,27 @@ def anf_sketches(graph: LinkGraph, rounds: int, num_trials: int = 8,
 def anf(graph: LinkGraph, max_rounds: int = 64, num_trials: int = 8,
         hash_fn: str = "xxhash64", salt: int = 0,
         runner: SuperstepRunner | None = None) -> DataFrame:
-    """Neighborhood-function curve: (round, nf, sum_r, frontier) — one row
-    per superstep, nf = Σ_v est|N_round(v)|. Runs until registers
-    saturate (every reachable set closed) or ``max_rounds``."""
+    """Neighborhood-function curve: (round, nf, sum_r, frontier) — one
+    row per superstep INCLUDING round 0 (NF(0) = Σ_v est|{v}|: without
+    it, effective_diameter could never report 0 on graphs whose curve
+    already clears q·NF(∞) before any propagation). Runs until
+    registers saturate (every reachable set closed) or ``max_rounds``."""
     job = ANFJob(graph, num_trials=num_trials, hash_fn=hash_fn,
                  salt=salt, max_rounds=max_rounds)
+    schema = "round LONG, nf DOUBLE, sum_r LONG, frontier LONG"
+    if graph.num_vertices == 0:
+        return graph.spark.createDataFrame([], schema)
+    # round 0: one aggregate over the init registers (no propagation)
+    init_state, _ = job.init(graph.spark)
+    nf0, sum_r0 = job._nf_expr()
+    r0 = init_state.agg(nf0, sum_r0).first()
     runner = runner or SuperstepRunner(graph.spark)
     runner.run(job, max_steps=max_rounds, resume=False)
-    rows = [(m.step, m.scalars["nf"], m.scalars["sum_r"], m.scalars["frontier"])
-            for m in runner.history if m.scalars.get("nf") is not None]
-    return graph.spark.createDataFrame(
-        rows, "round LONG, nf DOUBLE, sum_r LONG, frontier LONG")
+    rows = [(0, float(r0["nf"]), int(r0["sum_r"]), graph.num_vertices)]
+    rows += [(m.step, m.scalars["nf"], m.scalars["sum_r"],
+              m.scalars["frontier"])
+             for m in runner.history if m.scalars.get("nf") is not None]
+    return graph.spark.createDataFrame(rows, schema)
 
 
 def effective_diameter(graph: LinkGraph, q: float = 0.9,

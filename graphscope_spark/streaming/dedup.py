@@ -16,15 +16,19 @@ machinery as the batch path):
   2. cross-batch: a doc is dropped if any of its buckets holds a state
      representative whose signature agrees on ≥ ``sim_threshold`` of the
      minhashes (the unbiased Jaccard estimate);
-  3. intra-batch: within each bucket the min-id doc is the candidate
-     representative; later ids agreeing ≥ threshold drop (if the
-     representative itself was dropped in (2), its state twin represents
-     the content — the filter is transitive through representatives);
+  3. intra-batch: EXACT greedy-by-id admission over the verified
+     candidate-pair graph — a doc is dropped iff it is near a smaller
+     doc that was itself ADMITTED (comparing only against the bucket's
+     min id missed chains: d2~d3 both admitted when neither resembled
+     the bucket minimum d1). The pair graph holds near-dup candidates
+     only, and the greedy order resolves in a per-batch fixpoint loop
+     whose round count is the similarity-chain depth (1-2 in practice);
   4. survivors' still-unowned buckets gain their min-id survivor as the
      new representative; state grows append-only, first-owner-wins.
 
-Deterministic: signatures are pure functions of the text, reps are chosen
-by min id — replaying the same batches yields the same kept set.
+Deterministic: signatures are pure functions of the text, admission is
+greedy by doc id — replaying the same batches yields the same kept set
+(a replayed doc never matches its own state rep: ``rep_id != id``).
 """
 
 from __future__ import annotations
@@ -35,6 +39,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphscope_spark.functions.dedup import _minhash_sigs, band_key
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API, so state dirs
+    on object stores / HDFS work — ``os.path.exists`` is silently False
+    for any non-local scheme, which would read the state as empty and
+    disable cross-batch dedup exactly where it matters."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
 
 
 def _sig_agree_frac(a: str, b: str, num_hashes: int):
@@ -51,8 +66,13 @@ class IncrementalMinHashDedup:
     def __init__(self, spark: SparkSession, state_dir: str,
                  text_col: str = "text", id_col: str = "doc_id",
                  num_hashes: int = 32, bands: int = 8, n: int = 3,
-                 sim_threshold: float = 0.8, hash_fn: str = "xxhash64"):
+                 sim_threshold: float = 0.8, hash_fn: str = "xxhash64",
+                 max_bucket: int = 100_000):
         assert num_hashes % bands == 0
+        # max_bucket: intra-batch buckets larger than this are skipped in
+        # the pairwise verify (degenerate-quantization guard — the same
+        # contract as the batch family's minhash_lsh_pairs cap)
+        self.max_bucket = max_bucket
         self.spark = spark
         self.state_dir = state_dir
         self.text_col = text_col
@@ -68,7 +88,7 @@ class IncrementalMinHashDedup:
     # ---- state io ---------------------------------------------------------
 
     def buckets(self) -> DataFrame:
-        if os.path.exists(self._live):
+        if _fs_exists(self.spark, self._live):
             return self.spark.read.parquet(self._live)
         return self.spark.createDataFrame(
             [], "band LONG, key LONG, rep_id LONG, rep_sig ARRAY<LONG>")
@@ -82,7 +102,7 @@ class IncrementalMinHashDedup:
         duplicate doc_ids in storage, collapsed here so consumers never
         see them. The buckets state needs no such guard (its append is
         idempotent by construction: left_anti vs state + rep_id != id)."""
-        if os.path.exists(self._kept):
+        if _fs_exists(self.spark, self._kept):
             return self.spark.read.parquet(self._kept) \
                 .select("doc_id").distinct()
         return self.spark.createDataFrame([], "doc_id LONG")
@@ -123,42 +143,89 @@ class IncrementalMinHashDedup:
                     >= self.sim_threshold)
             .select("id").distinct()
         )
-        # (3) intra-batch: min-id per bucket is the candidate rep
-        bmin = bkts.groupBy("band", "key").agg(F.min("id").alias("rep"))
-        rep_sig = sigs.select(F.col("id").alias("rep"),
-                              F.col("sig").alias("rep_sig"))
-        hit_batch = (
-            bkts.join(bmin, ["band", "key"]).filter(F.col("id") > F.col("rep"))
-            .join(rep_sig, "rep")
-            .filter(_sig_agree_frac("sig", "rep_sig", self.num_hashes)
+        # (3) intra-batch: EXACT greedy-by-id admission. First the
+        # verified candidate-pair graph (a < b, signature agreement >=
+        # threshold, hub buckets capped), then a fixpoint loop that
+        # decides each doc once all its smaller candidate neighbors are
+        # decided: admit iff no smaller ADMITTED neighbor and not
+        # dropped by the state in (2). Rounds = similarity-chain depth.
+        from graphscope_spark.runtime.truncate import Truncator
+
+        sizes = (bkts.groupBy("band", "key")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .filter(F.col("_n") <= self.max_bucket)
+                 .select("band", "key"))
+        small = bkts.join(sizes, ["band", "key"])
+        pairs = (
+            small.select("band", "key", F.col("id").alias("a"),
+                         F.col("sig").alias("sig_a"))
+            .join(small.select("band", "key", F.col("id").alias("b"),
+                               F.col("sig").alias("sig_b")),
+                  ["band", "key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sig_a", "sig_b").distinct()
+            .filter(_sig_agree_frac("sig_a", "sig_b", self.num_hashes)
                     >= self.sim_threshold)
-            .select("id").distinct()
+            .select("a", "b")
         )
-        dropped = hit_state.unionByName(hit_batch).distinct()
-        kept = docs.join(dropped, docs["id"] == dropped["id"], "left_anti") \
-            .select(docs["id"])
+        t = Truncator()
+        try:
+            pairs = t(pairs, "pairs")
+            decided = t(hit_state.select(
+                "id", F.lit(False).alias("admit")), "dec")
+            undecided = t(docs.select("id")
+                          .join(decided.select("id"), "id", "left_anti"),
+                          "und")
+            while not undecided.isEmpty():
+                nb = pairs.join(undecided.select(F.col("id").alias("b")),
+                                "b")
+                st = nb.join(decided.select(F.col("id").alias("a"),
+                                            "admit"), "a", "left")
+                per_b = st.groupBy(F.col("b").alias("id")).agg(
+                    F.max(F.col("admit").cast("int")).alias("_any_admit"),
+                    F.sum(F.col("admit").isNull().cast("int"))
+                    .alias("_n_open"))
+                # ready gets its own slot: it reads the CURRENT decided
+                # checkpoint, which the "dec" slot reuse below frees —
+                # materialize it first or the und update re-evaluates a
+                # plan over reclaimed blocks
+                ready = t((undecided.join(per_b, "id", "left")
+                           .filter(F.coalesce(F.col("_n_open"),
+                                              F.lit(0)) == 0)
+                           .select("id", (F.coalesce(F.col("_any_admit"),
+                                                     F.lit(0)) == 0)
+                                   .alias("admit"))), "ready")
+                decided = t(decided.unionByName(ready), "dec")
+                undecided = t(undecided.join(ready.select("id"), "id",
+                                             "left_anti"), "und")
+            kept = decided.filter(F.col("admit")).select("id")
 
-        # (4) survivors claim their unowned buckets, min id wins
-        new_bkts = (
-            bkts.join(kept, "id", "left_semi")
-            .join(state.select("band", "key"), ["band", "key"], "left_anti")
-            .groupBy("band", "key").agg(F.min("id").alias("rep_id"))
-        )
-        new_bkts = new_bkts.join(
-            sigs.select(F.col("id").alias("rep_id"),
-                        F.col("sig").alias("rep_sig")), "rep_id") \
-            .select("band", "key", "rep_id", "rep_sig")
+            # (4) survivors claim their unowned buckets, min id wins
+            new_bkts = (
+                bkts.join(kept, "id", "left_semi")
+                .join(state.select("band", "key"),
+                      ["band", "key"], "left_anti")
+                .groupBy("band", "key").agg(F.min("id").alias("rep_id"))
+            )
+            new_bkts = new_bkts.join(
+                sigs.select(F.col("id").alias("rep_id"),
+                            F.col("sig").alias("rep_sig")), "rep_id") \
+                .select("band", "key", "rep_id", "rep_sig")
 
-        # state is first-owner-wins append-only (reps never change), so
-        # each batch appends only its delta — per-batch write cost is
-        # O(new buckets), not O(total admitted), however long the stream
-        # has run. kept first: its plan reads the pre-append state. A
-        # foreachBatch replay re-appends identical kept rows (see
-        # kept()'s distinct-on-read guard).
-        kept.select(F.col("id").alias("doc_id")) \
-            .write.mode("append").parquet(self._kept)
-        new_bkts.write.mode("append").parquet(self._live)
-        bkts.unpersist()
+            # state is first-owner-wins append-only (reps never change),
+            # so each batch appends only its delta — per-batch write
+            # cost is O(new buckets), not O(total admitted), however
+            # long the stream has run. kept first: its plan reads the
+            # pre-append state. A foreachBatch replay re-appends
+            # identical kept rows (see kept()'s distinct-on-read
+            # guard). Both writes run INSIDE the Truncator lifetime —
+            # kept's plan reads the loop's checkpoint blocks.
+            kept.select(F.col("id").alias("doc_id")) \
+                .write.mode("append").parquet(self._kept)
+            new_bkts.write.mode("append").parquet(self._live)
+        finally:
+            t.close()
+            bkts.unpersist()
 
     # ---- streaming entry --------------------------------------------------
 

@@ -72,18 +72,21 @@ def streaming_sessions(events: DataFrame, gap: str = "30 minutes",
 
 
 def streaming_exact_dedup(docs: DataFrame, key_col: str = "text",
-                          id_col: str = "doc_id",
+                          ts_col: str = "ts",
                           watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup: first-seen row per content hash survives.
     State is bounded by the watermark (dropDuplicatesWithinWatermark);
-    content itself never becomes a state key — only the 64-bit hash."""
+    content itself never becomes a state key — only the 64-bit hash.
+
+    No silent fallback: an older engine without
+    ``dropDuplicatesWithinWatermark`` must fail loudly rather than fall
+    back to global ``dropDuplicates`` — that variant keeps one state
+    entry per distinct hash FOREVER (unbounded on a long ingest) and
+    drops re-arrivals past the watermark horizon, silently changing
+    semantics between Spark versions."""
     hashed = docs.withColumn("_h", F.xxhash64(key_col))
-    try:
-        return hashed.withWatermark("ts", watermark) \
-            .dropDuplicatesWithinWatermark(["_h"]).drop("_h")
-    except Exception:  # pragma: no cover - older Spark fallback
-        return hashed.withWatermark("ts", watermark) \
-            .dropDuplicates(["_h"]).drop("_h")
+    return hashed.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(["_h"]).drop("_h")
 
 
 _RUN_DEG_OUT = StructType([

@@ -83,8 +83,9 @@ def test_anf_curve_monotone_and_saturates(spark):
     g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
                   directed=True)
     curve = anf(g, max_rounds=20, num_trials=8, hash_fn="sha2").collect()
+    assert curve[0].round == 0  # NF(0) row present
     assert curve[-1].frontier == 0
-    assert len(curve) <= 6  # depth 5 + the empty confirming round
+    assert len(curve) <= 7  # round 0 + depth 5 + the confirming round
     nfs = [r.nf for r in curve]
     assert nfs == sorted(nfs)
 
@@ -112,3 +113,26 @@ def test_effective_diameter_path_graph(spark):
                   directed=False)
     d = effective_diameter(g, q=0.9, max_rounds=12, num_trials=32)
     assert 4 <= d <= 8
+
+
+def test_effective_diameter_round0_and_isolated(spark):
+    """A graph whose NF curve clears q·NF(inf) before any propagation
+    must report effective diameter 0 — round 0 (NF(0) = Σ est|{v}|) is
+    part of the curve now. 40 isolated self-contained vertices plus one
+    edge: NF(0)/NF(inf) ≈ 40/41 > 0.9."""
+    edges = [(0, 1)] + [(i, i) for i in range(2, 42)]  # self-loops: isolated
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  directed=True)
+    curve = {r["round"]: r for r in anf(g, max_rounds=6,
+                                        num_trials=32).collect()}
+    assert 0 in curve and curve[0].nf > 0
+    d = effective_diameter(g, q=0.9, max_rounds=6, num_trials=32)
+    assert d == 0.0
+
+
+def test_anf_empty_graph_no_crash(spark):
+    g = LinkGraph(spark,
+                  spark.createDataFrame([], "src LONG, dst LONG"),
+                  directed=True)
+    assert anf(g, max_rounds=3).count() == 0
+    assert effective_diameter(g) == 0.0

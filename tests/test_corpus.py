@@ -21,9 +21,8 @@ FILES_PER_REPO = 25
 
 
 def _local_corpus():
-    n_repos = (N_FILES + FILES_PER_REPO - 1) // FILES_PER_REPO
     return [
-        _gen_file(i // FILES_PER_REPO, i % FILES_PER_REPO, FILES_PER_REPO, n_repos, 42)
+        _gen_file(i // FILES_PER_REPO, i % FILES_PER_REPO, FILES_PER_REPO, 42)
         for i in range(N_FILES)
     ]
 

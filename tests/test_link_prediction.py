@@ -111,7 +111,10 @@ def test_negative_sample_edges_matches_oracle(spark):
     for s, d in edges:
         kept = 0
         for j in range(k * ov):
-            c = ((s % P) * 48271 + (d % P) * 16807 + j * 69621 + seed) % P % vmax
+            h1 = ((s % P) * 48271 + (d % P) * 16807 + j * 69621 + seed) % P
+            h2 = ((d % P) * 40692 + (s % P) * 69621
+                  + j * 48271 + seed * 16807) % P
+            c = (h1 * P + h2) % vmax
             if c == s or c not in verts or c in adj.get(s, ()):
                 continue
             want.append((s, d, c, j))
@@ -122,3 +125,36 @@ def test_negative_sample_edges_matches_oracle(spark):
     # negatives are never true edges
     eset = set(edges)
     assert all((s, c) not in eset for s, _, c, _ in got)
+
+
+def test_negative_sample_portable_covers_beyond_2_31(spark):
+    """The composed portable hash must PROPOSE vids above 2^31-1 on a
+    multi-billion-vertex id domain — the old single 31-bit draw capped
+    every proposal below 2^31-1, so the upper ~60% of a 5e9-vertex
+    space had zero sampling probability. Checked at the proposal level
+    (the membership join on a synthetic sparse space keeps ~nothing,
+    which is the documented occupancy behavior, not the hash's)."""
+    P = 2147483647
+    dom = 5_000_000_000
+    seed = 1
+    proposals = []
+    for s, d in [(0, 1), (1, 2), (2, 0)]:
+        for j in range(32):
+            h1 = ((s % P) * 48271 + (d % P) * 16807 + j * 69621 + seed) % P
+            h2 = ((d % P) * 40692 + (s % P) * 69621
+                  + j * 48271 + seed * 16807) % P
+            proposals.append((h1 * P + h2) % dom)
+    above = sum(p >= 2**31 for p in proposals)
+    # ~57% of the domain sits above 2^31; the draw must reach it broadly
+    assert above >= len(proposals) // 4, (above, len(proposals))
+    # and the Spark expression agrees with the replay on a dense graph
+    from graphscope_spark import LinkGraph
+    from graphscope_spark.operators.link_prediction import (
+        negative_sample_edges)
+
+    edges = [(i, (i + 1) % 12) for i in range(12)]
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  directed=True)
+    out = negative_sample_edges(g, k=1, seed=seed, oversample=8,
+                                hash_fn="portable").collect()
+    assert out, "sampler returned nothing on the dense graph"

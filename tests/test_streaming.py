@@ -306,3 +306,33 @@ def test_published_dir_survives_partial_swap(spark, tmp_path):
            for r in spark.read.parquet(pub.path()).collect()]
     assert got == [(2, 2)]
     assert not os.path.exists(p1)  # previous version reclaimed
+
+
+def test_incremental_minhash_intra_batch_greedy_chain(spark, tmp_path):
+    """Exact greedy-by-id admission within a batch: sim(1,2) ~ 0.5,
+    sim(2,3) ~ 0.84, sim(1,3) ~ 0.44 (deterministic xxhash64 minhash
+    agreements). At threshold 0.45: doc 2 is rejected (near admitted
+    doc 1), and doc 3 must then be ADMITTED — its only near-dup (2) was
+    never admitted. The old min-rep comparison handled neither chains
+    nor rejected-rep transitivity correctly."""
+    from graphscope_spark.streaming import IncrementalMinHashDedup
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu one "
+            "two three four five six seven eight nine ten eleven twelve "
+            "thirteen fourteen")
+    toks = base.split()
+    y = " ".join(["aa1 bb2 cc3 dd4 ee5 ff6"] + toks[6:])
+    z = " ".join(["aa1 bb2 cc3 dd4 ee5 ff6"] + toks[6:-6]
+                 + ["gg7 hh8 ii9 jj0 kk1 ll2"])
+    inc = IncrementalMinHashDedup(spark, str(tmp_path / "state"),
+                                  sim_threshold=0.45)
+    inc.process_batch(spark.createDataFrame(
+        [(1, base), (2, y), (3, z)], "doc_id LONG, text STRING"))
+    kept = {r["doc_id"] for r in inc.kept().collect()}
+    assert kept == {1, 3}, kept
+    # replay of the identical batch must not change the admitted set
+    inc.process_batch(spark.createDataFrame(
+        [(1, base), (2, y), (3, z)], "doc_id LONG, text STRING"))
+    assert {r["doc_id"] for r in inc.kept().collect()} == {1, 3}
