@@ -71,6 +71,21 @@ def _shingles(col, n: int = 3):
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _exact_grams(col, length: int):
+    """Token ``length``-gram shingles, NO whole-text fallback — docs with
+    fewer than ``length`` tokens yield an empty array (they cannot
+    contain a ``length``-token phrase)."""
+    toks = F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.size(toks) - length)
+    return F.when(
+        F.size(toks) >= length,
+        F.array_distinct(
+            F.transform(idx,
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, length)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
@@ -132,9 +147,24 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     stop-shingle cap bounds hub n-grams on the corpus side.
     """
     bcol = bench_id_col or id_col
+    # benchmark docs SHORTER than n tokens fall back to one whole-text
+    # shingle (length = their token count) — the corpus side must emit
+    # grams of exactly those lengths too, or short eval items could
+    # never match any corpus n-gram and would silently pass
+    # decontamination. The extra lengths are collected from the (tiny)
+    # benchmark side; normally the set is empty and the corpus plan is
+    # untouched.
+    _btoks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    short_lengths = sorted({
+        int(r["ln"]) for r in benchmark
+        .select(F.size(_btoks).alias("ln"))
+        .filter((F.col("ln") > 0) & (F.col("ln") < n)).distinct().collect()
+    })
+    corpus_sh = _shingles(F.col(text_col), n)
+    for ln in short_lengths:
+        corpus_sh = F.array_union(corpus_sh, _exact_grams(F.col(text_col), ln))
     c = (corpus
-         .select(F.col(id_col).alias("doc_id"),
-                 _shingles(F.col(text_col), n).alias("sh"))
+         .select(F.col(id_col).alias("doc_id"), corpus_sh.alias("sh"))
          .select("doc_id", F.explode("sh").alias("s")))
     bucket_sizes = c.groupBy("s").agg(F.count("*").alias("bc"))
     c = c.join(bucket_sizes.filter(F.col("bc") <= max_bucket).select("s"),
@@ -268,7 +298,10 @@ def _window_counts_arrow(df: DataFrame, text_col: str, id_col: str,
 
     base = np.uint64(0x9E3779B97F4A7C15)
     pow_vec = np.power(base, np.arange(k, dtype=np.uint64)[::-1])
-    empty = {"_id": np.array([], dtype=np.int64),
+    # output schema follows the caller's id type (the other modes all
+    # preserve it — string doc ids must work here too)
+    id_type = df.schema[id_col].dataType.simpleString()
+    empty = {"_id": np.array([], dtype=object),
              "_w": np.array([], dtype=np.int64),
              "_c": np.array([], dtype=np.int64)}
 
@@ -283,12 +316,20 @@ def _window_counts_arrow(df: DataFrame, text_col: str, id_col: str,
     def _roll(batches):
         import pandas as pd
 
+        # Java's \s is ASCII-only; pandas .str.split() (no pattern)
+        # splits on Unicode whitespace — tokenize with the exact ASCII
+        # class so all hash_fn modes see identical windows
+        ws = " \t\n\x0b\f\r"
+        ws_re = "[" + ws + "]+"
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(empty)
                 continue
-            toks = pdf["_t"].str.split()
+            stripped = pdf["_t"].str.strip(ws)
+            toks = stripped.str.split(ws_re, regex=True)
             lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+            # an all-whitespace/empty text splits to [''] — zero tokens
+            lens[stripped.fillna("").eq("").to_numpy()] = 0
             keep = lens >= k
             if not keep.any():
                 yield pd.DataFrame(empty)
@@ -304,21 +345,25 @@ def _window_counts_arrow(df: DataFrame, text_col: str, id_col: str,
             keys = win @ pow_vec                   # uint64 wraparound fold
             starts = np.repeat(np.cumsum(ls) - ls, nw) + _starts(nw)
             wv = keys[starts]
-            dv = np.repeat(pdf["_id"][keep].to_numpy(), nw)
-            order = np.lexsort((wv, dv))
-            dv, wv = dv[order], wv[order]
-            first = np.empty(len(dv), dtype=bool)
+            # lexsort cannot order object (string-id) arrays — sort on
+            # factorized codes, emit the original values
+            ids_kept = pdf["_id"][keep].to_numpy()
+            codes, uniq = pd.factorize(ids_kept)
+            dcodes = np.repeat(codes, nw)
+            order = np.lexsort((wv, dcodes))
+            dcodes, wv = dcodes[order], wv[order]
+            first = np.empty(len(dcodes), dtype=bool)
             first[0] = True
-            first[1:] = (dv[1:] != dv[:-1]) | (wv[1:] != wv[:-1])
+            first[1:] = (dcodes[1:] != dcodes[:-1]) | (wv[1:] != wv[:-1])
             idx = np.flatnonzero(first)
             yield pd.DataFrame({
-                "_id": dv[idx],
+                "_id": np.asarray(uniq, dtype=object)[dcodes[idx]],
                 "_w": wv[idx].view(np.int64),
-                "_c": np.diff(np.append(idx, len(dv))),
+                "_c": np.diff(np.append(idx, len(dcodes))),
             })
 
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    return src.mapInPandas(_roll, "_id long, _w long, _c long")
+    return src.mapInPandas(_roll, f"_id {id_type}, _w long, _c long")
 
 
 MINHASH_P = 2_147_483_647
@@ -454,14 +499,22 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     s = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     nblocks = max_hamming + 1
     width = bits // nblocks
+    if width < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more blocks than bits={bits}")
+
+    def _block_key(i):
+        # width == 64 (max_hamming=0, exact-match bucketing): the mask
+        # literal (1<<64)-1 would overflow LongType — the full key IS the
+        # block, no mask needed
+        key = F.shiftright("simhash", i * width)
+        if width < 64:
+            key = key.bitwiseAND(F.lit((1 << width) - 1))
+        return F.struct(F.lit(i).alias("blk"), key.alias("key"))
+
     blocks = s.select(
         "id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("blk"),
-                     F.shiftright("simhash", i * width)
-                     .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
-            for i in range(nblocks)
-        ])).alias("bk"),
+        F.explode(F.array(*[_block_key(i) for i in range(nblocks)])).alias("bk"),
     ).select("id", "simhash", "bk.blk", "bk.key")
     a = blocks.select("blk", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = blocks.select("blk", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))

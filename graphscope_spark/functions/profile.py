@@ -40,13 +40,19 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None,
         aggs.append((F.countDistinct(sc) if exact
                      else F.approx_count_distinct(sc)).alias(f"_nd_{i}"))
         if c in numeric:
-            aggs.append(F.round(F.min(sc).cast("double") * 1e6)
-                        .cast("long").alias(f"_min_{i}"))
-            aggs.append(F.round(F.max(sc).cast("double") * 1e6)
-                        .cast("long").alias(f"_max_{i}"))
+            # clamp BEFORE the long cast: values above ~9.22e12 (e.g.
+            # epoch-micros timestamps) would overflow the x1e6 scaling —
+            # saturated garbage with ANSI off, CastOverflowException with
+            # ANSI on. Saturate to a sentinel just inside the long range.
+            def _micro(col):
+                r = F.round(col.cast("double") * 1e6)
+                return (F.least(F.greatest(r, F.lit(-9.2233720368547e18)),
+                                F.lit(9.2233720368547e18)).cast("long"))
+            aggs.append(_micro(F.min(sc)).alias(f"_min_{i}"))
+            aggs.append(_micro(F.max(sc)).alias(f"_max_{i}"))
             med = (F.expr(f"percentile({sc}, 0.5)") if exact
                    else F.expr(f"percentile_approx({sc}, 0.5)"))
-            aggs.append(F.round(med * 1e6).cast("long").alias(f"_med_{i}"))
+            aggs.append(_micro(med).alias(f"_med_{i}"))
         else:
             aggs.append(F.min(F.col(sc).cast("string")).alias(f"_min_{i}"))
             aggs.append(F.max(F.col(sc).cast("string")).alias(f"_max_{i}"))

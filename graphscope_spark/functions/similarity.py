@@ -218,8 +218,13 @@ def kmeans_centroids(df: DataFrame, ncentroids: int = 8, iters: int = 2,
     """
     q = df.select(F.col(id_col).alias("_id"),
                   quantize_vec(F.col(vec_col), scale).alias("_qv"))
+    # NULL embeddings cannot seed (or belong to) a cluster; an empty
+    # input must fail with a clear message, not an IndexError
+    q = q.filter(F.col("_qv").isNotNull())
     cents = [list(r["_qv"])
              for r in q.orderBy("_id").limit(ncentroids).collect()]
+    if not cents:
+        raise ValueError("kmeans_centroids: no non-null vectors in input")
     dim = len(cents[0])
     for _ in range(iters):
         sums = (

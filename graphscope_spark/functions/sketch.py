@@ -52,6 +52,10 @@ def hll_sketch(df: DataFrame, key_col: str, group_cols: list[str] | None = None,
         raise ValueError(f"p must be in [4, 16]: {p}")
     m, q = 1 << p, _HASH_BITS - p
     groups = list(group_cols or [])
+    # NULL keys: COUNT(DISTINCT) semantics ignore them — and the two hash
+    # modes would otherwise disagree (xxhash64(NULL)=seed counts a phantom
+    # value; sha2(NULL)=NULL emits a phantom NULL register with max rho)
+    df = df.filter(F.col(key_col).isNotNull())
     h = _hash60(F.col(key_col).cast("string"), hash_fn)
     w = F.shiftright(h, p)
     return (df.select(*groups,

@@ -85,9 +85,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         F.struct(
             _micros(F.col(right_ts)).alias("_rts"),
             *[F.col(c).alias("_v_" + c) for c in val_cols]).alias("_vrow"))
-    # a right row with a NULL timestamp can never be an as-of match
-    # (pandas merge_asof rejects them outright)
-    r2 = r2.filter(F.col("_ats").isNotNull())
+    # a right row with a NULL timestamp or NULL key can never be an
+    # as-of match (pandas merge_asof rejects NaT outright, and NULL keys
+    # must not equi-join — Window.partitionBy would group them together)
+    _key_ok = F.lit(True)
+    for k in keys:
+        _key_ok = _key_ok & F.col(k).isNotNull()
+    r2 = r2.filter(F.col("_ats").isNotNull() & _key_ok)
 
     u = l2.unionByName(r2.select(*l2.columns))
     # backward: right rows must be visible at equal ts → sort right (side
@@ -112,6 +116,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         ok = (F.abs(F.col("_ats") - F.col("_mts")) <= F.lit(tol))
     else:
         ok = F.col("_mts").isNotNull()
+    # a left row with a NULL timestamp sorts NULLS LAST under the forward
+    # scan (after every right row) and would fabricate a match; NULL-keyed
+    # left rows must not match the NULL "group" either
+    ok = ok & F.col("_ats").isNotNull() & _key_ok
 
     return matched.select(
         *[c for c in left.columns],

@@ -245,7 +245,9 @@ def hashed_logreg_score(df: DataFrame, weights: list[float],
         feats, F.lit(0.0),
         lambda acc, t: acc + F.element_at(warr, (_hash60(t, hash_fn) % nb
                                                  + 1).cast("int")))
-    n = F.size(feats)
+    # size(NULL) = -1: a NULL text must report 0 features, like
+    # unigram_logppl's empty-doc handling
+    n = F.greatest(F.size(feats), F.lit(0))
     score = F.when(n > 0, F.lit(float(bias)) + wsum / n) \
              .otherwise(F.lit(float(bias)))
     return df.select(

@@ -22,7 +22,8 @@ from pyspark.storagelevel import StorageLevel
 
 
 def assign_dense_ids(
-    df: DataFrame, oid_col: str, num_partitions: int, vid_col: str = "vid"
+    df: DataFrame, oid_col: str, num_partitions: int, vid_col: str = "vid",
+    aux: list | None = None,
 ) -> DataFrame:
     """Deterministically assign dense ids 0..n-1 to distinct ``oid_col``.
 
@@ -40,6 +41,8 @@ def assign_dense_ids(
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if aux is not None:  # let the caller free this intermediate cache
+        aux.append(d)
     counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -118,6 +121,9 @@ class LinkGraph:
         self._oriented_edges: DataFrame | None = None
         self._out_degrees: DataFrame | None = None
         self._und_degrees: DataFrame | None = None
+        # loader-side persisted intermediates (oid→vid map, dense-id
+        # stage) registered by factories so unpersist_all can free them
+        self._aux_cached: list[DataFrame] = []
 
     # ---- factories -------------------------------------------------------
 
@@ -138,7 +144,11 @@ class LinkGraph:
         build the oid→vid map, then broadcast-free join it onto both edge
         endpoints.
         """
-        num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+        # MUST default to the shuffle partition count, like the
+        # constructor: a defaultParallelism-partitioned edge cache gets
+        # silently re-exchanged every superstep whenever the two differ
+        num_partitions = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
         # per-side distinct BEFORE the union: the map-side combine of each
         # distinct dedupes the (wide, string) oid column early, so the
         # union that feeds the final distinct carries far fewer rows —
@@ -146,7 +156,10 @@ class LinkGraph:
         oids = oid_edges.select(F.col(src_col).alias("oid")).distinct().union(
             oid_edges.select(F.col(dst_col).alias("oid")).distinct()
         )
-        vmap = assign_dense_ids(oids, "oid", num_partitions).persist(StorageLevel.MEMORY_AND_DISK)
+        aux: list[DataFrame] = []
+        vmap = assign_dense_ids(oids, "oid", num_partitions, aux=aux) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        aux.append(vmap)
         e = (
             oid_edges.join(vmap.withColumnRenamed("vid", "src"), oid_edges[src_col] == vmap["oid"])
             .drop("oid")
@@ -164,7 +177,10 @@ class LinkGraph:
             e = e.union(
                 e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             ).distinct()
-        return cls(spark, e, vertices=vmap, directed=directed, num_partitions=num_partitions)
+        g = cls(spark, e, vertices=vmap, directed=directed,
+                num_partitions=num_partitions)
+        g._aux_cached.extend(aux)
+        return g
 
     # ---- basic stats (REPORT_GRAPH, reference grape_instance.cc:353-359) --
 
@@ -363,6 +379,6 @@ class LinkGraph:
     def unpersist_all(self) -> None:
         for df in (self.edges, self.vertices, self._sym_edges, self._und_edges,
                    self._dir_simple_edges, self._oriented_edges,
-                   self._out_degrees, self._und_degrees):
+                   self._out_degrees, self._und_degrees, *self._aux_cached):
             if df is not None:
                 df.unpersist()

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from graphscope_spark.functions.dedup import _hash60
 from graphscope_spark.graph import LinkGraph
-from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
+from graphscope_spark.runtime.superstep import (BROADCAST_CAP_ROWS,
+                                                SuperstepJob, SuperstepRunner)
 
 # FM bias correction (Flajolet–Martin 1985): E[2^R] = phi * n
 _PHI = 0.77351
@@ -91,10 +92,18 @@ class ANFJob(SuperstepJob):
             "vid", *[_fm_init(k, self.hash_fn) for k in range(self.num_trials)],
             F.lit(True).alias("changed"))
         return state, {"frontier": self.graph.num_vertices,
+                       "msgs": self.graph.num_vertices,
                        "nf": None, "sum_r": None}
 
     def step(self, state: DataFrame, step_no: int, scalars: dict):
-        sparse = scalars["frontier"] < self.sparse_threshold * self.graph.num_vertices
+        # gate the broadcast of the merged-register table on the observed
+        # message volume too: ANF rows carry num_trials 64-bit registers,
+        # so an O(V)-row broadcast would blow the 8GB limit long before a
+        # narrow WCC one would.
+        thr = self.sparse_threshold * self.graph.num_vertices
+        sparse = (scalars["frontier"] < thr
+                  and scalars.get("msgs", scalars["frontier"])
+                  < min(thr, BROADCAST_CAP_ROWS))
         hint = "broadcast" if sparse else "shuffle_hash"
         frontier = state.filter(F.col("changed")) \
             .select("vid", *self._mcols).hint(hint)
@@ -134,9 +143,12 @@ class ANFJob(SuperstepJob):
         nf, sum_r = self._nf_expr()
         new_state = (
             state.join(merged, state["vid"] == merged["src"], "left")
-            .select(state["vid"], *newm, changed.alias("changed"))
+            .select(state["vid"], *newm, changed.alias("changed"),
+                    F.col("o0").isNotNull().alias("_rcv"))
             .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"),
+                     F.sum(F.col("_rcv").cast("long")).alias("m"),
                      nf, sum_r)
+            .drop("_rcv")
         )
 
         def finalize(st: DataFrame):
@@ -146,6 +158,7 @@ class ANFJob(SuperstepJob):
             # so an edgeless/empty graph converges instead of crashing
             nf = vals["nf"]
             return ({"frontier": int(c),
+                     "msgs": int(vals["m"] or 0),
                      "nf": float(nf) if nf is not None else 0.0,
                      "sum_r": int(vals["sum_r"] or 0)}, c == 0)
 

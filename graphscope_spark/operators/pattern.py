@@ -39,23 +39,6 @@ from pyspark.sql import functions as F
 from graphscope_spark.graph import LinkGraph
 
 
-def _plan_order(pattern: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """Greedy connected ordering: each edge after the first shares ≥1
-    already-bound variable (raises on disconnected patterns)."""
-    remaining = list(pattern)
-    ordered = [remaining.pop(0)]
-    bound = set(ordered[0])
-    while remaining:
-        for i, (u, v) in enumerate(remaining):
-            if u in bound or v in bound:
-                ordered.append(remaining.pop(i))
-                bound.update((u, v))
-                break
-        else:
-            raise ValueError(f"pattern is disconnected: {pattern}")
-    return ordered
-
-
 def automorphism_count(pattern: list[tuple[str, str]],
                        directed: bool = False) -> int:
     """Number of variable permutations mapping the pattern edge set onto

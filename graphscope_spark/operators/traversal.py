@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import LinkGraph
-from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
+from graphscope_spark.runtime.superstep import (BROADCAST_CAP_ROWS,
+                                                SuperstepJob, SuperstepRunner)
 
 _INF = float("inf")
 
@@ -83,15 +84,12 @@ class SSSPJob(SuperstepJob):
             self.msg_edges = (graph.edges if graph.directed else graph.sym_edges()) \
                 .select("src", "dst", F.lit(1.0).alias("w"))
         else:
-            we = graph.edges.select(
+            # undirected LinkGraphs store both orientations (factory
+            # contract, enforced by from_oid_edges and the constructor's
+            # docs), each carrying the same properties — so the stored
+            # edge set already relaxes both ways; no re-mirroring
+            self.msg_edges = graph.edges.select(
                 "src", "dst", F.col(weight_col).cast("double").alias("w"))
-            if not graph.directed:
-                # stored undirected edges may hold one orientation per pair;
-                # relaxation must run both ways with the same weight
-                we = we.unionByName(
-                    we.select(F.col("dst").alias("src"),
-                              F.col("src").alias("dst"), "w"))
-            self.msg_edges = we
 
     def config(self) -> dict:
         return {"algo": self.name, "source": self.source,
@@ -125,7 +123,14 @@ class SSSPJob(SuperstepJob):
         return state, {"frontier": self.graph.num_vertices}
 
     def step(self, state: DataFrame, step_no: int, scalars: dict):
-        sparse = scalars["frontier"] < self.sparse_threshold * self.graph.num_vertices
+        # broadcast of the aggregated relax table is gated on BOTH the
+        # frontier count and the previous step's observed message volume:
+        # a tiny frontier of hubs can still emit O(V) distinct dsts, and
+        # a >8GB broadcast fails the job outright.
+        thr = self.sparse_threshold * self.graph.num_vertices
+        sparse = (scalars["frontier"] < thr
+                  and scalars.get("msgs", scalars["frontier"])
+                  < min(thr, BROADCAST_CAP_ROWS))
         hint = "broadcast" if sparse else "shuffle_hash"
         frontier = state.filter(F.col("changed")).select("vid", "dist").hint(hint)
         relax = (
@@ -141,13 +146,18 @@ class SSSPJob(SuperstepJob):
                 state["vid"],
                 F.least(state["dist"], F.coalesce("nd", state["dist"])).alias("dist"),
                 F.coalesce(F.col("nd") < state["dist"], F.lit(False)).alias("changed"),
+                F.col("nd").isNotNull().alias("_rcv"),
             )
-            .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"))
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"),
+                     F.sum(F.col("_rcv").cast("long")).alias("m"))
+            .drop("_rcv")
         )
 
         def finalize(st: DataFrame):
-            changed = obs.get["c"] or 0
-            return {"frontier": int(changed)}, changed == 0
+            vals = obs.get
+            changed = vals["c"] or 0
+            return ({"frontier": int(changed),
+                     "msgs": int(vals["m"] or 0)}, changed == 0)
 
         return new_state, finalize
 
@@ -178,7 +188,14 @@ class SSSPPathJob(SSSPJob):
     name = "sssp_path"
 
     def step(self, state: DataFrame, step_no: int, scalars: dict):
-        sparse = scalars["frontier"] < self.sparse_threshold * self.graph.num_vertices
+        # broadcast of the aggregated relax table is gated on BOTH the
+        # frontier count and the previous step's observed message volume:
+        # a tiny frontier of hubs can still emit O(V) distinct dsts, and
+        # a >8GB broadcast fails the job outright.
+        thr = self.sparse_threshold * self.graph.num_vertices
+        sparse = (scalars["frontier"] < thr
+                  and scalars.get("msgs", scalars["frontier"])
+                  < min(thr, BROADCAST_CAP_ROWS))
         hint = "broadcast" if sparse else "shuffle_hash"
         frontier = state.filter(F.col("changed")).select("vid", "dist").hint(hint)
         relax = (
@@ -198,13 +215,18 @@ class SSSPPathJob(SSSPJob):
                 F.when(better, F.col("cand.nd")).otherwise(state["dist"]).alias("dist"),
                 F.when(better, F.col("cand.par")).otherwise(state["parent"]).alias("parent"),
                 F.coalesce(better, F.lit(False)).alias("changed"),
+                F.col("cand").isNotNull().alias("_rcv"),
             )
-            .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"))
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"),
+                     F.sum(F.col("_rcv").cast("long")).alias("m"))
+            .drop("_rcv")
         )
 
         def finalize(st: DataFrame):
-            changed = obs.get["c"] or 0
-            return {"frontier": int(changed)}, changed == 0
+            vals = obs.get
+            changed = vals["c"] or 0
+            return ({"frontier": int(changed),
+                     "msgs": int(vals["m"] or 0)}, changed == 0)
 
         return new_state, finalize
 
@@ -246,7 +268,10 @@ class MSBFSJob(SuperstepJob):
 
     def __init__(self, graph: LinkGraph, sources: list[int], reverse: bool = False):
         self.graph = graph
-        self.sources = sorted(sources)
+        # dedupe: duplicate sources would seed duplicate depth-0 pair
+        # rows that survive to the final state and overcount r in
+        # closeness/eccentricity aggregates
+        self.sources = sorted({int(s) for s in sources})
         self.reverse = reverse
         e = graph.edges if graph.directed else graph.sym_edges()
         if reverse and graph.directed:
@@ -321,7 +346,8 @@ def closeness_centrality(graph: LinkGraph, sources: list[int] | None = None,
     n = graph.num_vertices
     # directed: BFS along REVERSED edges from v gives d(u → v), the
     # incoming distances NX closeness uses
-    d = msbfs(graph, resolve_sources(graph, sources), reverse=True)
+    d = msbfs(graph, resolve_sources(graph, sources), reverse=True,
+              runner=runner)
     agg = d.groupBy("source").agg(
         F.sum("depth").alias("totsp"), F.count("*").alias("r")
     )
@@ -400,11 +426,6 @@ def diameter_approx(graph: LinkGraph, num_pivots: int = 16,
     hash-sampled pivots (the reference's flash_diameter_approx,
     /root/reference/analytical_engine/apps/flash/measurement/
     diameter_approx.h, uses BFS from sampled sources the same way)."""
-    n = graph.num_vertices
-    pivots = [
-        r["vid"] for r in graph.vertices.select("vid")
-        .withColumn("h", F.pmod(F.xxhash64(F.col("vid") + seed), F.lit(max(1, n))))
-        .orderBy("h").limit(num_pivots).collect()
-    ]
+    pivots = sample_pivots(graph, num_pivots, seed)
     row = eccentricity(graph, sources=pivots).agg(F.max("ecc")).first()
     return int(row[0]) if row and row[0] is not None else 0

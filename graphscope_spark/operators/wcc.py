@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from graphscope_spark.graph import LinkGraph
 from graphscope_spark.runtime.salting import salted_min
-from graphscope_spark.runtime.superstep import SuperstepJob, SuperstepRunner
+from graphscope_spark.runtime.superstep import (BROADCAST_CAP_ROWS,
+                                                SuperstepJob, SuperstepRunner)
 
 
 class WCCJob(SuperstepJob):
@@ -75,10 +76,19 @@ class WCCJob(SuperstepJob):
                     F.lit(True).alias("changed"),
                 )
             )
-        return state, {"frontier": self.graph.num_vertices}
+        return state, {"frontier": self.graph.num_vertices,
+                       "msgs": self.graph.num_vertices}
 
     def step(self, state: DataFrame, step_no: int, scalars: dict):
-        sparse = scalars["frontier"] < self.sparse_threshold * self.graph.num_vertices
+        # sparse mode broadcasts the aggregated message table so the O(V)
+        # state side joins with NO exchange — but the messages of a small
+        # frontier of hubs can still be O(V) rows, so the gate needs BOTH
+        # the frontier count and the previous step's observed message
+        # volume under the threshold (plus an absolute row cap).
+        thr = self.sparse_threshold * self.graph.num_vertices
+        sparse = (scalars["frontier"] < thr
+                  and scalars.get("msgs", scalars["frontier"])
+                  < min(thr, BROADCAST_CAP_ROWS))
         hint = "broadcast" if sparse else "shuffle_hash"
         frontier = state.filter(F.col("changed")).select("vid", "comp").hint(hint)
         msgs = self.msg_edges.join(
@@ -94,13 +104,18 @@ class WCCJob(SuperstepJob):
                 state["vid"],
                 F.least(state["comp"], F.coalesce("mcomp", state["comp"])).alias("comp"),
                 (F.coalesce(F.col("mcomp") < state["comp"], F.lit(False))).alias("changed"),
+                F.col("mcomp").isNotNull().alias("_rcv"),
             )
-            .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"))
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("c"),
+                     F.sum(F.col("_rcv").cast("long")).alias("m"))
+            .drop("_rcv")
         )
 
         def finalize(st: DataFrame):
-            changed = obs.get["c"] or 0
-            return {"frontier": int(changed)}, changed == 0
+            vals = obs.get
+            changed = vals["c"] or 0
+            return ({"frontier": int(changed),
+                     "msgs": int(vals["m"] or 0)}, changed == 0)
 
         return new_state, finalize
 

@@ -192,7 +192,8 @@ class PropertyGraph:
         ``label:id``); isolated vertices from the vertex tables are kept,
         exactly like the reference fragment's full vertex map."""
         spark = self.spark
-        nparts = num_partitions or spark.sparkContext.defaultParallelism
+        nparts = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
         e = self._namespaced_edges()
         v_oids = None
         for lb, df in sorted(self._vertices.items()):
@@ -202,7 +203,8 @@ class PropertyGraph:
             e.select(F.col("dst_oid").alias("oid")).distinct())
         if v_oids is not None:
             oids = oids.union(v_oids.distinct())
-        vmap = assign_dense_ids(oids, "oid", nparts)
+        aux: list = []
+        vmap = assign_dense_ids(oids, "oid", nparts, aux=aux)
         edges = (
             e.join(vmap.withColumnRenamed("vid", "src"),
                    e["src_oid"] == vmap["oid"]).drop("oid")
@@ -215,8 +217,10 @@ class PropertyGraph:
             edges = edges.union(edges.select(F.col("dst").alias("src"),
                                              F.col("src").alias("dst"))) \
                 .distinct()
-        return LinkGraph(spark, edges, vertices=vmap,
-                         directed=self.directed, num_partitions=nparts)
+        g = LinkGraph(spark, edges, vertices=vmap,
+                      directed=self.directed, num_partitions=nparts)
+        g._aux_cached.extend(aux)
+        return g
 
     def project_to_simple(self, v_prop: str | None = None,
                           e_prop: str | None = None,
@@ -234,7 +238,8 @@ class PropertyGraph:
                 f"(have {self.vertex_labels} / {self.edge_labels}); "
                 "call project(...) first")
         spark = self.spark
-        nparts = num_partitions or spark.sparkContext.defaultParallelism
+        nparts = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
         (_, rels), = self._edges.items()
         e = rels[0][2]
         for _, _, df in rels[1:]:
@@ -246,7 +251,8 @@ class PropertyGraph:
         oids = e.select(F.col("src_oid").alias("oid")).distinct().union(
             e.select(F.col("dst_oid").alias("oid")).distinct()).union(
             vdf.select(F.col("id").alias("oid")).distinct())
-        vmap = assign_dense_ids(oids, "oid", nparts)
+        aux: list = []
+        vmap = assign_dense_ids(oids, "oid", nparts, aux=aux)
         edges = (
             e.join(vmap.withColumnRenamed("vid", "src"),
                    e["src_oid"] == vmap["oid"]).drop("oid")
@@ -265,5 +271,7 @@ class PropertyGraph:
             verts = vmap.join(
                 vdf.select(F.col("id").alias("oid"),
                            F.col(v_prop).alias("prop")), "oid", "left")
-        return LinkGraph(spark, edges, vertices=verts,
-                         directed=self.directed, num_partitions=nparts)
+        g = LinkGraph(spark, edges, vertices=verts,
+                      directed=self.directed, num_partitions=nparts)
+        g._aux_cached.extend(aux)
+        return g

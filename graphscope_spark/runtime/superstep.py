@@ -32,6 +32,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+# Absolute row cap for sparse-mode broadcast of an aggregated message
+# table: the relative (threshold * |V|) gate alone lets a 5%-of-2B-vertex
+# message set through, and wide-register states (ANF) hit the 8 GB
+# broadcast hard limit well before narrow ones. Jobs gate on
+# min(threshold * V, BROADCAST_CAP_ROWS).
+BROADCAST_CAP_ROWS = 8_000_000
+
 
 class SuperstepJob:
     """Base class for iterative algorithms.
@@ -93,7 +100,7 @@ class SuperstepRunner:
         self.partition_metrics = partition_metrics
         self.storage_level = storage_level
         self.history: list[StepMetrics] = []
-        self._ckpt_rdd_id: int | None = None  # live localCheckpoint block-RDD
+        self._ckpt_rdd_ids: list[int] = []  # live localCheckpoint block-RDDs
 
     # ---- localCheckpoint block management ---------------------------------
     #
@@ -101,18 +108,38 @@ class SuperstepRunner:
     # materialized (they belong to an internal RDD, not the Dataset cache),
     # so a naive loop leaks one state-sized block set per superstep. The
     # runner diffs the persistent-RDD registry around the checkpoint call
-    # and explicitly unpersists the previous iteration's block RDD.
+    # and explicitly unpersists the previous iteration's block RDDs.
+    #
+    # The diff is filtered to RDDs whose isLocallyCheckpointed() flag is
+    # set: the eager localCheckpoint action can ALSO materialize lazily
+    # registered Dataset caches (the init/reloaded state's persist(), a
+    # graph's edge cache on its first use), and those ids must be neither
+    # tracked (leaking the real block RDD) nor dropped (unpersisting a
+    # live shared cache mid-run).
 
     def _persistent_ids(self) -> set[int]:
         m = self.spark.sparkContext._jsc.getPersistentRDDs()
         return {int(k) for k in m.keySet().toArray()}
 
-    def _drop_rdd(self, rdd_id: int | None) -> None:
-        if rdd_id is None:
-            return
+    def _new_ckpt_ids(self, before: set[int]) -> list[int]:
         m = self.spark.sparkContext._jsc.getPersistentRDDs()
-        if m.containsKey(rdd_id):
-            m.get(rdd_id).unpersist(False)
+        out = []
+        for k in m.keySet().toArray():
+            kid = int(k)
+            if kid in before:
+                continue
+            try:
+                if m.get(kid).rdd().isLocallyCheckpointed():
+                    out.append(kid)
+            except Exception:
+                pass  # unknown RDD kind — leave it alone
+        return out
+
+    def _drop_rdds(self, rdd_ids: list[int]) -> None:
+        m = self.spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd_id in rdd_ids:
+            if m.containsKey(rdd_id):
+                m.get(rdd_id).unpersist(False)
 
     # ---- manifest helpers --------------------------------------------------
 
@@ -190,7 +217,7 @@ class SuperstepRunner:
         self.history = []
         # a previous run()'s final state may still be referenced by the
         # caller — start tracking fresh rather than dropping its blocks
-        self._ckpt_rdd_id = None
+        self._ckpt_rdd_ids = []
         start_step = 0
         last_ckpt: int | None = None
 
@@ -227,16 +254,16 @@ class SuperstepRunner:
                 raw_state, finalize = result
                 before = self._persistent_ids()
                 new_state = raw_state.localCheckpoint(eager=True)
-                new_ids = self._persistent_ids() - before
+                new_ids = self._new_ckpt_ids(before)
                 scalars, converged = finalize(new_state)
             else:  # legacy: job materialized (persisted) its own state
                 legacy_state, scalars, converged = result
                 before = self._persistent_ids()
                 new_state = legacy_state.localCheckpoint(eager=True)
-                new_ids = self._persistent_ids() - before
+                new_ids = self._new_ckpt_ids(before)
                 legacy_state.unpersist()
-            self._drop_rdd(self._ckpt_rdd_id)
-            self._ckpt_rdd_id = next(iter(new_ids), None)
+            self._drop_rdds(self._ckpt_rdd_ids)
+            self._ckpt_rdd_ids = new_ids
 
             checkpointed = False
             if self.checkpoint_dir and (
@@ -244,8 +271,8 @@ class SuperstepRunner:
             ):
                 scalars = dict(scalars, converged=bool(converged))
                 ckpt_state = self._write_checkpoint(job, new_state, step_no, scalars, last_ckpt)
-                self._drop_rdd(self._ckpt_rdd_id)
-                self._ckpt_rdd_id = None
+                self._drop_rdds(self._ckpt_rdd_ids)
+                self._ckpt_rdd_ids = []
                 new_state = ckpt_state
                 last_ckpt = step_no
                 checkpointed = True

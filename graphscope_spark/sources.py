@@ -84,7 +84,8 @@ def load_csv_graph(
     all_oids = verts.unionByName(
         edges.select(F.col("src_oid").alias("oid"))).unionByName(
         edges.select(F.col("dst_oid").alias("oid")))
-    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    nparts = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
     vmap = assign_dense_ids(all_oids, "oid", nparts)
     e = (
         edges.join(vmap.withColumnRenamed("vid", "src")
