@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import importlib.util
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -27,8 +28,13 @@ _spec.loader.exec_module(entry_mod)
 
 from pyspark.sql import SparkSession
 
-spark = (SparkSession.builder.master("local[32]")
-         .config("spark.sql.shuffle.partitions", "32")
+# GATE_CPUS / GATE_SHUFFLE let the same mirror run at a different
+# parallelism (partition-invariance evidence: the driver's own session may
+# not match our defaults, so values must not depend on partition count)
+_CPUS = os.environ.get("GATE_CPUS", "32")
+_SHUF = os.environ.get("GATE_SHUFFLE", "32")
+spark = (SparkSession.builder.master(f"local[{_CPUS}]")
+         .config("spark.sql.shuffle.partitions", _SHUF)
          .config("spark.driver.memory", "48g")
          .config("spark.ui.enabled", "false")
          .appName("time_gate").getOrCreate())
