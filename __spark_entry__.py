@@ -2691,12 +2691,15 @@ SELECT
 
 def _mis_sql(rounds: int = 6, prelude: str = _GRAPH_PRELUDE) -> str:
     """Luby-MIS unrolled; post-fixpoint rounds are no-ops (empty active
-    set ⇒ no winners ⇒ state unchanged)."""
+    set ⇒ no winners ⇒ state unchanged). Priority is the struct
+    (deg, vid) ascending — same order as the reference's deg·n + vid
+    for dense vids, and strictly unique for sparse vids (mirrors
+    operators/matching.py mis())."""
     out = [prelude + """,
 sdd AS MATERIALIZED (SELECT src, dst FROM sym GROUP BY src, dst),
 sdeg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM sdd GROUP BY src),
 m0 AS MATERIALIZED (
-  SELECT v.vid, COALESCE(d.deg, 0) * (SELECT CAST(n AS BIGINT) FROM params) + v.vid AS r,
+  SELECT v.vid, {'d': COALESCE(d.deg, 0), 'v': v.vid} AS r,
          FALSE AS in_mis, FALSE AS excluded
   FROM verts v LEFT JOIN sdeg d ON v.vid = d.vid)"""]
     for i in range(1, rounds + 1):
@@ -2792,27 +2795,35 @@ SELECT vid FROM (SELECT vid FROM cov{rounds} UNION SELECT vid FROM sweep)""")
 
 
 def _mds_sql(rounds: int = 16, prelude: str = _GRAPH_PRELUDE) -> str:
-    """2-hop (deg, vid)-max election dominating set, unrolled."""
+    """2-hop (deg, vid)-max election dominating set, unrolled. The
+    election priority is the RESIDUAL count of still-undominated
+    neighbors, recomputed each round (reference min-dominating-set.h
+    local2; at round 1 residual == full degree — mirrors
+    operators/matching.py min_dominating_set())."""
     out = [prelude + """,
 sdd AS MATERIALIZED (SELECT src, dst FROM sym GROUP BY src, dst),
-sdeg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM sdd GROUP BY src),
 d0 AS MATERIALIZED (
-  SELECT v.vid, COALESCE(d.deg, 0) AS deg, FALSE AS dominated, FALSE AS in_set
-  FROM verts v LEFT JOIN sdeg d ON v.vid = d.vid)"""]
+  SELECT v.vid, FALSE AS dominated, FALSE AS in_set FROM verts v)"""]
     for i in range(1, rounds + 1):
         p = f"d{i - 1}"
         out.append(f""",
-act{i}d AS (SELECT vid, deg FROM {p} WHERE NOT dominated),
+act{i}v AS (SELECT vid FROM {p} WHERE NOT dominated),
+ae{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM sdd e
+  WHERE e.src IN (SELECT vid FROM act{i}v)
+    AND e.dst IN (SELECT vid FROM act{i}v)),
+act{i}d AS (
+  SELECT a.vid, COALESCE(r.deg, 0) AS deg FROM act{i}v a
+  LEFT JOIN (SELECT src AS vid, COUNT(*) AS deg FROM ae{i} GROUP BY src) r
+  ON a.vid = r.vid),
 nb1_{i} AS (SELECT e.dst AS vid, MAX({{'d': s.deg, 'v': s.vid}}) AS nm
-  FROM sdd e JOIN act{i}d s ON e.src = s.vid
-  WHERE e.dst IN (SELECT vid FROM act{i}d) GROUP BY e.dst),
+  FROM ae{i} e JOIN act{i}d s ON e.src = s.vid GROUP BY e.dst),
 h1_{i} AS (SELECT a.vid,
     CASE WHEN n.nm IS NOT NULL AND n.nm > {{'d': a.deg, 'v': a.vid}}
          THEN n.nm ELSE {{'d': a.deg, 'v': a.vid}} END AS m
   FROM act{i}d a LEFT JOIN nb1_{i} n ON a.vid = n.vid),
 nb2_{i} AS (SELECT e.dst AS vid, MAX(h.m) AS nm
-  FROM sdd e JOIN h1_{i} h ON e.src = h.vid
-  WHERE e.dst IN (SELECT vid FROM act{i}d) GROUP BY e.dst),
+  FROM ae{i} e JOIN h1_{i} h ON e.src = h.vid GROUP BY e.dst),
 h2_{i} AS (SELECT a1.vid,
     CASE WHEN n.nm IS NOT NULL AND n.nm > a1.m THEN n.nm ELSE a1.m END AS m
   FROM h1_{i} a1 LEFT JOIN nb2_{i} n ON a1.vid = n.vid),
@@ -2821,7 +2832,7 @@ dom{i} AS (SELECT DISTINCT vid FROM (
   SELECT e.dst AS vid FROM sdd e JOIN win{i}d w ON e.src = w.vid
   UNION ALL SELECT vid FROM win{i}d)),
 d{i} AS MATERIALIZED (
-  SELECT s.vid, s.deg,
+  SELECT s.vid,
          s.dominated OR (dm.vid IS NOT NULL) AS dominated,
          s.in_set OR (w.vid IS NOT NULL) AS in_set
   FROM {p} s LEFT JOIN dom{i} dm ON s.vid = dm.vid

@@ -67,8 +67,10 @@ def _fake_decode(payload: bytes) -> dict:
 def decode_image_stub(media: DataFrame) -> DataFrame:
     """Batch decode via ``mapInPandas`` — Arrow transfers the binary
     column zero-copy per batch; the loop body is where a real decoder
-    (NOT in this container) would run. Raises NotImplementedError if the
-    caller asks for a real decode."""
+    (NOT in this container) would run. This stub always computes the
+    deterministic fake features; the guarded real-decode entry point is
+    ``real_decode``, which raises NotImplementedError while the codec
+    libraries are absent."""
 
     def decode(batches):
         for pdf in batches:

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import LinkGraph
 from graphscope_spark.operators.wcc import wcc
@@ -42,7 +41,7 @@ from graphscope_spark.runtime.truncate import Truncator
 def _bfs_forest(graph: LinkGraph, t: Truncator) -> tuple[DataFrame, int]:
     """Deterministic BFS spanning forest: (vid, depth, parent); roots
     (component min vid) have parent NULL. Returns (state, max_depth)."""
-    und = graph.und_edges().persist(StorageLevel.MEMORY_AND_DISK)
+    und = graph.und_edges()  # graph-lifetime cached; do not persist/unpersist
     comp = wcc(graph)  # comp label = min vid of the component
     state = t(comp.select(
         "vid",
@@ -73,7 +72,6 @@ def _bfs_forest(graph: LinkGraph, t: Truncator) -> tuple[DataFrame, int]:
         state = new_state.drop("chg")
         if grew == 0:
             break
-    und.unpersist()
     return state, depth - 1
 
 

@@ -50,9 +50,12 @@ def avg_clustering(graph: LinkGraph) -> float:
 def transitivity(graph: LinkGraph) -> float:
     """3·triangles / wedges (scalar)."""
     n_tri = triangle_list(graph).count()
-    wedges = graph.und_degrees().agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w")
+    # sum deg·(deg−1) as exact longs, halve in Python — SQL "/" is double
+    # division, which drops low-order bits once the sum exceeds 2^53
+    wedges2 = graph.und_degrees().agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1)).alias("w")
     ).first()["w"] or 0
+    wedges = int(wedges2) // 2
     return 3.0 * n_tri / float(wedges) if wedges else 0.0
 
 

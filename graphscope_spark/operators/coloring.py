@@ -61,6 +61,11 @@ def color(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
         state = new_state.drop("chg")
         if changed == 0:
             break
+    else:
+        # returning a mid-iteration state could violate the properness
+        # guarantee in the docstring — fail loudly like msf/core_numbers
+        raise RuntimeError(
+            f"color() did not converge within {max_rounds} rounds")
     return state.select("vid", F.col("c").alias("color"))
 
 

@@ -35,9 +35,14 @@ def _peel(edges: DataFrame, k: int, spark, t: Truncator | None = None) -> DataFr
     One driver action per round: the degree table is persisted and a
     single aggregate yields both the total and surviving vertex counts
     (the old two-``count()`` form doubled the job count of the whole
-    ascending-peel ``core_numbers`` loop)."""
+    ascending-peel ``core_numbers`` loop).
+
+    The incoming ``edges`` (usually the graph-lifetime cached
+    ``und_edges`` view) is used as-is — persisting/unpersisting it here
+    would evict the shared cache for every later operator on the graph;
+    pruned rounds are checkpointed by the Truncator, which also reclaims
+    each superseded round's blocks."""
     t = t or Truncator()
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     while True:
         deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist(
             StorageLevel.MEMORY_AND_DISK)
@@ -54,13 +59,16 @@ def _peel(edges: DataFrame, k: int, spark, t: Truncator | None = None) -> DataFr
             .select("src", "dst")
         )
         pruned = t(pruned, "peel_edges")
-        edges.unpersist()
         deg.unpersist()
         edges = pruned
 
 
 def kcore(graph: LinkGraph, k: int) -> DataFrame:
-    """Vertices of the k-core → (vid)."""
+    """Vertices of the k-core → (vid). The 0-core is every vertex
+    (isolated vertices included), matching ``core_numbers`` which
+    assigns them core 0."""
+    if k <= 0:
+        return graph.vertices.select("vid")
     surv = _peel(graph.und_edges(), k, graph.spark)
     return surv.select(F.col("src").alias("vid")).distinct()
 
@@ -83,7 +91,7 @@ def onion_layers(graph: LinkGraph) -> DataFrame:
     """
     t = Truncator()
     cores = truncate(core_numbers(graph))
-    und = graph.und_edges().persist(StorageLevel.MEMORY_AND_DISK)
+    und = graph.und_edges()  # graph-lifetime cached; do not persist/unpersist
     cs = cores.select(F.col("vid").alias("src"), F.col("core").alias("score"))
     cd = cores.select(F.col("vid").alias("dst"), F.col("core").alias("dcore"))
     ce = und.join(cs, "src").join(cd, "dst").persist(StorageLevel.MEMORY_AND_DISK)
@@ -129,8 +137,6 @@ def onion_layers(graph: LinkGraph) -> DataFrame:
         if i > 100_000:
             raise RuntimeError("onion_layers did not terminate")
     ce.unpersist()
-    und.unpersist()
-    from graphscope_spark.runtime.truncate import free_truncated
     free_truncated(cores)
     return state.select("vid", "layer")
 
@@ -177,7 +183,7 @@ def core_numbers(graph: LinkGraph) -> DataFrame:
     (~1000 sequential Spark jobs on a dense 1000-vertex co-purchase
     graph); the fixpoint replaces that with O(rounds) joins."""
     t = Truncator()
-    und = graph.und_edges().persist(StorageLevel.MEMORY_AND_DISK)
+    und = graph.und_edges()  # graph-lifetime cached; do not persist/unpersist
     deg = und.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("c"))
     state = t(
         graph.vertices.select("vid").join(deg, "vid", "left")
@@ -210,7 +216,6 @@ def core_numbers(graph: LinkGraph) -> DataFrame:
             break
     out = truncate(state.select("vid", F.col("c").alias("core")))
     t.close()
-    und.unpersist()
     return out
 
 

@@ -5,7 +5,11 @@ Reference semantics (synchronous, deterministic rebuilds):
   (/root/reference/analytical_engine/apps/flash/matching/mis.h:42-80):
   Luby-style with priority r = deg·n + vid (LOWEST r wins); each round
   the local-minimum vertices among undecided neighbors join the set and
-  their neighbors become excluded.
+  their neighbors become excluded. The rebuild orders by the STRUCT
+  (deg, vid) ascending — identical to r for the reference's dense ids
+  in [0, n), and still strictly unique (vid is unique) when vids are
+  sparse (e.g. after induce_subgraph), where the scalar form could tie
+  two adjacent vertices and stall the election.
 - maximal_matching: gs::MMFlash
   (/root/reference/analytical_engine/apps/flash/matching/mm.h:42-75):
   each unmatched vertex proposes to its MAX-id unmatched neighbor;
@@ -54,19 +58,20 @@ def _sym(graph: LinkGraph) -> DataFrame:
 
 
 def mis(graph: LinkGraph) -> DataFrame:
-    """(vid, in_mis) — a maximal independent set, priority (deg·n + vid)
-    ascending (deterministic)."""
+    """(vid, in_mis) — a maximal independent set, priority (deg, vid)
+    ascending (deterministic; strictly unique even for sparse vids)."""
     t = Truncator()
-    n = graph.num_vertices
     sym = _sym(graph).select("src", "dst").distinct() \
         .persist(StorageLevel.MEMORY_AND_DISK)
     deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
     state = t(
         graph.vertices.select("vid").join(deg, "vid", "left")
         .select("vid",
-                (F.coalesce("deg", F.lit(0)) * n + F.col("vid")).alias("r"),
+                F.struct(F.coalesce("deg", F.lit(0)).alias("deg"),
+                         F.col("vid").alias("vid")).alias("r"),
                 F.lit(False).alias("in_mis"), F.lit(False).alias("excluded")),
         "state")
+    prev_remaining = -1
     while True:
         active = state.filter(~F.col("in_mis") & ~F.col("excluded"))
         # min active-neighbor priority per active vertex
@@ -101,6 +106,9 @@ def mis(graph: LinkGraph) -> DataFrame:
         state = new_state.drop("chg")
         if remaining == 0:
             break
+        if remaining == prev_remaining:  # unique priorities guarantee progress
+            raise RuntimeError("mis() made no progress — priority collision?")
+        prev_remaining = remaining
     sym.unpersist()
     return state.select("vid", "in_mis")
 
@@ -212,28 +220,43 @@ def min_dominating_set(graph: LinkGraph,
                        max_rounds: int | None = None) -> DataFrame:
     """(vid) — parallel greedy dominating set: 2-hop (deg, vid)-max
     election among undominated vertices per round (``max_rounds`` caps
-    the rounds for the deterministic bounded contract variant)."""
+    the rounds for the deterministic bounded contract variant).
+
+    Per the reference's ``local2`` (min-dominating-set.h:85-90) the
+    election priority is the RESIDUAL count of still-undominated
+    neighbors, recomputed each round — at round 1 nothing is dominated,
+    so the residual count equals the full degree the reference's ``init``
+    uses, making per-round recomputation uniformly correct."""
     t = Truncator()
     sym = _sym(graph).select("src", "dst").distinct() \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
     state = t(
-        graph.vertices.select("vid").join(deg, "vid", "left")
-        .select("vid", F.coalesce("deg", F.lit(0)).alias("deg"),
-                F.lit(False).alias("dominated"), F.lit(False).alias("in_set")),
+        graph.vertices.select(
+            "vid", F.lit(False).alias("dominated"), F.lit(False).alias("in_set")),
         "state")
     rnd = 0
     while max_rounds is None or rnd < max_rounds:
         rnd += 1
-        active = state.filter(~F.col("dominated")).select("vid", "deg")
+        active = state.filter(~F.col("dominated")).select("vid")
         if active.isEmpty():
             break
-        # two max-propagation hops over undominated neighbors
-        cur = active.select("vid", F.struct("deg", F.col("vid").alias("mid")).alias("m"))
+        # edges with BOTH endpoints undominated: used for the residual
+        # degree and for the two max-propagation hops
+        act_edges = t(
+            sym.join(active.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .join(active.withColumnRenamed("vid", "dst"), "dst", "left_semi"),
+            "act")
+        rdeg = act_edges.groupBy(F.col("src").alias("vid")).agg(
+            F.count("*").alias("deg"))
+        cur = (
+            active.join(rdeg, "vid", "left")
+            .select("vid", F.struct(
+                F.coalesce("deg", F.lit(0)).alias("deg"),
+                F.col("vid").alias("mid")).alias("m"))
+        )
         for _ in range(2):
             nbr = (
-                sym.join(cur.withColumnRenamed("vid", "src"), "src")
-                .join(active.select(F.col("vid").alias("dst")), "dst", "left_semi")
+                act_edges.join(cur.withColumnRenamed("vid", "src"), "src")
                 .groupBy(F.col("dst").alias("vid")).agg(F.max("m").alias("nm"))
             )
             cur = (
@@ -251,10 +274,12 @@ def min_dominating_set(graph: LinkGraph,
             state
             .join(winners.withColumn("_w", F.lit(True)), "vid", "left")
             .join(dominated.withColumn("_d", F.lit(True)), "vid", "left")
-            .select("vid", "deg",
+            .select("vid",
                     (F.col("dominated") | F.col("_d").isNotNull()).alias("dominated"),
                     (F.col("in_set") | F.col("_w").isNotNull()).alias("in_set")),
             "state")
     sym.unpersist()
-    out = state.filter(F.col("in_set")).select("vid")
+    out = t(state.filter(F.col("in_set")).select("vid"), "out")
+    for slot in ("winners", "act", "state"):
+        t.free(slot)
     return out

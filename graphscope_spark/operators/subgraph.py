@@ -71,8 +71,10 @@ def diamond_count(graph: LinkGraph) -> int:
     """Number of diamonds (4-cycles with a chord), each counted once at
     its chord: Σ_edges C(p_e, 2)."""
     pe = _edge_common_neighbors(graph)
-    row = pe.agg(F.sum(F.col("p") * (F.col("p") - 1) / 2).alias("c")).first()
-    return int(row["c"] or 0)
+    # sum p·(p−1) as exact longs, halve in Python — SQL "/" is double
+    # division, which drops low-order bits once the sum exceeds 2^53
+    row = pe.agg(F.sum(F.col("p") * (F.col("p") - 1)).alias("c")).first()
+    return int(row["c"] or 0) // 2
 
 
 def tailed_triangle_count(graph: LinkGraph) -> int:
@@ -117,8 +119,8 @@ def rectangle_count(graph: LinkGraph) -> int:
         .select("u", "o")
     )
     w = wedges.groupBy("u", "o").agg(F.count("*").alias("w"))
-    row = w.agg(F.sum(F.col("w") * (F.col("w") - 1) / 2).alias("c")).first()
-    return int(row["c"] or 0)
+    row = w.agg(F.sum(F.col("w") * (F.col("w") - 1)).alias("c")).first()
+    return int(row["c"] or 0) // 2
 
 
 def subgraph_counts(graph: LinkGraph, k: int = 4) -> dict:
@@ -129,13 +131,13 @@ def subgraph_counts(graph: LinkGraph, k: int = 4) -> dict:
     (three separate pipelines fused into one)."""
     pe = _with_degrees(graph, _edge_common_neighbors(graph))
     row = pe.agg(
-        F.sum(F.col("p") * (F.col("p") - 1) / 2).alias("diamonds"),
+        F.sum(F.col("p") * (F.col("p") - 1)).alias("diamonds2"),
         F.sum(F.col("p") * ((F.col("dlo") - 2) + (F.col("dhi") - 2))).alias("tailed2"),
         F.sum((F.col("dlo") - 1) * (F.col("dhi") - 1) - F.col("p")).alias("paths"),
     ).first()
     return {
         "rectangles": rectangle_count(graph),
-        "diamonds": int(row["diamonds"] or 0),
+        "diamonds": int(row["diamonds2"] or 0) // 2,
         "tailed": int(row["tailed2"] or 0) // 2,
         "three_paths": int(row["paths"] or 0),
         f"k{k}_cliques": k_clique_count(graph, k),

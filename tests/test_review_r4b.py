@@ -1,0 +1,160 @@
+"""Regression tests for the second round-4 operator review sweep:
+
+- mis() must terminate (and stay a valid MIS) on SPARSE vids, where the
+  old scalar priority deg·n + vid could tie two adjacent vertices and
+  stall the election forever;
+- min_dominating_set() elects on the RESIDUAL undominated-neighbor
+  count each round (reference min-dominating-set.h local2), not the
+  frozen full-graph degree — checked against a pure-Python emulation of
+  the reference's synchronous schedule;
+- kcore(g, 0) includes isolated vertices and kshell(g, 0) returns
+  exactly the core-0 vertices, agreeing with core_numbers();
+- operators must NOT evict the graph-lifetime und_edges cache
+  (bridges/core_numbers/onion_layers used to persist+unpersist the
+  shared view);
+- color() raises on non-convergence instead of silently returning a
+  possibly improper coloring;
+- diamond/rectangle counts use exact integer math (spot-check K4).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+from tests.conftest import power_law_graph
+
+
+def _mk(spark, vertices, edges, parts=4):
+    return LinkGraph(
+        spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+        num_partitions=parts)
+
+
+def test_mis_sparse_vids_terminates(spark):
+    """vids {0, 3, 7} with edges 0-3, 0-7: under the old scalar priority
+    r = deg·n + vid (n = 3), r(0) = 6 == r(3) = 6 tied and no round ever
+    produced a winner. The struct (deg, vid) priority is strictly unique,
+    so the election always progresses."""
+    from graphscope_spark import mis
+
+    g = _mk(spark, [0, 3, 7], [(0, 3), (0, 7)])
+    got = {r["vid"]: r["in_mis"] for r in mis(g).collect()}
+    assert set(got) == {0, 3, 7}
+    sel = {v for v, m in got.items() if m}
+    # degree-ascending unique priority: 3 and 7 (deg 1) beat hub 0 (deg 2)
+    assert sel == {3, 7}
+    g.unpersist_all()
+
+
+def _ref_min_dominating_set(vertices, und):
+    """Pure-Python emulation of gs::MinDominatingSetFlash
+    (min-dominating-set.h:45-90): synchronous rounds; two max-(cnt, id)
+    propagation hops among undominated vertices, priority = residual
+    count of still-undominated neighbors; winners dominate N[v]."""
+    dominated = {v: False for v in vertices}
+    chosen = set()
+    active = set(vertices)
+    while active:
+        cnt = {v: sum(1 for u in und[v] if not dominated[u]) for v in active}
+        m = {v: (cnt[v], v) for v in active}
+        for _ in range(2):
+            nxt = {}
+            for v in active:
+                best = m[v]
+                for u in und[v]:
+                    if u in active and m[u] > best:
+                        best = m[u]
+                nxt[v] = best
+            m = nxt
+        winners = {v for v in active if m[v][1] == v}
+        chosen |= winners
+        for w in winners:
+            dominated[w] = True
+            for u in und[w]:
+                dominated[u] = True
+        active = {v for v in vertices if not dominated[v]}
+    return chosen
+
+
+def test_min_dominating_set_residual_degree(spark):
+    from graphscope_spark import min_dominating_set
+
+    vertices, edges = power_law_graph(n=40, m=120, seed=23, with_dangling=False)
+    und = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            und[u].add(v)
+            und[v].add(u)
+    g = _mk(spark, vertices, edges)
+    got = {r["vid"] for r in min_dominating_set(g).collect()}
+    want = _ref_min_dominating_set(vertices, und)
+    assert got == want
+    g.unpersist_all()
+
+
+def test_kcore0_and_kshell0_include_isolated(spark):
+    from graphscope_spark import core_numbers, kcore, kshell
+
+    g = _mk(spark, [1, 2, 3], [(1, 2)])
+    assert {r["vid"] for r in kcore(g, 0).collect()} == {1, 2, 3}
+    cores = {r["vid"]: r["core"] for r in core_numbers(g).collect()}
+    assert cores == {1: 1, 2: 1, 3: 0}
+    assert {r["vid"] for r in kshell(g, 0).collect()} == {3}
+    assert {r["vid"] for r in kshell(g, 1).collect()} == {1, 2}
+    g.unpersist_all()
+
+
+def test_operators_do_not_evict_shared_und_cache(spark):
+    """bridges/core_numbers/onion_layers run over the graph-lifetime
+    cached und_edges view; none of them may drop its cache (the old
+    persist+unpersist pair silently uncached it for every later
+    operator on the same graph)."""
+    from graphscope_spark import bridges, core_numbers, onion_layers
+
+    vertices, edges = power_law_graph(n=60, m=180, seed=11, with_dangling=False)
+    g = _mk(spark, vertices, edges)
+    und = g.und_edges()
+    assert und.storageLevel.useMemory or und.storageLevel.useDisk
+    core_numbers(g).count()
+    bridges(g).count()
+    onion_layers(g).count()
+    lvl = g.und_edges().storageLevel
+    assert lvl.useMemory or lvl.useDisk, "shared und_edges cache was evicted"
+    g.unpersist_all()
+
+
+def test_color_raises_on_non_convergence(spark):
+    from graphscope_spark import color
+
+    g = _mk(spark, [0, 1, 2, 3, 4], [(0, 1), (1, 2), (2, 3), (3, 4)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        color(g, max_rounds=1)
+    # and converges to a proper coloring when given enough rounds
+    got = {r["vid"]: r["color"] for r in color(g).collect()}
+    for u, v in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+        assert got[u] != got[v]
+    g.unpersist_all()
+
+
+def test_diamond_rectangle_exact_integer_math(spark):
+    from graphscope_spark.operators.subgraph import (
+        diamond_count,
+        rectangle_count,
+        subgraph_counts,
+    )
+
+    # K4: every edge has p = 2 common neighbors → 6·C(2,2) = 6 diamonds;
+    # 3 distinct 4-cycles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    g = _mk(spark, list(range(4)), k4)
+    assert diamond_count(g) == 6
+    assert rectangle_count(g) == 3
+    counts = subgraph_counts(g)
+    assert counts["diamonds"] == 6
+    assert counts["rectangles"] == 3
+    g.unpersist_all()
