@@ -4525,6 +4525,129 @@ SELECT u.vec_id, COALESCE(c.cluster, u.vec_id) AS cluster,
 FROM univ u LEFT JOIN comp c ON u.vec_id = c.id"""
 
 
+def _q_betweenness_exact(spark, sf_dir):
+    """Exact Brandes betweenness (all sources, unnormalized, undirected) on
+    the small co-purchase graph — the batched multi-source engine's full
+    value contract (forward sigma counting AND backward dependency
+    accumulation). Reference: gs::BetweennessCentrality
+    (analytical_engine/apps/centrality/betweenness/
+    betweenness_centrality.h:40-80)."""
+    from graphscope_spark.operators.betweenness import betweenness_centrality
+
+    g = _tri_graph_small_und(spark, sf_dir)
+    bc = betweenness_centrality(g, sources="all", normalized=False)
+    return bc.select(
+        "vid", F.round(F.col("betweenness") * 1e6).cast("long").alias("bc_micro"))
+
+
+def _betweenness_sql(depth: int = 8) -> str:
+    """Unrolled Brandes in plain SQL: level-synchronous BFS from every
+    vertex (lev{k} = new frontier with path counts, vis{k} = cumulative
+    visited set), then dependency accumulation swept from the deepest
+    level down (del{d}). ``depth`` must be >= the graph diameter (4 at
+    sf0.01, 1 at sf0.001); levels past it are empty and harmless. All
+    CTEs MATERIALIZED so the doubly-referenced levels evaluate once."""
+    parts = [f"""WITH eraw AS MATERIALIZED ({_TRI_EDGES_SMALL_SQL}),
+edges AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM eraw UNION ALL SELECT dst, src FROM eraw),
+verts AS MATERIALIZED (SELECT DISTINCT u AS vid FROM edges),
+lev0 AS MATERIALIZED (
+  SELECT vid AS s, vid AS v, 0 AS d, CAST(1 AS DOUBLE) AS sigma FROM verts),
+vis0 AS MATERIALIZED (SELECT s, v FROM lev0)"""]
+    for k in range(1, depth + 1):
+        parts.append(f"""lev{k} AS MATERIALIZED (
+  SELECT p.s, e.v, {k} AS d, SUM(p.sigma) AS sigma
+  FROM lev{k - 1} p JOIN edges e ON e.u = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{k - 1} x WHERE x.s = p.s AND x.v = e.v)
+  GROUP BY p.s, e.v)""")
+        parts.append(f"""vis{k} AS MATERIALIZED (
+  SELECT s, v FROM vis{k - 1} UNION ALL SELECT s, v FROM lev{k})""")
+    parts.append("lev AS MATERIALIZED (" + " UNION ALL ".join(
+        f"SELECT * FROM lev{k}" for k in range(depth + 1)) + ")")
+    # backward: delta(v) = sum over depth-(d+1) neighbors w of
+    # sigma(v)/sigma(w) * (1 + delta(w)); delta at the deepest level is 0
+    parts.append(f"""del{depth} AS MATERIALIZED (
+  SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM lev WHERE d = {depth})""")
+    for d in range(depth - 1, 0, -1):
+        parts.append(f"""del{d} AS MATERIALIZED (
+  SELECT lo.s, lo.v,
+         SUM(lo.sigma / hi.sigma * (1 + COALESCE(dw.delta, 0))) AS delta
+  FROM (SELECT * FROM lev WHERE d = {d}) lo
+  JOIN edges e ON e.u = lo.v
+  JOIN (SELECT * FROM lev WHERE d = {d + 1}) hi ON hi.s = lo.s AND hi.v = e.v
+  LEFT JOIN del{d + 1} dw ON dw.s = hi.s AND dw.v = hi.v
+  GROUP BY lo.s, lo.v)""")
+    parts.append("alldel AS MATERIALIZED (" + " UNION ALL ".join(
+        f"SELECT * FROM del{d}" for d in range(1, depth + 1)) + ")")
+    # d >= 1 everywhere in alldel, so the source's own (s, s, 0) row never
+    # contributes (Brandes' w != s endpoint exclusion); undirected => / 2
+    return ",\n".join(parts) + """
+SELECT vt.vid,
+       CAST(ROUND(COALESCE(SUM(a.delta), 0) / 2 * 1e6) AS BIGINT) AS bc_micro
+FROM verts vt LEFT JOIN alldel a ON a.v = vt.vid
+GROUP BY vt.vid"""
+
+
+def _q_lpa_u2i_3r(spark, sf_dir):
+    """LPA-U2I (weighted bipartite multi-property diffusion) for one full
+    u2i + i2u cycle on the supplier-part purchase graph: p0 mixes clamped
+    {0,1} seeds with continuous ones (exercising the reference's seed
+    clamp, lpa_u2i.h:219-222), p1 is fully continuous. Reference:
+    gs::LPAU2I (analytical_engine/apps/lpa/lpa_u2i.h:28-250)."""
+    from graphscope_spark.operators.lpa_u2i import lpa_u2i
+
+    sup = _t(spark, sf_dir, "supplier")
+    u = sup.select(
+        F.col("s_suppkey").alias("vid"),
+        F.when(F.col("s_nationkey") < 5,
+               (F.col("s_nationkey") % 2).cast("double"))
+        .otherwise(F.col("s_acctbal").cast("double") / 10000.0).alias("p0"),
+        (F.col("s_acctbal").cast("double") / 1000.0).alias("p1"))
+    li = _t(spark, sf_dir, "lineitem")
+    e = (li.groupBy(F.col("l_suppkey").alias("src"),
+                    F.col("l_partkey").alias("dst"))
+         .agg(F.sum(F.col("l_quantity").cast("double")).alias("weight")))
+    out = lpa_u2i(spark, u, e, ["p0", "p1"], max_round=3)
+    return out.select(
+        "vid",
+        F.round(F.col("p0") * 1e6).cast("long").alias("p0_micro"),
+        F.round(F.col("p1") * 1e6).cast("long").alias("p1_micro"))
+
+
+def _lpa_u2i_sql() -> str:
+    """One unrolled u2i + i2u LPA-U2I cycle (steps 2 and 3) in SQL,
+    mirroring operators/lpa_u2i.py: ilab = weighted seed pull per item,
+    tmp = weighted pull-back per user, then the reference's update
+    (tmp - od*p) / (nsum - od) guarded by the {0,1} seed clamp and the
+    nsum == od degenerate case."""
+    upd = ("CASE WHEN {p} IN (0.0, 1.0) OR c.od IS NULL OR c.nsum = c.od "
+           "THEN {p} ELSE (COALESCE(t.{t}, 0) - c.od * {p}) / (c.nsum - c.od) END")
+    return f"""WITH e AS MATERIALIZED (
+  SELECT l_suppkey AS u, l_partkey AS i,
+         SUM(CAST(l_quantity AS DOUBLE)) AS w
+  FROM lineitem GROUP BY 1, 2),
+u0 AS MATERIALIZED (
+  SELECT s_suppkey AS u,
+         CASE WHEN s_nationkey < 5 THEN CAST(s_nationkey % 2 AS DOUBLE)
+              ELSE CAST(s_acctbal AS DOUBLE) / 10000.0 END AS p0,
+         CAST(s_acctbal AS DOUBLE) / 1000.0 AS p1
+  FROM supplier),
+ideg AS (SELECT i, COUNT(*) AS idg FROM e GROUP BY i),
+consts AS MATERIALIZED (
+  SELECT e.u, COUNT(*) AS od, SUM(ideg.idg) AS nsum
+  FROM e JOIN ideg USING (i) GROUP BY e.u),
+ilab AS MATERIALIZED (
+  SELECT e.i, SUM(u0.p0 * e.w) AS q0, SUM(u0.p1 * e.w) AS q1
+  FROM e JOIN u0 USING (u) GROUP BY e.i),
+tmp AS MATERIALIZED (
+  SELECT e.u, SUM(ilab.q0 * e.w) AS t0, SUM(ilab.q1 * e.w) AS t1
+  FROM e JOIN ilab USING (i) GROUP BY e.u)
+SELECT u0.u AS vid,
+       CAST(ROUND(({upd.format(p='u0.p0', t='t0')}) * 1e6) AS BIGINT) AS p0_micro,
+       CAST(ROUND(({upd.format(p='u0.p1', t='t1')}) * 1e6) AS BIGINT) AS p1_micro
+FROM u0 LEFT JOIN consts c ON c.u = u0.u LEFT JOIN tmp t ON t.u = u0.u"""
+
+
 # Gate-window rotation control: the driver's correctness gate records rows
 # for only the FIRST 50 queries() entries per round, so which queries get
 # fresh evidence is purely an ordering question.  When _WINDOW_ORDER is
@@ -4720,6 +4843,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "semdedup_keep": _q_semdedup,
         "bpe_encode_docs": _q_bpe_encode,
+        # --- new in late r04 (betweenness + LPA-U2I had pytest-only
+        # evidence until now); window them FIRST in r05 ---
+        "betweenness_exact": _q_betweenness_exact,
+        "lpa_u2i_3r": _q_lpa_u2i_3r,
     })
 
 
@@ -5739,4 +5866,6 @@ def oracle_sql() -> dict[str, str]:
         "mixture_plan": _mixture_plan_sql(),
         "semdedup_keep": _semdedup_sql(),
         "bpe_encode_docs": _bpe_encode_sql(rounds=3),
+        "betweenness_exact": _betweenness_sql(depth=8),
+        "lpa_u2i_3r": _lpa_u2i_sql(),
     })
