@@ -6,9 +6,11 @@ computes the MSF weight by local Kruskal + a sequential merge reduction —
 a shape that caps out at one worker's memory. The rebuild uses Borůvka
 rounds instead, the textbook data-parallel MSF: every component picks its
 minimum outgoing edge (one aggregation), the picked edges join the
-forest, and components contract (HashMin fixpoint over the picked-edge
-graph, which is at most one edge per component and shrinks the component
-count ≥ 2× per round → O(log V) rounds of O(E) work).
+forest, and components contract by pointer doubling over the picked-edge
+pseudo-forest (exactly one pick per component, cycles only of length 2 —
+rooted at the smaller member — so doubling reaches every root in
+O(log depth) inner rounds) → O(log V) outer rounds of O(E) work, with
+termination tests riding the materializations as observed metrics.
 
 Determinism / correctness: edges are totally ordered by
 (weight, min_endpoint, max_endpoint), so equal weights cannot form
@@ -17,7 +19,7 @@ cycles (the classic tie-breaking argument) and the forest is unique.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -52,64 +54,83 @@ def minimum_spanning_forest(graph: LinkGraph,
         guard += 1
         if guard > 64:
             raise RuntimeError("boruvka did not terminate")
-        # relabel endpoints by current component
+        # relabel endpoints by current component; the cross-component edge
+        # count rides the materialization as an observed metric, so the
+        # termination test costs no extra job
+        obs = Observation()
         ec = (
             edges.join(comp.select(F.col("vid").alias("src"),
                                    F.col("comp").alias("cs")), "src")
             .join(comp.select(F.col("vid").alias("dst"),
                               F.col("comp").alias("cd")), "dst")
             .filter(F.col("cs") != F.col("cd"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         ec = t(ec, "ec")
-        if ec.isEmpty():
+        if int(obs.get["n"]) == 0:
             break
-        # min outgoing edge per component (total order kills weight ties)
+        # min outgoing edge per component (total order kills weight ties);
+        # the picking component c is kept — it seeds the parent pointers
         cand = F.struct("w", "src", "dst", "cs", "cd")
         picks = (
             ec.select(F.col("cs").alias("c"), cand.alias("e"))
             .unionByName(ec.select(F.col("cd").alias("c"), cand.alias("e")))
             .groupBy("c").agg(F.min("e").alias("e"))
-            .select("e.w", "e.src", "e.dst", "e.cs", "e.cd")
-            .distinct()
+            .select("c", "e.w", "e.src", "e.dst", "e.cs", "e.cd")
         )
         picks = t(picks, "picks")
-        forest_piece = picks.select("src", "dst", F.col("w").alias("weight"))
-        forest = forest_piece if forest is None \
-            else forest.unionByName(forest_piece)
-        forest = t(forest, "forest")
-        # contract: HashMin fixpoint over the picked component pairs
-        # (≤ 1 edge per component; ≤ log V inner rounds)
-        pairs = picks.select(F.col("cs").alias("a"), F.col("cd").alias("b"))
-        pairs = pairs.unionByName(pairs.select(F.col("b").alias("a"),
-                                               F.col("a").alias("b")))
-        lab = t(picks.select(F.col("cs").alias("c")).unionByName(
-            picks.select(F.col("cd").alias("c"))).distinct()
-            .select("c", F.col("c").alias("lab")), "lab")
+        # mutual picks contribute the same edge twice — dedup for the forest.
+        # Each round's piece is truncated ONCE and the pieces union lazily:
+        # rewriting the accumulated forest every round would write O(k²)
+        # rows over k rounds (and burn one extra job per round)
+        piece = t(picks.select("src", "dst",
+                               F.col("w").alias("weight")).distinct(),
+                  f"piece{guard}")
+        forest = piece if forest is None else forest.unionByName(piece)
+        # contract via pointer doubling: each participating component's
+        # parent is the far endpoint of its own pick.  The picked graph is
+        # a functional pseudo-forest whose only cycles are 2-cycles
+        # (mutual minimum edges — the total order forbids longer cycles),
+        # so rooting the smaller member of each 2-cycle and then doubling
+        # (p <- parent(p)) reaches every root in O(log depth) rounds —
+        # exponentially faster than the one-hop-per-round HashMin this
+        # replaces when contraction chains are long.
+        par = picks.select(
+            "c", F.when(F.col("cs") == F.col("c"), F.col("cd"))
+                  .otherwise(F.col("cs")).alias("p"))
+        gp = par.select(F.col("c").alias("_jc"), F.col("p").alias("_jp"))
+        par = t(
+            par.join(gp.withColumnRenamed("_jc", "c2").withColumnRenamed(
+                "_jp", "gp2"), F.col("p") == F.col("c2"))
+            .filter(F.col("c") == F.col("gp2"))  # 2-cycle membership
+            .select("c", F.least("c", "p").alias("p"))
+            .unionByName(
+                par.join(gp.withColumnRenamed("_jc", "c3").withColumnRenamed(
+                    "_jp", "gp3"),
+                    (F.col("p") == F.col("c3")) & (F.col("c") == F.col("gp3")),
+                    "left_anti")
+                .select("c", "p")),
+            "par")
         while True:
-            msgs = (
-                pairs.join(lab.withColumnRenamed("c", "a")
-                           .withColumnRenamed("lab", "alab"), "a")
-                .groupBy(F.col("b").alias("c")).agg(F.min("alab").alias("mlab"))
-            )
-            new_lab = (
-                lab.join(msgs, "c", "left")
-                .select("c", F.least("lab", F.coalesce("mlab", "lab")).alias("lab"),
-                        F.coalesce(F.col("mlab") < F.col("lab"), F.lit(False))
-                        .alias("chg"))
-            )
-            new_lab = t(new_lab, "lab")
-            changed = new_lab.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
-            lab = new_lab.drop("chg")
-            if changed == 0:
+            dobs = Observation()
+            hop = par.select(F.col("c").alias("_pc"), F.col("p").alias("_pp"))
+            par = t(
+                par.join(hop, F.col("p") == F.col("_pc"))
+                .observe(dobs, F.sum((F.col("_pp") != F.col("p"))
+                                     .cast("long")).alias("chg"))
+                .select("c", F.col("_pp").alias("p")),
+                "par")
+            if int(dobs.get["chg"] or 0) == 0:
                 break
         comp = t(
-            comp.join(lab.withColumnRenamed("c", "comp"), "comp", "left")
-            .select("vid", F.coalesce("lab", F.col("comp")).alias("comp")),
+            comp.join(par.withColumnRenamed("c", "comp"), "comp", "left")
+            .select("vid", F.coalesce("p", F.col("comp")).alias("comp")),
             "comp",
         )
     out = t(forest, "out") if forest is not None else \
         graph.spark.createDataFrame([], "src LONG, dst LONG, weight DOUBLE")
-    for slot in ("edges", "comp", "ec", "picks", "forest", "lab"):
+    for slot in ("edges", "comp", "ec", "picks", "par",
+                 *(f"piece{k}" for k in range(1, guard + 1))):
         t.free(slot)
     return out
 

@@ -370,3 +370,40 @@ def test_load_csv_graph(spark, tmp_path):
     assert g.num_edges == 4
     comps = wcc(g)
     assert comps.select("comp").distinct().count() == 3  # abc, xy, z
+
+def test_msf_long_chain_contraction(spark):
+    """Ascending weights along a path make every component's pick point at
+    its lower neighbor — one Borůvka round must contract a depth-(n-1)
+    parent chain (the pointer-doubling worst case; HashMin needed n rounds
+    here). The forest is the whole path."""
+    from graphscope_spark import minimum_spanning_forest
+
+    n = 12
+    weighted = [(i, i + 1, float(i + 1)) for i in range(n - 1)]
+    df = spark.createDataFrame(weighted, "src LONG, dst LONG, w DOUBLE")
+    g = LinkGraph(spark, df,
+                  vertices=spark.createDataFrame([(v,) for v in range(n)],
+                                                 "vid LONG"),
+                  directed=True, num_partitions=4)
+    got = {(r["src"], r["dst"], r["weight"])
+           for r in minimum_spanning_forest(g, "w").collect()}
+    assert got == set(weighted)
+
+
+def test_msf_mutual_pick_pairs_only(spark):
+    """Disjoint cheap pairs plus expensive cross edges: round one is all
+    2-cycles (mutual picks) — the rooting branch alone must contract."""
+    from graphscope_spark import minimum_spanning_forest, msf_weight
+
+    pairs = [(2 * i, 2 * i + 1, 1.0 + i * 0.001) for i in range(5)]
+    cross = [(2 * i + 1, 2 * i + 2, 100.0 + i) for i in range(4)]
+    weighted = pairs + cross
+    df = spark.createDataFrame(weighted, "src LONG, dst LONG, w DOUBLE")
+    g = LinkGraph(spark, df,
+                  vertices=spark.createDataFrame([(v,) for v in range(10)],
+                                                 "vid LONG"),
+                  directed=True, num_partitions=4)
+    got = {(r["src"], r["dst"]) for r in minimum_spanning_forest(g, "w").collect()}
+    assert got == {(u, v) for u, v, _ in weighted}  # tree: all 9 edges
+    assert abs(msf_weight(g, "w")
+               - sum(w for _, _, w in weighted)) < 1e-9
