@@ -4580,12 +4580,22 @@ vis0 AS MATERIALIZED (SELECT s, v FROM lev0)"""]
     parts.append("alldel AS MATERIALIZED (" + " UNION ALL ".join(
         f"SELECT * FROM del{d}" for d in range(1, depth + 1)) + ")")
     # d >= 1 everywhere in alldel, so the source's own (s, s, 0) row never
-    # contributes (Brandes' w != s endpoint exclusion); undirected => / 2
-    return ",\n".join(parts) + """
+    # contributes (Brandes' w != s endpoint exclusion); undirected => / 2.
+    # The trailing sentinel makes depth-truncation LOUD: if the deepest
+    # level could still expand (= lev{depth+1} would be non-empty), an
+    # extra (-1, -1) row forces a row-count mismatch instead of a silently
+    # undercounted oracle.
+    return ",\n".join(parts) + f"""
 SELECT vt.vid,
        CAST(ROUND(COALESCE(SUM(a.delta), 0) / 2 * 1e6) AS BIGINT) AS bc_micro
 FROM verts vt LEFT JOIN alldel a ON a.v = vt.vid
-GROUP BY vt.vid"""
+GROUP BY vt.vid
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+WHERE EXISTS (
+  SELECT 1 FROM lev{depth} l JOIN edges e ON e.u = l.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{depth} x
+                    WHERE x.s = l.s AND x.v = e.v))"""
 
 
 def _q_lpa_u2i_3r(spark, sf_dir):

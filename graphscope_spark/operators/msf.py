@@ -98,18 +98,14 @@ def minimum_spanning_forest(graph: LinkGraph,
         par = picks.select(
             "c", F.when(F.col("cs") == F.col("c"), F.col("cd"))
                   .otherwise(F.col("cs")).alias("p"))
+        # every parent is itself a picking component, so one total join
+        # finds each row's grandparent; gp == c marks the 2-cycle members
         gp = par.select(F.col("c").alias("_jc"), F.col("p").alias("_jp"))
         par = t(
-            par.join(gp.withColumnRenamed("_jc", "c2").withColumnRenamed(
-                "_jp", "gp2"), F.col("p") == F.col("c2"))
-            .filter(F.col("c") == F.col("gp2"))  # 2-cycle membership
-            .select("c", F.least("c", "p").alias("p"))
-            .unionByName(
-                par.join(gp.withColumnRenamed("_jc", "c3").withColumnRenamed(
-                    "_jp", "gp3"),
-                    (F.col("p") == F.col("c3")) & (F.col("c") == F.col("gp3")),
-                    "left_anti")
-                .select("c", "p")),
+            par.join(gp, F.col("p") == F.col("_jc"))
+            .select("c", F.when(F.col("_jp") == F.col("c"),
+                                F.least("c", "p"))
+                    .otherwise(F.col("p")).alias("p")),
             "par")
         while True:
             dobs = Observation()
