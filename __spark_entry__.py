@@ -4668,6 +4668,65 @@ FROM u0 LEFT JOIN consts c ON c.u = u0.u LEFT JOIN tmp t ON t.u = u0.u"""
 # Empty list = the dict-literal order below stands as-is (the r04 window).
 _WINDOW_ORDER: list[str] = []
 
+# Prepared r05 rotation: the exactly-50 queries that will still lack a
+# driver CORRECTNESS row after r04's window lands (betweenness_exact and
+# lpa_u2i_3r included).  Round 5 flips ONE line — `_WINDOW_ORDER[:] =
+# _R05_WINDOW` — after r04's gate has run; do NOT flip it before then or
+# the r04 window burns.
+_R05_WINDOW: list[str] = [
+    "ktruss_4_2r",
+    "link_pred_edges",
+    "tfidf_top3",
+    "bm25_top10",
+    "pii_redact",
+    "license_detect",
+    "code_quality_flags",
+    "vendored_docs",
+    "repetition_stats",
+    "dup_spans",
+    "unigram_logppl",
+    "node2vec_walks_3",
+    "skipgram_pairs",
+    "bpe_merges_3",
+    "pagerank_weighted_3iter",
+    "funnel_levels",
+    "retention_weekly",
+    "profile_lineitem",
+    "chunk_docs",
+    "event_transitions",
+    "asof_last_view",
+    "interval_clicks",
+    "rel_rollup",
+    "rel_cube",
+    "hll_users",
+    "iceberg_roundtrip",
+    "iceberg_time_travel",
+    "iceberg_maintenance",
+    "ecc_20src",
+    "apsp_20src",
+    "has_path_4",
+    "simple_path_checks",
+    "dfs_tree",
+    "pregel_wcc",
+    "graphar_roundtrip",
+    "csv_graph_degree",
+    "core_numbers",
+    "kshell_max",
+    "degeneracy",
+    "sssp_path_8r",
+    "all_simple_paths_4",
+    "path_expand_paths",
+    "neighbor_sample_2hop",
+    "negative_edges_k2",
+    "quality_logreg",
+    "mixture_plan",
+    "semdedup_keep",
+    "bpe_encode_docs",
+    "betweenness_exact",
+    "lpa_u2i_3r",
+]
+
+
 
 def _apply_window_order(base: dict) -> dict:
     if not _WINDOW_ORDER:
