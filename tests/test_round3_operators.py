@@ -224,3 +224,67 @@ def test_degeneracy_is_max_core(spark, g60):
     g, _, _ = g60
     cores = [r["core"] for r in core_numbers(g).collect()]
     assert degeneracy(g) == max(cores)
+
+
+def test_pattern_count_fuzz_vs_bruteforce(spark):
+    """Randomized pattern-compiler fuzz: random connected 3-4 variable
+    patterns (directed and undirected) against an independent brute-force
+    count (injective homomorphisms via permutations / an independently
+    computed automorphism count)."""
+    import itertools as it
+
+    from graphscope_spark import LinkGraph, pattern_count
+
+    rnd = random.Random(1234)
+    n = 12
+    edges = set()
+    while len(edges) < 25:
+        u, v = rnd.randrange(n), rnd.randrange(n)
+        if u != v:
+            edges.add((u, v))
+    g = LinkGraph(
+        spark,
+        spark.createDataFrame(sorted(edges), "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(v,) for v in range(n)], "vid LONG"),
+        directed=True, num_partitions=4)
+    und = {(min(u, v), max(u, v)) for u, v in edges}
+
+    def brute(pat, directed):
+        vs = sorted({x for e in pat for x in e})
+        pe = set(pat) if directed else \
+            {(min(a, b), max(a, b)) for a, b in pat}
+        ge = edges if directed else und
+        hom = 0
+        for perm in it.permutations(range(n), len(vs)):
+            mp = dict(zip(vs, perm))
+            if directed:
+                ok = all((mp[a], mp[b]) in ge for a, b in pat)
+            else:
+                ok = all((min(mp[a], mp[b]), max(mp[a], mp[b])) in ge
+                         for a, b in pat)
+            hom += ok
+        aut = 0
+        for perm in it.permutations(vs):
+            mp = dict(zip(vs, perm))
+            if directed:
+                ok = {(mp[a], mp[b]) for a, b in pat} == set(pat)
+            else:
+                ok = {(min(mp[a], mp[b]), max(mp[a], mp[b]))
+                      for a, b in pat} == pe
+            aut += ok
+        return hom // aut
+
+    for trial in range(8):
+        k = rnd.choice([3, 3, 4])
+        names = "abcd"[:k]
+        # random connected pattern: spanning chain + extra random edges
+        pat = [(names[i], names[i + 1]) for i in range(k - 1)]
+        extra = [(a, b) for a, b in it.combinations(names, 2)
+                 if (a, b) not in pat and (b, a) not in pat]
+        rnd.shuffle(extra)
+        for a, b in extra[:rnd.randrange(0, len(extra) + 1)]:
+            pat.append((a, b) if rnd.random() < 0.5 else (b, a))
+        directed = trial % 2 == 0
+        want = brute(pat, directed)
+        got = pattern_count(g, pat, directed=directed)
+        assert got == want, (trial, pat, directed, got, want)
