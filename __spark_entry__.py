@@ -4670,9 +4670,15 @@ _WINDOW_ORDER: list[str] = []
 
 # Prepared r05 rotation: the exactly-50 queries that will still lack a
 # driver CORRECTNESS row after r04's window lands (betweenness_exact and
-# lpa_u2i_3r included).  Round 5 flips ONE line — `_WINDOW_ORDER[:] =
-# _R05_WINDOW` — after r04's gate has run; do NOT flip it before then or
-# the r04 window burns.
+# lpa_u2i_3r included).  The flip is AUTOMATIC: _current_round() reads the
+# driver-written PROGRESS.jsonl round stamp, and _apply_window_order uses
+# _R05_WINDOW once the round is >= 5 — no round-5 session edit required
+# (the two sessions before this one died on API errors; the rotation must
+# not depend on a live editor).  A non-empty _WINDOW_ORDER still overrides
+# everything for manual control.  Round-number gating (not
+# CORRECTNESS_r04.json existence) is deliberate: if the driver ever re-ran
+# the r04 gate after writing that file, a file-existence flip would burn
+# the r04 window by overwriting its rows with r05-window rows.
 _R05_WINDOW: list[str] = [
     "ktruss_4_2r",
     "link_pred_edges",
@@ -4728,13 +4734,45 @@ _R05_WINDOW: list[str] = [
 
 
 
+def _current_round() -> int:
+    """Round number from the driver's PROGRESS.jsonl (last parseable line).
+
+    The driver stamps ``{"round": N, ...}`` every ~15 min from session
+    start, so at any point during round N this returns N.  Returns 0 when
+    the file is absent/unreadable (standalone use: no reordering)."""
+    import json as _json
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "PROGRESS.jsonl")
+    try:
+        with open(path, "r") as f:
+            lines = f.read().strip().splitlines()
+    except OSError:
+        return 0
+    for line in reversed(lines):
+        try:
+            return int(_json.loads(line).get("round", 0))
+        except (ValueError, KeyError, TypeError):
+            continue
+    return 0
+
+
+def _effective_window_order() -> list[str]:
+    if _WINDOW_ORDER:          # manual override always wins
+        return _WINDOW_ORDER
+    if _current_round() >= 5:  # automatic r05 rotation (see note above)
+        return _R05_WINDOW
+    return []
+
+
 def _apply_window_order(base: dict) -> dict:
-    if not _WINDOW_ORDER:
+    order = _effective_window_order()
+    if not order:
         return base
-    unknown = [n for n in _WINDOW_ORDER if n not in base]
+    unknown = [n for n in order if n not in base]
     if unknown:
-        raise KeyError(f"_WINDOW_ORDER names not in queries(): {unknown}")
-    ordered = {n: base[n] for n in _WINDOW_ORDER}
+        raise KeyError(f"window-order names not in queries(): {unknown}")
+    ordered = {n: base[n] for n in order}
     ordered.update({n: v for n, v in base.items() if n not in ordered})
     return ordered
 

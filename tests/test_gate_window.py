@@ -1,10 +1,14 @@
-"""The _WINDOW_ORDER rotation mechanism in __spark_entry__.py: when the
-list is empty the dict-literal order stands byte-for-byte; when set, the
-named queries move to the front (in list order) with everything else in
-its original relative position; unknown names fail fast.  The driver's
-correctness gate records rows for only the FIRST 50 queries() entries per
-round, so this ordering is the only control over which queries get fresh
-evidence — a silent misorder would burn a whole round's window."""
+"""The gate-window rotation mechanism in __spark_entry__.py: when no
+window order is in effect the dict-literal order stands byte-for-byte;
+when one is (manual _WINDOW_ORDER, or the automatic round>=5 flip to
+_R05_WINDOW), the named queries move to the front (in list order) with
+everything else in its original relative position; unknown names fail
+fast.  The driver's correctness gate records rows for only the FIRST 50
+queries() entries per round, so this ordering is the only control over
+which queries get fresh evidence — a silent misorder would burn a whole
+round's window.  The r05 flip is automatic (keyed off PROGRESS.jsonl's
+driver-written round stamp) because a round-5 session cannot be relied
+on to make a manual edit before the gate runs."""
 
 from __future__ import annotations
 
@@ -21,8 +25,12 @@ _spec.loader.exec_module(entry_mod)
 
 
 @pytest.fixture(autouse=True)
-def _restore_window_order():
+def _pin_round_4(monkeypatch):
+    """Freeze the auto-rotation at round 4 (no flip) and restore the
+    manual override list, so tests are independent of the live
+    PROGRESS.jsonl round stamp."""
     saved = list(entry_mod._WINDOW_ORDER)
+    monkeypatch.setattr(entry_mod, "_current_round", lambda: 4)
     yield
     entry_mod._WINDOW_ORDER[:] = saved
 
@@ -58,3 +66,59 @@ def test_window_order_typo_fails_fast():
     entry_mod._WINDOW_ORDER[:] = ["definitely_not_a_query"]
     with pytest.raises(KeyError, match="definitely_not_a_query"):
         entry_mod.queries()
+
+
+def test_round5_auto_rotates_to_r05_window(monkeypatch):
+    entry_mod._WINDOW_ORDER[:] = []
+    monkeypatch.setattr(entry_mod, "_current_round", lambda: 5)
+    rotated = list(entry_mod.queries())
+    assert rotated[: len(entry_mod._R05_WINDOW)] == entry_mod._R05_WINDOW
+    # the flip must also apply to the oracle dict (same helper)
+    osql = list(entry_mod.oracle_sql())
+    assert osql[: len(entry_mod._R05_WINDOW)] == entry_mod._R05_WINDOW
+    # and rotation only reorders — never drops or duplicates
+    monkeypatch.setattr(entry_mod, "_current_round", lambda: 4)
+    base = list(entry_mod.queries())
+    assert sorted(rotated) == sorted(base)
+    assert len(rotated) == len(set(rotated))
+
+
+def test_round4_does_not_rotate(monkeypatch):
+    entry_mod._WINDOW_ORDER[:] = []
+    monkeypatch.setattr(entry_mod, "_current_round", lambda: 4)
+    assert list(entry_mod.queries())[0] == "msf_stats"
+
+
+def test_manual_window_order_beats_auto_rotation(monkeypatch):
+    monkeypatch.setattr(entry_mod, "_current_round", lambda: 5)
+    entry_mod._WINDOW_ORDER[:] = ["wcc"]
+    assert list(entry_mod.queries())[0] == "wcc"
+
+
+def test_r05_window_names_all_exist_and_are_exactly_50():
+    entry_mod._WINDOW_ORDER[:] = []
+    base = set(entry_mod.queries())
+    missing = [n for n in entry_mod._R05_WINDOW if n not in base]
+    assert not missing, f"_R05_WINDOW names not in queries(): {missing}"
+    assert len(entry_mod._R05_WINDOW) == 50
+    assert len(set(entry_mod._R05_WINDOW)) == 50
+
+
+def test_current_round_parses_progress_jsonl(tmp_path, monkeypatch):
+    # point the module at a synthetic PROGRESS.jsonl via a copied file tree
+    prog = tmp_path / "PROGRESS.jsonl"
+    entry_copy = tmp_path / "__spark_entry__.py"
+    entry_copy.write_text(
+        (Path(__file__).resolve().parent.parent / "__spark_entry__.py").read_text()
+    )
+    spec = importlib.util.spec_from_file_location("spark_entry_round", entry_copy)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod._current_round() == 0  # file absent -> 0 (no rotation)
+    prog.write_text('{"round": 4, "turns": 1}\n{"round": 5, "turns": 0}\n')
+    assert mod._current_round() == 5  # last line wins
+    prog.write_text('{"round": 3}\nnot json at all\n')
+    assert mod._current_round() == 3  # trailing garbage skipped
+    prog.write_text("garbage\n")
+    assert mod._current_round() == 0
