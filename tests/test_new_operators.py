@@ -407,3 +407,62 @@ def test_msf_mutual_pick_pairs_only(spark):
     assert got == {(u, v) for u, v, _ in weighted}  # tree: all 9 edges
     assert abs(msf_weight(g, "w")
                - sum(w for _, _, w in weighted)) < 1e-9
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_msf_fuzz_ties_parallel_edges_isolates(spark, seed):
+    """Randomized Borůvka check under the conditions the happy-path test
+    avoids: duplicate weights (ties broken by the (w, src, dst) total
+    order), parallel edges in both orientations (min weight wins),
+    self-loops (dropped), and isolated vertices (no forest edge). Under
+    the total order the forest is UNIQUE, so the oracle — Kruskal over
+    the same canonicalized edge list sorted by (w, src, dst) — must
+    match edge-for-edge, not just by total weight."""
+    from graphscope_spark import minimum_spanning_forest, msf_weight
+
+    rnd = random.Random(seed)
+    n = 30
+    raw = []
+    for _ in range(70):
+        u, v = rnd.randrange(n), rnd.randrange(n)
+        # ~5 distinct weights over 70 edges → many ties; keep self-loops
+        # and both-orientation duplicates in the raw input on purpose
+        raw.append((u, v, float(rnd.randint(1, 5))))
+    vertices = list(range(n + 3))  # n..n+2 are isolated
+    df = spark.createDataFrame(raw, "src LONG, dst LONG, w DOUBLE")
+    g = LinkGraph(
+        spark, df,
+        vertices=spark.createDataFrame([(v,) for v in vertices], "vid LONG"),
+        directed=True, num_partitions=4)
+
+    got = {(r["src"], r["dst"], r["weight"])
+           for r in minimum_spanning_forest(g, "w").collect()}
+
+    # oracle: canonicalize exactly as the operator documents, then Kruskal
+    # in (w, src, dst) order
+    canon = {}
+    for u, v, w in raw:
+        if u == v:
+            continue
+        key = (min(u, v), max(u, v))
+        canon[key] = min(canon.get(key, float("inf")), w)
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for w, u, v in sorted((w, u, v) for (u, v), w in canon.items()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            want.add((u, v, w))
+    assert got == want
+    # forest shape: |edges| == |vertices| - #components, isolates untouched
+    comps = len({find(v) for v in vertices})
+    assert len(got) == len(vertices) - comps
+    assert not any(s >= n or d >= n for s, d, _ in got)
+    assert abs(msf_weight(g, "w") - sum(w for _, _, w in want)) < 1e-9
