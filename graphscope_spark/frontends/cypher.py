@@ -34,6 +34,12 @@ Supported (the reference's documented subset, supported_cypher.md:114):
   (count/sum/avg/min/max/collect, Cypher implicit grouping), a WHERE
   after WITH (post-aggregation filter), ``ORDER BY`` / ``SKIP`` /
   ``LIMIT`` on any stage.
+- Expressions — arithmetic (incl. ``^`` → power, ``%``), comparisons,
+  ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS`` / ``=~``, ``IN`` +
+  list literals, ``AND`` / ``XOR`` / ``OR`` / ``NOT`` (Cypher
+  precedence), ``IS [NOT] NULL``, ``CASE WHEN`` (ahead of the
+  reference, which lists it as planned), scalar/string/cast functions,
+  ``labels()`` / ``type()`` / ``elementId()`` ("<label>:<id>").
 
 Documented deviations (both inherited from GIE semantics):
 
@@ -444,9 +450,18 @@ class _Parser:
         return self._or()
 
     def _or(self):
-        e = self._and()
+        e = self._xor()
         while self._kw("OR"):
-            e = Bin("OR", e, self._and())
+            e = Bin("OR", e, self._xor())
+        return e
+
+    def _xor(self):
+        # Cypher precedence: OR < XOR < AND (supported_cypher.md lists
+        # XOR as planned in the reference; here it renders as boolean <>,
+        # which shares Cypher's NULL-propagation)
+        e = self._and()
+        while self._kw("XOR"):
+            e = Bin("XOR", e, self._and())
         return e
 
     def _and(self):
@@ -675,6 +690,8 @@ class _Ctx:
                 return f"({r(e.l)} RLIKE {r(e.r)})"
             if e.op == "^":
                 return f"power({r(e.l)}, {r(e.r)})"
+            if e.op == "XOR":
+                return f"(({r(e.l)}) <> ({r(e.r)}))"
             return f"({r(e.l)} {e.op} {r(e.r)})"
         if isinstance(e, ListE):
             return f"array({', '.join(r(i) for i in e.items)})"
@@ -1363,8 +1380,18 @@ def _match_ctx(frame: _Frame, path_out_col, path_const, labels,
         raise ValueError(
             "cypher: type() takes a single-label edge variable")
 
+    def fn_elementid(e, ctx):
+        # reference supported_cypher.md: elementId() = identifier unique
+        # by object type + database; rendered as "<label>:<vertex id>"
+        if len(e.args) == 1 and isinstance(e.args[0], Var) \
+                and e.args[0].name in labels:
+            return (f"concat({_sql_str(labels[e.args[0].name] + ':')}, "
+                    f"CAST({ctx.render(e.args[0])} AS STRING))")
+        raise ValueError("cypher: elementId() takes a single node variable")
+
     return _Ctx(rv, rp, {"length": fn_length, "labels": fn_labels,
-                         "type": fn_type, "size": _fn_size(frame)})
+                         "type": fn_type, "elementid": fn_elementid,
+                         "size": _fn_size(frame)})
 
 
 def _alias_ctx(frame: _Frame, cols: set) -> _Ctx:

@@ -839,3 +839,31 @@ def test_avrolite_truncated_varint_raises_eoferror():
     r = _Reader(b"\xff")  # continuation bit set, no next byte
     with pytest.raises(EOFError):
         r.long()
+
+
+def test_cypher_xor_precedence_and_nulls(pg):
+    # XOR binds tighter than OR, looser than AND (Cypher precedence).
+    # ann(30,x) bob(25,x) cyd(35,y) dee(28,y)
+    r = cypher_query(pg, """
+      MATCH (a:person)
+      WHERE a.age > 26 XOR a.city = 'x'
+      RETURN a.name AS nm ORDER BY nm
+    """)
+    # >26: ann cyd dee; city x: ann bob → XOR keeps bob cyd dee
+    assert [x[0] for x in r.collect()] == ["bob", "cyd", "dee"]
+    r = cypher_query(pg, """
+      MATCH (a:person)
+      WHERE a.age > 100 OR a.city = 'x' XOR a.name = 'ann'
+      RETURN a.name AS nm ORDER BY nm
+    """)
+    # (city='x' XOR name='ann') → bob; OR age>100 adds nobody
+    assert [x[0] for x in r.collect()] == ["bob"]
+
+
+def test_cypher_elementid(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)-[:created]->(s:software)
+      WHERE s.lang = 'py'
+      RETURN elementId(a) AS aid, elementId(s) AS sid
+    """)
+    assert [tuple(x) for x in r.collect()] == [("person:3", "software:11")]
