@@ -4734,12 +4734,21 @@ _R05_WINDOW: list[str] = [
 
 
 
-def _current_round() -> int:
-    """Round number from the driver's PROGRESS.jsonl (last parseable line).
+_ROUND_CACHE: list[int] = []
 
-    The driver stamps ``{"round": N, ...}`` every ~15 min from session
-    start, so at any point during round N this returns N.  Returns 0 when
-    the file is absent/unreadable (standalone use: no reordering)."""
+
+def _current_round() -> int:
+    """Round number from the driver's PROGRESS.jsonl: the last line that
+    carries a ``round`` stamp (other record shapes are skipped, not
+    treated as round 0).  The driver stamps ``{"round": N, ...}`` every
+    ~15 min from session start, so at any point during round N this
+    returns N.  Returns 0 when the file is absent/unreadable (standalone
+    use: no reordering).  The value is CACHED for the process lifetime:
+    queries() and oracle_sql() must see the same round even if the driver
+    appends the next round's stamp between the two calls mid-gate-run —
+    a split would pair engine rows with the other window's oracles."""
+    if _ROUND_CACHE:
+        return _ROUND_CACHE[0]
     import json as _json
     import os as _os
     path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
@@ -4751,8 +4760,12 @@ def _current_round() -> int:
         return 0
     for line in reversed(lines):
         try:
-            return int(_json.loads(line).get("round", 0))
-        except (ValueError, KeyError, TypeError):
+            rec = _json.loads(line)
+            if isinstance(rec, dict) and "round" in rec:
+                rnd = int(rec["round"])
+                _ROUND_CACHE.append(rnd)
+                return rnd
+        except Exception:  # noqa: BLE001 — any malformed line: keep scanning
             continue
     return 0
 

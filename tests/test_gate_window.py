@@ -115,10 +115,26 @@ def test_current_round_parses_progress_jsonl(tmp_path, monkeypatch):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    assert mod._current_round() == 0  # file absent -> 0 (no rotation)
+    def fresh():
+        mod._ROUND_CACHE.clear()
+        return mod._current_round()
+
+    assert fresh() == 0  # file absent -> 0 (no rotation)
     prog.write_text('{"round": 4, "turns": 1}\n{"round": 5, "turns": 0}\n')
-    assert mod._current_round() == 5  # last line wins
+    assert fresh() == 5  # last line wins
     prog.write_text('{"round": 3}\nnot json at all\n')
-    assert mod._current_round() == 3  # trailing garbage skipped
+    assert fresh() == 3  # trailing garbage skipped
     prog.write_text("garbage\n")
-    assert mod._current_round() == 0
+    assert fresh() == 0
+    # valid-JSON non-object lines must be skipped, not crash the gate
+    prog.write_text('{"round": 5}\nnull\n7\n"restarting"\n')
+    assert fresh() == 5
+    # records WITHOUT a round stamp are skipped (scan back to the stamp),
+    # not treated as round 0 — a trailing summary/shutdown record must not
+    # silently disable the r05 rotation
+    prog.write_text('{"round": 5}\n{"event": "shutdown", "ok": true}\n')
+    assert fresh() == 5
+    # cached for the process lifetime: one gate run = one consistent
+    # round, even if the driver appends the next stamp mid-run
+    prog.write_text('{"round": 6}\n')
+    assert mod._current_round() == 5
