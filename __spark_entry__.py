@@ -3883,13 +3883,21 @@ FROM pairs p""")
 def _q_has_path_4(spark, sf_dir):
     """sssp_has_path (reference apps/sssp/sssp_has_path.h): boolean
     reachability for the 4 (i-th smallest, i-th largest) vid pairs plus
-    one guaranteed-absent target."""
-    from graphscope_spark.operators.paths import sssp_has_path
+    one guaranteed-absent target. All 4 sources ride ONE batched
+    multi-source BFS (the same shape the oracle's msbfs CTEs replay)
+    instead of one full SSSP per pair — identical booleans, one
+    superstep job sequence instead of five."""
+    from graphscope_spark.operators.traversal import msbfs
 
     g = _graph_small_und(spark, sf_dir)
     lo, hi = _ordered_vids(g, 4), _ordered_vids(g, 4, desc=True)
     pairs = list(zip(lo, hi)) + [(lo[0], -999)]
-    rows = [(a, b, sssp_has_path(g, a, b)) for a, b in pairs]
+    reached = msbfs(g, lo).select(
+        F.col("source").alias("src"), F.col("vid").alias("dst"))
+    pdf = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    hit = {(r["src"], r["dst"]) for r in
+           pdf.join(reached, ["src", "dst"], "left_semi").collect()}
+    rows = [(a, b, (a, b) in hit) for a, b in pairs]
     return spark.createDataFrame(rows, "src LONG, dst LONG, has BOOLEAN")
 
 
