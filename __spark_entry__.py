@@ -1877,6 +1877,44 @@ def _q_wav_decode(spark, sf_dir):
         "sum_samples", "max_abs")
 
 
+def _q_gif_frames(spark, sf_dir):
+    # REAL animated-GIF decode (the multi-frame "video" container): LZW
+    # with mid-stream Clear codes, sub-block reassembly, NETSCAPE
+    # extension skipping, LOCAL color tables on odd frames (shifted by 7f
+    # — decoders stuck on the global table fail) and INTERLACED rows on
+    # every third frame. One output row per frame; the oracle recomputes
+    # every pixel in closed form: idx = (id + 2x + 3y + 5f) % ncolors,
+    # palette c -> ((id+17c+s), (2id+29c+s), (3id+43c+s)) % 256 with
+    # s = 7f on odd frames.
+    from graphscope_spark.functions import decode_gif_frames, gif_media
+
+    return decode_gif_frames(gif_media(_t(spark, sf_dir, "documents"))).select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sum_idx", "sum_r", "sum_g", "sum_b")
+
+
+def _q_jpeg_decode(spark, sf_dir):
+    # REAL baseline-JPEG decode (the lossy format): marker walk, DHT
+    # canonical Huffman construction read back from the file, DC
+    # prediction + extend, AC run-length/EOB, dequant (all-ones DQT),
+    # real 8x8 IDCT, 4:2:0 (even ids) vs 4:4:4 (odd), restart markers
+    # (ids % 3 == 0). Constant-MCU content survives the lossy pipeline
+    # exactly (DC-only blocks, q=1), so the oracle recomputes plane sums
+    # in closed form: per-MCU (Y,Cb,Cr) = ((id+13bx+31by), (2id+11bx+
+    # 17by), (3id+7bx+23by)) % 256; Y covers 256 px/MCU at 4:2:0, 64 at
+    # 4:4:4; chroma is one 8x8 block per MCU either way.
+    from graphscope_spark.functions import decode_jpeg_features, jpeg_media
+
+    return decode_jpeg_features(jpeg_media(_t(spark, sf_dir, "documents"))).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sum_y", "sum_cb", "sum_cr")
+
+
 def _frontend_pg(spark, sf_dir):
     """The typed TPC-H property graph the Cypher/Gremlin contract queries
     run on (same shape as _q_typed_pattern's)."""
@@ -4688,6 +4726,16 @@ _WINDOW_ORDER: list[str] = []
 # the r04 gate after writing that file, a file-existence flip would burn
 # the r04 window by overwriting its rows with r05-window rows.
 _R05_WINDOW: list[str] = [
+    # gremlin_text and anf_4r were pushed out of the r04 window (positions
+    # 51-52) when the gif_frames/jpeg_decode codec queries landed — they
+    # get their rows here instead.  To keep the window at exactly 50,
+    # kshell_max and iceberg_maintenance were dropped: each is the most
+    # redundant member of a trio whose two siblings keep their slots
+    # (core_numbers + degeneracy share kshell's one core-number fixpoint;
+    # iceberg_roundtrip + iceberg_time_travel cover the Iceberg layer) —
+    # both remain pytest-oracled in the in-repo gate mirror.
+    "gremlin_text",
+    "anf_4r",
     "ktruss_4_2r",
     "link_pred_edges",
     "tfidf_top3",
@@ -4715,7 +4763,6 @@ _R05_WINDOW: list[str] = [
     "hll_users",
     "iceberg_roundtrip",
     "iceberg_time_travel",
-    "iceberg_maintenance",
     "ecc_20src",
     "apsp_20src",
     "has_path_4",
@@ -4725,7 +4772,6 @@ _R05_WINDOW: list[str] = [
     "graphar_roundtrip",
     "csv_graph_degree",
     "core_numbers",
-    "kshell_max",
     "degeneracy",
     "sssp_path_8r",
     "all_simple_paths_4",
@@ -4844,6 +4890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_frames": _q_sample_frames,
         "bmp_decode": _q_bmp_decode,
         "wav_decode": _q_wav_decode,
+        "gif_frames": _q_gif_frames,
+        "jpeg_decode": _q_jpeg_decode,
         "cypher_local_supplier": _q_cypher_local_supplier,
         "cypher_agg_pipeline": _q_cypher_agg_pipeline,
         "cypher_varlen": _q_cypher_varlen,
@@ -5257,6 +5305,51 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM((media_id*31 + 7*i) % 65536 - 32768) AS BIGINT) AS sum_samples, "
             "CAST(MAX(ABS((media_id*31 + 7*i) % 65536 - 32768)) AS BIGINT) AS max_abs "
             "FROM s GROUP BY media_id, n, rate"
+        ),
+        # REAL animated-GIF decode: w = id%9+4, h = id%6+3, nf = id%5+1,
+        # ncolors = 2^(id%3+2); idx(f,x,y) = (id + 2x + 3y + 5f) % nc;
+        # palette c -> ((id+17c+s),(2id+29c+s),(3id+43c+s)) % 256 with
+        # s = 7f on odd (local-color-table) frames, 0 on even (global).
+        "gif_frames": (
+            "WITH m AS (SELECT doc_id AS media_id, doc_id % 9 + 4 AS w, "
+            "doc_id % 6 + 3 AS h, doc_id % 5 + 1 AS nf, "
+            "1 << (doc_id % 3 + 2) AS nc FROM documents), "
+            "fs AS (SELECT media_id, w, h, nc, unnest(range(nf)) AS f FROM m), "
+            "xs AS (SELECT media_id, w, h, nc, f, unnest(range(w)) AS x FROM fs), "
+            "xy AS (SELECT media_id, w, h, nc, f, x, unnest(range(h)) AS y FROM xs), "
+            "px AS (SELECT media_id, w, h, f, "
+            "(media_id + 2*x + 3*y + 5*f) % nc AS idx, "
+            "CASE WHEN f % 2 = 1 THEN 7*f ELSE 0 END AS s FROM xy) "
+            "SELECT media_id, CAST(f AS BIGINT) AS frame_no, "
+            "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+            "CAST(SUM(idx) AS BIGINT) AS sum_idx, "
+            "CAST(SUM((media_id + 17*idx + s) % 256) AS BIGINT) AS sum_r, "
+            "CAST(SUM((2*media_id + 29*idx + s) % 256) AS BIGINT) AS sum_g, "
+            "CAST(SUM((3*media_id + 43*idx + s) % 256) AS BIGINT) AS sum_b "
+            "FROM px GROUP BY media_id, f, w, h"
+        ),
+        # REAL baseline-JPEG decode: wm = id%4+1, hm = id%3+1 MCUs; even
+        # ids are 4:2:0 (16x16 MCU, Y covers 256 px/MCU), odd are 4:4:4
+        # (8x8 MCU, 64 px); chroma is one 8x8 block per MCU either way.
+        # Per-MCU (Y,Cb,Cr) = ((id+13bx+31ty),(2id+11bx+17ty),
+        # (3id+7bx+23ty)) % 256 — constant MCUs survive the q=1 lossy
+        # pipeline exactly (DC-only blocks).
+        "jpeg_decode": (
+            "WITH m AS (SELECT doc_id AS media_id, doc_id % 4 + 1 AS wm, "
+            "doc_id % 3 + 1 AS hm, "
+            "CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS mcu, "
+            "CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 64 END AS ypix "
+            "FROM documents), "
+            "bs AS (SELECT media_id, wm, hm, mcu, ypix, "
+            "unnest(range(wm)) AS bx FROM m), "
+            "bb AS (SELECT media_id, wm, hm, mcu, ypix, bx, "
+            "unnest(range(hm)) AS ty FROM bs) "
+            "SELECT media_id, CAST(wm * mcu AS BIGINT) AS width, "
+            "CAST(hm * mcu AS BIGINT) AS height, "
+            "CAST(SUM(((media_id + 13*bx + 31*ty) % 256) * ypix) AS BIGINT) AS sum_y, "
+            "CAST(SUM(((2*media_id + 11*bx + 17*ty) % 256) * 64) AS BIGINT) AS sum_cb, "
+            "CAST(SUM(((3*media_id + 7*bx + 23*ty) % 256) * 64) AS BIGINT) AS sum_cr "
+            "FROM bb GROUP BY media_id, wm, hm, mcu"
         ),
         # Cypher frontend: the local-supplier cycle with both predicate
         # kinds — same relational shape as typed_pattern_where

@@ -84,6 +84,17 @@ from graphscope_spark.functions.codecs import (
     png_media,
     wav_media,
 )
+from graphscope_spark.functions.codecs_av import (
+    decode_gif,
+    decode_gif_frames,
+    decode_jpeg,
+    decode_jpeg_features,
+    encode_gif,
+    encode_jpeg,
+    encode_jpeg_planes,
+    gif_media,
+    jpeg_media,
+)
 
 __all__ = [
     "tokenize", "token_count", "quality_score", "langid", "fingerprint",
@@ -105,4 +116,7 @@ __all__ = [
     "encode_bmp", "decode_bmp", "bmp_media", "decode_bmp_features",
     "encode_wav", "decode_wav", "wav_media", "decode_wav_features",
     "encode_png", "decode_png", "png_media", "decode_png_features",
+    "encode_gif", "decode_gif", "gif_media", "decode_gif_frames",
+    "encode_jpeg", "encode_jpeg_planes", "decode_jpeg", "jpeg_media",
+    "decode_jpeg_features",
 ]

@@ -1,0 +1,900 @@
+"""Real GIF and baseline-JPEG codecs in pure numpy/struct — no external libs.
+
+Round-4 continuation of :mod:`graphscope_spark.functions.codecs` (BMP/WAV/
+PNG): the two remaining formats the multimodal pipeline declared as
+"raise — codec libs absent" that are in fact fully specified and
+implementable with nothing but ``struct`` + ``numpy``:
+
+- **GIF** (87a/89a, the animated-image / short-video stand-in): real LZW
+  decompression with variable code widths, mid-stream Clear codes and the
+  cScSc corner case; sub-block reassembly; extension skipping by declared
+  length (a NETSCAPE looping extension is present and must be walked
+  over); per-frame Graphic Control Extensions; **local color tables**
+  (odd frames carry an LCT that differs from the global table — decoders
+  that always use the GCT fail the value oracle); and **interlaced
+  frames** (every third frame stores rows in the 8/8, 8/4, 4/2, 2/1 pass
+  order and must be deinterlaced). The encoder emits a Clear code
+  whenever the dictionary fills (code 4096), so multi-frame images force
+  genuine dictionary resets.
+- **JPEG** (baseline DCT, SOF0): marker walk, DQT (zigzag order), DHT
+  (canonical Huffman construction from BITS/HUFFVAL — the standard
+  Annex-K tables are written by the encoder and *read back from the
+  file* by the decoder), SOF0 component sampling factors (both 4:4:4 and
+  4:2:0 streams are generated), SOS, the entropy-coded segment with
+  0xFF00 byte stuffing, DC prediction + magnitude-category "extend",
+  AC run-length/EOB/ZRL decoding, dequantization, dezigzag, a real 8×8
+  inverse DCT (orthonormal matrix form), level shift + clamp, and
+  **restart-marker handling** (streams for ``media_id % 3 == 0`` define
+  a DRI of 2 MCUs; the decoder must byte-align at each RSTn and reset
+  the DC predictors).
+
+Exactness contract (what makes the DuckDB value oracle possible for a
+*lossy* format): the synthetic streams are built from **constant MCUs** —
+every 8×8 (4:4:4) or 16×16 (4:2:0) tile holds one (Y, Cb, Cr) value that
+is a pure function of (media_id, tile_x, tile_y). The DCT of a constant
+block has only a DC coefficient; with the all-ones quantization tables
+written to DQT the coefficient survives quantization exactly, and the
+IDCT reconstructs the constant exactly after rounding. The decoder is a
+fully general baseline decoder (nothing about it assumes constant
+blocks — pytest roundtrips arbitrary images through it with the
+quantization-error bound), but on these streams its output is bit-exact
+and the oracle can recompute every pixel in closed form. GIF is lossless,
+so its oracle is closed-form with no caveats.
+
+Reference parity: GraphScope loaders treat media as opaque bytes
+(vineyard blobs) and delegate decoding to user apps; here decode is a
+first-class Arrow ``mapInPandas`` stage (SURVEY.md LLM-pipeline
+multimodal row). MP4 remains out of scope — a real H.264 entropy decoder
+is not reasonably re-implementable here, and the animated-GIF path
+provides the real multi-frame container for the frame-sampling pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# GIF — deterministic synthetic content
+# ---------------------------------------------------------------------------
+
+
+def gif_params(media_id: int) -> dict:
+    """Geometry/palette parameters as pure functions of the id (mirrored
+    by the SQL oracle): palette of 4/8/16 colors, 1-5 frames."""
+    return {
+        "width": media_id % 9 + 4,
+        "height": media_id % 6 + 3,
+        "n_frames": media_id % 5 + 1,
+        "ncolors": 1 << (media_id % 3 + 2),
+    }
+
+
+def gif_pixel_index(media_id: int, f: int, x: np.ndarray, y: np.ndarray,
+                    ncolors: int) -> np.ndarray:
+    """Deterministic palette index: (id + 2x + 3y + 5f) mod ncolors."""
+    return ((media_id + 2 * x + 3 * y + 5 * f) % ncolors).astype(np.uint8)
+
+
+def gif_palette(media_id: int, f: int, ncolors: int) -> np.ndarray:
+    """(ncolors, 3) RGB palette. Even frames use the global table
+    (f-term 0); odd frames carry a LOCAL table shifted by 7f — a decoder
+    that ignores the LCT flag reproduces the wrong colors."""
+    shift = 7 * f if f % 2 == 1 else 0
+    c = np.arange(ncolors)
+    return np.stack([
+        (media_id + 17 * c + shift) % 256,
+        (2 * media_id + 29 * c + shift) % 256,
+        (3 * media_id + 43 * c + shift) % 256,
+    ], axis=1).astype(np.uint8)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) per pass
+
+
+def _interlace_order(height: int) -> list:
+    """GIF 4-pass interlace row order (appendix E of the 89a spec)."""
+    rows = []
+    for start, step in _INTERLACE_PASSES:
+        rows.extend(range(start, height, step))
+    return rows
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    Clear emitted up front and again whenever the dictionary hits 4096
+    (forcing decoders to handle mid-stream resets); EOI terminator;
+    LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(-1, k): k for k in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur = -1
+    for k in map(int, indices):
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+            continue
+        emit(cur, width)
+        if next_code < 4096:
+            table[(cur, k)] = next_code
+            next_code += 1
+            # late change, matching the decoder: it appends the entry one
+            # code later, so it crosses 2^width as we reach 2^width + 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:                                     # dictionary full: reset
+            emit(clear, width)
+            table = {(-1, j): j for j in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = k
+    if cur != -1:
+        emit(cur, width)
+        if next_code == (1 << width) and width < 12:
+            width += 1                            # decoder grows here too
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
+    """Full GIF LZW decoder: growing code width, Clear resets, the
+    code==next_code (cScSc) case, stops at EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return eoi                        # truncated → treat as end
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    out = np.empty(n_expected, dtype=np.uint8)
+    n = 0
+    table: list = []
+    width = min_code_size + 1
+    prev: list = []
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [[k] for k in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = []
+            continue
+        if code == eoi:
+            break
+        if not table:
+            raise ValueError("LZW data before initial Clear code")
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + [prev[0]]              # cScSc
+        else:
+            raise ValueError(f"bad LZW code {code} (table {len(table)})")
+        if n + len(entry) > n_expected:
+            raise ValueError("LZW output exceeds declared image size")
+        out[n:n + len(entry)] = entry
+        n += len(entry)
+        if prev and len(table) < 4096:            # deferred-clear guard
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n != n_expected:
+        raise ValueError(f"LZW produced {n} pixels, expected {n_expected}")
+    return out
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Split into ≤255-byte counted sub-blocks + 0 terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(media_id: int) -> bytes:
+    """A real animated GIF89a: global color table, NETSCAPE looping
+    extension (must be skipped by sub-block walk), per-frame Graphic
+    Control Extension + Image Descriptor; odd frames carry a LOCAL color
+    table, every third frame (f % 3 == 2) is INTERLACED; pixel data is
+    genuine LZW in counted sub-blocks."""
+    p = gif_params(media_id)
+    w, h, nf, nc = p["width"], p["height"], p["n_frames"], p["ncolors"]
+    depth = nc.bit_length() - 1                   # nc = 2^depth
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((depth - 1) << 4) | (depth - 1))  # GCT flag+size
+    out += b"\x00\x00"                            # bg index, aspect
+    out += gif_palette(media_id, 0, nc).tobytes()  # global table (f=0 form)
+    # NETSCAPE2.0 application extension (loop forever) — decoders must
+    # skip unknown extensions by walking their sub-blocks
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    for f in range(nf):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", 4) + b"\x00\x00"  # GCE
+        interlaced = f % 3 == 2
+        local = f % 2 == 1
+        packed = (0x40 if interlaced else 0)
+        if local:
+            packed |= 0x80 | (depth - 1)
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([packed])
+        if local:
+            out += gif_palette(media_id, f, nc).tobytes()
+        idx = gif_pixel_index(media_id, f, x, y, nc)  # (h, w) row-major
+        rows = idx[_interlace_order(h)] if interlaced else idx
+        mcs = max(2, depth)
+        out.append(mcs)
+        out += _sub_blocks(_lzw_encode(rows.reshape(-1), mcs))
+    out.append(0x3B)                              # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> list:
+    """Parse a real GIF: header, logical screen descriptor, global color
+    table, extension skipping, per-frame descriptors with local-color-
+    table and interlace handling, LZW decompression. Returns one dict per
+    frame with exact-integer index/channel sums (hash-stable for the
+    value oracle)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF: {payload[:6]!r}")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct_n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, gct_n * 3, pos).reshape(-1, 3)
+        pos += gct_n * 3
+
+    def skip_subblocks(p: int) -> int:
+        while payload[p]:
+            p += payload[p] + 1
+        return p + 1
+
+    frames = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:                             # trailer
+            break
+        if b == 0x21:                             # extension: skip by length
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected block 0x{b:02x} at {pos}")
+        left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:                        # local color table
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("frame with no color table")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        idx = _lzw_decode(bytes(data), mcs, w * h).reshape(h, w)
+        if ipacked & 0x40:                        # deinterlace
+            out = np.empty_like(idx)
+            out[_interlace_order(h)] = idx
+            idx = out
+        rgb = pal[idx.reshape(-1)].astype(np.int64)
+        frames.append({
+            "frame_no": len(frames),
+            "width": int(w), "height": int(h),
+            "sum_idx": int(idx.astype(np.int64).sum()),
+            "sum_r": int(rgb[:, 0].sum()),
+            "sum_g": int(rgb[:, 1].sum()),
+            "sum_b": int(rgb[:, 2].sum()),
+        })
+    if not frames:
+        raise ValueError("GIF with no image frames")
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, SOF0) — standard Annex-K Huffman tables
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K (ITU T.81) Huffman table specs: (BITS[1..16], HUFFVAL)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+           list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II matrix T: dct(B) = T @ B @ T.T — matches
+    the JPEG F(u,v) = ¼ C(u)C(v) ΣΣ ... definition exactly."""
+    t = np.zeros((8, 8))
+    for i in range(8):
+        for j in range(8):
+            c = np.sqrt(1 / 8) if i == 0 else np.sqrt(2 / 8)
+            t[i, j] = c * np.cos((2 * j + 1) * i * np.pi / 16)
+    return t
+
+
+_DCT = _dct_matrix()
+
+
+def _huff_encode_tables(spec):
+    """BITS/HUFFVAL → {symbol: (code, length)} by canonical assignment."""
+    bits, vals = spec
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF → 0xFF 0x00 byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self):
+        """Byte-align with 1-bits (spec: pad with 1s)."""
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _magnitude(v: int):
+    """(ssss, additional-bits) per the JPEG extend convention."""
+    if v == 0:
+        return 0, 0
+    ssss = int(abs(v)).bit_length()
+    return ssss, (v if v > 0 else v + (1 << ssss) - 1)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    """DCT → quantize (all-ones tables) → zigzag → huffman one 8×8 block.
+    Returns the new DC predictor."""
+    coef = np.round(_DCT @ (block.astype(np.float64) - 128.0) @ _DCT.T)
+    zz = coef.reshape(-1)[_ZIGZAG].astype(np.int64)
+    dc = int(zz[0])
+    ssss, extra = _magnitude(dc - pred)
+    code, ln = dc_tab[ssss]
+    bw.put(code, ln)
+    if ssss:
+        bw.put(extra, ssss)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    end = last_nz[-1] + 2 if last_nz.size else 1
+    for i in range(1, end):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]               # ZRL
+            bw.put(code, ln)
+            run -= 16
+        ssss, extra = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | ssss]
+        bw.put(code, ln)
+        bw.put(extra, ssss)
+        run = 0
+    if end < 64:
+        code, ln = ac_tab[0x00]                   # EOB
+        bw.put(code, ln)
+    return dc
+
+
+def jpeg_params(media_id: int) -> dict:
+    """Geometry/format parameters (mirrored by the SQL oracle): 4:2:0 for
+    even ids (16×16 MCU), 4:4:4 for odd (8×8 MCU); restart interval 2 for
+    ids divisible by 3."""
+    sub420 = media_id % 2 == 0
+    mcu = 16 if sub420 else 8
+    return {
+        "w_mcus": media_id % 4 + 1,
+        "h_mcus": media_id % 3 + 1,
+        "sub420": sub420,
+        "mcu": mcu,
+        "restart": 2 if media_id % 3 == 0 else 0,
+    }
+
+
+def jpeg_mcu_values(media_id: int, bx: np.ndarray, by: np.ndarray):
+    """Constant (Y, Cb, Cr) per MCU tile — closed form for the oracle."""
+    yv = (media_id + 13 * bx + 31 * by) % 256
+    cb = (2 * media_id + 11 * bx + 17 * by) % 256
+    cr = (3 * media_id + 7 * bx + 23 * by) % 256
+    return yv, cb, cr
+
+
+def _marker(m: int, payload: bytes = b"") -> bytes:
+    if payload:
+        return struct.pack(">HH", m, len(payload) + 2) + payload
+    return struct.pack(">H", m)
+
+
+def _dht_payload(tc_th: int, spec) -> bytes:
+    bits, vals = spec
+    return bytes([tc_th] + bits + vals)
+
+
+def encode_jpeg_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                       sub420: bool, restart: int = 0) -> bytes:
+    """A general baseline-JPEG (JFIF) encoder over arbitrary planes: SOI,
+    APP0, two DQTs (all-ones tables, zigzag order), SOF0 (3 components,
+    2×2,1×1,1×1 sampling for 4:2:0, else 1×1 throughout), four DHTs
+    (Annex-K tables), optional DRI, SOS, entropy-coded data with byte
+    stuffing and RSTn markers, EOI.
+
+    ``y`` is (h, w); ``cb``/``cr`` are at STORED resolution — (h/2, w/2)
+    for 4:2:0 (caller downsamples), (h, w) for 4:4:4. Dimensions must be
+    MCU-aligned (16 for 4:2:0, 8 for 4:4:4) — edge-block padding is out
+    of scope and rejected loudly."""
+    height, width = y.shape
+    mcu = 16 if sub420 else 8
+    if height % mcu or width % mcu:
+        raise ValueError(f"dimensions {width}x{height} not {mcu}-aligned")
+    if cb.shape != cr.shape or cb.shape != (height // (2 if sub420 else 1),
+                                            width // (2 if sub420 else 1)):
+        raise ValueError("chroma planes not at stored resolution")
+    wm, hm = width // mcu, height // mcu
+    out = bytearray(_marker(0xFFD8))              # SOI
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xFFDB, b"\x00" + bytes([1] * 64))   # DQT 0 (luma, q=1)
+    out += _marker(0xFFDB, b"\x01" + bytes([1] * 64))   # DQT 1 (chroma, q=1)
+    samp_y = 0x22 if sub420 else 0x11
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    sof += bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += _marker(0xFFC0, sof)                   # SOF0
+    out += _marker(0xFFC4, _dht_payload(0x00, _DC_LUM))
+    out += _marker(0xFFC4, _dht_payload(0x10, _AC_LUM))
+    out += _marker(0xFFC4, _dht_payload(0x01, _DC_CHR))
+    out += _marker(0xFFC4, _dht_payload(0x11, _AC_CHR))
+    if restart:
+        out += _marker(0xFFDD, struct.pack(">H", restart))
+    out += _marker(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dc_l = _huff_encode_tables(_DC_LUM)
+    ac_l = _huff_encode_tables(_AC_LUM)
+    dc_c = _huff_encode_tables(_DC_CHR)
+    ac_c = _huff_encode_tables(_AC_CHR)
+    n_y = 2 if sub420 else 1                      # luma blocks per MCU side
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    for my in range(hm):
+        for mx in range(wm):
+            i = my * wm + mx
+            if restart and i and i % restart == 0:
+                bw.pad()
+                bw.out += struct.pack(">H", 0xFFD0 + (rst & 7))
+                rst += 1
+                preds = [0, 0, 0]
+            for by in range(n_y):
+                for bx in range(n_y):
+                    y0, x0 = my * mcu + by * 8, mx * mcu + bx * 8
+                    preds[0] = _encode_block(
+                        bw, y[y0:y0 + 8, x0:x0 + 8], preds[0], dc_l, ac_l)
+            for ci, plane in ((1, cb), (2, cr)):
+                y0, x0 = my * 8, mx * 8
+                preds[ci] = _encode_block(
+                    bw, plane[y0:y0 + 8, x0:x0 + 8], preds[ci], dc_c, ac_c)
+    bw.pad()
+    out += bw.out
+    out += _marker(0xFFD9)                        # EOI
+    return bytes(out)
+
+
+def encode_jpeg(media_id: int) -> bytes:
+    """The deterministic synthetic stream for the value oracle: constant
+    (Y, Cb, Cr) per MCU from :func:`jpeg_mcu_values` (see the module
+    docstring for why constant MCUs survive the lossy pipeline exactly),
+    run through the fully general :func:`encode_jpeg_planes`."""
+    p = jpeg_params(media_id)
+    wm, hm, mcu = p["w_mcus"], p["h_mcus"], p["mcu"]
+    bx = np.arange(wm)[None, :]
+    by = np.arange(hm)[:, None]
+    yv, cb, cr = jpeg_mcu_values(media_id, bx, by)
+    csize = 8  # chroma tile per MCU is always one 8x8 block
+    y = np.repeat(np.repeat(yv, mcu, 0), mcu, 1).astype(np.uint8)
+    cbp = np.repeat(np.repeat(cb, csize, 0), csize, 1).astype(np.uint8)
+    crp = np.repeat(np.repeat(cr, csize, 0), csize, 1).astype(np.uint8)
+    return encode_jpeg_planes(y, cbp, crp, p["sub420"], p["restart"])
+
+
+def _huff_decode_tables(bits, vals):
+    """BITS/HUFFVAL → {(length, code): symbol} for incremental decode."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment; un-stuffs 0xFF00
+    and stops (signalling) at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("entropy segment ran past end of file")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
+                raise ValueError("truncated marker in entropy segment")
+            nxt = d[p + 1]
+            if nxt == 0x00:
+                self.pos = p + 2                  # stuffed 0xFF
+            else:
+                raise _MarkerHit(0xFF00 | nxt)
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self):
+        self.nbits = 0
+        self.acc = 0
+
+
+class _MarkerHit(ValueError):
+    """An unexpected marker interrupted the entropy-coded segment."""
+
+    def __init__(self, marker: int):
+        super().__init__(f"unexpected marker 0x{marker:04x} in entropy data")
+        self.marker = marker
+
+
+def _read_huff(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _extend(v: int, ssss: int) -> int:
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def _decode_block(br: _BitReader, dc_tab, ac_tab, qt: np.ndarray,
+                  pred: int):
+    """Huffman-decode one block; dequantize, dezigzag, IDCT, level-shift.
+    Returns (8×8 uint8 spatial block, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.float64)
+    ssss = _read_huff(br, dc_tab)
+    diff = _extend(br.bits(ssss), ssss)
+    dc = pred + diff
+    zz[0] = dc
+    i = 1
+    while i < 64:
+        rs = _read_huff(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                           # ZRL
+                i += 16
+                continue
+            break                                 # EOB
+        i += r
+        if i > 63:
+            raise ValueError("AC run past block end")
+        zz[i] = _extend(br.bits(s), s)
+        i += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz * qt                       # qt is zigzag-ordered too
+    block = _DCT.T @ coef.reshape(8, 8) @ _DCT
+    return np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8), dc
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """A general baseline JPEG decoder: marker walk (APPn/COM skipped by
+    length), DQT (zigzag order, 8-bit), DHT (canonical construction),
+    SOF0 with per-component sampling factors, DRI/RSTn restart handling,
+    SOS, entropy decode with stuffing, dequantize + IDCT per block,
+    chroma planes kept at stored resolution. Returns exact-integer plane
+    sums (hash-stable for the value oracle) plus geometry."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qts: dict = {}
+    dc_tabs: dict = {}
+    ac_tabs: dict = {}
+    comps: list = []
+    width = height = None
+    restart = 0
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        m = payload[pos + 1]
+        if m == 0xD9:                             # EOI
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if m == 0xDB:                             # DQT (possibly several)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                qts[tq] = np.frombuffer(seg, np.uint8, 64,
+                                        off + 1).astype(np.float64)
+                off += 65
+        elif m == 0xC4:                           # DHT (possibly several)
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1:off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17:off + 17 + n])
+                tab = _huff_decode_tables(bits, vals)
+                (ac_tabs if tc else dc_tabs)[th] = tab
+                off += 17 + n
+        elif m == 0xC0:                           # SOF0 baseline
+            prec, height, width, nc = struct.unpack_from(">BHHB", seg)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError(f"only baseline SOF0 supported (got FF{m:02X})")
+        elif m == 0xDD:                           # DRI
+            (restart,) = struct.unpack_from(">H", seg)
+        elif m == 0xDA:                           # SOS → entropy follows
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0x0F})
+            break
+        # APPn / COM / others: skipped by declared length
+    if scan is None or width is None:
+        raise ValueError("missing SOS/SOF0")
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    wm = -(-width // mcu_w)
+    hm = -(-height // mcu_h)
+    planes = [np.zeros((hm * 8 * c["v"], wm * 8 * c["h"]), dtype=np.uint8)
+              for c in scan]
+    br = _BitReader(payload, pos)
+    preds = [0] * len(scan)
+    rst_expect = 0
+    for my in range(hm):
+        for mx in range(wm):
+            i = my * wm + mx
+            if restart and i and i % restart == 0:
+                br.align()
+                p2 = br.pos
+                if payload[p2:p2 + 1] != b"\xff" or \
+                        payload[p2 + 1] != 0xD0 + (rst_expect & 7):
+                    raise ValueError(f"expected RST{rst_expect & 7} at {p2}")
+                br.pos = p2 + 2
+                rst_expect += 1
+                preds = [0] * len(scan)
+            for ci, c in enumerate(scan):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk, preds[ci] = _decode_block(
+                            br, dc_tabs[c["dc"]], ac_tabs[c["ac"]],
+                            qts[c["tq"]], preds[ci])
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+    sums = []
+    for c, pl in zip(scan, planes):
+        ch = (height * c["v"] + vmax - 1) // vmax
+        cw = (width * c["h"] + hmax - 1) // hmax
+        sums.append(int(pl[:ch, :cw].astype(np.int64).sum()))
+    return {
+        "width": int(width), "height": int(height),
+        "sub": f"{scan[0]['h']}x{scan[0]['v']}",
+        "sum_y": sums[0],
+        "sum_cb": sums[1] if len(sums) > 1 else 0,
+        "sum_cr": sums[2] if len(sums) > 2 else 0,
+        "planes": planes,                          # for roundtrip tests
+    }
+
+
+# ---------------------------------------------------------------------------
+# DataFrame stages (Arrow mapInPandas — same shape as codecs.py)
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = "media_id LONG, payload BINARY"
+GIF_FRAME_SCHEMA = ("media_id LONG, frame_no INT, width INT, height INT, "
+                    "sum_idx LONG, sum_r LONG, sum_g LONG, sum_b LONG")
+JPEG_FEATURE_SCHEMA = ("media_id LONG, width INT, height INT, "
+                       "sum_y LONG, sum_cb LONG, sum_cr LONG")
+
+
+def gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize one real animated GIF per row — distributed, no driver
+    data."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [encode_gif(int(i)) for i in ids],
+            })
+
+    return (df.select(F.col(id_col).cast("long").alias("media_id"))
+            .mapInPandas(gen, MEDIA_SCHEMA))
+
+
+def decode_gif_frames(media: DataFrame) -> DataFrame:
+    """REAL multi-frame decode stage: one output row per frame — the
+    real-container form of the frame-sampling pipeline."""
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for fr in decode_gif(bytes(p)):
+                    rows.append({"media_id": mid, **fr})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "width", "height",
+                               "sum_idx", "sum_r", "sum_g", "sum_b"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        dec, GIF_FRAME_SCHEMA)
+
+
+def jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize one real baseline JPEG per row — distributed."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [encode_jpeg(int(i)) for i in ids],
+            })
+
+    return (df.select(F.col(id_col).cast("long").alias("media_id"))
+            .mapInPandas(gen, MEDIA_SCHEMA))
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode stage (huffman + dequant + IDCT per
+    Arrow batch)."""
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_jpeg(bytes(p))
+                rows.append({"media_id": mid, "width": d["width"],
+                             "height": d["height"], "sum_y": d["sum_y"],
+                             "sum_cb": d["sum_cb"], "sum_cr": d["sum_cr"]})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "sum_y",
+                               "sum_cb", "sum_cr"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        dec, JPEG_FEATURE_SCHEMA)

@@ -3,12 +3,13 @@ decode / feature-extract stages as Arrow-batched ``mapInPandas`` jobs.
 
 Two tiers:
 
-- :func:`real_decode` REALLY parses BMP, WAV and PNG containers (pure
-  numpy/struct/zlib — header walk, row stride, RIFF chunks, CRC-verified
-  PNG chunk walk + DEFLATE inflate + scanline unfiltering; see
-  :mod:`graphscope_spark.functions.codecs`). Lossy formats (JPEG/MP4)
-  raise NotImplementedError — their codec libraries (PIL/ffmpeg) are
-  absent from this container.
+- :func:`real_decode` REALLY parses BMP, WAV, PNG, GIF and baseline-JPEG
+  containers (pure numpy/struct/zlib — header walk, row stride, RIFF
+  chunks, CRC-verified PNG chunk walk + DEFLATE inflate + scanline
+  unfiltering, GIF LZW + interlace + local color tables, JPEG Huffman +
+  dequant + IDCT; see :mod:`graphscope_spark.functions.codecs` and
+  :mod:`~.codecs_av`). Only MP4/H.264 still raises — a real video
+  entropy decoder is not reasonably re-implementable without ffmpeg.
 - :func:`decode_image_stub` / :func:`sample_frames_stub` keep the
   library-free plumbing path (schemas, batch iteration, partitioning)
   for payloads that are not self-describing containers.
@@ -114,17 +115,21 @@ def sample_frames_stub(media: DataFrame, every: int = 4) -> DataFrame:
 
 def real_decode(media: DataFrame) -> DataFrame:
     """REAL decode: sniff each payload's magic bytes and parse the
-    container. BMP, WAV and PNG are decoded for real (pure
-    numpy/struct/zlib parsing — :mod:`graphscope_spark.functions.codecs`;
-    PNG includes CRC-verified chunk walking, DEFLATE inflate and full
-    scanline unfiltering); lossy formats (JPEG/MP4...) raise — their
-    codec libraries (PIL/ffmpeg) are absent from this container.
+    container. BMP, WAV, PNG (pure numpy/struct/zlib parsing —
+    :mod:`graphscope_spark.functions.codecs`; PNG includes CRC-verified
+    chunk walking, DEFLATE inflate and full scanline unfiltering), GIF
+    (real LZW + interlace + local color tables) and baseline JPEG
+    (Huffman + dequant + IDCT) are all decoded for real —
+    :mod:`graphscope_spark.functions.codecs_av` for the latter two.
+    MP4/H.264 remains out of scope (a real video entropy decoder is not
+    reasonably re-implementable without ffmpeg) and raises.
 
     Output: one row per media item with the container kind and exact
     integer content aggregates (width/height + channel sums for images,
-    rate/n_samples/sum for audio)."""
+    rate/n_samples/sum for audio, per-frame totals for GIF)."""
     from graphscope_spark.functions.codecs import (_PNG_SIG, decode_bmp,
                                                    decode_png, decode_wav)
+    from graphscope_spark.functions.codecs_av import decode_gif, decode_jpeg
 
     schema = ("media_id LONG, kind STRING, width INT, height INT, "
               "n_samples INT, content_sum LONG")
@@ -156,11 +161,28 @@ def real_decode(media: DataFrame) -> DataFrame:
                     rows["height"].append(d["height"])
                     rows["n_samples"].append(0)
                     rows["content_sum"].append(d["sum_r"] + d["sum_g"] + d["sum_b"])
+                elif p[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = decode_gif(p)
+                    rows["kind"].append("gif")
+                    rows["width"].append(frames[0]["width"])
+                    rows["height"].append(frames[0]["height"])
+                    rows["n_samples"].append(len(frames))  # frame count
+                    rows["content_sum"].append(sum(
+                        f["sum_r"] + f["sum_g"] + f["sum_b"] for f in frames))
+                elif p[:2] == b"\xff\xd8":
+                    d = decode_jpeg(p)
+                    rows["kind"].append("jpeg")
+                    rows["width"].append(d["width"])
+                    rows["height"].append(d["height"])
+                    rows["n_samples"].append(0)
+                    rows["content_sum"].append(
+                        d["sum_y"] + d["sum_cb"] + d["sum_cr"])
                 else:
                     raise NotImplementedError(
-                        "lossy media formats need PIL/ffmpeg, absent "
-                        f"from this container (magic {p[:4]!r}); BMP/WAV/"
-                        "PNG decode is implemented in functions/codecs.py")
+                        "MP4/H.264 needs ffmpeg, absent from this "
+                        f"container (magic {p[:4]!r}); BMP/WAV/PNG/GIF/"
+                        "JPEG decode is implemented in functions/"
+                        "codecs.py + codecs_av.py")
                 rows["media_id"].append(mid)
             yield pd.DataFrame(rows)
 

@@ -1,0 +1,210 @@
+"""Real GIF / baseline-JPEG codec tests — pure Python (the Spark
+mapInPandas path is covered by the gate mirror queries gif_frames /
+jpeg_decode)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphscope_spark.functions.codecs_av import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    decode_jpeg,
+    encode_gif,
+    encode_jpeg,
+    encode_jpeg_planes,
+    gif_palette,
+    gif_params,
+    gif_pixel_index,
+    jpeg_mcu_values,
+    jpeg_params,
+)
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mid", [0, 1, 2, 3, 4, 5, 7, 11, 17, 29, 123, 4999])
+def test_gif_roundtrip_exact(mid):
+    """Every frame's index/channel sums match the closed form the SQL
+    oracle uses — across palette sizes 4/8/16, 1-5 frames, LCT and
+    interlace variants."""
+    p = gif_params(mid)
+    frames = decode_gif(encode_gif(mid))
+    assert len(frames) == p["n_frames"]
+    x = np.arange(p["width"])[None, :]
+    y = np.arange(p["height"])[:, None]
+    for f, fr in enumerate(frames):
+        idx = gif_pixel_index(mid, f, x, y, p["ncolors"])
+        rgb = gif_palette(mid, f, p["ncolors"])[idx.reshape(-1)].astype(np.int64)
+        assert fr["frame_no"] == f
+        assert (fr["width"], fr["height"]) == (p["width"], p["height"])
+        assert fr["sum_idx"] == int(idx.astype(np.int64).sum())
+        assert fr["sum_r"] == int(rgb[:, 0].sum())
+        assert fr["sum_g"] == int(rgb[:, 1].sum())
+        assert fr["sum_b"] == int(rgb[:, 2].sum())
+
+
+def test_gif_local_color_tables_differ_from_global():
+    """Odd frames carry an LCT shifted by 7f — a decoder that always uses
+    the global table would compute different channel sums (the value
+    oracle would catch it). mid=13 has 4 frames (f=1,3 local)."""
+    mid = 13
+    p = gif_params(mid)
+    assert p["n_frames"] >= 2
+    g = gif_palette(mid, 0, p["ncolors"])
+    l1 = gif_palette(mid, 1, p["ncolors"])
+    assert not np.array_equal(g, l1)
+    # and the decoder's frame-1 sums really use the local table
+    frames = decode_gif(encode_gif(mid))
+    idx = gif_pixel_index(mid, 1, np.arange(p["width"])[None, :],
+                          np.arange(p["height"])[:, None], p["ncolors"])
+    wrong = g[idx.reshape(-1)].astype(np.int64)  # global-table sums
+    assert frames[1]["sum_r"] != int(wrong[:, 0].sum())
+
+
+def test_gif_interlaced_frame_present_and_exact():
+    """mid=22 → 3 frames, frame 2 interlaced (f % 3 == 2); covered by the
+    exact roundtrip, but assert the flag is really set in the stream."""
+    mid = 22
+    payload = encode_gif(mid)
+    # find the third image descriptor (0x2C) and check its interlace bit
+    descs = []
+    i = 0
+    while i < len(payload):
+        if payload[i] == 0x2C:
+            descs.append(i)
+            i += 10
+        else:
+            i += 1
+    # offsets are heuristic (0x2C can appear in pixel data), so just
+    # assert the decoder handled 3 frames exactly (roundtrip test) and
+    # that at least one descriptor has the interlace bit set
+    assert any(payload[d + 9] & 0x40 for d in descs)
+    assert len(decode_gif(payload)) == gif_params(mid)["n_frames"]
+
+
+def test_lzw_dictionary_reset_roundtrip():
+    """300k random 16-color pixels force code width growth to 12 bits and
+    at least one mid-stream Clear (dictionary full at 4096)."""
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 16, 300_000).astype(np.uint8)
+    enc = _lzw_encode(idx, 4)
+    assert np.array_equal(_lzw_decode(enc, 4, len(idx)), idx)
+
+
+def test_lzw_cscsc_and_runs():
+    """Long runs exercise the code==next_code (cScSc) decoder branch."""
+    idx = np.repeat(np.arange(8, dtype=np.uint8), 5000)
+    enc = _lzw_encode(idx, 3)
+    assert np.array_equal(_lzw_decode(enc, 3, len(idx)), idx)
+    # degenerate single-symbol stream
+    one = np.zeros(1000, dtype=np.uint8)
+    assert np.array_equal(_lzw_decode(_lzw_encode(one, 2), 2, 1000), one)
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF" + bytes(50))
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + bytes(20))  # no frames / malformed
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mid", [0, 1, 2, 3, 4, 5, 6, 7, 11, 12, 123, 4998])
+def test_jpeg_constant_mcu_exact(mid):
+    """Constant MCUs survive the q=1 lossy pipeline exactly (DC-only
+    blocks) — decode sums equal the closed form the SQL oracle uses.
+    Covers 4:2:0 (even ids), 4:4:4 (odd), restart markers (id%3==0)."""
+    p = jpeg_params(mid)
+    d = decode_jpeg(encode_jpeg(mid))
+    wm, hm, mcu = p["w_mcus"], p["h_mcus"], p["mcu"]
+    assert (d["width"], d["height"]) == (wm * mcu, hm * mcu)
+    bx = np.arange(wm)[None, :]
+    by = np.arange(hm)[:, None]
+    yv, cb, cr = jpeg_mcu_values(mid, bx, by)
+    ypix = 256 if p["sub420"] else 64
+    assert d["sum_y"] == int(yv.astype(np.int64).sum()) * ypix
+    assert d["sum_cb"] == int(cb.astype(np.int64).sum()) * 64
+    assert d["sum_cr"] == int(cr.astype(np.int64).sum()) * 64
+
+
+@pytest.mark.parametrize("sub420,restart", [(True, 0), (False, 3), (True, 2)])
+def test_jpeg_general_roundtrip_bounded_error(sub420, restart):
+    """Arbitrary (non-constant) content through the general encoder and
+    decoder: with all-ones quantization tables the only loss is
+    coefficient rounding, so per-pixel error is tightly bounded."""
+    rng = np.random.RandomState(42)
+    h, w = 32, 48
+    y = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    cs = (h // 2, w // 2) if sub420 else (h, w)
+    cb = rng.randint(0, 256, cs).astype(np.uint8)
+    cr = rng.randint(0, 256, cs).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg_planes(y, cb, cr, sub420, restart))
+    assert (d["width"], d["height"]) == (w, h)
+    err_y = np.abs(d["planes"][0][:h, :w].astype(np.int64)
+                   - y.astype(np.int64)).max()
+    err_cb = np.abs(d["planes"][1][:cs[0], :cs[1]].astype(np.int64)
+                    - cb.astype(np.int64)).max()
+    assert err_y <= 2 and err_cb <= 2
+
+
+def test_jpeg_restart_markers_present():
+    """id 6 → restart interval 2 and 4x3=12 MCUs (4:2:0): RST0..n markers
+    must appear in the stream, and DC predictors reset across them (the
+    exactness test would fail otherwise)."""
+    payload = encode_jpeg(6)
+    assert b"\xff\xdd" in payload           # DRI segment
+    assert b"\xff\xd0" in payload           # RST0
+    d = decode_jpeg(payload)
+    assert d["width"] == (6 % 4 + 1) * 16
+
+
+def test_jpeg_rejects_non_baseline():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + bytes(10))
+    # flip SOF0 to SOF2 (progressive) → loud rejection
+    p = bytearray(encode_jpeg(1))
+    p[p.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(p))
+
+
+def test_jpeg_misaligned_planes_rejected():
+    y = np.zeros((20, 20), dtype=np.uint8)  # not 16-aligned for 4:2:0
+    c = np.zeros((10, 10), dtype=np.uint8)
+    with pytest.raises(ValueError, match="aligned"):
+        encode_jpeg_planes(y, c, c, True)
+
+
+# ---------------------------------------------------------------------------
+# real_decode sniffing (Spark path)
+# ---------------------------------------------------------------------------
+
+
+def test_real_decode_sniffs_gif_and_jpeg(spark):
+    """A mixed media table (BMP + GIF + JPEG payloads) through the one
+    real_decode stage: kinds sniffed per row, content sums exact."""
+    from graphscope_spark.functions.codecs import encode_bmp
+    from graphscope_spark.functions.multimodal import real_decode
+
+    rows = [
+        (1, bytearray(encode_bmp(1, 5, 4))),
+        (2, bytearray(encode_gif(2))),
+        (3, bytearray(encode_jpeg(3))),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {r["media_id"]: r for r in real_decode(media).collect()}
+    assert got[1]["kind"] == "bmp"
+    assert got[2]["kind"] == "gif"
+    assert got[2]["n_samples"] == gif_params(2)["n_frames"]
+    assert got[3]["kind"] == "jpeg"
+    d = decode_jpeg(encode_jpeg(3))
+    assert got[3]["content_sum"] == d["sum_y"] + d["sum_cb"] + d["sum_cr"]
