@@ -84,6 +84,12 @@ from graphscope_spark.functions.codecs import (
     png_media,
     wav_media,
 )
+from graphscope_spark.functions.mp4 import (
+    demux_mp4,
+    demux_mp4_frames,
+    encode_mp4,
+    mp4_media,
+)
 from graphscope_spark.functions.codecs_av import (
     decode_gif,
     decode_gif_frames,
@@ -119,4 +125,5 @@ __all__ = [
     "encode_gif", "decode_gif", "gif_media", "decode_gif_frames",
     "encode_jpeg", "encode_jpeg_planes", "decode_jpeg", "jpeg_media",
     "decode_jpeg_features",
+    "encode_mp4", "demux_mp4", "mp4_media", "demux_mp4_frames",
 ]

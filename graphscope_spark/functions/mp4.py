@@ -1,0 +1,445 @@
+"""Real MP4 (ISO Base Media File Format) demuxing in pure struct/numpy.
+
+The last multimodal gap: MP4. Full H.264/AAC *decoding* is out of scope
+(a video entropy decoder is not reasonably re-implementable without
+ffmpeg), but that is not what a frame-sampling data pipeline does — it
+DEMUXES: walks the box tree, resolves the sample tables, and extracts
+per-sample byte ranges (ffmpeg's own frame extractor walks exactly these
+tables before any codec runs). That layer is fully specified in
+ISO/IEC 14496-12 and implemented here for real:
+
+- **box tree walk**: 32-bit size + fourcc, the ``size == 1`` 64-bit
+  largesize form (used by the synthetic ``mdat`` for even ids), unknown
+  boxes (``free``, ``udta`` junk) skipped by declared size, container
+  boxes (``moov``/``trak``/``mdia``/``minf``/``stbl``) recursed.
+- **track selection by handler**: files carry BOTH a ``vide`` and a
+  ``soun`` track whose chunks interleave inside ``mdat`` — demuxers that
+  assume one track or contiguous media fail the value oracle.
+- **sample tables**: ``stsc`` run-length sample-to-chunk expansion
+  (multi-entry, with a tail run and a short final chunk that needs its
+  own entry), ``stsz`` both forms (per-sample table for video; the
+  constant ``sample_size != 0`` form for audio), ``stco`` 32-bit and
+  ``co64`` 64-bit chunk offsets (odd ids use co64), ``stts`` decode
+  timestamps (two-run table → non-uniform frame durations), ``stss``
+  sync samples (keyframes = every 3rd sample; a missing ``stss`` means
+  all-keyframes per spec — exercised by the audio track).
+- **geometry**: ``tkhd`` 16.16 fixed-point width/height, ``mdhd``
+  timescale.
+
+The synthesizer writes real files whose sample bytes are a pure function
+of (media_id, sample_no, byte_index), so the DuckDB oracle recomputes
+every extracted byte range in closed form — if the demuxer mis-walks any
+table (chunk offsets, run-length stsc, interleaving) the sums diverge.
+
+Reference parity: GraphScope loaders treat media as opaque vineyard
+blobs and delegate demux/decode to user apps; here demux is a
+first-class Arrow ``mapInPandas`` stage (SURVEY.md LLM-pipeline
+multimodal row), alongside the BMP/WAV/PNG/GIF/JPEG decoders in
+:mod:`~.codecs` / :mod:`~.codecs_av`.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic content (mirrored by the SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def mp4_params(media_id: int) -> dict:
+    return {
+        "n_video": media_id % 7 + 3,              # 3..9 video samples
+        "n_audio": 4,
+        "width": (media_id % 5 + 1) * 16,
+        "height": (media_id % 4 + 1) * 16,
+        "co64": media_id % 2 == 1,                # odd ids: 64-bit offsets
+        "largesize": media_id % 2 == 0,           # even ids: largesize mdat
+    }
+
+
+def video_sample_size(media_id: int, i: int) -> int:
+    return (media_id + 17 * i) % 40 + 8
+
+
+def video_sample_bytes(media_id: int, i: int) -> bytes:
+    n = video_sample_size(media_id, i)
+    return bytes((media_id * 7 + 13 * i + j) % 256 for j in range(n))
+
+
+def audio_sample_bytes(media_id: int, i: int) -> bytes:
+    return bytes((media_id * 3 + 5 * i + j) % 256 for j in range(6))
+
+
+def video_dts(i: int) -> int:
+    """stts is the two-run table [(min(n,2), 100), (rest, 40)]:
+    dts_i = 100·min(i,2) + 40·max(i−2, 0)."""
+    return 100 * min(i, 2) + 40 * max(i - 2, 0)
+
+
+def _video_chunk_sizes(n: int) -> list:
+    """Chunk layout: first chunk 2 samples, then runs of 3, with a short
+    final chunk when n−2 is not a multiple of 3 — forces a multi-entry
+    run-length stsc including a distinct last entry."""
+    sizes = [min(2, n)]
+    left = n - sizes[0]
+    while left > 0:
+        sizes.append(min(3, left))
+        left -= sizes[-1]
+    return sizes
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), fourcc) + payload
+
+
+def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B3s", version,
+                                    flags.to_bytes(3, "big")) + payload)
+
+
+def _stsc_entries(chunk_sizes: list) -> list:
+    """Run-length encode samples-per-chunk: one entry per change."""
+    entries = []
+    for ci, spc in enumerate(chunk_sizes, start=1):
+        if not entries or entries[-1][1] != spc:
+            entries.append((ci, spc))
+    return entries
+
+
+def _stbl(sample_sizes, chunk_sizes, chunk_offsets, stts_runs,
+          keyframes, co64: bool, sample_entry_fourcc: bytes,
+          const_size: int = 0, width: int = 0, height: int = 0) -> bytes:
+    if sample_entry_fourcc == b"rawv":
+        # minimal VisualSampleEntry (78 bytes after the 8-byte header)
+        se = (bytes(6) + struct.pack(">H", 1) + bytes(16)
+              + struct.pack(">HH", width, height)
+              + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+              + struct.pack(">I", 0) + struct.pack(">H", 1)
+              + bytes(32) + struct.pack(">Hh", 24, -1))
+    else:
+        # minimal AudioSampleEntry
+        se = (bytes(6) + struct.pack(">H", 1) + bytes(8)
+              + struct.pack(">HHI", 1, 16, 0)
+              + struct.pack(">I", 8000 << 16))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + _box(sample_entry_fourcc, se))
+    stts = _full(b"stts", 0, 0, struct.pack(">I", len(stts_runs))
+                 + b"".join(struct.pack(">II", c, d) for c, d in stts_runs))
+    entries = _stsc_entries(chunk_sizes)
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(entries))
+                 + b"".join(struct.pack(">III", fc, spc, 1)
+                            for fc, spc in entries))
+    if const_size:
+        stsz = _full(b"stsz", 0, 0,
+                     struct.pack(">II", const_size, len(sample_sizes)))
+    else:
+        stsz = _full(b"stsz", 0, 0,
+                     struct.pack(">II", 0, len(sample_sizes))
+                     + b"".join(struct.pack(">I", s) for s in sample_sizes))
+    if co64:
+        stco = _full(b"co64", 0, 0, struct.pack(">I", len(chunk_offsets))
+                     + b"".join(struct.pack(">Q", o) for o in chunk_offsets))
+    else:
+        stco = _full(b"stco", 0, 0, struct.pack(">I", len(chunk_offsets))
+                     + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    boxes = stsd + stts + stsc + stsz + stco
+    if keyframes is not None:
+        boxes += _full(b"stss", 0, 0, struct.pack(">I", len(keyframes))
+                       + b"".join(struct.pack(">I", k) for k in keyframes))
+    return _box(b"stbl", boxes)
+
+
+def _trak(track_id: int, handler: bytes, stbl: bytes, width: int,
+          height: int, timescale: int, duration: int) -> bytes:
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(
+        ">IIII", 0, 0, track_id, 0) + struct.pack(">I", duration)
+        + bytes(8) + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16))   # 16.16 fixed
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I4s", 0, handler)
+                 + bytes(12) + b"demux\x00")
+    mhd = (_full(b"vmhd", 0, 1, bytes(8)) if handler == b"vide"
+           else _full(b"smhd", 0, 0, bytes(4)))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))
+    minf = _box(b"minf", mhd + _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", tkhd + mdia)
+
+
+def encode_mp4(media_id: int) -> bytes:
+    """A real two-track MP4: ftyp, mdat (largesize form for even ids)
+    holding INTERLEAVED video/audio chunks, then moov with both traks, a
+    junk ``free`` box and a ``udta`` box the walker must skip. Chunk
+    offsets in stco/co64 are absolute file offsets into mdat."""
+    p = mp4_params(media_id)
+    nv, na = p["n_video"], p["n_audio"]
+    v_sizes = [video_sample_size(media_id, i) for i in range(nv)]
+    v_payloads = [video_sample_bytes(media_id, i) for i in range(nv)]
+    a_payloads = [audio_sample_bytes(media_id, i) for i in range(na)]
+    v_chunks = _video_chunk_sizes(nv)
+    # interleave: v_chunk0, audio chunk (all 4), v_chunk1, v_chunk2, ...
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp42")
+    mdat_hdr_len = 16 if p["largesize"] else 8
+    base = len(ftyp) + mdat_hdr_len
+    media = bytearray()
+    v_offsets = []
+    a_offsets = []
+    si = 0
+    for ci, spc in enumerate(v_chunks):
+        if ci == 1:                               # audio chunk interleaved
+            a_offsets.append(base + len(media))
+            for ap in a_payloads:
+                media += ap
+        v_offsets.append(base + len(media))
+        for _ in range(spc):
+            media += v_payloads[si]
+            si += 1
+    if not a_offsets:                             # single video chunk file
+        a_offsets.append(base + len(media))
+        for ap in a_payloads:
+            media += ap
+    if p["largesize"]:
+        mdat = struct.pack(">I4sQ", 1, b"mdat", 16 + len(media)) + media
+    else:
+        mdat = _box(b"mdat", bytes(media))
+    v_duration = video_dts(nv - 1) + (40 if nv > 2 else 100)
+    v_stts = [(min(nv, 2), 100)] + ([(nv - 2, 40)] if nv > 2 else [])
+    v_stbl = _stbl(v_sizes, v_chunks, v_offsets, v_stts,
+                   [k + 1 for k in range(0, nv, 3)], p["co64"], b"rawv",
+                   width=p["width"], height=p["height"])
+    a_stbl = _stbl([6] * na, [na], a_offsets, [(na, 1024)], None,
+                   False, b"rawa", const_size=6)
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, 1000, v_duration) + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100) + bytes(10)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24) + struct.pack(">I", 3))
+    moov = _box(b"moov", mvhd
+                + _box(b"free", b"skip me entirely")
+                + _trak(1, b"vide", v_stbl, p["width"], p["height"],
+                        1000, v_duration)
+                + _trak(2, b"soun", a_stbl, 0, 0, 8000, na * 1024)
+                + _box(b"udta", _box(b"junk", b"\x00\xff" * 9)))
+    return bytes(ftyp + mdat + moov)
+
+
+# ---------------------------------------------------------------------------
+# demuxer
+# ---------------------------------------------------------------------------
+
+
+def _walk_boxes(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) handling 32-bit and
+    largesize (size == 1) forms; size 0 = to-end-of-enclosing-box."""
+    pos = start
+    while pos + 8 <= end:
+        size, fourcc = struct.unpack_from(">I4s", payload, pos)
+        body = pos + 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"bad box size {size} for {fourcc!r} at {pos}")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _find(payload, start, end, fourcc):
+    for fc, b, e in _walk_boxes(payload, start, end):
+        if fc == fourcc:
+            return b, e
+    return None
+
+
+def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
+    out: dict = {}
+    for fc, b, e in _walk_boxes(payload, start, end):
+        if fc == b"stts":
+            (n,) = struct.unpack_from(">I", payload, b + 4)
+            out["stts"] = [struct.unpack_from(">II", payload, b + 8 + 8 * i)
+                           for i in range(n)]
+        elif fc == b"stsc":
+            (n,) = struct.unpack_from(">I", payload, b + 4)
+            out["stsc"] = [struct.unpack_from(">III", payload, b + 8 + 12 * i)
+                           for i in range(n)]
+        elif fc == b"stsz":
+            const, n = struct.unpack_from(">II", payload, b + 4)
+            if const:
+                out["sizes"] = [const] * n
+            else:
+                out["sizes"] = list(struct.unpack_from(f">{n}I", payload,
+                                                       b + 12))
+        elif fc == b"stco":
+            (n,) = struct.unpack_from(">I", payload, b + 4)
+            out["offsets"] = list(struct.unpack_from(f">{n}I", payload,
+                                                     b + 8))
+        elif fc == b"co64":
+            (n,) = struct.unpack_from(">I", payload, b + 4)
+            out["offsets"] = list(struct.unpack_from(f">{n}Q", payload,
+                                                     b + 8))
+        elif fc == b"stss":
+            (n,) = struct.unpack_from(">I", payload, b + 4)
+            out["sync"] = set(struct.unpack_from(f">{n}I", payload, b + 8))
+        elif fc == b"stsd":
+            (n,) = struct.unpack_from(">I", payload, b + 4)
+            if n:
+                out["codec"] = payload[b + 12:b + 16].decode("latin1")
+    return out
+
+
+def _expand_stsc(stsc: list, n_chunks: int) -> list:
+    """Run-length sample-to-chunk → samples-per-chunk per chunk index.
+    Entry (first_chunk, spc, _) applies from first_chunk (1-based) until
+    the next entry's first_chunk − 1; the last entry runs to the end."""
+    spc = []
+    for idx, (first, count, _desc) in enumerate(stsc):
+        last = stsc[idx + 1][0] - 1 if idx + 1 < len(stsc) else n_chunks
+        spc.extend([count] * (last - first + 1))
+    if len(spc) != n_chunks:
+        raise ValueError(f"stsc expands to {len(spc)} chunks, "
+                         f"file has {n_chunks}")
+    return spc
+
+
+def demux_mp4(payload: bytes) -> dict:
+    """Walk the real box tree and resolve every sample of every track to
+    its absolute byte range; extract the bytes. Returns
+    ``{"tracks": [{handler, track_id, width, height, timescale, codec,
+    samples: [{sample_no, size, dts, is_key, data}]}]}``."""
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4: missing ftyp")
+    moov = _find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    tracks = []
+    for fc, tb, te in _walk_boxes(payload, *moov):
+        if fc != b"trak":
+            continue
+        tkhd = _find(payload, tb, te, b"tkhd")
+        track_id = width = height = 0
+        if tkhd:
+            ver = payload[tkhd[0]]
+            track_id = struct.unpack_from(
+                ">I", payload, tkhd[0] + (12 if ver == 0 else 24))[0]
+            w_fixed, h_fixed = struct.unpack_from(">II", payload,
+                                                  tkhd[1] - 8)
+            width, height = w_fixed >> 16, h_fixed >> 16
+        mdia = _find(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = _find(payload, *mdia, b"mdhd")
+        timescale = 0
+        if mdhd:
+            ver = payload[mdhd[0]]
+            timescale = struct.unpack_from(
+                ">I", payload, mdhd[0] + (12 if ver == 0 else 20))[0]
+        hdlr = _find(payload, *mdia, b"hdlr")
+        handler = payload[hdlr[0] + 8:hdlr[0] + 12].decode("latin1") \
+            if hdlr else "?"
+        minf = _find(payload, *mdia, b"minf")
+        stbl = _find(payload, *minf, b"stbl") if minf else None
+        if stbl is None:
+            continue
+        t = _parse_stbl(payload, *stbl)
+        sizes, offsets = t["sizes"], t["offsets"]
+        spc = _expand_stsc(t["stsc"], len(offsets))
+        if sum(spc) != len(sizes):
+            raise ValueError(f"stsc covers {sum(spc)} samples, "
+                             f"stsz has {len(sizes)}")
+        durations = []
+        for count, delta in t["stts"]:
+            durations.extend([delta] * count)
+        sync = t.get("sync")                      # None: all sync per spec
+        samples = []
+        si = 0
+        dts = 0
+        for chunk_off, n_in_chunk in zip(offsets, spc):
+            off = chunk_off
+            for _ in range(n_in_chunk):
+                data = payload[off:off + sizes[si]]
+                if len(data) != sizes[si]:
+                    raise ValueError(f"sample {si} range out of file")
+                samples.append({
+                    "sample_no": si,
+                    "size": sizes[si],
+                    "dts": dts,
+                    "is_key": sync is None or (si + 1) in sync,
+                    "data": data,
+                })
+                dts += durations[si] if si < len(durations) else 0
+                off += sizes[si]
+                si += 1
+        tracks.append({"handler": handler, "track_id": track_id,
+                       "width": width, "height": height,
+                       "timescale": timescale,
+                       "codec": t.get("codec", "?"), "samples": samples})
+    if not tracks:
+        raise ValueError("MP4 with no usable tracks")
+    return {"tracks": tracks}
+
+
+# ---------------------------------------------------------------------------
+# DataFrame stages
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = "media_id LONG, payload BINARY"
+MP4_FRAME_SCHEMA = ("media_id LONG, sample_no INT, size INT, dts LONG, "
+                    "is_key BOOLEAN, sum_bytes LONG")
+
+
+def mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize one real two-track MP4 per row — distributed."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [encode_mp4(int(i)) for i in ids],
+            })
+
+    return (df.select(F.col(id_col).cast("long").alias("media_id"))
+            .mapInPandas(gen, MEDIA_SCHEMA))
+
+
+def demux_mp4_frames(media: DataFrame) -> DataFrame:
+    """REAL demux stage: one output row per VIDEO sample (frame), with
+    its resolved size, decode timestamp, keyframe flag and exact byte
+    sum — the table walk a frame-sampling pipeline runs before any
+    codec."""
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = demux_mp4(bytes(p))
+                video = next(t for t in d["tracks"]
+                             if t["handler"] == "vide")
+                for s in video["samples"]:
+                    rows.append({
+                        "media_id": mid, "sample_no": s["sample_no"],
+                        "size": s["size"], "dts": s["dts"],
+                        "is_key": s["is_key"],
+                        "sum_bytes": int(np.frombuffer(
+                            s["data"], np.uint8).astype(np.int64).sum()),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_no", "size", "dts",
+                               "is_key", "sum_bytes"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        dec, MP4_FRAME_SCHEMA)

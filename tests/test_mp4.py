@@ -1,0 +1,121 @@
+"""Real MP4 (ISO BMFF) demux tests — pure Python (the Spark mapInPandas
+path is covered by the gate mirror query mp4_frames)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from graphscope_spark.functions.mp4 import (
+    _expand_stsc,
+    _video_chunk_sizes,
+    audio_sample_bytes,
+    demux_mp4,
+    encode_mp4,
+    mp4_params,
+    video_dts,
+    video_sample_bytes,
+    video_sample_size,
+)
+
+
+@pytest.mark.parametrize("mid", [0, 1, 2, 3, 4, 5, 6, 7, 11, 13, 123, 4999])
+def test_mp4_demux_exact(mid):
+    """Every resolved video sample matches the closed form the SQL
+    oracle uses — across stco/co64, largesize-mdat and chunk-layout
+    variants; the audio track resolves too (no stss → all keyframes)."""
+    p = mp4_params(mid)
+    d = demux_mp4(encode_mp4(mid))
+    v = next(t for t in d["tracks"] if t["handler"] == "vide")
+    a = next(t for t in d["tracks"] if t["handler"] == "soun")
+    assert (v["width"], v["height"]) == (p["width"], p["height"])
+    assert (v["timescale"], a["timescale"]) == (1000, 8000)
+    assert (v["codec"], a["codec"]) == ("rawv", "rawa")
+    assert len(v["samples"]) == p["n_video"]
+    for i, s in enumerate(v["samples"]):
+        assert s["size"] == video_sample_size(mid, i)
+        assert s["data"] == video_sample_bytes(mid, i)
+        assert s["dts"] == video_dts(i)
+        assert s["is_key"] == (i % 3 == 0)
+    assert [s["data"] for s in a["samples"]] == \
+        [audio_sample_bytes(mid, i) for i in range(p["n_audio"])]
+    assert all(s["is_key"] for s in a["samples"])  # no stss → all sync
+
+
+def test_stsc_run_length_expansion():
+    """Multi-entry run-length table incl. a tail run and a short final
+    chunk — the part naïve demuxers get wrong."""
+    # chunks of 2,3,3,1 → entries (1,2),(2,3),(4,1)
+    assert _video_chunk_sizes(9) == [2, 3, 3, 1]
+    spc = _expand_stsc([(1, 2, 1), (2, 3, 1), (4, 1, 1)], 4)
+    assert spc == [2, 3, 3, 1]
+    # tail run: last entry applies to every remaining chunk
+    assert _expand_stsc([(1, 2, 1), (2, 3, 1)], 5) == [2, 3, 3, 3, 3]
+    with pytest.raises(ValueError, match="stsc"):
+        _expand_stsc([(2, 3, 1)], 1)  # first entry must cover chunk 1
+
+
+def test_mp4_largesize_and_co64_paths_really_taken():
+    """Even ids write the size==1 largesize mdat; odd ids write 64-bit
+    co64 chunk offsets — assert the bytes really carry those forms."""
+    even = encode_mp4(2)
+    assert struct.unpack_from(">I", even, even.index(b"mdat") - 4)[0] == 1
+    assert b"co64" not in even and b"stco" in even
+    odd = encode_mp4(3)
+    assert b"co64" in odd
+    assert struct.unpack_from(">I", odd, odd.index(b"mdat") - 4)[0] != 1
+
+
+def test_mp4_interleaved_audio_chunk_between_video_chunks():
+    """The audio chunk sits between video chunks 1 and 2 in mdat — a
+    demuxer that assumes contiguous per-track media reads audio bytes as
+    video (the exactness test would fail); assert the layout is really
+    interleaved by comparing resolved offsets."""
+    mid = 5                                        # 8 video samples
+    payload = encode_mp4(mid)
+    d = demux_mp4(payload)
+    v = next(t for t in d["tracks"] if t["handler"] == "vide")
+    a = next(t for t in d["tracks"] if t["handler"] == "soun")
+    v0_end = payload.index(v["samples"][1]["data"])
+    a0 = payload.index(a["samples"][0]["data"])
+    v_last = payload.index(v["samples"][-1]["data"])
+    assert v0_end < a0 < v_last
+
+
+def test_mp4_rejects_garbage():
+    with pytest.raises(ValueError, match="ftyp"):
+        demux_mp4(bytes(32))
+    with pytest.raises(ValueError, match="moov"):
+        demux_mp4(struct.pack(">I4s", 16, b"ftyp") + b"isom" + bytes(4))
+    # truncated mdat → sample range out of file
+    good = encode_mp4(1)
+    moov_at = good.index(b"moov") - 4
+    cut = good[:200] + good[moov_at:]              # drop most of mdat
+    with pytest.raises(ValueError):
+        demux_mp4(cut)
+
+
+def test_real_decode_sniffs_mp4(spark):
+    from graphscope_spark.functions.multimodal import real_decode
+
+    media = spark.createDataFrame(
+        [(9, bytearray(encode_mp4(9)))], "media_id LONG, payload BINARY")
+    row = real_decode(media).collect()[0]
+    p = mp4_params(9)
+    assert row["kind"] == "mp4"
+    assert (row["width"], row["height"]) == (p["width"], p["height"])
+    assert row["n_samples"] == p["n_video"]
+    expect = sum(sum(video_sample_bytes(9, i)) for i in range(p["n_video"]))
+    assert row["content_sum"] == expect
+
+
+def test_real_decode_unknown_magic_raises(spark):
+    from graphscope_spark.functions.multimodal import real_decode
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01\x02\x03 garbage payload"))],
+        "media_id LONG, payload BINARY")
+    with pytest.raises(Exception, match="unknown container"):
+        real_decode(media).collect()
