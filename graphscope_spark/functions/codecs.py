@@ -32,6 +32,7 @@ reproducible in closed form by the DuckDB oracle.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
@@ -39,6 +40,24 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def truncation_guard(fn):
+    """Top-level parser wrapper: truncated/malformed containers must
+    surface as ValueError (the documented contract), not as the
+    low-level struct.error / IndexError / zlib.error an out-of-bounds
+    read raises mid-parse."""
+
+    @functools.wraps(fn)
+    def wrapped(payload, *args, **kwargs):
+        try:
+            return fn(payload, *args, **kwargs)
+        except (struct.error, IndexError, zlib.error) as ex:
+            raise ValueError(
+                f"truncated or malformed input to {fn.__name__}: {ex}"
+            ) from ex
+
+    return wrapped
 
 # ---------------------------------------------------------------------------
 # BMP
@@ -80,6 +99,7 @@ def encode_bmp(media_id: int, width: int, height: int,
     return hdr + dib + data
 
 
+@truncation_guard
 def decode_bmp(payload: bytes) -> dict:
     """Parse a 24-bit uncompressed BMP: validate the magic, honor the
     declared pixel-array offset, the row stride (4-byte alignment), and
@@ -140,6 +160,7 @@ def encode_wav(media_id: int, n_samples: int, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+@truncation_guard
 def decode_wav(payload: bytes) -> dict:
     """Walk the RIFF chunk list (honoring sizes + odd-size pad bytes),
     read the ``fmt `` chunk, locate ``data``, parse PCM16 samples.
@@ -251,6 +272,7 @@ def encode_png(media_id: int, width: int, height: int) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+@truncation_guard
 def decode_png(payload: bytes) -> dict:
     """Parse a real PNG: signature, chunk walk with CRC32 verification,
     ancillary-chunk skipping, multi-IDAT concatenation, zlib inflate, and

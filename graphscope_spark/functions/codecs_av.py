@@ -58,6 +58,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphscope_spark.functions.codecs import truncation_guard
+
 # ---------------------------------------------------------------------------
 # GIF — deterministic synthetic content
 # ---------------------------------------------------------------------------
@@ -264,6 +266,7 @@ def encode_gif(media_id: int) -> bytes:
     return bytes(out)
 
 
+@truncation_guard
 def decode_gif(payload: bytes) -> list:
     """Parse a real GIF: header, logical screen descriptor, global color
     table, extension skipping, per-frame descriptors with local-color-
@@ -708,6 +711,7 @@ def _decode_block(br: _BitReader, dc_tab, ac_tab, qt: np.ndarray,
     return np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8), dc
 
 
+@truncation_guard
 def decode_jpeg(payload: bytes) -> dict:
     """A general baseline JPEG decoder: marker walk (APPn/COM skipped by
     length), DQT (zigzag order, 8-bit), DHT (canonical construction),

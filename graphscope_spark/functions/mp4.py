@@ -47,6 +47,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphscope_spark.functions.codecs import truncation_guard
+
 # ---------------------------------------------------------------------------
 # deterministic synthetic content (mirrored by the SQL oracle)
 # ---------------------------------------------------------------------------
@@ -317,6 +319,7 @@ def _expand_stsc(stsc: list, n_chunks: int) -> list:
     return spc
 
 
+@truncation_guard
 def demux_mp4(payload: bytes) -> dict:
     """Walk the real box tree and resolve every sample of every track to
     its absolute byte range; extract the bytes. Returns

@@ -142,8 +142,10 @@ def test_png_requires_real_chunk_walk():
 
 
 def test_real_decode_dispatch(spark):
-    # magic-sniffed dispatch: a mixed BMP+WAV media table decodes in one
-    # pass; an unknown compressed format raises NotImplementedError
+    # magic-sniffed dispatch: a mixed BMP+WAV+PNG media table decodes in
+    # one pass; a TRUNCATED JPEG now reaches the real baseline decoder
+    # (codecs_av) and fails its structural validation loudly; a payload
+    # with no known magic raises the unknown-container error
     from graphscope_spark.functions import real_decode
 
     rows = [(1, encode_bmp(1, 5, 4)), (2, encode_wav(2, 34, 12000)),
@@ -156,5 +158,10 @@ def test_real_decode_dispatch(spark):
 
     bad = spark.createDataFrame([(4, b"\xff\xd8\xff\xe0jpeg")],
                                 "media_id LONG, payload BINARY")
-    with pytest.raises(Exception, match="PIL/ffmpeg"):
+    with pytest.raises(Exception, match="missing SOS/SOF0"):
         real_decode(bad).collect()
+
+    unknown = spark.createDataFrame([(5, b"ZZZZ not a container")],
+                                    "media_id LONG, payload BINARY")
+    with pytest.raises(Exception, match="unknown container"):
+        real_decode(unknown).collect()

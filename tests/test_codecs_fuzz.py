@@ -1,0 +1,144 @@
+"""Property-based fuzz for the media codec/demux layers (hypothesis).
+
+The deterministic gate queries pin exact values on the synthetic id
+family; these fuzz the GENERAL layers underneath on arbitrary inputs:
+LZW over any alphabet/stream, the baseline-JPEG encoder/decoder over
+any plane content and geometry, and the id-parameterized GIF/MP4
+writers over the whole id domain (every geometry/palette/layout combo
+the mod-arithmetic can produce, not just the handful unit tests pick).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from graphscope_spark.functions.codecs_av import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    decode_jpeg,
+    encode_gif,
+    encode_jpeg,
+    encode_jpeg_planes,
+    gif_palette,
+    gif_params,
+    gif_pixel_index,
+    jpeg_mcu_values,
+    jpeg_params,
+)
+from graphscope_spark.functions.mp4 import (
+    demux_mp4,
+    encode_mp4,
+    mp4_params,
+    video_dts,
+    video_sample_bytes,
+)
+
+_SETTINGS = dict(max_examples=25, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(
+    mcs=st.integers(2, 8),
+    data=st.data(),
+)
+def test_lzw_roundtrip_any_stream(mcs, data):
+    n = data.draw(st.integers(0, 5000))
+    idx = np.asarray(
+        data.draw(st.lists(st.integers(0, (1 << mcs) - 1),
+                           min_size=n, max_size=n)),
+        dtype=np.uint8)
+    if n == 0:
+        return  # GIF frames are never empty; encoder requires ≥1 pixel
+    out = _lzw_decode(_lzw_encode(idx, mcs), mcs, n)
+    assert np.array_equal(out, idx)
+
+
+@settings(**_SETTINGS)
+@given(
+    wm=st.integers(1, 4),
+    hm=st.integers(1, 3),
+    sub420=st.booleans(),
+    restart=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_general_roundtrip_fuzz(wm, hm, sub420, restart, seed):
+    """Arbitrary plane content through the general encoder/decoder:
+    q=1 loss is only coefficient rounding → per-pixel error ≤ 2."""
+    rng = np.random.RandomState(seed)
+    mcu = 16 if sub420 else 8
+    h, w = hm * mcu, wm * mcu
+    cs = (h // 2, w // 2) if sub420 else (h, w)
+    y = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    cb = rng.randint(0, 256, cs).astype(np.uint8)
+    cr = rng.randint(0, 256, cs).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg_planes(y, cb, cr, sub420, restart))
+    assert (d["width"], d["height"]) == (w, h)
+    for got, want, (ph, pw) in [(d["planes"][0], y, (h, w)),
+                                (d["planes"][1], cb, cs),
+                                (d["planes"][2], cr, cs)]:
+        err = np.abs(got[:ph, :pw].astype(np.int64)
+                     - want.astype(np.int64)).max()
+        assert err <= 2
+
+
+@settings(**_SETTINGS)
+@given(mid=st.integers(0, 10**9))
+def test_gif_roundtrip_full_id_domain(mid):
+    p = gif_params(mid)
+    frames = decode_gif(encode_gif(mid))
+    assert len(frames) == p["n_frames"]
+    x = np.arange(p["width"])[None, :]
+    y = np.arange(p["height"])[:, None]
+    for f, fr in enumerate(frames):
+        idx = gif_pixel_index(mid, f, x, y, p["ncolors"])
+        rgb = gif_palette(mid, f, p["ncolors"])[idx.reshape(-1)]
+        assert fr["sum_idx"] == int(idx.astype(np.int64).sum())
+        assert fr["sum_r"] == int(rgb[:, 0].astype(np.int64).sum())
+
+
+@settings(**_SETTINGS)
+@given(mid=st.integers(0, 10**9))
+def test_jpeg_constant_mcu_full_id_domain(mid):
+    p = jpeg_params(mid)
+    d = decode_jpeg(encode_jpeg(mid))
+    bx = np.arange(p["w_mcus"])[None, :]
+    by = np.arange(p["h_mcus"])[:, None]
+    yv, cb, cr = jpeg_mcu_values(mid, bx, by)
+    ypix = 256 if p["sub420"] else 64
+    assert d["sum_y"] == int(yv.astype(np.int64).sum()) * ypix
+    assert d["sum_cb"] == int(cb.astype(np.int64).sum()) * 64
+    assert d["sum_cr"] == int(cr.astype(np.int64).sum()) * 64
+
+
+@settings(**_SETTINGS)
+@given(mid=st.integers(0, 10**9))
+def test_mp4_demux_full_id_domain(mid):
+    p = mp4_params(mid)
+    d = demux_mp4(encode_mp4(mid))
+    v = next(t for t in d["tracks"] if t["handler"] == "vide")
+    assert len(v["samples"]) == p["n_video"]
+    for i, s in enumerate(v["samples"]):
+        assert s["data"] == video_sample_bytes(mid, i)
+        assert s["dts"] == video_dts(i)
+
+
+@settings(**_SETTINGS)
+@given(payload=st.binary(min_size=0, max_size=200))
+def test_decoders_never_crash_unstructured(payload):
+    """Garbage in → ValueError/NotImplementedError out, never an
+    unhandled crash (IndexError/struct.error/etc.) and never a silent
+    bogus success: anything that decodes must have passed the magic
+    check."""
+    for dec, magic_ok in [
+        (decode_gif, lambda b: b[:6] in (b"GIF87a", b"GIF89a")),
+        (decode_jpeg, lambda b: b[:2] == b"\xff\xd8"),
+        (demux_mp4, lambda b: b[4:8] == b"ftyp"),
+    ]:
+        try:
+            dec(payload)
+            assert magic_ok(payload)
+        except (ValueError, NotImplementedError):
+            pass
