@@ -62,6 +62,9 @@ from graphscope_spark.functions.similarity import (
     ivf_kmeans_topk,
     ivf_topk,
     kmeans_centroids,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
     semdedup,
 )
 from graphscope_spark.functions.multimodal import (
@@ -118,6 +121,7 @@ __all__ = [
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
     "kmeans_centroids", "ivf_kmeans_topk", "ivf_index", "semdedup",
+    "pq_codebooks", "pq_encode", "pq_topk",
     "media_table", "decode_image_stub", "sample_frames_stub", "real_decode",
     "encode_bmp", "decode_bmp", "bmp_media", "decode_bmp_features",
     "encode_wav", "decode_wav", "wav_media", "decode_wav_features",

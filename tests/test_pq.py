@@ -1,0 +1,119 @@
+"""Product quantization (pq_codebooks / pq_encode / pq_topk) tests.
+
+The gate mirror query pq_topk value-checks the full pipeline against the
+SQL replay; these pin the library-level contracts: dyadic-grid
+exactness, partitioning-independence, a pure-Python ADC replay, and the
+refine-stage recall bar."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.similarity import (
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rnd = random.Random(23)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def _quant(v, scale=1024):
+    return math.floor(v * scale + 0.5) / scale
+
+
+def test_pq_codebook_shapes_and_grid(spark, emb_df):
+    cbs = pq_codebooks(emb_df, M=4, ksub=4, iters=2)
+    assert len(cbs) == 4 and all(len(cb) == 4 for cb in cbs)
+    assert all(len(c) == 4 for cb in cbs for c in cb)
+    # every component survives on the 1/1024 dyadic grid (re-quantized
+    # after each Lloyd update) — the exactness invariant the SQL oracle
+    # relies on
+    for cb in cbs:
+        for cent in cb:
+            for x in cent:
+                assert x == _quant(x), x
+
+
+def test_pq_encode_codes_in_range(spark, emb_df):
+    cbs = pq_codebooks(emb_df, M=4, ksub=4, iters=1)
+    rows = pq_encode(emb_df, cbs).collect()
+    assert len(rows) == 80
+    for r in rows:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 4 for c in r["codes"])
+
+
+def test_pq_adc_matches_python_replay(spark, emb_df):
+    """ADC scores from the Spark plan equal a pure-Python replay of
+    encode + table lookup — exact, not approximate (dyadic grid)."""
+    M, ksub, d = 4, 4, 4
+    cbs = pq_codebooks(emb_df, M=M, ksub=ksub, iters=1)
+    vecs = {r["vec_id"]: [_quant(x) for x in r["embedding"]]
+            for r in emb_df.collect()}
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def encode(v):
+        return [min(range(ksub), key=lambda c: (l2(v[m*d:(m+1)*d],
+                                                   cbs[m][c]), c))
+                for m in range(M)]
+
+    codes = {i: encode(v) for i, v in vecs.items()}
+    got = pq_topk(emb_df, emb_df.filter(F.col("vec_id") < 3), k=78,
+                  codebooks=cbs).collect()
+    assert got, "no rows"
+    for r in got:
+        q, x = r["query_id"], r["vec_id"]
+        want = sum(l2(vecs[q][m*d:(m+1)*d], cbs[m][codes[x][m]])
+                   for m in range(M))
+        assert r["adc_micro"] == round(want * 1e6), (q, x)
+
+
+def test_pq_refine_recall(spark, emb_df):
+    """ADC shortlist (refine=40 of an 80-vector corpus) + exact re-rank
+    recovers most of the true L2 top-5 even on structureless gaussian
+    data — the recall contract of the refine stage."""
+    vecs = {r["vec_id"]: [_quant(x) for x in r["embedding"]]
+            for r in emb_df.collect()}
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    truth = set()
+    for q in range(10):
+        order = sorted((l2(vecs[q], v), i) for i, v in vecs.items()
+                       if i != q)
+        truth |= {(q, i) for _, i in order[:5]}
+    got = pq_topk(emb_df, emb_df.filter(F.col("vec_id") < 10), k=5,
+                  M=4, ksub=8, iters=1, refine=40).collect()
+    got_set = {(r["query_id"], r["vec_id"]) for r in got}
+    recall = len(truth & got_set) / len(truth)
+    assert recall >= 0.7, recall
+    # and the refined output IS the exact ranking within the shortlist:
+    # rank-1 rows must carry the smallest l2_micro per query
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["l2_micro"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [m for _, m in rs] == sorted(m for _, m in rs), q
+
+
+def test_pq_training_partitioning_invariant(spark, emb_df):
+    """Codebooks are bit-identical at any parallelism (exact dyadic
+    sums → associative aggregation; smallest-id init; deterministic
+    ties) — the property that makes the trained model replayable."""
+    a = pq_codebooks(emb_df.repartition(1), M=4, ksub=4, iters=2)
+    b = pq_codebooks(emb_df.repartition(7), M=4, ksub=4, iters=2)
+    assert a == b
