@@ -1,0 +1,52 @@
+"""One-off scale probe for the media codec/demux stages: synthesize N
+payloads per format DISTRIBUTED (mapInPandas, no driver data), then
+decode/demux them and aggregate one number — measures end-to-end
+docs/sec of the Arrow-batched decode path at local[$SPARK_GRAFT_CPUS].
+Prints one JSON line; numbers land in BASELINE.md as the multimodal
+family's cost-model evidence.
+
+Usage: python scripts/media_scale_probe.py [n_per_format]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import graphscope_spark as gs  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+spark = gs.build_session(cpus=CPUS, shuffle_partitions=CPUS)
+spark.sparkContext.setLogLevel("ERROR")
+
+ids = spark.range(N).select(F.col("id").alias("doc_id")) \
+    .repartition(CPUS).persist()
+ids.count()
+
+from graphscope_spark.functions import (  # noqa: E402
+    bmp_media, decode_bmp_features, decode_gif_frames,
+    decode_jpeg_features, decode_png_features, demux_mp4_frames,
+    gif_media, jpeg_media, mp4_media, png_media)
+
+out = {"n_per_format": N, "cpus": CPUS}
+for name, make, decode, agg in [
+    ("bmp", bmp_media, decode_bmp_features, "sum(sum_r)"),
+    ("png", png_media, decode_png_features, "sum(sum_r)"),
+    ("gif", gif_media, decode_gif_frames, "sum(sum_r)"),
+    ("jpeg", jpeg_media, decode_jpeg_features, "sum(sum_y)"),
+    ("mp4", mp4_media, demux_mp4_frames, "sum(sum_bytes)"),
+]:
+    t0 = time.time()
+    decode(make(ids)).selectExpr(agg).collect()
+    dt = time.time() - t0
+    out[f"{name}_encode_decode_sec"] = round(dt, 2)
+    out[f"{name}_docs_per_sec"] = round(N / dt)
+
+print(json.dumps(out))
