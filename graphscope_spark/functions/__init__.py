@@ -87,6 +87,14 @@ from graphscope_spark.functions.codecs import (
     png_media,
     wav_media,
 )
+from graphscope_spark.functions.warc import (
+    encode_warc,
+    html_to_text,
+    html_to_text_sql,
+    parse_warc,
+    warc_media,
+    warc_records,
+)
 from graphscope_spark.functions.mp4 import (
     demux_mp4,
     demux_mp4_frames,
@@ -130,4 +138,6 @@ __all__ = [
     "encode_jpeg", "encode_jpeg_planes", "decode_jpeg", "jpeg_media",
     "decode_jpeg_features",
     "encode_mp4", "demux_mp4", "mp4_media", "demux_mp4_frames",
+    "encode_warc", "parse_warc", "warc_media", "warc_records",
+    "html_to_text", "html_to_text_sql",
 ]

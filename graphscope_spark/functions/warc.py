@@ -1,0 +1,223 @@
+"""WARC (Web ARChive, ISO 28500) ingestion + HTML→text extraction — the
+front end of a web-scale training-data pipeline (Common Crawl ships as
+WARC; everything downstream of these two stages — langid, quality,
+dedup, tokenization — already exists in this package).
+
+- :func:`parse_warc` is a REAL WARC parser in pure bytes/struct walking:
+  version line, named header block terminated by CRLF CRLF,
+  ``Content-Length``-delimited record body, CRLF CRLF record separator;
+  ``response`` records additionally split the embedded HTTP/1.1 message
+  (status line, headers, body). Unknown record types (``warcinfo``,
+  ``request``, ``metadata``) are walked over by declared length — a
+  parser that assumes only responses, or splits on blank lines inside
+  bodies, fails the value oracle (bodies deliberately CONTAIN CRLF CRLF
+  sequences).
+- :func:`html_to_text` is a shuffle-free JVM expression chain (no UDF):
+  strip comments / script+style subtrees / tags, decode the common
+  entities, collapse whitespace. The regex subset is shared by Java
+  regex (Spark) and RE2 (DuckDB) — no lookaround/backreferences — so
+  the DuckDB oracle applies the IDENTICAL chain (same pii.py approach).
+
+Reference parity: GraphScope loads prepared vertex/edge files and has no
+web-ingestion layer (SURVEY.md scopes the rebuild's data-pipeline
+extensions beyond it); at 100 TB this stage is ``binaryFile``-read WARC
+segments → ``mapInPandas`` record split (embarrassingly parallel, no
+shuffle) → the JVM text chain.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.codecs import truncation_guard
+
+_CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic content (mirrored by the SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def warc_params(media_id: int) -> dict:
+    return {"n_responses": media_id % 4 + 1}
+
+
+def response_html(media_id: int, r: int) -> str:
+    """The synthetic HTML body for response ``r`` — built from pieces the
+    SQL oracle can re-concatenate; includes a script+style subtree, a
+    comment, entities, and a CRLF CRLF inside the body (so parsers that
+    split records on blank lines instead of Content-Length break)."""
+    return (
+        f"<html><head><title>Doc {media_id}-{r}</title>"
+        f"<style>p {{color: red}}</style>"
+        f"<script>var x = {media_id};\r\n\r\nalert(x)</script></head>"
+        f"<body><!-- hidden {r} --><h1>Title {media_id}</h1>"
+        f"<p>alpha&amp;beta {r * 7 + media_id % 13} &lt;tag&gt;"
+        f" text&nbsp;block</p>"
+        f"<div>word{r} word{r + 1}   word{r + 2}</div></body></html>"
+    )
+
+
+def response_url(media_id: int, r: int) -> str:
+    return f"http://example-{media_id % 100}.org/page/{r}"
+
+
+def encode_warc(media_id: int) -> bytes:
+    """A real WARC/1.0 file: a ``warcinfo`` record, then per response a
+    ``request`` record (must be skipped) and a ``response`` record whose
+    body is a full HTTP/1.1 message. All lengths are real, all
+    separators per spec."""
+    def record(rtype: str, body: bytes, extra: dict) -> bytes:
+        headers = {"WARC-Type": rtype,
+                   "WARC-Record-ID": f"<urn:uuid:{media_id}-{rtype}-"
+                                     f"{extra.get('n', 0)}>",
+                   "WARC-Date": "2026-01-01T00:00:00Z",
+                   "Content-Length": str(len(body)), **extra.get("h", {})}
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in headers.items())
+        return head + _CRLF + body + _CRLF + _CRLF
+
+    out = bytearray()
+    out += record("warcinfo", b"software: graphscope-spark-bench\r\n", {})
+    for r in range(warc_params(media_id)["n_responses"]):
+        url = response_url(media_id, r)
+        out += record("request",
+                      f"GET /page/{r} HTTP/1.1\r\nHost: x\r\n\r\n".encode(),
+                      {"n": r, "h": {"WARC-Target-URI": url}})
+        html = response_html(media_id, r).encode()
+        status = 200 if r % 3 else 301
+        http = (f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(html)}\r\n\r\n").encode() + html
+        out += record("response", http,
+                      {"n": r, "h": {"WARC-Target-URI": url,
+                                     "Content-Type":
+                                     "application/http; msgtype=response"}})
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+@truncation_guard
+def parse_warc(payload: bytes) -> list:
+    """Walk every WARC record by its declared Content-Length; split the
+    HTTP message inside ``response`` records. Returns one dict per
+    response: {rec_no, url, status, html}."""
+    pos = 0
+    out = []
+    rec_no = 0
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"WARC/":
+            raise ValueError(f"bad WARC version line at {pos}")
+        head_end = payload.index(_CRLF + _CRLF, pos)
+        headers = {}
+        for line in payload[pos:head_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers[b"content-length"])
+        body = payload[head_end + 4:head_end + 4 + length]
+        if len(body) != length:
+            raise ValueError("record body truncated")
+        pos = head_end + 4 + length
+        if payload[pos:pos + 4] != _CRLF + _CRLF:
+            raise ValueError(f"missing record separator at {pos}")
+        pos += 4
+        if headers.get(b"warc-type") == b"response":
+            http_head_end = body.index(_CRLF + _CRLF)
+            status_line = body[:body.index(_CRLF)].decode("latin1")
+            status = int(status_line.split()[1])
+            html = body[http_head_end + 4:]
+            out.append({
+                "rec_no": rec_no,
+                "url": headers.get(b"warc-target-uri", b"").decode("latin1"),
+                "status": status,
+                "html": html.decode("utf-8", errors="replace"),
+            })
+            rec_no += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HTML → text (JVM expression chain; Java-regex ∩ RE2, like pii.py)
+# ---------------------------------------------------------------------------
+
+# order matters: subtrees first, then comments, then remaining tags
+_HTML_STEPS = [
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+]
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]  # &amp; LAST
+
+
+def html_to_text(col: Column) -> Column:
+    """Boilerplate-stripping text extraction as a pure expression chain:
+    script/style subtrees and comments removed (dotall), tags stripped,
+    common entities decoded (``&amp;`` last, so ``&amp;lt;`` decodes to
+    the literal ``&lt;`` and not ``<``), whitespace collapsed."""
+    out = col
+    for pat, rep in _HTML_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The IDENTICAL chain as DuckDB SQL over ``expr`` — one source of
+    truth for the oracle (pii.py pattern)."""
+    out = expr
+    for pat, rep in _HTML_STEPS:
+        out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# DataFrame stages
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = "media_id LONG, payload BINARY"
+WARC_RECORD_SCHEMA = ("media_id LONG, rec_no INT, url STRING, "
+                      "status INT, html STRING")
+
+
+def warc_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize one real WARC file per row — distributed."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [encode_warc(int(i)) for i in ids],
+            })
+
+    return (df.select(F.col(id_col).cast("long").alias("media_id"))
+            .mapInPandas(gen, MEDIA_SCHEMA))
+
+
+def warc_records(media: DataFrame) -> DataFrame:
+    """REAL ingestion stage: one output row per HTTP response record.
+    At 100 TB this is the ``spark.read.format('binaryFile')`` →
+    mapInPandas shape — no shuffle, scales with executors."""
+    def split(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for rec in parse_warc(bytes(p)):
+                    rows.append({"media_id": mid, **rec})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "rec_no", "url", "status",
+                               "html"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        split, WARC_RECORD_SCHEMA)

@@ -1,0 +1,96 @@
+"""WARC ingestion + HTML->text tests — the gate mirror query
+warc_extract value-checks the full pipeline; these pin the parser and
+chain contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.warc import (
+    encode_warc,
+    html_to_text,
+    html_to_text_sql,
+    parse_warc,
+    response_html,
+    response_url,
+    warc_media,
+    warc_params,
+    warc_records,
+)
+
+
+@pytest.mark.parametrize("mid", [0, 1, 2, 3, 7, 13, 123, 4999])
+def test_warc_parse_exact(mid):
+    recs = parse_warc(encode_warc(mid))
+    assert len(recs) == warc_params(mid)["n_responses"]
+    for r, rec in enumerate(recs):
+        assert rec["rec_no"] == r
+        assert rec["url"] == response_url(mid, r)
+        assert rec["status"] == (200 if r % 3 else 301)
+        assert rec["html"] == response_html(mid, r)
+
+
+def test_warc_bodies_contain_crlfcrlf():
+    """The script subtree embeds CRLF CRLF inside a record body — a
+    parser that splits records on blank lines instead of walking
+    Content-Length would desync (the exactness test above would fail);
+    assert the adversarial bytes are really present."""
+    assert b"\r\n\r\nalert" in encode_warc(5)
+
+
+def test_warc_non_response_records_skipped():
+    """warcinfo + request records are present and walked over — only
+    responses come out, numbered densely."""
+    payload = encode_warc(7)                      # 4 responses
+    assert payload.count(b"WARC-Type: request") == 4
+    assert payload.count(b"WARC-Type: warcinfo") == 1
+    assert [r["rec_no"] for r in parse_warc(payload)] == [0, 1, 2, 3]
+
+
+def test_warc_truncation_and_garbage():
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT A WARC")
+    good = encode_warc(1)
+    with pytest.raises(ValueError):
+        parse_warc(good[:len(good) // 2])
+
+
+def test_html_to_text_order_contracts(spark):
+    """Entities decode AFTER tag stripping (so literal &lt;tag&gt; text
+    survives as '<tag>'), &amp; decodes LAST (so '&amp;lt;' becomes the
+    literal '&lt;', not '<'), and script/style/comment subtrees vanish
+    wholesale."""
+    cases = [
+        ("<p>&amp;lt;</p>", "&lt;"),
+        ("a<script>x<b>y</b></script>b", "a b"),
+        ("a<style>p{x}</style>b", "a b"),
+        ("a<!-- <p>hidden</p> -->b", "a b"),
+        ("&lt;tag&gt;", "<tag>"),
+        ("a   \n\t b", "a b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "id LONG, html STRING")
+    got = [r["t"] for r in df.select(
+        "id", html_to_text(F.col("html")).alias("t")).orderBy("id").collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_html_to_text_sql_is_identical_chain():
+    """The SQL rendering applies the same steps in the same order — the
+    one-source-of-truth contract the oracle depends on."""
+    import duckdb
+
+    html = response_html(9, 2).replace("'", "''")
+    got = duckdb.sql("SELECT " + html_to_text_sql(f"'{html}'")).fetchone()[0]
+    assert got == ("Doc 9-2 Title 9 alpha&beta 23 <tag> text block "
+                   "word2 word3 word4")
+
+
+def test_warc_records_stage(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id LONG")
+    rows = warc_records(warc_media(docs)).collect()
+    assert len(rows) == sum(warc_params(i)["n_responses"] for i in range(6))
+    by_key = {(r["media_id"], r["rec_no"]): r for r in rows}
+    assert by_key[(5, 1)]["html"] == response_html(5, 1)
+    assert by_key[(5, 1)]["status"] == 200
