@@ -42,6 +42,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def synth_media(df: DataFrame, encode_fn, id_col: str = "doc_id") -> DataFrame:
+    """Shared synthesize-one-payload-per-row mapInPandas stage:
+    (media_id, payload) with ``payload = encode_fn(media_id)`` —
+    distributed, no driver data. One implementation for every format's
+    ``*_media`` wrapper (BMP/PNG/WAV/GIF/JPEG/MP4/WARC)."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [encode_fn(int(i)) for i in ids],
+            })
+
+    return (df.select(F.col(id_col).cast("long").alias("media_id"))
+            .mapInPandas(gen, "media_id LONG, payload BINARY"))
+
+
 def truncation_guard(fn):
     """Top-level parser wrapper: truncated/malformed containers must
     surface as ValueError (the documented contract), not as the

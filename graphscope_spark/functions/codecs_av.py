@@ -832,7 +832,6 @@ def decode_jpeg(payload: bytes) -> dict:
 # DataFrame stages (Arrow mapInPandas — same shape as codecs.py)
 # ---------------------------------------------------------------------------
 
-MEDIA_SCHEMA = "media_id LONG, payload BINARY"
 GIF_FRAME_SCHEMA = ("media_id LONG, frame_no INT, width INT, height INT, "
                     "sum_idx LONG, sum_r LONG, sum_g LONG, sum_b LONG")
 JPEG_FEATURE_SCHEMA = ("media_id LONG, width INT, height INT, "
@@ -842,16 +841,9 @@ JPEG_FEATURE_SCHEMA = ("media_id LONG, width INT, height INT, "
 def gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize one real animated GIF per row — distributed, no driver
     data."""
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf["media_id"]
-            yield pd.DataFrame({
-                "media_id": ids,
-                "payload": [encode_gif(int(i)) for i in ids],
-            })
+    from graphscope_spark.functions.codecs import synth_media
 
-    return (df.select(F.col(id_col).cast("long").alias("media_id"))
-            .mapInPandas(gen, MEDIA_SCHEMA))
+    return synth_media(df, encode_gif, id_col)
 
 
 def decode_gif_frames(media: DataFrame) -> DataFrame:
@@ -873,16 +865,9 @@ def decode_gif_frames(media: DataFrame) -> DataFrame:
 
 def jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize one real baseline JPEG per row — distributed."""
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf["media_id"]
-            yield pd.DataFrame({
-                "media_id": ids,
-                "payload": [encode_jpeg(int(i)) for i in ids],
-            })
+    from graphscope_spark.functions.codecs import synth_media
 
-    return (df.select(F.col(id_col).cast("long").alias("media_id"))
-            .mapInPandas(gen, MEDIA_SCHEMA))
+    return synth_media(df, encode_jpeg, id_col)
 
 
 def decode_jpeg_features(media: DataFrame) -> DataFrame:

@@ -337,9 +337,12 @@ def demux_mp4(payload: bytes) -> dict:
         tkhd = _find(payload, tb, te, b"tkhd")
         track_id = width = height = 0
         if tkhd:
+            # v0: version/flags(4) + creation(4) + modification(4) →
+            # track_ID at 12; v1: 64-bit times → track_ID at 20 (the
+            # word at 24 is the zero reserved field)
             ver = payload[tkhd[0]]
             track_id = struct.unpack_from(
-                ">I", payload, tkhd[0] + (12 if ver == 0 else 24))[0]
+                ">I", payload, tkhd[0] + (12 if ver == 0 else 20))[0]
             w_fixed, h_fixed = struct.unpack_from(">II", payload,
                                                   tkhd[1] - 8)
             width, height = w_fixed >> 16, h_fixed >> 16
@@ -360,6 +363,13 @@ def demux_mp4(payload: bytes) -> dict:
         if stbl is None:
             continue
         t = _parse_stbl(payload, *stbl)
+        missing = [k for k in ("sizes", "offsets", "stsc", "stts")
+                   if k not in t]
+        if missing:
+            raise ValueError(
+                f"track {track_id}: stbl lacks {missing} — fragmented "
+                "(moof/trun) MP4s are not supported, only flat stbl "
+                "sample tables")
         sizes, offsets = t["sizes"], t["offsets"]
         spc = _expand_stsc(t["stsc"], len(offsets))
         if sum(spc) != len(sizes):
@@ -401,23 +411,15 @@ def demux_mp4(payload: bytes) -> dict:
 # DataFrame stages
 # ---------------------------------------------------------------------------
 
-MEDIA_SCHEMA = "media_id LONG, payload BINARY"
 MP4_FRAME_SCHEMA = ("media_id LONG, sample_no INT, size INT, dts LONG, "
                     "is_key BOOLEAN, sum_bytes LONG")
 
 
 def mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize one real two-track MP4 per row — distributed."""
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf["media_id"]
-            yield pd.DataFrame({
-                "media_id": ids,
-                "payload": [encode_mp4(int(i)) for i in ids],
-            })
+    from graphscope_spark.functions.codecs import synth_media
 
-    return (df.select(F.col(id_col).cast("long").alias("media_id"))
-            .mapInPandas(gen, MEDIA_SCHEMA))
+    return synth_media(df, encode_mp4, id_col)
 
 
 def demux_mp4_frames(media: DataFrame) -> DataFrame:
@@ -430,8 +432,13 @@ def demux_mp4_frames(media: DataFrame) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 d = demux_mp4(bytes(p))
-                video = next(t for t in d["tracks"]
-                             if t["handler"] == "vide")
+                # next() WITH default: a bare StopIteration inside this
+                # generator would surface as an opaque RuntimeError
+                # (PEP 479) from the Spark task
+                video = next((t for t in d["tracks"]
+                              if t["handler"] == "vide"), None)
+                if video is None:
+                    raise ValueError(f"media {mid}: MP4 has no video track")
                 for s in video["samples"]:
                     rows.append({
                         "media_id": mid, "sample_no": s["sample_no"],

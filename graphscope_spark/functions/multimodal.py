@@ -69,11 +69,11 @@ def _fake_decode(payload: bytes) -> dict:
 
 def decode_image_stub(media: DataFrame) -> DataFrame:
     """Batch decode via ``mapInPandas`` — Arrow transfers the binary
-    column zero-copy per batch; the loop body is where a real decoder
-    (NOT in this container) would run. This stub always computes the
-    deterministic fake features; the guarded real-decode entry point is
-    ``real_decode``, which raises NotImplementedError while the codec
-    libraries are absent."""
+    column zero-copy per batch. This stub always computes deterministic
+    fake features for payloads that are not self-describing containers;
+    the real entry point is ``real_decode``, which parses actual
+    BMP/WAV/PNG/GIF/JPEG containers and demuxes MP4, raising ValueError
+    only for unknown magic."""
 
     def decode(batches):
         for pdf in batches:

@@ -500,7 +500,10 @@ def pq_codebooks(df: DataFrame, M: int = 4, ksub: int = 8, iters: int = 1,
         for r in sums:
             new.setdefault((r["m"], r["code"]),
                            [None] * d)[r["p"] - r["m"] * d] = grid(r["s"] / r["n"])
-        cbs = [[new.get((m, c), cbs[m][c]) for c in range(ksub)]
+        # rebuild over the ACTUAL codebook width (the smallest-id init
+        # may have yielded fewer than ksub vectors — same graceful
+        # handling as kmeans_centroids), empty codes carried
+        cbs = [[new.get((m, c), cbs[m][c]) for c in range(len(cbs[m]))]
                for m in range(M)]
     return cbs
 
@@ -510,8 +513,10 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               scale: int = 1024) -> DataFrame:
     """(vec_id, codes) — compress every vector to M small codes against
     the broadcast codebook literals. Shuffle-free projection; this is
-    the table you persist instead of raw vectors at scale."""
-    return df.select(
+    the table you persist instead of raw vectors at scale. NULL
+    embeddings are dropped (they cannot be encoded — and a NULL adc
+    would otherwise sort NULLS-FIRST to rank 1 in pq_topk)."""
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         _subspace_codes(quantize_vec(F.col(vec_col), scale),
                         codebooks).alias("codes"))
@@ -563,8 +568,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                         F.array(*[F.lit(float(c)) for c in cent]))
                   for cent in cb])
         for m, cb in enumerate(codebooks)])
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       tables.alias("_tabs"))
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), tables.alias("_tabs"))
     scored = (
         codes.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id",
@@ -584,10 +589,12 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         raise ValueError("refine needs the corpus vectors")
     shortlist = (scored.withColumn("_sr", F.row_number().over(w))
                  .filter(F.col("_sr") <= refine).drop("adc", "_sr"))
-    vecs = corpus.select(F.col(id_col).alias("vec_id"),
-                         quantize_vec(F.col(vec_col), scale).alias("_cv"))
-    qvecs = queries.select(F.col(id_col).alias("query_id"),
-                           quantize_vec(F.col(vec_col), scale).alias("_qv"))
+    vecs = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vec(F.col(vec_col), scale).alias("_cv"))
+    qvecs = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col), scale).alias("_qv"))
     exact = (shortlist.join(vecs, "vec_id")
              .join(F.broadcast(qvecs), "query_id")
              .select("query_id", "vec_id",

@@ -119,6 +119,8 @@ def parse_warc(payload: bytes) -> list:
         for line in payload[pos:head_end].split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
+        if b"content-length" not in headers:
+            raise ValueError(f"record at {pos} has no Content-Length header")
         length = int(headers[b"content-length"])
         body = payload[head_end + 4:head_end + 4 + length]
         if len(body) != length:
@@ -153,6 +155,9 @@ _HTML_STEPS = [
     (r"(?s)<!--.*?-->", " "),
     (r"<[^>]+>", " "),
 ]
+# explicit class, NOT \s: Java's \s includes vertical tab, RE2's does
+# not — the one-source-of-truth contract needs the same set either way
+_WS = r"[ \t\n\x0B\f\r]+"
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
              ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]  # &amp; LAST
 
@@ -167,7 +172,7 @@ def html_to_text(col: Column) -> Column:
         out = F.regexp_replace(out, pat, rep)
     for ent, ch in _ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.trim(F.regexp_replace(out, _WS, " "))
 
 
 def html_to_text_sql(expr: str) -> str:
@@ -179,30 +184,22 @@ def html_to_text_sql(expr: str) -> str:
     for ent, ch in _ENTITIES:
         lit = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{lit}')"
-    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({out}, '{_WS}', ' ', 'g'))"
 
 
 # ---------------------------------------------------------------------------
 # DataFrame stages
 # ---------------------------------------------------------------------------
 
-MEDIA_SCHEMA = "media_id LONG, payload BINARY"
 WARC_RECORD_SCHEMA = ("media_id LONG, rec_no INT, url STRING, "
                       "status INT, html STRING")
 
 
 def warc_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize one real WARC file per row — distributed."""
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf["media_id"]
-            yield pd.DataFrame({
-                "media_id": ids,
-                "payload": [encode_warc(int(i)) for i in ids],
-            })
+    from graphscope_spark.functions.codecs import synth_media
 
-    return (df.select(F.col(id_col).cast("long").alias("media_id"))
-            .mapInPandas(gen, MEDIA_SCHEMA))
+    return synth_media(df, encode_warc, id_col)
 
 
 def warc_records(media: DataFrame) -> DataFrame:

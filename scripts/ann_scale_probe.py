@@ -120,9 +120,10 @@ t_pq_encode = time.time() - t0
 
 REFINE = 400                        # ~2 cluster widths at N=200k
 t0 = time.time()
-n_pq = pq_topk(clustered, cqueries, k=10, refine=REFINE,
-               codebooks=cbs, codes=codes).count()
+pq_rows = pq_topk(clustered, cqueries, k=10, refine=REFINE,
+                  codebooks=cbs, codes=codes).collect()
 t_pq = time.time() - t0
+n_pq = len(pq_rows)
 
 # L2 ground truth on the clustered corpus (PQ's metric)
 cq = cqueries.select(F.col("vec_id").alias("query_id"),
@@ -138,9 +139,7 @@ bf_l2 = {(r["query_id"], r["vec_id"]) for r in
          .filter(F.col("rank") <= 10).collect()}
 t_bf_l2 = time.time() - t0
 
-pq_pairs = {(r["query_id"], r["vec_id"]) for r in
-            pq_topk(clustered, cqueries, k=10, refine=REFINE,
-                    codebooks=cbs, codes=codes).collect()}
+pq_pairs = {(r["query_id"], r["vec_id"]) for r in pq_rows}
 pq_recall = len(pq_pairs & bf_l2) / len(bf_l2)
 
 print(json.dumps({

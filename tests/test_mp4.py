@@ -119,3 +119,81 @@ def test_real_decode_unknown_magic_raises(spark):
         "media_id LONG, payload BINARY")
     with pytest.raises(Exception, match="unknown container"):
         real_decode(media).collect()
+
+
+def test_mp4_v1_tkhd_track_id_offset():
+    """Version-1 tkhd carries 64-bit times: track_ID sits at body offset
+    20, not 24 (review finding — offset 24 is the zero reserved word)."""
+    from graphscope_spark.functions.mp4 import _box, _full, _stbl, _trak
+
+    base = encode_mp4(4)
+    # build a v1 tkhd with track_ID 42 and splice it into a fresh trak
+    tkhd_v1 = _full(b"tkhd", 1, 7, struct.pack(
+        ">QQIIQ", 0, 0, 42, 0, 0)
+        + bytes(8) + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 16 << 16, 16 << 16))
+    d0 = demux_mp4(base)
+    v = next(t for t in d0["tracks"] if t["handler"] == "vide")
+    assert v["track_id"] == 1
+    # replace the v0 tkhd bytes of track 1 with the v1 form in-place:
+    # find the original tkhd (fourcc at its header) and rebuild the file
+    i = base.index(b"tkhd") - 4
+    ln = struct.unpack_from(">I", base, i)[0]
+    patched = base[:i] + tkhd_v1 + base[i + ln:]
+    # enclosing trak/moov sizes are now stale; demux_mp4 walks children
+    # by their own sizes, so grow the moov/trak headers to match
+    delta = len(tkhd_v1) - ln
+    moov_at = patched.index(b"moov") - 4
+    trak_at = patched.index(b"trak") - 4
+    for at in (moov_at, trak_at):
+        sz = struct.unpack_from(">I", patched, at)[0]
+        patched = (patched[:at] + struct.pack(">I", sz + delta)
+                   + patched[at + 4:])
+    d = demux_mp4(patched)
+    v1 = next(t for t in d["tracks"] if t["handler"] == "vide")
+    assert v1["track_id"] == 42
+
+
+def test_mp4_missing_stbl_tables_raise_value_error():
+    """A well-formed box tree whose stbl lacks sample tables (the
+    fragmented-MP4 shape) must raise the contract ValueError, not
+    KeyError (review finding)."""
+    from graphscope_spark.functions.mp4 import _box, _full
+
+    stbl = _box(b"stbl", b"")
+    minf = _box(b"minf", _full(b"vmhd", 0, 1, bytes(8)) + stbl)
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I4s", 0, b"vide")
+                 + bytes(12) + b"x\x00")
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 1000, 0, 0, 0))
+    trak = _box(b"trak", _box(b"mdia", mdhd + hdlr + minf))
+    payload = (_box(b"ftyp", b"isom" + bytes(4) + b"isom")
+               + _box(b"moov", trak))
+    with pytest.raises(ValueError, match="stbl lacks"):
+        demux_mp4(payload)
+
+
+def test_demux_frames_no_video_track_clear_error(spark):
+    """An MP4 whose only track is audio must surface a clear ValueError
+    from the mapInPandas stage, not PEP-479 RuntimeError."""
+    from graphscope_spark.functions.mp4 import demux_mp4_frames
+
+    full = encode_mp4(2)
+    d = demux_mp4(full)
+    assert len(d["tracks"]) == 2
+    # strip the video trak: rebuild moov with only the soun trak
+    from graphscope_spark.functions.mp4 import _box, _walk_boxes
+    moov_b, moov_e = None, None
+    for fc, b, e in _walk_boxes(full, 0, len(full)):
+        if fc == b"moov":
+            moov_b, moov_e = b, e
+    keep = b""
+    for fc, b, e in _walk_boxes(full, moov_b, moov_e):
+        blob = full[b - 8:e]
+        if fc != b"trak" or b"soun" in blob:
+            keep += blob
+    audio_only = full[:moov_b - 8] + _box(b"moov", keep)
+    media = spark.createDataFrame([(1, bytearray(audio_only))],
+                                  "media_id LONG, payload BINARY")
+    with pytest.raises(Exception, match="no video track"):
+        demux_mp4_frames(media).collect()

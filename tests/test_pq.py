@@ -117,3 +117,30 @@ def test_pq_training_partitioning_invariant(spark, emb_df):
     a = pq_codebooks(emb_df.repartition(1), M=4, ksub=4, iters=2)
     b = pq_codebooks(emb_df.repartition(7), M=4, ksub=4, iters=2)
     assert a == b
+
+
+def test_pq_null_embeddings_excluded(spark, emb_df):
+    """A corpus row with a NULL embedding must not appear in results at
+    all (a NULL adc would sort NULLS-FIRST to rank 1 under the
+    ascending window order — review finding)."""
+    withnull = emb_df.unionByName(spark.createDataFrame(
+        [(999, None)], "vec_id LONG, embedding ARRAY<DOUBLE>"))
+    got = pq_topk(withnull, withnull.filter(F.col("vec_id") < 3),
+                  k=5, M=4, ksub=4, iters=1).collect()
+    assert got and all(r["vec_id"] != 999 for r in got)
+    assert all(r["adc_micro"] is not None for r in got)
+    got_r = pq_topk(withnull, withnull.filter(F.col("vec_id") < 3),
+                    k=5, M=4, ksub=4, iters=1, refine=20).collect()
+    assert got_r and all(r["vec_id"] != 999 for r in got_r)
+
+
+def test_pq_codebooks_fewer_vectors_than_ksub(spark):
+    """Graceful handling (same as kmeans_centroids): 3 vectors with
+    ksub=8 trains a 3-wide codebook instead of raising IndexError."""
+    tiny = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.5, 0.25]) for i in range(3)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cbs = pq_codebooks(tiny, M=2, ksub=8, iters=2)
+    assert all(len(cb) == 3 for cb in cbs)
+    rows = pq_encode(tiny, cbs).collect()
+    assert all(0 <= c < 3 for r in rows for c in r["codes"])

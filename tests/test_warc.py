@@ -94,3 +94,20 @@ def test_warc_records_stage(spark):
     by_key = {(r["media_id"], r["rec_no"]): r for r in rows}
     assert by_key[(5, 1)]["html"] == response_html(5, 1)
     assert by_key[(5, 1)]["status"] == 200
+
+
+def test_warc_missing_content_length_is_value_error():
+    """Malformed header block -> contract ValueError, not KeyError
+    (review finding)."""
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody")
+
+
+def test_html_to_text_vertical_tab_cross_engine():
+    """\\x0B must collapse identically in Spark (Java regex) and DuckDB
+    (RE2) — the explicit whitespace class, not \\s (review finding)."""
+    import duckdb
+
+    got = duckdb.sql(
+        "SELECT " + html_to_text_sql("'a' || chr(11) || 'b'")).fetchone()[0]
+    assert got == "a b"
