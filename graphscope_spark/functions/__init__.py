@@ -89,6 +89,7 @@ from graphscope_spark.functions.codecs import (
 )
 from graphscope_spark.functions.warc import (
     encode_warc,
+    gzip_warc,
     html_to_text,
     html_to_text_sql,
     parse_warc,
@@ -138,6 +139,6 @@ __all__ = [
     "encode_jpeg", "encode_jpeg_planes", "decode_jpeg", "jpeg_media",
     "decode_jpeg_features",
     "encode_mp4", "demux_mp4", "mp4_media", "demux_mp4_frames",
-    "encode_warc", "parse_warc", "warc_media", "warc_records",
+    "encode_warc", "gzip_warc", "parse_warc", "warc_media", "warc_records",
     "html_to_text", "html_to_text_sql",
 ]

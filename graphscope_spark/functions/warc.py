@@ -103,11 +103,52 @@ def encode_warc(media_id: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _gunzip_members(payload: bytes) -> bytes:
+    """Decompress a CONCATENATION of gzip members (the .warc.gz layout:
+    one member per record, so a range request can start at any record) —
+    stdlib gzip.decompress stops after one member unless looped."""
+    import zlib
+
+    out = bytearray()
+    rest = payload
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip member in .warc.gz")
+        rest = d.unused_data
+    return bytes(out)
+
+
+def gzip_warc(payload: bytes) -> bytes:
+    """Re-compress a raw WARC into the .warc.gz layout: ONE gzip member
+    per record (splitting on the record separator), per the spec's
+    record-at-a-time random-access requirement."""
+    import gzip as _gzip
+
+    out = bytearray()
+    pos = 0
+    while pos < len(payload):
+        head_end = payload.index(_CRLF + _CRLF, pos)
+        headers = payload[pos:head_end].split(_CRLF)
+        length = next(int(h.split(b":")[1]) for h in headers
+                      if h.lower().startswith(b"content-length"))
+        rec_end = head_end + 4 + length + 4
+        out += _gzip.compress(payload[pos:rec_end], compresslevel=1)
+        pos = rec_end
+    return bytes(out)
+
+
 @truncation_guard
 def parse_warc(payload: bytes) -> list:
     """Walk every WARC record by its declared Content-Length; split the
     HTTP message inside ``response`` records. Returns one dict per
-    response: {rec_no, url, status, html}."""
+    response: {rec_no, url, status, html}. A ``.warc.gz`` payload
+    (gzip magic, one member per record) is transparently decompressed
+    member-by-member first — the Common Crawl layout."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
     pos = 0
     out = []
     rec_no = 0

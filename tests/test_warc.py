@@ -111,3 +111,19 @@ def test_html_to_text_vertical_tab_cross_engine():
     got = duckdb.sql(
         "SELECT " + html_to_text_sql("'a' || chr(11) || 'b'")).fetchone()[0]
     assert got == "a b"
+
+
+def test_warc_gz_member_per_record_roundtrip():
+    """.warc.gz layout: one gzip member per record (random access per
+    spec); parse_warc transparently decompresses the member chain."""
+    from graphscope_spark.functions.warc import gzip_warc
+
+    raw = encode_warc(7)
+    gz = gzip_warc(raw)
+    assert gz[:2] == b"\x1f\x8b"
+    # really multiple members: a second gzip magic appears mid-stream
+    assert gz.index(b"\x1f\x8b", 2) > 0
+    assert parse_warc(gz) == parse_warc(raw)
+    # truncated member chain -> contract ValueError
+    with pytest.raises(ValueError):
+        parse_warc(gz[:len(gz) - 9])
