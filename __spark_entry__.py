@@ -1950,6 +1950,24 @@ def _q_mp4_frames(spark, sf_dir):
         "dts", "is_key", "sum_bytes")
 
 
+def _q_fmp4_frames(spark, sf_dir):
+    # FRAGMENTED MP4 demux (the DASH/CMAF layout): empty init stbl +
+    # mvex/trex defaults, moof/traf/trun fragments with BOTH addressing
+    # modes (default-base-is-moof on even fragments, explicit 64-bit
+    # base_data_offset on odd), tfhd default durations after fragment 0,
+    # per-sample trun sizes/flags, v1 tfdt. The sample stream is
+    # IDENTICAL to the flat layout's video track, so the same
+    # closed-form oracle applies — a demuxer that mis-walks any
+    # fragment structure diverges from it.
+    from graphscope_spark.functions import demux_mp4_frames, fmp4_media
+
+    return demux_mp4_frames(fmp4_media(_t(spark, sf_dir, "documents"))).select(
+        "media_id",
+        F.col("sample_no").cast("long").alias("sample_no"),
+        F.col("size").cast("long").alias("size"),
+        "dts", "is_key", "sum_bytes")
+
+
 def _q_warc_extract(spark, sf_dir):
     # REAL web-corpus ingestion: parse a WARC/1.0 file per document
     # (Content-Length-delimited record walk — bodies CONTAIN CRLF CRLF;
@@ -2609,6 +2627,24 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY d2 ASC, vec_id ASC) AS rank
   FROM pq_exact) WHERE rank <= {k}""")
+
+
+# one closed form for BOTH MP4 layouts (flat and fragmented): the
+# synthetic sample stream is identical, only the container walk differs
+_MP4_FRAMES_SQL = (
+    "WITH m AS (SELECT doc_id AS media_id, doc_id % 7 + 3 AS n "
+    "FROM documents), "
+    "s AS (SELECT media_id, unnest(range(n)) AS i FROM m), "
+    "sz AS (SELECT media_id, i, (media_id + 17*i) % 40 + 8 AS size "
+    "FROM s), "
+    "b AS (SELECT media_id, i, size, unnest(range(size)) AS j FROM sz) "
+    "SELECT media_id, CAST(i AS BIGINT) AS sample_no, "
+    "CAST(size AS BIGINT) AS size, "
+    "CAST(100 * LEAST(i, 2) + 40 * GREATEST(i - 2, 0) AS BIGINT) AS dts, "
+    "(i % 3 = 0) AS is_key, "
+    "CAST(SUM((7*media_id + 13*i + j) % 256) AS BIGINT) AS sum_bytes "
+    "FROM b GROUP BY media_id, i, size"
+)
 
 
 def _warc_sql() -> str:
@@ -5092,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simple_path_checks)
         "pq_topk": _q_pq_topk,
         "warc_extract": _q_warc_extract,
+        "fmp4_frames": _q_fmp4_frames,
         # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
@@ -5536,20 +5573,10 @@ def oracle_sql() -> dict[str, str]:
         # REAL MP4 demux: n = id%7+3 video samples; sample i has
         # size = (id+17i)%40+8, byte j = (7id+13i+j)%256,
         # dts = 100*min(i,2)+40*max(i-2,0), keyframe iff i%3=0.
-        "mp4_frames": (
-            "WITH m AS (SELECT doc_id AS media_id, doc_id % 7 + 3 AS n "
-            "FROM documents), "
-            "s AS (SELECT media_id, unnest(range(n)) AS i FROM m), "
-            "sz AS (SELECT media_id, i, (media_id + 17*i) % 40 + 8 AS size "
-            "FROM s), "
-            "b AS (SELECT media_id, i, size, unnest(range(size)) AS j FROM sz) "
-            "SELECT media_id, CAST(i AS BIGINT) AS sample_no, "
-            "CAST(size AS BIGINT) AS size, "
-            "CAST(100 * LEAST(i, 2) + 40 * GREATEST(i - 2, 0) AS BIGINT) AS dts, "
-            "(i % 3 = 0) AS is_key, "
-            "CAST(SUM((7*media_id + 13*i + j) % 256) AS BIGINT) AS sum_bytes "
-            "FROM b GROUP BY media_id, i, size"
-        ),
+        "mp4_frames": _MP4_FRAMES_SQL,
+        # fragmented layout, identical sample stream → same oracle; a
+        # demuxer that mis-walks moof/tfhd/trun structure diverges
+        "fmp4_frames": _MP4_FRAMES_SQL,
         # Cypher frontend: the local-supplier cycle with both predicate
         # kinds — same relational shape as typed_pattern_where
         "cypher_local_supplier": (

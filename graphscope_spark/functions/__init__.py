@@ -98,6 +98,8 @@ from graphscope_spark.functions.warc import (
 )
 from graphscope_spark.functions.mp4 import (
     demux_mp4,
+    encode_fmp4,
+    fmp4_media,
     demux_mp4_frames,
     encode_mp4,
     mp4_media,
@@ -138,7 +140,7 @@ __all__ = [
     "encode_gif", "decode_gif", "gif_media", "decode_gif_frames",
     "encode_jpeg", "encode_jpeg_planes", "decode_jpeg", "jpeg_media",
     "decode_jpeg_features",
-    "encode_mp4", "demux_mp4", "mp4_media", "demux_mp4_frames",
+    "encode_mp4", "encode_fmp4", "demux_mp4", "mp4_media", "fmp4_media", "demux_mp4_frames",
     "encode_warc", "gzip_warc", "parse_warc", "warc_media", "warc_records",
     "html_to_text", "html_to_text_sql",
 ]

@@ -239,6 +239,91 @@ def encode_mp4(media_id: int) -> bytes:
     return bytes(ftyp + mdat + moov)
 
 
+def encode_fmp4(media_id: int) -> bytes:
+    """The FRAGMENTED form of the same synthetic video track (DASH/CMAF
+    shape): ftyp, an init ``moov`` whose stbl tables are empty (per
+    spec) plus ``mvex/trex`` defaults, then one ``moof``+``mdat`` pair
+    per 2 samples. Deliberately exercises both addressing modes (even
+    fragments: default-base-is-moof + trun data_offset; odd fragments:
+    explicit 64-bit tfhd base_data_offset and no data_offset), tfhd
+    default_sample_duration (fragments after the first carry no
+    per-sample durations — the 40-tick default applies, reproducing the
+    flat layout's two-run stts), per-sample trun sizes and flags
+    (non-sync except every 3rd global sample), and v1 ``tfdt`` decode
+    times. Sample bytes/dts/keyframes are IDENTICAL to
+    :func:`encode_mp4`'s video track, so the same closed-form oracle
+    applies."""
+    p = mp4_params(media_id)
+    nv = p["n_video"]
+    payloads = [video_sample_bytes(media_id, i) for i in range(nv)]
+    ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5mp42")
+    empty_stbl = _stbl([], [], [], [], None, False, b"rawv",
+                       width=p["width"], height=p["height"])
+    v_duration = video_dts(nv - 1) + (40 if nv > 2 else 100)
+    trex = _full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 40, 0,
+                                            _NON_SYNC))
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, 1000, v_duration) + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100) + bytes(10)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24) + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd
+                + _trak(1, b"vide", empty_stbl, p["width"], p["height"],
+                        1000, v_duration)
+                + _box(b"mvex", trex))
+    out = bytearray(ftyp + moov)
+    frag_no = 0
+    i = 0
+    while i < nv:
+        group = payloads[i:i + 2]
+        idxs = list(range(i, i + len(group)))
+        explicit_base = frag_no % 2 == 1
+        tfhd_flags = 0x020000                     # default-base-is-moof
+        tfhd_body = struct.pack(">I", 1)          # track_id
+        if explicit_base:
+            tfhd_flags = 0x01 | 0x08              # base offset + def dur
+            # base_data_offset patched below once the moof size is known
+            tfhd_body += struct.pack(">Q", 0)
+            tfhd_body += struct.pack(">I", 40)
+        elif i > 0:
+            tfhd_flags |= 0x08
+            tfhd_body += struct.pack(">I", 40)
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", video_dts(i)))
+        trun_flags = 0x200 | 0x400                # sizes + flags
+        if i == 0:
+            trun_flags |= 0x100                   # per-sample durations
+        if not explicit_base:
+            trun_flags |= 0x01                    # data_offset
+        entries = b""
+        for k, s in zip(idxs, group):
+            if trun_flags & 0x100:
+                entries += struct.pack(">I", 100)
+            entries += struct.pack(">I", len(s))
+            entries += struct.pack(">I", 0 if k % 3 == 0 else _NON_SYNC)
+        trun_body = struct.pack(">I", len(group))
+        if trun_flags & 0x01:
+            trun_body += struct.pack(">i", 0)     # patched below
+        trun_body += entries
+        trun = _full(b"trun", 0, trun_flags, trun_body)
+        traf = _box(b"traf", _full(b"tfhd", 0, tfhd_flags, tfhd_body)
+                    + tfdt + trun)
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", frag_no + 1))
+        moof = bytearray(_box(b"moof", mfhd + traf))
+        moof_start = len(out)
+        mdat_payload_at = moof_start + len(moof) + 8
+        if explicit_base:
+            at = bytes(moof).index(b"tfhd") + 12
+            moof[at:at + 8] = struct.pack(">Q", mdat_payload_at)
+        else:
+            at = bytes(moof).index(b"trun") + 12
+            moof[at:at + 4] = struct.pack(">i", len(moof) + 8)
+        out += moof
+        out += _box(b"mdat", b"".join(group))
+        frag_no += 1
+        i += len(group)
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # demuxer
 # ---------------------------------------------------------------------------
@@ -320,11 +405,128 @@ def _expand_stsc(stsc: list, n_chunks: int) -> list:
 
 
 @truncation_guard
+def _parse_trex(payload: bytes, moov) -> dict:
+    """mvex/trex defaults per track_id: {tid: (duration, size, flags)}."""
+    mvex = _find(payload, *moov, b"mvex")
+    out = {}
+    if mvex is None:
+        return out
+    for fc, b, e in _walk_boxes(payload, *mvex):
+        if fc == b"trex":
+            tid, _sdi, dur, size, flags = struct.unpack_from(
+                ">IIIII", payload, b + 4)
+            out[tid] = (dur, size, flags)
+    return out
+
+
+_NON_SYNC = 0x00010000                            # sample_is_non_sync_sample
+
+
+def _parse_fragments(payload: bytes, track_id: int,
+                     trex: tuple) -> list:
+    """The fMP4 (DASH/CMAF) path: walk every top-level ``moof``, find
+    this track's ``traf``, honor tfhd flags (base-data-offset,
+    sample-description-index, default duration/size/flags,
+    default-base-is-moof), ``tfdt`` decode times (v0/v1), and every
+    ``trun``'s per-sample entries (data-offset, first-sample-flags,
+    per-sample duration/size/flags/cts as declared). Both addressing
+    modes — explicit 64-bit base_data_offset and default-base-is-moof —
+    are resolved to absolute file offsets."""
+    samples = []
+    dts = 0
+    for fc, mb, me in _walk_boxes(payload, 0, len(payload)):
+        if fc != b"moof":
+            continue
+        moof_start = mb - 8
+        for tf, tb, te in _walk_boxes(payload, mb, me):
+            if tf != b"traf":
+                continue
+            tfhd = _find(payload, tb, te, b"tfhd")
+            if tfhd is None:
+                raise ValueError("traf without tfhd")
+            flags = int.from_bytes(payload[tfhd[0] + 1:tfhd[0] + 4], "big")
+            pos = tfhd[0] + 4
+            (tid,) = struct.unpack_from(">I", payload, pos)
+            pos += 4
+            if tid != track_id:
+                continue
+            base_off = None
+            if flags & 0x01:                      # base-data-offset
+                (base_off,) = struct.unpack_from(">Q", payload, pos)
+                pos += 8
+            if flags & 0x02:                      # sample-description-idx
+                pos += 4
+            def_dur, def_size, def_flags = trex
+            if flags & 0x08:
+                (def_dur,) = struct.unpack_from(">I", payload, pos)
+                pos += 4
+            if flags & 0x10:
+                (def_size,) = struct.unpack_from(">I", payload, pos)
+                pos += 4
+            if flags & 0x20:
+                (def_flags,) = struct.unpack_from(">I", payload, pos)
+                pos += 4
+            tfdt = _find(payload, tb, te, b"tfdt")
+            if tfdt:
+                ver = payload[tfdt[0]]
+                dts = struct.unpack_from(
+                    ">Q" if ver else ">I", payload, tfdt[0] + 4)[0]
+            for tr, rb, re_ in _walk_boxes(payload, tb, te):
+                if tr != b"trun":
+                    continue
+                tflags = int.from_bytes(payload[rb + 1:rb + 4], "big")
+                p2 = rb + 4
+                (n,) = struct.unpack_from(">I", payload, p2)
+                p2 += 4
+                data_off = 0
+                if tflags & 0x01:
+                    (data_off,) = struct.unpack_from(">i", payload, p2)
+                    p2 += 4
+                first_flags = None
+                if tflags & 0x04:
+                    (first_flags,) = struct.unpack_from(">I", payload, p2)
+                    p2 += 4
+                base = base_off if base_off is not None else moof_start
+                off = base + data_off
+                for i in range(n):
+                    dur, size, sflags = def_dur, def_size, def_flags
+                    if tflags & 0x100:
+                        (dur,) = struct.unpack_from(">I", payload, p2)
+                        p2 += 4
+                    if tflags & 0x200:
+                        (size,) = struct.unpack_from(">I", payload, p2)
+                        p2 += 4
+                    if tflags & 0x400:
+                        (sflags,) = struct.unpack_from(">I", payload, p2)
+                        p2 += 4
+                    if tflags & 0x800:            # composition offset
+                        p2 += 4
+                    if i == 0 and first_flags is not None:
+                        sflags = first_flags
+                    data = payload[off:off + size]
+                    if len(data) != size:
+                        raise ValueError(
+                            f"fragment sample {len(samples)} out of file")
+                    samples.append({
+                        "sample_no": len(samples), "size": size,
+                        "dts": dts,
+                        "is_key": not (sflags & _NON_SYNC),
+                        "data": data,
+                    })
+                    dts += dur
+                    off += size
+    return samples
+
+
 def demux_mp4(payload: bytes) -> dict:
     """Walk the real box tree and resolve every sample of every track to
     its absolute byte range; extract the bytes. Returns
     ``{"tracks": [{handler, track_id, width, height, timescale, codec,
-    samples: [{sample_no, size, dts, is_key, data}]}]}``."""
+    samples: [{sample_no, size, dts, is_key, data}]}]}``.
+
+    Both layouts are supported: flat (stbl sample tables) and
+    fragmented (empty stbl + mvex/trex defaults + moof/traf/trun
+    fragments — the DASH/CMAF shape)."""
     if payload[4:8] != b"ftyp":
         raise ValueError("not an MP4: missing ftyp")
     moov = _find(payload, 0, len(payload), b"moov")
@@ -363,13 +565,26 @@ def demux_mp4(payload: bytes) -> dict:
         if stbl is None:
             continue
         t = _parse_stbl(payload, *stbl)
+        trex = _parse_trex(payload, moov)
         missing = [k for k in ("sizes", "offsets", "stsc", "stts")
                    if k not in t]
+        fragmented = (not missing
+                      and not t["sizes"] and not t["offsets"]
+                      and track_id in trex)
+        if fragmented:
+            # fMP4: empty init stbl; samples come from moof fragments
+            samples = _parse_fragments(payload, track_id, trex[track_id])
+            tracks.append({"handler": handler, "track_id": track_id,
+                           "width": width, "height": height,
+                           "timescale": timescale,
+                           "codec": t.get("codec", "?"),
+                           "samples": samples})
+            continue
         if missing:
             raise ValueError(
-                f"track {track_id}: stbl lacks {missing} — fragmented "
-                "(moof/trun) MP4s are not supported, only flat stbl "
-                "sample tables")
+                f"track {track_id}: stbl lacks {missing} and no "
+                "mvex/trex fragment defaults exist — neither a flat nor "
+                "a fragmented (moof/trun) layout")
         sizes, offsets = t["sizes"], t["offsets"]
         spc = _expand_stsc(t["stsc"], len(offsets))
         if sum(spc) != len(sizes):
@@ -420,6 +635,13 @@ def mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from graphscope_spark.functions.codecs import synth_media
 
     return synth_media(df, encode_mp4, id_col)
+
+
+def fmp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize one real FRAGMENTED MP4 per row — distributed."""
+    from graphscope_spark.functions.codecs import synth_media
+
+    return synth_media(df, encode_fmp4, id_col)
 
 
 def demux_mp4_frames(media: DataFrame) -> DataFrame:

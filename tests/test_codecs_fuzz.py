@@ -132,10 +132,14 @@ def test_decoders_never_crash_unstructured(payload):
     unhandled crash (IndexError/struct.error/etc.) and never a silent
     bogus success: anything that decodes must have passed the magic
     check."""
+    from graphscope_spark.functions.warc import parse_warc
+
     for dec, magic_ok in [
         (decode_gif, lambda b: b[:6] in (b"GIF87a", b"GIF89a")),
         (decode_jpeg, lambda b: b[:2] == b"\xff\xd8"),
         (demux_mp4, lambda b: b[4:8] == b"ftyp"),
+        (parse_warc, lambda b: b[:5] == b"WARC/" or b[:2] == b"\x1f\x8b"
+         or b == b""),
     ]:
         try:
             dec(payload)

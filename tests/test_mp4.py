@@ -197,3 +197,44 @@ def test_demux_frames_no_video_track_clear_error(spark):
                                   "media_id LONG, payload BINARY")
     with pytest.raises(Exception, match="no video track"):
         demux_mp4_frames(media).collect()
+
+
+@pytest.mark.parametrize("mid", [0, 1, 2, 3, 5, 8, 13, 4999])
+def test_fmp4_demux_exact(mid):
+    """The fragmented layout resolves to the IDENTICAL sample stream as
+    the flat one: both tfhd addressing modes (default-base-is-moof on
+    even fragments, explicit 64-bit base_data_offset on odd), tfhd
+    default durations after fragment 0, per-sample trun sizes/flags,
+    v1 tfdt decode times."""
+    from graphscope_spark.functions.mp4 import encode_fmp4
+
+    p = mp4_params(mid)
+    d = demux_mp4(encode_fmp4(mid))
+    assert len(d["tracks"]) == 1
+    v = d["tracks"][0]
+    assert v["handler"] == "vide"
+    assert (v["width"], v["height"]) == (p["width"], p["height"])
+    assert len(v["samples"]) == p["n_video"]
+    for i, s in enumerate(v["samples"]):
+        assert s["data"] == video_sample_bytes(mid, i)
+        assert s["dts"] == video_dts(i)
+        assert s["is_key"] == (i % 3 == 0)
+
+
+def test_fmp4_both_addressing_modes_present():
+    """Files with >= 2 fragments really carry both tfhd forms."""
+    from graphscope_spark.functions.mp4 import encode_fmp4
+
+    payload = encode_fmp4(5)                       # 8 samples -> 4 frags
+    assert payload.count(b"moof") >= 2
+    # explicit base_data_offset flag (0x01) on odd fragments, and
+    # default-base-is-moof (0x020000) on all
+    tfhd_flags = []
+    i = 0
+    while True:
+        i = payload.find(b"tfhd", i + 1)
+        if i < 0:
+            break
+        tfhd_flags.append(int.from_bytes(payload[i + 5:i + 8], "big"))
+    assert any(f & 0x01 for f in tfhd_flags)
+    assert any(f & 0x020000 for f in tfhd_flags)
