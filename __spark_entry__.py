@@ -1950,6 +1950,24 @@ def _q_mp4_frames(spark, sf_dir):
         "dts", "is_key", "sum_bytes")
 
 
+def _q_gif_anim_composite(spark, sf_dir):
+    # REAL GIF animation compositing (what a frame extractor must do to
+    # hand WHOLE images to a vision model): frame 0 is a full-canvas
+    # keyframe; later frames are 3x2 sub-rectangles with transparent
+    # index 0 drawn onto the canvas, disposal 2 (restore background) on
+    # even frames / 1 (leave) on odd. One output row per DISPLAYED
+    # frame with composed-canvas sums. The oracle models compositing as
+    # an event stream per pixel — draws at time 2g, disposal-2 clears
+    # at 2g+1 — and picks the latest event <= 2f per (pixel, frame).
+    from graphscope_spark.functions import composite_gif_frames, gif_anim_media
+
+    media = gif_anim_media(_t(spark, sf_dir, "documents"))
+    return composite_gif_frames(media).select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        "sum_idx", "sum_r", "sum_g", "sum_b")
+
+
 def _q_fmp4_frames(spark, sf_dir):
     # FRAGMENTED MP4 demux (the DASH/CMAF layout): empty init stbl +
     # mvex/trex defaults, moof/traf/trun fragments with BOTH addressing
@@ -5129,6 +5147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "warc_extract": _q_warc_extract,
         "fmp4_frames": _q_fmp4_frames,
+        "gif_anim_composite": _q_gif_anim_composite,
         # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
@@ -5577,6 +5596,46 @@ def oracle_sql() -> dict[str, str]:
         # fragmented layout, identical sample stream → same oracle; a
         # demuxer that mis-walks moof/tfhd/trun structure diverges
         "fmp4_frames": _MP4_FRAMES_SQL,
+        # GIF animation compositing as an event stream: W=id%7+6,
+        # H=id%5+5, nf=id%4+2, 8 colors, bg index 0. Frame 0 draws every
+        # pixel (time 0); frame g>=1 draws its 3x2 rect at
+        # ((2g)%(W-3), g%(H-2)) where idx=(id+2x+3y+5g)%8 != 0 (time 2g)
+        # and, when g is even (disposal 2), clears the rect to bg at
+        # time 2g+1. Visible value at frame f = latest event <= 2f.
+        # Global palette c -> ((id+17c),(2id+29c),(3id+43c)) % 256.
+        "gif_anim_composite": (
+            "WITH m AS (SELECT doc_id AS media_id, doc_id % 7 + 6 AS w, "
+            "doc_id % 5 + 5 AS h, doc_id % 4 + 2 AS nf FROM documents), "
+            "px AS (SELECT media_id, w, h, nf, unnest(range(w)) AS x FROM m), "
+            "pxy AS (SELECT media_id, w, h, nf, x, unnest(range(h)) AS y "
+            "FROM px), "
+            "gs AS (SELECT media_id, w, h, nf, x, y, unnest(range(nf)) AS g "
+            "FROM pxy), "
+            "ev AS ("
+            "SELECT media_id, x, y, 2*g AS t, "
+            "(media_id + 2*x + 3*y + 5*g) % 8 AS v FROM gs "
+            "WHERE g = 0 OR ("
+            "x >= (2*g) % (w - 3) AND x < (2*g) % (w - 3) + 3 AND "
+            "y >= g % (h - 2) AND y < g % (h - 2) + 2 AND "
+            "(media_id + 2*x + 3*y + 5*g) % 8 <> 0) "
+            "UNION ALL "
+            "SELECT media_id, x, y, 2*g + 1 AS t, 0 AS v FROM gs "
+            "WHERE g >= 1 AND g % 2 = 0 AND "
+            "x >= (2*g) % (w - 3) AND x < (2*g) % (w - 3) + 3 AND "
+            "y >= g % (h - 2) AND y < g % (h - 2) + 2), "
+            "fr AS (SELECT media_id, unnest(range(nf)) AS f FROM m), "
+            "vis AS (SELECT f.media_id, f.f, e.x, e.y, e.v, "
+            "ROW_NUMBER() OVER (PARTITION BY f.media_id, f.f, e.x, e.y "
+            "ORDER BY e.t DESC) AS rn "
+            "FROM fr f JOIN ev e ON e.media_id = f.media_id "
+            "AND e.t <= 2 * f.f) "
+            "SELECT media_id, CAST(f AS BIGINT) AS frame_no, "
+            "CAST(SUM(v) AS BIGINT) AS sum_idx, "
+            "CAST(SUM((media_id + 17*v) % 256) AS BIGINT) AS sum_r, "
+            "CAST(SUM((2*media_id + 29*v) % 256) AS BIGINT) AS sum_g, "
+            "CAST(SUM((3*media_id + 43*v) % 256) AS BIGINT) AS sum_b "
+            "FROM vis WHERE rn = 1 GROUP BY media_id, f"
+        ),
         # Cypher frontend: the local-supplier cycle with both predicate
         # kinds — same relational shape as typed_pattern_where
         "cypher_local_supplier": (

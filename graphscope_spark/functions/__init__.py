@@ -105,7 +105,12 @@ from graphscope_spark.functions.mp4 import (
     mp4_media,
 )
 from graphscope_spark.functions.codecs_av import (
+    composite_gif,
+    composite_gif_frames,
     decode_gif,
+    decode_gif_raw,
+    encode_gif_anim,
+    gif_anim_media,
     decode_gif_frames,
     decode_jpeg,
     decode_jpeg_features,
@@ -137,7 +142,8 @@ __all__ = [
     "encode_bmp", "decode_bmp", "bmp_media", "decode_bmp_features",
     "encode_wav", "decode_wav", "wav_media", "decode_wav_features",
     "encode_png", "decode_png", "png_media", "decode_png_features",
-    "encode_gif", "decode_gif", "gif_media", "decode_gif_frames",
+    "encode_gif", "decode_gif", "decode_gif_raw", "gif_media", "decode_gif_frames",
+    "encode_gif_anim", "gif_anim_media", "composite_gif", "composite_gif_frames",
     "encode_jpeg", "encode_jpeg_planes", "decode_jpeg", "jpeg_media",
     "decode_jpeg_features",
     "encode_mp4", "encode_fmp4", "demux_mp4", "mp4_media", "fmp4_media", "demux_mp4_frames",

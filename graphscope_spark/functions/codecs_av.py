@@ -267,16 +267,17 @@ def encode_gif(media_id: int) -> bytes:
 
 
 @truncation_guard
-def decode_gif(payload: bytes) -> list:
-    """Parse a real GIF: header, logical screen descriptor, global color
-    table, extension skipping, per-frame descriptors with local-color-
-    table and interlace handling, LZW decompression. Returns one dict per
-    frame with exact-integer index/channel sums (hash-stable for the
-    value oracle)."""
+def decode_gif_raw(payload: bytes) -> dict:
+    """Parse a real GIF into structured form: logical screen, background
+    index, and per frame the sub-rectangle geometry, its palette (local
+    or global), the Graphic Control Extension state (disposal method,
+    transparent index) and the LZW-decoded, deinterlaced index array.
+    Non-GCE extensions are skipped by declared length."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF: {payload[:6]!r}")
     sw, sh = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
+    bg_index = payload[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -290,11 +291,16 @@ def decode_gif(payload: bytes) -> list:
         return p + 1
 
     frames = []
+    disposal, transparent = 0, None               # pending GCE state
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:                             # trailer
             break
-        if b == 0x21:                             # extension: skip by length
+        if b == 0x21:                             # extension
+            if payload[pos + 1] == 0xF9:          # Graphic Control Ext
+                gpacked = payload[pos + 3]
+                disposal = (gpacked >> 2) & 0x07
+                transparent = payload[pos + 6] if gpacked & 0x01 else None
             pos = skip_subblocks(pos + 2)
             continue
         if b != 0x2C:
@@ -322,18 +328,124 @@ def decode_gif(payload: bytes) -> list:
             out = np.empty_like(idx)
             out[_interlace_order(h)] = idx
             idx = out
+        frames.append({"left": int(left), "top": int(top),
+                       "width": int(w), "height": int(h),
+                       "idx": idx, "palette": pal,
+                       "disposal": disposal, "transparent": transparent})
+        disposal, transparent = 0, None           # GCE applies to ONE image
+    if not frames:
+        raise ValueError("GIF with no image frames")
+    return {"screen_w": int(sw), "screen_h": int(sh),
+            "bg_index": int(bg_index), "gct": gct, "frames": frames}
+
+
+def decode_gif(payload: bytes) -> list:
+    """Per-frame exact-integer index/channel sums over each frame's OWN
+    pixel rectangle (hash-stable for the value oracle) — see
+    :func:`composite_gif` for the animation-composited view."""
+    frames = []
+    for fr in decode_gif_raw(payload)["frames"]:
+        idx, pal = fr["idx"], fr["palette"]
         rgb = pal[idx.reshape(-1)].astype(np.int64)
         frames.append({
             "frame_no": len(frames),
-            "width": int(w), "height": int(h),
+            "width": fr["width"], "height": fr["height"],
             "sum_idx": int(idx.astype(np.int64).sum()),
             "sum_r": int(rgb[:, 0].sum()),
             "sum_g": int(rgb[:, 1].sum()),
             "sum_b": int(rgb[:, 2].sum()),
         })
-    if not frames:
-        raise ValueError("GIF with no image frames")
     return frames
+
+
+def composite_gif(payload: bytes) -> list:
+    """REAL animation compositing — what a frame extractor must do to
+    hand whole images to a vision model: each frame's sub-rectangle is
+    drawn onto the logical-screen canvas SKIPPING transparent-index
+    pixels, and after display the disposal method applies (0/1 leave,
+    2 restore the rect to background, 3 restore the pre-frame canvas).
+    Returns per displayed frame the composed canvas index/channel sums
+    (palette = the frame's own table for its pixels; canvas cells not
+    yet drawn hold the background index under the global table)."""
+    d = decode_gif_raw(payload)
+    W, H, bg = d["screen_w"], d["screen_h"], d["bg_index"]
+    canvas = np.full((H, W), bg, dtype=np.int64)
+    out = []
+    for fr in d["frames"]:
+        le, to = fr["left"], fr["top"]
+        w, h = fr["width"], fr["height"]
+        if le + w > W or to + h > H:
+            raise ValueError("frame rectangle exceeds the logical screen")
+        prev = canvas.copy() if fr["disposal"] == 3 else None
+        idx = fr["idx"].astype(np.int64)
+        region = canvas[to:to + h, le:le + w]
+        mask = (idx != fr["transparent"]) if fr["transparent"] is not None \
+            else np.ones_like(idx, dtype=bool)
+        region[mask] = idx[mask]
+        pal = fr["palette"]
+        rgb = pal[canvas.reshape(-1)].astype(np.int64)
+        out.append({
+            "frame_no": len(out),
+            "sum_idx": int(canvas.sum()),
+            "sum_r": int(rgb[:, 0].sum()),
+            "sum_g": int(rgb[:, 1].sum()),
+            "sum_b": int(rgb[:, 2].sum()),
+        })
+        if fr["disposal"] == 2:
+            canvas[to:to + h, le:le + w] = bg
+        elif fr["disposal"] == 3:
+            canvas = prev
+    return out
+
+
+def gif_anim_params(media_id: int) -> dict:
+    """Geometry for the animated-compositing stream (mirrored by the SQL
+    oracle): frame 0 is a full-canvas keyframe; frames f ≥ 1 are 3×2
+    sub-rectangles at (2f mod (W−3), f mod (H−2)) with transparent
+    index 0 and disposal 2 (restore background) on even f, 1 (leave) on
+    odd."""
+    return {
+        "width": media_id % 7 + 6,
+        "height": media_id % 5 + 5,
+        "n_frames": media_id % 4 + 2,
+        "ncolors": 8,
+    }
+
+
+def encode_gif_anim(media_id: int) -> bytes:
+    """A real animated GIF with PARTIAL frames, transparency and mixed
+    disposal methods — the compositing semantics test stream. All frames
+    share the global color table (``gif_palette(media_id, 0, 8)``);
+    pixel indices use ABSOLUTE canvas coordinates, so the oracle can
+    reconstruct every draw in closed form."""
+    p = gif_anim_params(media_id)
+    W, H, nf, nc = p["width"], p["height"], p["n_frames"], p["ncolors"]
+    depth = nc.bit_length() - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", W, H)
+    out.append(0x80 | ((depth - 1) << 4) | (depth - 1))
+    out += b"\x00\x00"                            # bg index 0, aspect
+    out += gif_palette(media_id, 0, nc).tobytes()
+    for f in range(nf):
+        if f == 0:
+            le, to, w, h = 0, 0, W, H
+            disposal, transp = 1, None
+        else:
+            le, to, w, h = (2 * f) % (W - 3), f % (H - 2), 3, 2
+            disposal = 2 if f % 2 == 0 else 1
+            transp = 0
+        gpacked = (disposal << 2) | (1 if transp is not None else 0)
+        out += (b"\x21\xf9\x04" + bytes([gpacked])
+                + struct.pack("<H", 4) + bytes([transp or 0]) + b"\x00")
+        out += b"\x2c" + struct.pack("<HHHH", le, to, w, h) + b"\x00"
+        x = le + np.arange(w)[None, :]
+        y = to + np.arange(h)[:, None]
+        idx = gif_pixel_index(media_id, f, x, y, nc)
+        mcs = max(2, depth)
+        out.append(mcs)
+        out += _sub_blocks(_lzw_encode(idx.reshape(-1), mcs))
+    out.append(0x3B)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -844,6 +956,32 @@ def gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from graphscope_spark.functions.codecs import synth_media
 
     return synth_media(df, encode_gif, id_col)
+
+
+def gif_anim_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize one real ANIMATED GIF (partial frames, transparency,
+    mixed disposal) per row — distributed."""
+    from graphscope_spark.functions.codecs import synth_media
+
+    return synth_media(df, encode_gif_anim, id_col)
+
+
+def composite_gif_frames(media: DataFrame) -> DataFrame:
+    """REAL animation-compositing stage: one output row per DISPLAYED
+    frame with the composed-canvas sums."""
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for fr in composite_gif(bytes(p)):
+                    rows.append({"media_id": mid, **fr})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "sum_idx",
+                               "sum_r", "sum_g", "sum_b"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        dec, "media_id LONG, frame_no INT, sum_idx LONG, "
+             "sum_r LONG, sum_g LONG, sum_b LONG")
 
 
 def decode_gif_frames(media: DataFrame) -> DataFrame:
