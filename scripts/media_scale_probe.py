@@ -31,17 +31,27 @@ ids = spark.range(N).select(F.col("id").alias("doc_id")) \
 ids.count()
 
 from graphscope_spark.functions import (  # noqa: E402
-    bmp_media, decode_bmp_features, decode_gif_frames,
-    decode_jpeg_features, decode_png_features, demux_mp4_frames,
-    gif_media, jpeg_media, mp4_media, png_media)
+    bmp_media, composite_gif_frames, decode_bmp_features,
+    decode_gif_frames, decode_jpeg_features, decode_png_features,
+    demux_mp4_frames, fmp4_media, gif_anim_media, gif_media, html_to_text,
+    jpeg_media, mp4_media, png_media, warc_media, warc_records)
+
+
+def _warc_pipeline(media):
+    recs = warc_records(media)
+    return recs.select("media_id", html_to_text(F.col("html")).alias("t"))
+
 
 out = {"n_per_format": N, "cpus": CPUS}
 for name, make, decode, agg in [
     ("bmp", bmp_media, decode_bmp_features, "sum(sum_r)"),
     ("png", png_media, decode_png_features, "sum(sum_r)"),
     ("gif", gif_media, decode_gif_frames, "sum(sum_r)"),
+    ("gif_anim", gif_anim_media, composite_gif_frames, "sum(sum_r)"),
     ("jpeg", jpeg_media, decode_jpeg_features, "sum(sum_y)"),
     ("mp4", mp4_media, demux_mp4_frames, "sum(sum_bytes)"),
+    ("fmp4", fmp4_media, demux_mp4_frames, "sum(sum_bytes)"),
+    ("warc", warc_media, _warc_pipeline, "sum(length(t))"),
 ]:
     t0 = time.time()
     decode(make(ids)).selectExpr(agg).collect()
