@@ -42,6 +42,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+MAX_PIXELS = 1 << 26                  # 67M px: largest plausible frame
+MAX_SAMPLES = 1 << 24                 # 16M: largest plausible sample table
+
+
+def check_dims(width: int, height: int, what: str) -> None:
+    """Corrupted headers can declare u16×u16 ≈ 4-gigapixel frames; a
+    decoder that allocates/loops on them stalls a whole executor (found
+    by bit-flip fuzzing). Bound the work before any allocation."""
+    if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
+        raise ValueError(
+            f"implausible {what} dimensions {width}x{height}")
+
+
 def synth_media(df: DataFrame, encode_fn, id_col: str = "doc_id") -> DataFrame:
     """Shared synthesize-one-payload-per-row mapInPandas stage:
     (media_id, payload) with ``payload = encode_fn(media_id)`` —
@@ -133,6 +146,7 @@ def decode_bmp(payload: bytes) -> dict:
         raise ValueError(f"only 24-bit BI_RGB supported, got bpp={bpp} comp={comp}")
     top_down = height < 0
     height = abs(height)
+    check_dims(width, height, "BMP")
     row_bytes = width * 3
     stride = (row_bytes + 3) & ~3
     raw = np.frombuffer(payload, dtype=np.uint8,
@@ -314,6 +328,7 @@ def decode_png(payload: bytes) -> dict:
                 raise ValueError(
                     f"only 8-bit RGB non-interlaced supported, got "
                     f"depth={depth} color={ctype_c} interlace={interlace}")
+            check_dims(width, height, "PNG")
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":

@@ -276,6 +276,8 @@ def decode_gif_raw(payload: bytes) -> dict:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF: {payload[:6]!r}")
     sw, sh = struct.unpack_from("<HH", payload, 6)
+    from graphscope_spark.functions.codecs import check_dims
+    check_dims(sw, sh, "GIF screen")
     packed = payload[10]
     bg_index = payload[11]
     pos = 13
@@ -306,6 +308,7 @@ def decode_gif_raw(payload: bytes) -> dict:
         if b != 0x2C:
             raise ValueError(f"unexpected block 0x{b:02x} at {pos}")
         left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+        check_dims(w, h, "GIF frame")
         ipacked = payload[pos + 9]
         pos += 10
         pal = gct
@@ -873,6 +876,8 @@ def decode_jpeg(payload: bytes) -> dict:
             prec, height, width, nc = struct.unpack_from(">BHHB", seg)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            from graphscope_spark.functions.codecs import check_dims
+            check_dims(width, height, "JPEG")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
@@ -888,12 +893,20 @@ def decode_jpeg(payload: bytes) -> dict:
             scan = []
             for i in range(ns):
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cs)
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"SOS references unknown component {cs}")
                 scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0x0F})
             break
         # APPn / COM / others: skipped by declared length
     if scan is None or width is None:
         raise ValueError("missing SOS/SOF0")
+    for c in scan:
+        if c["dc"] not in dc_tabs or c["ac"] not in ac_tabs:
+            raise ValueError(
+                f"scan uses undefined Huffman table {c['dc']}/{c['ac']}")
+        if c["tq"] not in qts:
+            raise ValueError(f"scan uses undefined quant table {c['tq']}")
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

@@ -354,6 +354,14 @@ def _find(payload, start, end, fourcc):
     return None
 
 
+def _check_count(n: int, payload: bytes, what: str) -> None:
+    """A corrupted entry count makes struct compile a multi-million-field
+    format string (seconds of CPU) before failing — bound it against the
+    file size first (found by bit-flip fuzzing)."""
+    if n * 4 > len(payload):
+        raise ValueError(f"implausible {what} entry count {n}")
+
+
 def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
     out: dict = {}
     for fc, b, e in _walk_boxes(payload, start, end):
@@ -367,6 +375,7 @@ def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
                            for i in range(n)]
         elif fc == b"stsz":
             const, n = struct.unpack_from(">II", payload, b + 4)
+            _check_count(n, payload, "stsz")
             if const:
                 out["sizes"] = [const] * n
             else:
@@ -374,14 +383,17 @@ def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
                                                        b + 12))
         elif fc == b"stco":
             (n,) = struct.unpack_from(">I", payload, b + 4)
+            _check_count(n, payload, "stco")
             out["offsets"] = list(struct.unpack_from(f">{n}I", payload,
                                                      b + 8))
         elif fc == b"co64":
             (n,) = struct.unpack_from(">I", payload, b + 4)
+            _check_count(n, payload, "co64")
             out["offsets"] = list(struct.unpack_from(f">{n}Q", payload,
                                                      b + 8))
         elif fc == b"stss":
             (n,) = struct.unpack_from(">I", payload, b + 4)
+            _check_count(n, payload, "stss")
             out["sync"] = set(struct.unpack_from(f">{n}I", payload, b + 8))
         elif fc == b"stsd":
             (n,) = struct.unpack_from(">I", payload, b + 4)
@@ -395,16 +407,27 @@ def _expand_stsc(stsc: list, n_chunks: int) -> list:
     Entry (first_chunk, spc, _) applies from first_chunk (1-based) until
     the next entry's first_chunk − 1; the last entry runs to the end."""
     spc = []
+    prev_first = 0
     for idx, (first, count, _desc) in enumerate(stsc):
-        last = stsc[idx + 1][0] - 1 if idx + 1 < len(stsc) else n_chunks
-        spc.extend([count] * (last - first + 1))
+        # corrupted first_chunk values make (last - first + 1) explode
+        # into a multi-billion-element list (bit-flip fuzz finding):
+        # entries must be strictly ascending within [1, n_chunks]
+        if first <= prev_first or first > n_chunks:
+            raise ValueError(
+                f"stsc entry {idx}: first_chunk {first} out of order "
+                f"or beyond {n_chunks} chunks")
+        prev_first = first
+        # clamp: the NEXT entry's first_chunk is validated only on the
+        # next iteration, so a corrupted value must not inflate this run
+        last = min(stsc[idx + 1][0] - 1 if idx + 1 < len(stsc)
+                   else n_chunks, n_chunks)
+        spc.extend([count] * max(0, last - first + 1))
     if len(spc) != n_chunks:
         raise ValueError(f"stsc expands to {len(spc)} chunks, "
                          f"file has {n_chunks}")
     return spc
 
 
-@truncation_guard
 def _parse_trex(payload: bytes, moov) -> dict:
     """mvex/trex defaults per track_id: {tid: (duration, size, flags)}."""
     mvex = _find(payload, *moov, b"mvex")
@@ -478,6 +501,9 @@ def _parse_fragments(payload: bytes, track_id: int,
                 p2 = rb + 4
                 (n,) = struct.unpack_from(">I", payload, p2)
                 p2 += 4
+                from graphscope_spark.functions.codecs import MAX_SAMPLES
+                if n > MAX_SAMPLES or len(samples) + n > MAX_SAMPLES:
+                    raise ValueError(f"implausible trun sample count {n}")
                 data_off = 0
                 if tflags & 0x01:
                     (data_off,) = struct.unpack_from(">i", payload, p2)
@@ -518,6 +544,7 @@ def _parse_fragments(payload: bytes, track_id: int,
     return samples
 
 
+@truncation_guard
 def demux_mp4(payload: bytes) -> dict:
     """Walk the real box tree and resolve every sample of every track to
     its absolute byte range; extract the bytes. Returns
@@ -590,8 +617,11 @@ def demux_mp4(payload: bytes) -> dict:
         if sum(spc) != len(sizes):
             raise ValueError(f"stsc covers {sum(spc)} samples, "
                              f"stsz has {len(sizes)}")
+        from graphscope_spark.functions.codecs import MAX_SAMPLES
         durations = []
         for count, delta in t["stts"]:
+            if count > MAX_SAMPLES or len(durations) + count > MAX_SAMPLES:
+                raise ValueError(f"implausible stts run count {count}")
             durations.extend([delta] * count)
         sync = t.get("sync")                      # None: all sync per spec
         samples = []

@@ -146,3 +146,51 @@ def test_decoders_never_crash_unstructured(payload):
             assert magic_ok(payload)
         except (ValueError, NotImplementedError):
             pass
+
+
+@settings(max_examples=40, deadline=5000)
+@given(
+    fmt=st.sampled_from(["gif", "jpeg", "mp4", "fmp4", "warc", "bmp",
+                         "png", "wav"]),
+    mid=st.integers(0, 50),
+    flips=st.lists(st.tuples(st.integers(0, 10**9), st.integers(0, 255)),
+                   min_size=1, max_size=4),
+)
+def test_bitflip_bounded_failure(fmt, mid, flips):
+    """Corrupted-but-plausible streams (bit flips on valid files) must
+    fail as ValueError/NotImplementedError within bounded time — never
+    an unhandled crash, never an unbounded allocation/loop (corrupted
+    dimension/count fields once stalled the decoder for minutes: the
+    stsc next-entry clamp, struct count bounds and check_dims guards
+    all came from this fuzz)."""
+    import time
+
+    from graphscope_spark.functions.codecs import (encode_bmp, encode_png,
+                                                   encode_wav)
+    from graphscope_spark.functions.codecs import (decode_bmp, decode_png,
+                                                   decode_wav)
+    from graphscope_spark.functions.mp4 import encode_fmp4, encode_mp4
+    from graphscope_spark.functions.mp4 import demux_mp4
+    from graphscope_spark.functions.warc import encode_warc, parse_warc
+
+    enc_dec = {
+        "gif": (encode_gif, decode_gif),
+        "jpeg": (encode_jpeg, decode_jpeg),
+        "mp4": (encode_mp4, demux_mp4),
+        "fmp4": (encode_fmp4, demux_mp4),
+        "warc": (encode_warc, parse_warc),
+        "bmp": (lambda m: encode_bmp(m, m % 13 + 4, m % 7 + 3), decode_bmp),
+        "png": (lambda m: encode_png(m, m % 11 + 4, m % 5 + 3), decode_png),
+        "wav": (lambda m: encode_wav(m, (m % 50) * 7 + 20, 8000),
+                decode_wav),
+    }
+    enc, dec = enc_dec[fmt]
+    b = bytearray(enc(mid))
+    for pos, val in flips:
+        b[pos % len(b)] = val
+    t0 = time.time()
+    try:
+        dec(bytes(b))
+    except (ValueError, NotImplementedError):
+        pass
+    assert time.time() - t0 < 3.0, "decoder stalled on corrupted input"
