@@ -44,9 +44,11 @@ so its oracle is closed-form with no caveats.
 Reference parity: GraphScope loaders treat media as opaque bytes
 (vineyard blobs) and delegate decoding to user apps; here decode is a
 first-class Arrow ``mapInPandas`` stage (SURVEY.md LLM-pipeline
-multimodal row). MP4 remains out of scope — a real H.264 entropy decoder
-is not reasonably re-implementable here, and the animated-GIF path
-provides the real multi-frame container for the frame-sampling pipeline.
+multimodal row). MP4 is demuxed for real in the sibling
+:mod:`graphscope_spark.functions.mp4` (flat and fragmented layouts);
+only codec-level H.264/AAC decode of the demuxed ranges stays out of
+scope. GIF animation COMPOSITING (partial frames, transparency,
+disposal methods) lives here too — :func:`composite_gif`.
 """
 
 from __future__ import annotations
