@@ -1950,6 +1950,36 @@ def _q_mp4_frames(spark, sf_dir):
         "dts", "is_key", "sum_bytes")
 
 
+def _q_url_canon(spark, sf_dir):
+    # URL canonicalization (the web-corpus dedup key): mixed-case
+    # scheme/host, default ports, tracking params (utm_*/fbclid/gclid),
+    # fragments, empty paths and empty queries — all normalized by the
+    # shuffle-free canonicalize_url expression chain. The oracle builds
+    # the SAME synthetic URLs and applies canonicalize_url_sql (one
+    # source of truth, Java-regex ∩ RE2 + NULL-coalesce for DuckDB's
+    # regexp_extract/array_to_string NULL semantics).
+    from graphscope_spark.functions import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    sid = (F.col("doc_id") % 50).cast("string")
+    did = F.col("doc_id").cast("string")
+    z = (F.col("doc_id") % 9).cast("string")
+    u = (F.when(m == 0, F.concat(
+            F.lit("HTTP://Example-"), sid, F.lit(".COM:80/Page/"), did,
+            F.lit("?b=2&utm_source=x&a=1#frag")))
+         .when(m == 1, F.concat(F.lit("https://site-"), sid,
+                                F.lit(".ORG:443")))
+         .when(m == 2, F.concat(F.lit("http://Host-"), sid,
+                                F.lit(".net/p?z="), z,
+                                F.lit("&y=8&gclid=q")))
+         .when(m == 3, F.concat(F.lit("https://h-"), sid,
+                                F.lit(".io/path/?")))
+         .otherwise(F.concat(F.lit("http://dup-"), sid,
+                             F.lit(".com:80/x"))))
+    return d.select("doc_id", canonicalize_url(u).alias("canon"))
+
+
 def _q_gif_anim_composite(spark, sf_dir):
     # REAL GIF animation compositing (what a frame extractor must do to
     # hand WHOLE images to a vision model): frame 0 is a full-canvas
@@ -2663,6 +2693,24 @@ _MP4_FRAMES_SQL = (
     "CAST(SUM((7*media_id + 13*i + j) % 256) AS BIGINT) AS sum_bytes "
     "FROM b GROUP BY media_id, i, size"
 )
+
+
+def _url_canon_sql() -> str:
+    """url_canon in SQL: the same synthetic URL variants, canonicalized
+    by the identical chain (canonicalize_url_sql)."""
+    from graphscope_spark.functions.warc import canonicalize_url_sql
+
+    return f"""WITH d AS (SELECT doc_id, doc_id % 5 AS m,
+  CAST(doc_id % 50 AS VARCHAR) AS sid, CAST(doc_id AS VARCHAR) AS did,
+  CAST(doc_id % 9 AS VARCHAR) AS z FROM documents),
+u AS (SELECT doc_id, CASE m
+  WHEN 0 THEN 'HTTP://Example-' || sid || '.COM:80/Page/' || did
+              || '?b=2&utm_source=x&a=1#frag'
+  WHEN 1 THEN 'https://site-' || sid || '.ORG:443'
+  WHEN 2 THEN 'http://Host-' || sid || '.net/p?z=' || z || '&y=8&gclid=q'
+  WHEN 3 THEN 'https://h-' || sid || '.io/path/?'
+  ELSE 'http://dup-' || sid || '.com:80/x' END AS u FROM d)
+SELECT doc_id, {canonicalize_url_sql('u')} AS canon FROM u"""
 
 
 def _warc_sql() -> str:
@@ -5148,6 +5196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": _q_warc_extract,
         "fmp4_frames": _q_fmp4_frames,
         "gif_anim_composite": _q_gif_anim_composite,
+        "url_canon": _q_url_canon,
         # --- 50 green in r03 (rotate back through the window) ---
         "graph_degree": _q_graph_degree,
         "graph_stats": _q_graph_stats,
@@ -5949,6 +5998,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_sql(k=5, M=4, ksub=8, iters=1, dim=64,
                            scale=1024, nq=10, refine=50),
         "warc_extract": _warc_sql(),
+        "url_canon": _url_canon_sql(),
         "ivf_kmeans_topk": _ivf_kmeans_sql(k=5, ncentroids=8, iters=2,
                                            nprobe=2, dim=64),
         "decontaminate": (

@@ -88,6 +88,8 @@ from graphscope_spark.functions.codecs import (
     wav_media,
 )
 from graphscope_spark.functions.warc import (
+    canonicalize_url,
+    canonicalize_url_sql,
     encode_warc,
     gzip_warc,
     html_to_text,
@@ -148,5 +150,5 @@ __all__ = [
     "decode_jpeg_features",
     "encode_mp4", "encode_fmp4", "demux_mp4", "mp4_media", "fmp4_media", "demux_mp4_frames",
     "encode_warc", "gzip_warc", "parse_warc", "warc_media", "warc_records",
-    "html_to_text", "html_to_text_sql",
+    "html_to_text", "html_to_text_sql", "canonicalize_url", "canonicalize_url_sql",
 ]

@@ -259,3 +259,66 @@ def warc_records(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         split, WARC_RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-corpus dedup key; Java-regex ∩ RE2 like above)
+# ---------------------------------------------------------------------------
+
+_TRACKING = r"^(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|ref_src)="
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """The URL-dedup key every web pipeline needs, as a shuffle-free JVM
+    expression chain: lowercase scheme+host, strip the scheme's default
+    port (:80 http / :443 https), default empty paths to ``/``, drop the
+    fragment, remove tracking parameters (utm_*, fbclid, gclid, …) and
+    SORT the remaining query parameters (byte order — identical in
+    Spark and DuckDB for ASCII). Non-URL strings (no ``scheme://``) pass
+    through trimmed but otherwise unchanged."""
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    host = F.when(scheme == "http",
+                  F.regexp_replace(host, ":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(host, ":443$", "")) \
+        .otherwise(host)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.array_join(
+        F.sort_array(F.filter(
+            F.split(F.regexp_extract(u, _QUERY_RE, 1), "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING))), "&")
+    rebuilt = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)))
+    return F.when(scheme == "", u).otherwise(rebuilt)
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """The IDENTICAL chain as DuckDB SQL — one source of truth for the
+    oracle (RE2 shares every construct used: no lookaround)."""
+    # DuckDB regexp_extract yields NULL on no-match where Spark yields
+    # '' — coalesce each extract so the chains agree
+    u = f"trim({expr})"
+    scheme = f"coalesce(lower(regexp_extract({u}, '{_SCHEME_RE}', 1)), '')"
+    host_raw = f"coalesce(lower(regexp_extract({u}, '{_AUTH_RE}', 1)), '')"
+    host = (f"CASE WHEN {scheme} = 'http' THEN "
+            f"regexp_replace({host_raw}, ':80$', '') "
+            f"WHEN {scheme} = 'https' THEN "
+            f"regexp_replace({host_raw}, ':443$', '') "
+            f"ELSE {host_raw} END")
+    path_raw = f"coalesce(regexp_extract({u}, '{_PATH_RE}', 1), '')"
+    path = f"CASE WHEN {path_raw} = '' THEN '/' ELSE {path_raw} END"
+    # DuckDB array_to_string([]) is NULL (not '') — coalesce that too
+    query = ("coalesce(array_to_string(list_sort(list_filter(string_split("
+             f"coalesce(regexp_extract({u}, '{_QUERY_RE}', 1), ''), '&'), "
+             f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING}'))), "
+             "'&'), '')")
+    rebuilt = (f"{scheme} || '://' || {host} || {path} || "
+               f"(CASE WHEN {query} = '' THEN '' ELSE '?' || {query} END)")
+    return f"CASE WHEN {scheme} = '' THEN {u} ELSE {rebuilt} END"

@@ -127,3 +127,61 @@ def test_warc_gz_member_per_record_roundtrip():
     # truncated member chain -> contract ValueError
     with pytest.raises(ValueError):
         parse_warc(gz[:len(gz) - 9])
+
+
+def test_canonicalize_url_cross_engine():
+    """canonicalize_url and canonicalize_url_sql are the identical chain
+    — incl. the DuckDB NULL quirks (regexp_extract no-match and
+    array_to_string of an empty list both yield NULL there, '' in
+    Spark)."""
+    import duckdb
+
+    from graphscope_spark.functions.warc import (canonicalize_url,
+                                                 canonicalize_url_sql)
+
+    urls = [
+        "HTTP://Example.COM:80/Path/Page?b=2&utm_source=x&a=1#frag",
+        "https://A.example.org:443",
+        "http://x.org/p?utm_campaign=z&fbclid=abc",
+        "http://x.org/p?z=9&y=8&gclid=q",
+        "not a url at all  ",
+        "ftp://Host.Net:21/file",
+        "http://h.io/path/?",
+        "http://UP.com:80?x=1",
+    ]
+    con = duckdb.connect()
+    expect = {
+        urls[0]: "http://example.com/Path/Page?a=1&b=2",
+        urls[1]: "https://a.example.org/",
+        urls[2]: "http://x.org/p",
+        urls[3]: "http://x.org/p?y=8&z=9",
+        urls[4]: "not a url at all",
+        urls[5]: "ftp://host.net:21/file",   # non-http port kept
+        urls[6]: "http://h.io/path/",
+        urls[7]: "http://up.com/?x=1",
+    }
+    for u in urls:
+        q = u.replace("'", "''")
+        got = con.execute(
+            "SELECT " + canonicalize_url_sql(f"'{q}'")).fetchone()[0]
+        assert got == expect[u], (u, got)
+
+
+def test_canonicalize_url_spark_matches_sql(spark):
+    from pyspark.sql import functions as F
+
+    from graphscope_spark.functions.warc import canonicalize_url
+    import duckdb
+
+    from graphscope_spark.functions.warc import canonicalize_url_sql
+
+    urls = ["HTTP://A.B:80/x?utm_a=1&b=2#f", "https://C.d:443",
+            "http://e.f/g?z=2&a=1", "junk"]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "id LONG, u STRING")
+    got = [r["c"] for r in df.select(
+        "id", canonicalize_url(F.col("u")).alias("c")).orderBy("id").collect()]
+    con = duckdb.connect()
+    want = [con.execute("SELECT " + canonicalize_url_sql(
+        "'" + u.replace("'", "''") + "'")).fetchone()[0] for u in urls]
+    assert got == want
