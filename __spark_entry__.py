@@ -4783,12 +4783,13 @@ agg AS (
   SELECT COALESCE(census.domain, recipe.domain) AS domain,
          COALESCE(docs, 0)::BIGINT AS docs,
          COALESCE(tokens, 0)::BIGINT AS tokens,
-         CASE COALESCE(census.domain, recipe.domain) {case} ELSE 0.0 END
+         CAST(CASE COALESCE(census.domain, recipe.domain) {case}
+              ELSE 0.0 END AS DOUBLE)
            AS target_share
   FROM census FULL OUTER JOIN (VALUES {vals}) recipe(domain)
     ON census.domain = recipe.domain)
 SELECT domain, docs, tokens, target_share,
-       target_share * {float(budget)!r} AS need_tokens,
+       CAST(target_share * {float(budget)!r} AS DOUBLE) AS need_tokens,
        CASE WHEN tokens > 0
             THEN (target_share * {float(budget)!r}) / tokens
             ELSE 0.0 END AS sample_rate,
@@ -5026,17 +5027,30 @@ _R05_WINDOW: list[str] = [
     "bpe_merges_3",
     "pagerank_weighted_3iter",
     "funnel_levels",
-    "retention_weekly",
     "profile_lineitem",
-    "chunk_docs",
-    "event_transitions",
     "asof_last_view",
     "interval_clicks",
-    "rel_rollup",
     # rel_cube dropped for pq_topk (same Expand/grouping-sets machinery
     # as rel_rollup, which keeps its slot; rel_cube stays pytest-oracled)
     "pq_topk",
-    "hll_users",
+    # r05 rebuild (round-4 verdict #2): the two RED r04 rows
+    # (pack_sequences, cypher_agg_pipeline — oracle HUGEINT casts now
+    # fixed) rotate IN so the driver re-verifies them, and the three
+    # queries that were in neither window (fmp4_frames,
+    # gif_anim_composite, url_canon) get first rows.  To hold the window
+    # at exactly 50, the five most sibling-redundant greens-to-be were
+    # dropped: retention_weekly + event_transitions (funnel_levels keeps
+    # the funnel.py slot), rel_rollup (21 rel_* siblings green r03;
+    # grouping-sets machinery also exercised by pq/profile Expand),
+    # hll_users (profile_lineitem covers sketch-style multi-distinct),
+    # chunk_docs (pack_sequences itself re-verifies packing.py).  All
+    # five stay oracled in the in-repo gate mirror and are recorded as
+    # never-driver-checked in GATE_MANIFEST.json for an r06 window.
+    "pack_sequences",
+    "cypher_agg_pipeline",
+    "fmp4_frames",
+    "gif_anim_composite",
+    "url_canon",
     "iceberg_roundtrip",
     "iceberg_time_travel",
     "ecc_20src",
@@ -5705,7 +5719,8 @@ def oracle_sql() -> dict[str, str]:
         "cypher_agg_pipeline": (
             "SELECT CAST(c_nationkey AS BIGINT) AS n_key, "
             "COUNT(*) AS cnt, "
-            "SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS bal_cents "
+            "CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "AS bal_cents "
             "FROM customer WHERE c_acctbal > 1000 "
             "GROUP BY 1 HAVING COUNT(*) >= 2"
         ),
@@ -5796,9 +5811,9 @@ def oracle_sql() -> dict[str, str]:
             "flagged AS (SELECT user_id, ts, event_id, tse, "
             "CASE WHEN prev IS NULL OR tse - prev <= 1800000000 "
             "THEN 0 ELSE 1 END AS brk FROM ordered), "
-            "sess AS (SELECT user_id, tse, SUM(brk) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS session "
-            "FROM flagged) "
+            "sess AS (SELECT user_id, tse, CAST(SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS session FROM flagged) "
             "SELECT user_id, session, COUNT(*) AS n_events, "
             "CAST(MAX(tse) - MIN(tse) AS BIGINT) AS duration_us "
             "FROM sess GROUP BY user_id, session"
@@ -6323,8 +6338,8 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY pkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprefix
                     FROM tot)
             SELECT c.doc_id, c.n_tokens,
-                   p.pprefix + c.cum - c.n_tokens AS start_offset,
-                   (p.pprefix + c.cum - c.n_tokens) // 512 AS bin_id
+                   CAST(p.pprefix + c.cum - c.n_tokens AS BIGINT) AS start_offset,
+                   CAST((p.pprefix + c.cum - c.n_tokens) // 512 AS BIGINT) AS bin_id
             FROM cums c JOIN pre p USING (pkey)"""
         ),
         "asof_last_view": (

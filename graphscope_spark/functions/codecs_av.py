@@ -333,6 +333,15 @@ def decode_gif_raw(payload: bytes) -> dict:
             out = np.empty_like(idx)
             out[_interlace_order(h)] = idx
             idx = out
+        # Garbage-in → ValueError-out contract (ADVICE r04): an LZW
+        # min-code-size larger than the color-table depth yields decoded
+        # indices past the palette; catch them here instead of letting
+        # decode_gif/composite_gif blow up with a raw IndexError at the
+        # pal[idx] lookup inside a mapInPandas stage.
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError(
+                f"GIF pixel index {int(idx.max())} exceeds the "
+                f"{len(pal)}-entry color table")
         frames.append({"left": int(left), "top": int(top),
                        "width": int(w), "height": int(h),
                        "idx": idx, "palette": pal,
@@ -344,12 +353,15 @@ def decode_gif_raw(payload: bytes) -> dict:
             "bg_index": int(bg_index), "gct": gct, "frames": frames}
 
 
-def decode_gif(payload: bytes) -> list:
+def decode_gif(payload: bytes, raw: dict | None = None) -> list:
     """Per-frame exact-integer index/channel sums over each frame's OWN
     pixel rectangle (hash-stable for the value oracle) — see
-    :func:`composite_gif` for the animation-composited view."""
+    :func:`composite_gif` for the animation-composited view.  Pass a
+    pre-parsed :func:`decode_gif_raw` result as ``raw`` to skip the
+    second container walk (real_decode needs the raw screen geometry
+    AND these sums)."""
     frames = []
-    for fr in decode_gif_raw(payload)["frames"]:
+    for fr in (raw if raw is not None else decode_gif_raw(payload))["frames"]:
         idx, pal = fr["idx"], fr["palette"]
         rgb = pal[idx.reshape(-1)].astype(np.int64)
         frames.append({

@@ -559,6 +559,9 @@ def demux_mp4(payload: bytes) -> dict:
     moov = _find(payload, 0, len(payload), b"moov")
     if moov is None:
         raise ValueError("no moov box")
+    # trex defaults are per-movie (one mvex walk covers every track) —
+    # parse once here, not inside the per-trak loop (ADVICE r04).
+    trex = _parse_trex(payload, moov)
     tracks = []
     for fc, tb, te in _walk_boxes(payload, *moov):
         if fc != b"trak":
@@ -592,7 +595,6 @@ def demux_mp4(payload: bytes) -> dict:
         if stbl is None:
             continue
         t = _parse_stbl(payload, *stbl)
-        trex = _parse_trex(payload, moov)
         missing = [k for k in ("sizes", "offsets", "stsc", "stts")
                    if k not in t]
         fragmented = (not missing

@@ -133,7 +133,8 @@ def real_decode(media: DataFrame) -> DataFrame:
     rate/n_samples/sum for audio, per-frame totals for GIF)."""
     from graphscope_spark.functions.codecs import (_PNG_SIG, decode_bmp,
                                                    decode_png, decode_wav)
-    from graphscope_spark.functions.codecs_av import decode_gif, decode_jpeg
+    from graphscope_spark.functions.codecs_av import (
+        decode_gif, decode_gif_raw, decode_jpeg)
 
     schema = ("media_id LONG, kind STRING, width INT, height INT, "
               "n_samples INT, content_sum LONG")
@@ -166,10 +167,14 @@ def real_decode(media: DataFrame) -> DataFrame:
                     rows["n_samples"].append(0)
                     rows["content_sum"].append(d["sum_r"] + d["sum_g"] + d["sum_b"])
                 elif p[:6] in (b"GIF87a", b"GIF89a"):
-                    frames = decode_gif(p)
+                    # Geometry = the LOGICAL SCREEN (ADVICE r04): real-world
+                    # GIFs often open with a partial-rect first frame, so
+                    # frames[0] dims are not the media geometry.
+                    raw = decode_gif_raw(p)
+                    frames = decode_gif(p, raw=raw)
                     rows["kind"].append("gif")
-                    rows["width"].append(frames[0]["width"])
-                    rows["height"].append(frames[0]["height"])
+                    rows["width"].append(raw["screen_w"])
+                    rows["height"].append(raw["screen_h"])
                     rows["n_samples"].append(len(frames))  # frame count
                     rows["content_sum"].append(sum(
                         f["sum_r"] + f["sum_g"] + f["sum_b"] for f in frames))

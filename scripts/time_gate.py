@@ -75,17 +75,29 @@ for name, q in qs.items():
             elif len(s) != len(o):
                 match = f"ROWS {len(s)} vs {len(o)}"
             else:
+                # Hash-faithful compare (round-4 verdict #3): the driver
+                # hashes raw values, so a dtype-KIND divergence (int64 512
+                # vs float64 512.0 — the DuckDB HUGEINT trap) fails its
+                # gate even when values are numerically equal.  Flag it
+                # here so "OK" locally actually predicts a green row.
+                _K = {"i": "int", "u": "int", "b": "int", "f": "float"}
+
                 def _col_ok(c):
+                    if _K.get(s[c].dtype.kind, "o") != _K.get(o[c].dtype.kind, "o"):
+                        return f"DTYPE {s[c].dtype} vs {o[c].dtype}"
                     if str(s[c].dtype).startswith(("int", "float")):
                         sv, ov = s[c].astype(float), o[c].astype(float)
                         # NaN==NaN (same convention as the pytest gate
                         # mirror's assert_series_equal)
                         both_nan = sv.isna() & ov.isna()
-                        return ((abs(sv - ov) <= 1e-9) | both_nan).all()
-                    return (s[c].astype(str) == o[c].astype(str)).all()
+                        return bool(((abs(sv - ov) <= 1e-9) | both_nan).all())
+                    return bool((s[c].astype(str) == o[c].astype(str)).all())
 
-                ok = all(_col_ok(c) for c in s.columns)
-                match = "OK" if ok else "VALUES"
+                results = {c: _col_ok(c) for c in s.columns}
+                bad = [f"{c}:{r}" for c, r in results.items() if r is not True]
+                dt = [b for b in bad if ":DTYPE" in b]
+                match = ("OK" if not bad
+                         else ("; ".join(dt) if dt else "VALUES"))
         except Exception as ex:  # noqa: BLE001
             err = "oracle: " + str(ex)[:120]
             to = time.time() - t0

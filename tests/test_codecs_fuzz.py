@@ -194,3 +194,34 @@ def test_bitflip_bounded_failure(fmt, mid, flips):
     except (ValueError, NotImplementedError):
         pass
     assert time.time() - t0 < 3.0, "decoder stalled on corrupted input"
+
+
+def test_gif_index_past_palette_is_valueerror():
+    """ADVICE r04: an LZW min-code-size larger than the color-table depth
+    decodes indices past the palette; the contract is ValueError (clear,
+    catchable), never a raw IndexError at the pal[idx] lookup."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from graphscope_spark.functions.codecs_av import (
+        _lzw_encode, _sub_blocks, composite_gif, decode_gif)
+
+    w = h = 2
+    depth = 2                                     # 4-entry global table
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    out.append(0x80 | ((depth - 1) << 4) | (depth - 1))
+    out += b"\x00\x00"
+    out += bytes(4 * 3)                           # 4 black entries
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    mcs = 3                                       # codes reach index 7
+    out.append(mcs)
+    idx = np.array([7, 6, 5, 4], dtype=np.int64)  # all past the palette
+    out += _sub_blocks(_lzw_encode(idx, mcs))
+    out.append(0x3B)
+    payload = bytes(out)
+    with pytest.raises(ValueError, match="color table"):
+        decode_gif(payload)
+    with pytest.raises(ValueError, match="color table"):
+        composite_gif(payload)

@@ -56,6 +56,17 @@ def test_query_matches_oracle(spark, con, name):
     assert len(s) == len(o), (name, len(s), len(o))
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # Hash-faithfulness (round-4 verdict #3): the driver's compare
+        # hashes raw values, so int64 512 vs float64 512.0 diverges even
+        # when numerically equal (the DuckDB HUGEINT → pandas float64
+        # trap).  A value-tolerance compare alone is blind to that class;
+        # require the dtype KIND (int / uint / float / other) to agree
+        # before comparing values.
+        _K = {"i": "int", "u": "int", "f": "float", "b": "int"}
+        assert _K.get(sv.dtype.kind, "obj") == _K.get(ov.dtype.kind, "obj"), (
+            name, c, f"dtype kind mismatch: spark {sv.dtype} vs oracle "
+            f"{ov.dtype} — driver hash would differ (HUGEINT/DECIMAL cast "
+            f"missing in the oracle?)")
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             pd.testing.assert_series_equal(
                 sv.astype(float), ov.astype(float), check_names=False,

@@ -138,3 +138,49 @@ def test_current_round_parses_progress_jsonl(tmp_path, monkeypatch):
     # round, even if the driver appends the next stamp mid-run
     prog.write_text('{"round": 6}\n')
     assert mod._current_round() == 5
+
+
+def test_oracle_describe_sweep_no_hugeint_or_decimal():
+    """Round-4 verdict #1 guard: the driver compares Spark vs oracle by
+    EXACT value hash, and DuckDB HUGEINT (SUM of BIGINT) / DECIMAL output
+    columns reach pandas as float64 while Spark emits int64 — numerically
+    equal, hash-different.  That one-line typing trap produced the only
+    red CORRECTNESS rows in project history (pack_sequences,
+    cypher_agg_pipeline r04).  DESCRIBE every oracle and fail on any
+    HUGEINT/UHUGEINT/DECIMAL output column so the whole class is caught
+    at commit time, not at the driver gate."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    offenders = []
+    for name, sql in entry_mod.oracle_sql().items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        for col, typ, *_ in desc:
+            if "HUGEINT" in typ or "DECIMAL" in typ:
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "oracle output columns that will hash-mismatch the driver "
+        f"(cast to BIGINT/DOUBLE in the oracle SQL): {offenders}")
+
+
+def test_r05_window_contents():
+    """Pin the rebuilt r05 rotation (round-4 verdict #2): exactly 50
+    names, the two RED r04 queries rotate in for re-verification, the
+    three never-windowed codec/URL queries get first rows, and the five
+    dropped names are the sibling-redundant ones recorded in
+    GATE_MANIFEST.json."""
+    w = entry_mod._R05_WINDOW
+    assert len(w) == 50 and len(set(w)) == 50
+    must_have = {"pack_sequences", "cypher_agg_pipeline", "fmp4_frames",
+                 "gif_anim_composite", "url_canon", "sessionize"}
+    assert must_have <= set(w)
+    dropped = {"retention_weekly", "event_transitions", "rel_rollup",
+               "hll_users", "chunk_docs"}
+    assert not (dropped & set(w))
+    qs = entry_mod.queries()
+    assert set(w) <= set(qs)

@@ -499,3 +499,81 @@ def test_overwrite_failure_preserves_table(spark, docs, tmp_path):
     assert len(t2.snapshots()) == 1
     commits = sorted(os.listdir(os.path.join(loc, "data")))
     assert len(commits) == 1                    # replaced history removed
+
+
+# --------------------------------------------------------------------------
+# distributed scan planning (round-4 verdict #4)
+
+def test_distributed_plan_files_prunes_in_executors(spark, docs, tmp_path):
+    """plan_files above DISTRIBUTED_PLAN_MIN_MANIFESTS manifests routes
+    through executor-side manifest parsing + pruning: synthesize >=10k
+    manifest entries across 20 extra manifests (planning never opens the
+    data files, so no parquet is needed behind them), then check the
+    distributed planner returns exactly the driver planner's survivors —
+    and only survivors (the pruned set, not the full file list) cross
+    back to the driver."""
+    import copy
+
+    from graphscope_spark.iceberg import (
+        MANIFEST_FILE_SCHEMA, MANIFEST_ENTRY_SCHEMA,
+        DISTRIBUTED_PLAN_MIN_MANIFESTS)
+
+    loc = str(tmp_path / "bigmeta")
+    t = IcebergLite.write(docs, loc, partition_by=["lang"])
+    md = t.metadata()
+    snap = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"])
+    mlist_path = os.path.join(loc, snap["manifest-list"])
+    _, mlist = avrolite.read_container(mlist_path)
+    _, real_entries = avrolite.read_container(
+        os.path.join(loc, mlist[0]["manifest_path"]))
+    proto = real_entries[0]
+
+    langs = ["en", "zh", "de", "xx"]
+    n_manifests, per = 20, 500
+    assert n_manifests >= DISTRIBUTED_PLAN_MIN_MANIFESTS
+    for i in range(n_manifests):
+        entries = []
+        for j in range(per):
+            lang = langs[(i + j) % len(langs)]
+            e = copy.deepcopy(proto)
+            e["data_file"]["file_path"] = (
+                f"data/synth{i:02d}/lang={lang}/part-{j:05d}.parquet")
+            e["data_file"]["partition"] = {"lang": lang}
+            entries.append(e)
+        mname = f"manifest-synth-{i:02d}.avro"
+        mpath = os.path.join(t.metadata_dir, mname)
+        avrolite.write_container(mpath, MANIFEST_ENTRY_SCHEMA, entries)
+        rec = dict(mlist[0])
+        rec["manifest_path"] = os.path.relpath(mpath, loc)
+        rec["manifest_length"] = os.path.getsize(mpath)
+        mlist.append(rec)
+    avrolite.write_container(mlist_path, MANIFEST_FILE_SCHEMA, mlist)
+
+    total = n_manifests * per + len(real_entries)
+    filt = [("lang", "=", "en")]
+    driver_plan = IcebergLite(loc).plan_files(filters=filt)   # spark=None
+    dist_plan = IcebergLite(loc).plan_files_distributed(spark, filters=filt)
+    assert {f.path for f in dist_plan} == {f.path for f in driver_plan}
+    # only survivors crossed the executor->driver boundary
+    assert 0 < len(dist_plan) < total
+    assert all(f.partition["lang"] == "en" for f in dist_plan
+               if "synth" in f.path)
+    # unfiltered parity too (full parse, no prune)
+    assert ({f.path for f in IcebergLite(loc).plan_files_distributed(spark)}
+            == {f.path for f in IcebergLite(loc).plan_files()})
+
+    # auto-routing: plan_files takes the distributed path when given a
+    # session and the manifest count is above the threshold
+    called = {}
+    t2 = IcebergLite(loc)
+    orig = t2.plan_files_distributed
+
+    def spy(*a, **k):
+        called["hit"] = True
+        return orig(*a, **k)
+
+    t2.plan_files_distributed = spy
+    auto = t2.plan_files(filters=filt, spark=spark)
+    assert called.get("hit") and {f.path for f in auto} == {
+        f.path for f in driver_plan}
