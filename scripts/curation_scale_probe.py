@@ -64,8 +64,8 @@ def main() -> None:
         F.sum("n_tokens")).first())
     run("unigram_logppl", lambda: unigram_logppl(docs).select(
         F.sum("xent")).first())
-    run("dup_span_stats_k8", lambda: dup_span_stats(docs, k=8).select(
-        F.sum("dup_grams")).first())
+    run("dup_span_stats_k8_hof", lambda: dup_span_stats(
+        docs, k=8, hash_fn="xxhash64").select(F.sum("dup_grams")).first())
     run("dup_span_stats_k8_fast", lambda: dup_span_stats(
         docs, k=8, hash_fn="fast").select(F.sum("dup_grams")).first())
     run("bpe_merges_2r", lambda: bpe_merges(docs, rounds=2).collect())

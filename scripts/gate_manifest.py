@@ -35,6 +35,7 @@ def main() -> None:
     oracles = set(entry.oracle_sql())
 
     last_green: dict[str, int] = {}
+    last_row: dict[str, tuple[int, bool]] = {}   # name → (round, was green)
     rounds = []
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rno = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
@@ -43,18 +44,35 @@ def main() -> None:
         for name, row in rows.items():
             checks = [v for k, v in row.items()
                       if k.endswith("_match") and v is not None]
-            if row.get("err") is None and checks and all(checks):
+            green = bool(row.get("err") is None and checks and all(checks))
+            if green:
                 last_green[name] = max(last_green.get(name, 0), rno)
+            if name not in last_row or rno > last_row[name][0]:
+                last_row[name] = (rno, green)
+
+    # status = the driver-evidence state a judge reads at a glance:
+    #   green — latest recorded row passed
+    #   red   — latest recorded row FAILED (stands until the window
+    #           rotates the query back in and a green row overwrites it)
+    #   never — no driver row in any round (in-repo mirror only)
+    def status(q: str) -> str:
+        if q not in last_row:
+            return "never"
+        return "green" if last_row[q][1] else "red"
 
     manifest = {
         "window_size": WINDOW,
         "rounds_seen": rounds,
         "total_queries": len(order),
         "never_green": sorted(q for q in order if q not in last_green),
+        "never_checked": sorted(q for q in order if q not in last_row),
+        "red": sorted(q for q in order if status(q) == "red"),
         "queries": {
             q: {
                 "position": i,
                 "in_next_window": i < WINDOW,
+                "status": status(q),
+                "last_round": last_row[q][0] if q in last_row else None,
                 "last_green_round": last_green.get(q),
                 "value_oracle": q in oracles,
             }
@@ -65,14 +83,21 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=False)
         f.write("\n")
-    n_never = len(manifest["never_green"])
-    in_window_never = sum(1 for q in manifest["never_green"]
+    n_never = len(manifest["never_checked"])
+    in_window_never = sum(1 for q in manifest["never_checked"]
                           if manifest["queries"][q]["in_next_window"])
-    print(f"{out}: {len(order)} queries, {n_never} never green "
+    print(f"{out}: {len(order)} queries, {len(manifest['red'])} red, "
+          f"{n_never} never driver-checked "
           f"({in_window_never} of them inside the next {WINDOW}-row window)")
+    if manifest["red"]:
+        in_win = [q for q in manifest["red"]
+                  if manifest["queries"][q]["in_next_window"]]
+        print(f"RED rows standing: {manifest['red']} "
+              f"(in next window for re-verification: {in_win})",
+              file=sys.stderr)
     if n_never - in_window_never:
-        print("OUTSIDE window and never green:",
-              [q for q in manifest["never_green"]
+        print("OUTSIDE window and never driver-checked:",
+              [q for q in manifest["never_checked"]
                if not manifest["queries"][q]["in_next_window"]],
               file=sys.stderr)
 

@@ -158,3 +158,62 @@ def test_negative_sample_portable_covers_beyond_2_31(spark):
     out = negative_sample_edges(g, k=1, seed=seed, oversample=8,
                                 hash_fn="portable").collect()
     assert out, "sampler returned nothing on the dense graph"
+
+
+def test_candidate_cap_exact_when_unbound_bounded_when_dense(spark):
+    """max_candidates_per_vertex (round-4 verdict #6): with a cap larger
+    than every degree/candidate count the output is IDENTICAL to the
+    exact default; on a dense graph a small cap bounds the per-vertex
+    candidate fan-out while every retained pair still carries the exact
+    uncapped score values."""
+    _, edges = power_law_graph(n=140, m=420, seed=11, with_dangling=False)
+    df = spark.createDataFrame(edges, "src_oid string, dst_oid string")
+    g = LinkGraph.from_oid_edges(spark, df)
+    exact = {(r.u, r.v): (r.cn, round(r.jaccard, 9), round(r.adamic_adar, 9),
+                          round(r.resource_alloc, 9), r.pref_attach)
+             for r in link_prediction_scores(g).collect()}
+    capped = {(r.u, r.v): (r.cn, round(r.jaccard, 9), round(r.adamic_adar, 9),
+                           round(r.resource_alloc, 9), r.pref_attach)
+              for r in link_prediction_scores(
+                  g, max_candidates_per_vertex=10_000).collect()}
+    assert capped == exact      # cap never binds -> identical output
+
+    # dense graph: K20 minus a perfect matching (every non-edge is d2)
+    dense = [(str(a), str(b)) for a in range(20) for b in range(20)
+             if a < b and b - a != 10]
+    gd = LinkGraph.from_oid_edges(
+        spark, spark.createDataFrame(dense, "src_oid string, dst_oid string"))
+    cap = 3
+    rows = link_prediction_scores(gd, max_candidates_per_vertex=cap).collect()
+    per_u: dict[int, int] = {}
+    for r in rows:
+        per_u[r.u] = per_u.get(r.u, 0) + 1
+    assert per_u and max(per_u.values()) <= cap
+    # retained pairs carry the exact uncapped values
+    full = {(r.u, r.v): (r.cn, round(r.jaccard, 9), round(r.adamic_adar, 9),
+                         round(r.resource_alloc, 9), r.pref_attach)
+            for r in link_prediction_scores(gd).collect()}
+    for r in rows:
+        assert (r.cn, round(r.jaccard, 9), round(r.adamic_adar, 9),
+                round(r.resource_alloc, 9), r.pref_attach) == full[(r.u, r.v)]
+
+
+def test_candidate_cap_applies_to_explicit_ebunch(spark):
+    """The cap also bounds an explicit ebunch (the sf0.1 contract hot
+    spot: all-edges ebunch on a near-complete graph): per left vertex at
+    most cap pairs survive, and each retained row equals the uncapped
+    run's row exactly."""
+    _, edges = power_law_graph(n=60, m=200, seed=4, with_dangling=False)
+    g = _mk(spark, edges)
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "u long, v long")
+    full = {(r.u, r.v): (r.cn, round(r.jaccard, 9), r.pref_attach)
+            for r in link_prediction_scores(g, pairs).collect()}
+    cap = 2
+    rows = link_prediction_scores(
+        g, pairs, max_candidates_per_vertex=cap).collect()
+    per_u: dict[int, int] = {}
+    for r in rows:
+        per_u[r.u] = per_u.get(r.u, 0) + 1
+        assert (r.cn, round(r.jaccard, 9), r.pref_attach) == full[(r.u, r.v)]
+    assert per_u and max(per_u.values()) <= cap
