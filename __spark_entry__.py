@@ -595,6 +595,28 @@ def _q_pagerank_3iter(spark, sf_dir):
     )
 
 
+def _q_pagerank_warm_5(spark, sf_dir):
+    # Ingress-style warm start for PageRank (reference docs/
+    # analytical_engine/ingress.md — the wcc/sssp/cdlp warm family's
+    # last member without a contract query): seed from a cold 3-step
+    # state, run 5 more steps.  The iteration is a deterministic
+    # function of state (init_ranks seeds it exactly; dangling mass is
+    # recomputed from the seeded ranks), so warm(5, seed=cold-3) equals
+    # cold 8 steps — the oracle is the plain 8-step unroll.
+    from graphscope_spark.operators.pagerank import PageRankJob
+    from graphscope_spark.runtime.superstep import SuperstepRunner
+
+    g = _graph(spark, sf_dir)
+    seed, _ = SuperstepRunner(spark).run(
+        PageRankJob(g, alpha=0.85, max_iter=10_000, tol=0.0), max_steps=3)
+    job = PageRankJob(g, alpha=0.85, max_iter=10_000, tol=0.0,
+                      init_ranks=seed.select("vid", "rank"))
+    state, _ = SuperstepRunner(spark).run(job, max_steps=5)
+    return state.select(
+        "vid", F.round(F.col("rank") * 1e6).cast("long").alias("rank_micro")
+    )
+
+
 @_session_graph_cache
 def _graph_weighted(spark: SparkSession, sf_dir: str):
     """Co-purchase graph with deterministic edge weights
@@ -1946,6 +1968,23 @@ def _q_jpeg_decode(spark, sf_dir):
         "sum_y", "sum_cb", "sum_cr")
 
 
+def _q_mjpeg_frames(spark, sf_dir):
+    # MJPEG-in-MP4 (round 5): REAL box-tree demux feeding the REAL
+    # baseline-JPEG decoder per video sample — the composed form a
+    # frame-extraction pipeline runs on intra-only video, and the one
+    # codec/container pairing fully decodable without ffmpeg
+    # (functions/mp4.py encode_mjpeg_mp4/decode_mjpeg).  Track geometry
+    # is jpeg_params(id); frame f's constant-MCU values use frame id
+    # id + 97·f, so the oracle recomputes every plane sum in closed
+    # form (same dyadic-grid exactness argument as jpeg_decode).
+    from graphscope_spark.functions import decode_mjpeg_frames, mjpeg_media
+
+    return decode_mjpeg_frames(
+        mjpeg_media(_t(spark, sf_dir, "documents"))).select(
+        "media_id", F.col("frame_no").cast("long").alias("frame_no"),
+        "dts", "width", "height", "sum_y", "sum_cb", "sum_cr")
+
+
 def _q_mp4_frames(spark, sf_dir):
     # REAL MP4 demux (ISO BMFF): box-tree walk incl. the size==1
     # largesize form (even ids) and junk free/udta boxes, track selection
@@ -2128,6 +2167,24 @@ def _q_cypher_agg_pipeline(spark, sf_dir):
              sum(toInteger(floor(c.c_acctbal * 100))) AS bal_cents
         WHERE cnt >= 2
         RETURN toInteger(n) AS n_key, cnt, bal_cents ORDER BY n_key
+    """)
+
+
+def _q_cypher_multi_match(spark, sf_dir):
+    # Multi-MATCH pipeline (round 5 — one clause beyond the reference's
+    # documented single-MATCH surface, supported_cypher.md:114):
+    # aggregate per customer, then a SECOND MATCH clause expands the
+    # carried graph variable to its nation (frontends/cypher.py
+    # _compile_block joins the new relation on the shared variable).
+    from graphscope_spark import cypher_query
+
+    return cypher_query(_frontend_pg(spark, sf_dir), """
+        MATCH (c:customer)-[p:placed]->(o:orders)
+        WHERE p.o_totalprice >= 150000
+        WITH c, count(*) AS big_orders
+        MATCH (c)-[:located]->(n:nation)
+        RETURN toInteger(n) AS n_key, sum(big_orders) AS big_orders,
+               count(*) AS n_cust
     """)
 
 
@@ -5200,8 +5257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": _q_gif_frames,
         "jpeg_decode": _q_jpeg_decode,
         "mp4_frames": _q_mp4_frames,
+        "mjpeg_frames": _q_mjpeg_frames,
         "cypher_local_supplier": _q_cypher_local_supplier,
         "cypher_agg_pipeline": _q_cypher_agg_pipeline,
+        "cypher_multi_match": _q_cypher_multi_match,
         "cypher_varlen": _q_cypher_varlen,
         "gremlin_groupcount": _q_gremlin_groupcount,
         "gremlin_union_expand": _q_gremlin_union_expand,
@@ -5231,6 +5290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "property_graph_degree": _q_property_graph_degree,
         "pagerank_3iter": _q_pagerank_3iter,
+        "pagerank_warm_5": _q_pagerank_warm_5,
         "pagerank_push_8r": _q_pagerank_push_8r,
         "pagerank_conv": _q_pagerank_conv,
         "wcc": _q_wcc,
@@ -5367,6 +5427,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS BIGINT) FROM orders"
         ),
         "pagerank_3iter": _pagerank_sql(3),
+        # deterministic step: warm(5, seed=cold-3) == cold 8 steps
+        "pagerank_warm_5": _pagerank_sql(8),
         "pagerank_push_8r": _pagerank_push_sql(8),
         "pagerank_conv": _pagerank_conv_sql(max_rounds=50),
         "wcc": _wcc_sql(14),
@@ -5670,6 +5732,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(((3*media_id + 7*bx + 23*ty) % 256) * 64) AS BIGINT) AS sum_cr "
             "FROM bb GROUP BY media_id, wm, hm, mcu"
         ),
+        # MJPEG-in-MP4: nf = id%3+2 JPEG frames; geometry wm=id%4+1,
+        # hm=id%3+1, mcu 16 (even id, 4:2:0, 256 Y px/MCU) / 8 (odd,
+        # 4:4:4, 64); frame f's MCU (bx,ty) planes use fid = id + 97f:
+        # Y=(fid+13bx+31ty)%256, Cb=(2fid+11bx+17ty)%256,
+        # Cr=(3fid+7bx+23ty)%256; chroma is one 8x8 block per MCU.
+        "mjpeg_frames": (
+            "WITH m AS (SELECT doc_id AS media_id, doc_id % 4 + 1 AS wm, "
+            "doc_id % 3 + 1 AS hm, "
+            "CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS mcu, "
+            "CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 64 END AS ypix, "
+            "doc_id % 3 + 2 AS nf FROM documents), "
+            "fr AS (SELECT media_id, wm, hm, mcu, ypix, "
+            "unnest(range(nf)) AS f FROM m), "
+            "bs AS (SELECT media_id, wm, hm, mcu, ypix, f, "
+            "media_id + 97 * f AS fid, unnest(range(wm)) AS bx FROM fr), "
+            "bb AS (SELECT media_id, wm, hm, mcu, ypix, f, fid, bx, "
+            "unnest(range(hm)) AS ty FROM bs) "
+            "SELECT media_id, CAST(f AS BIGINT) AS frame_no, "
+            "CAST(100 * f AS BIGINT) AS dts, "
+            "CAST(wm * mcu AS BIGINT) AS width, "
+            "CAST(hm * mcu AS BIGINT) AS height, "
+            "CAST(SUM(((fid + 13*bx + 31*ty) % 256) * ypix) AS BIGINT) "
+            "AS sum_y, "
+            "CAST(SUM(((2*fid + 11*bx + 17*ty) % 256) * 64) AS BIGINT) "
+            "AS sum_cb, "
+            "CAST(SUM(((3*fid + 7*bx + 23*ty) % 256) * 64) AS BIGINT) "
+            "AS sum_cr "
+            "FROM bb GROUP BY media_id, f, wm, hm, mcu"
+        ),
         # REAL MP4 demux: n = id%7+3 video samples; sample i has
         # size = (id+17i)%40+8, byte j = (7id+13i+j)%256,
         # dts = 100*min(i,2)+40*max(i-2,0), keyframe iff i%3=0.
@@ -5741,6 +5832,17 @@ def oracle_sql() -> dict[str, str]:
             "AS bal_cents "
             "FROM customer WHERE c_acctbal > 1000 "
             "GROUP BY 1 HAVING COUNT(*) >= 2"
+        ),
+        # multi-MATCH pipeline: per-customer aggregate joined back to a
+        # second MATCH clause's relation on the carried variable
+        "cypher_multi_match": (
+            "WITH per_c AS (SELECT o_custkey AS c, COUNT(*) AS big_orders "
+            "FROM orders WHERE o_totalprice >= 150000 GROUP BY 1) "
+            "SELECT CAST(cu.c_nationkey AS BIGINT) AS n_key, "
+            "CAST(SUM(p.big_orders) AS BIGINT) AS big_orders, "
+            "COUNT(*) AS n_cust "
+            "FROM per_c p JOIN customer cu ON cu.c_custkey = p.c "
+            "GROUP BY 1"
         ),
         # Cypher var-length path with length(p): on the pure successor
         # chain each rank-diff-d pair has exactly one walk, of length d

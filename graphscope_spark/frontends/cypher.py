@@ -10,9 +10,8 @@ aggregates); nothing runs driver-side.
 
 Supported (the reference's documented subset, supported_cypher.md:114):
 
-- ``MATCH`` — one MATCH clause (the reference's own limitation), with
-  comma-separated pattern parts, labeled/anonymous nodes, inline property
-  maps, directed ``->`` / ``<-`` / undirected ``-`` edges, label
+- ``MATCH`` — with comma-separated pattern parts, labeled/anonymous
+  nodes, inline property maps, directed ``->`` / ``<-`` / undirected ``-`` edges, label
   alternation ``[:A|B]``, unlabeled edges (labels inferred), bounded
   var-length edges ``[:e*lo..hi]``, path variables ``p = (...)``
   (``length(p)`` returns the walk length), and
@@ -30,6 +29,17 @@ Supported (the reference's documented subset, supported_cypher.md:114):
   BEFORE the join (unmatched rows survive with NULLs — count(v) then
   counts matches, count(*) counts rows). The optional WHERE may only
   reference that clause's own variables.
+- **Multi-MATCH pipelines** (round 5 — beyond the reference's
+  documented surface, which stops at one MATCH clause,
+  supported_cypher.md:114): consecutive MATCH clauses, and MATCH /
+  OPTIONAL MATCH after WITH. Each additional clause compiles to its own
+  relation and inner-joins (left-joins for OPTIONAL) the running frame
+  on the node variables it shares with it — Neo4j bound-variable
+  semantics. Each MATCH clause is its own isomorphism scope:
+  injectivity applies within a clause, never across clauses (the
+  analogue of Cypher's per-clause relationship uniqueness); a carried
+  graph variable keeps its label, so the second clause's label
+  inference pins it instead of re-deriving it.
 - ``WITH`` / ``RETURN`` — projection, aliases, ``DISTINCT``, aggregates
   (count/sum/avg/min/max/collect, Cypher implicit grouping), a WHERE
   after WITH (post-aggregation filter), ``ORDER BY`` / ``SKIP`` /
@@ -212,11 +222,23 @@ class Stage:
 
 
 @dataclass
-class Query:
+class Block:
+    """One MATCH clause group: main pattern parts + its WHERE + the
+    OPTIONAL MATCH clauses written directly after it.  ``parts`` may be
+    empty for a standalone ``WITH ... OPTIONAL MATCH`` block."""
     parts: list = field(default_factory=list)
     where: object | None = None
     optionals: list = field(default_factory=list)  # [(parts, where|None)]
-    stages: list = field(default_factory=list)
+
+
+@dataclass
+class Query:
+    # the clause pipeline in source order: ('match', Block) | ('stage',
+    # Stage).  Multi-MATCH queries (a second MATCH clause, or MATCH /
+    # OPTIONAL MATCH after WITH) are additional 'match' items — each
+    # compiles to its own relation and natural-joins the running frame
+    # on shared variables.
+    pipeline: list = field(default_factory=list)
 
 
 _AGG_FNS = {"count", "sum", "avg", "min", "max", "collect", "stdev", "stddev"}
@@ -274,31 +296,52 @@ class _Parser:
     # -- query
     def parse(self) -> Query:
         q = Query()
-        if not self._kw("MATCH"):
+        if not self._is_kw("MATCH"):
             raise ValueError("cypher: query must start with MATCH")
-        q.parts.append(self._pattern_part())
-        while self._punct(","):
-            q.parts.append(self._pattern_part())
-        if self._kw("WHERE"):
-            q.where = self._expr()
+        while True:
+            if self._kw("MATCH"):
+                b = Block()
+                b.parts.append(self._pattern_part())
+                while self._punct(","):
+                    b.parts.append(self._pattern_part())
+                if self._kw("WHERE"):
+                    b.where = self._expr()
+                self._optionals_into(b)
+                q.pipeline.append(("match", b))
+            elif self._is_kw("OPTIONAL"):
+                # OPTIONAL MATCH directly after WITH: a block with no
+                # main parts — its clauses left-join the running frame
+                b = Block()
+                if not self._kw("OPTIONAL", "MATCH"):
+                    raise ValueError(
+                        f"cypher: expected OPTIONAL MATCH at {self._peek()}")
+                parts = [self._pattern_part()]
+                while self._punct(","):
+                    parts.append(self._pattern_part())
+                ow = self._expr() if self._kw("WHERE") else None
+                b.optionals.append((parts, ow))
+                self._optionals_into(b)
+                q.pipeline.append(("match", b))
+            elif self._kw("WITH"):
+                q.pipeline.append(("stage", self._stage("with")))
+            elif self._kw("RETURN"):
+                q.pipeline.append(("stage", self._stage("return")))
+                break
+            else:
+                raise ValueError(
+                    "cypher: expected MATCH, OPTIONAL MATCH, WITH or "
+                    f"RETURN at {self._peek()}")
+        if self._peek()[0] != "eof":
+            raise ValueError(f"cypher: trailing tokens at {self._peek()}")
+        return q
+
+    def _optionals_into(self, b: Block) -> None:
         while self._kw("OPTIONAL", "MATCH"):
             parts = [self._pattern_part()]
             while self._punct(","):
                 parts.append(self._pattern_part())
             ow = self._expr() if self._kw("WHERE") else None
-            q.optionals.append((parts, ow))
-        while True:
-            if self._kw("WITH"):
-                q.stages.append(self._stage("with"))
-            elif self._kw("RETURN"):
-                q.stages.append(self._stage("return"))
-                break
-            else:
-                raise ValueError(
-                    f"cypher: expected WITH or RETURN at {self._peek()}")
-        if self._peek()[0] != "eof":
-            raise ValueError(f"cypher: trailing tokens at {self._peek()}")
-        return q
+            b.optionals.append((parts, ow))
 
     def _stage(self, kind) -> Stage:
         distinct = self._kw("DISTINCT")
@@ -948,11 +991,108 @@ def _components(nodes, edges):
     return list(comps.values())
 
 
+class _MatchInfo:
+    """Cumulative match-scope metadata consumed by the first WITH/RETURN
+    stage after one or more MATCH blocks: resolved labels, edge-variable
+    bindings (for ``type()``), path-length columns.  A WITH prunes the
+    frame to its aliases, so the scope resets at each stage."""
+
+    def __init__(self):
+        self.labels: dict = {}
+        self.edge_vars: dict = {}      # edge var -> index into main_edges
+        self.main_edges: list = []
+        self.path_out_col: dict = {}
+        self.path_const: dict = {}
+        self.opt_edge_seen: set = set()
+
+
 def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
     """Run a Cypher query (the subset documented in the module docstring)
     against a :class:`~graphscope_spark.PropertyGraph` and return the
-    result as a DataFrame with one column per RETURN item."""
+    result as a DataFrame with one column per RETURN item.
+
+    Multi-MATCH pipelines are supported (round 5 — one clause beyond the
+    reference's documented surface, supported_cypher.md:114): a second
+    MATCH clause, or a MATCH / OPTIONAL MATCH after WITH, compiles to
+    its own relation and joins the running frame on the node variables
+    it shares with it (Neo4j bound-variable semantics).  Each MATCH
+    clause is its own isomorphism scope — injectivity applies within a
+    clause, not across clauses (the analogue of Cypher's per-clause
+    relationship uniqueness)."""
     q = _Parser(text).parse()
+    stages = [it for kind, it in q.pipeline if kind == "stage"]
+    # which path vars are referenced through length()? scan every stage
+    # expression AND every MATCH-level WHERE in the pipeline (length(p)
+    # in WHERE is just as valid as in RETURN)
+    exprs: list = []
+    for st in stages:
+        exprs += [i for i, _ in st.items] + [o for o, _ in st.order]
+        if st.where is not None:
+            exprs.append(st.where)
+    for kind, it in q.pipeline:
+        if kind == "match" and it.where is not None:
+            exprs.append(it.where)
+    length_refs = {a.name
+                   for e in exprs if e is not None
+                   for n in _walk(e)
+                   if isinstance(n, Fn) and n.name == "length"
+                   and len(n.args) == 1 and isinstance(n.args[0], Var)
+                   for a in [n.args[0]]}
+
+    cur = None
+    minfo = _MatchInfo()
+    fresh = False
+    for kind, item in q.pipeline:
+        if kind == "match":
+            cur = _compile_block(pg, item, injective, length_refs,
+                                 cur, minfo)
+            fresh = True
+            continue
+        st = item
+        ctx = (_match_ctx(cur, minfo.path_out_col, minfo.path_const,
+                          minfo.labels, minfo.edge_vars, minfo.main_edges)
+               if fresh else _alias_ctx(cur, set(cur.df.columns)))
+        cur.attach_all(e for e, _ in st.items)
+        out_df, carried = _apply_stage(cur.df, st, ctx)
+        aliases = [a for _, a in st.items]
+        # bare graph vars carried through a WITH keep property access
+        graph_vars = cur.var_labels
+        cur = _Frame(out_df, pg,
+                     {alias: graph_vars[v] for alias, v in carried.items()
+                      if v in graph_vars})
+
+        # stage-level WHERE (post-aggregation filter) + ORDER over the
+        # projected aliases (attached props are pruned right after)
+        acols = set(aliases)
+        if st.where is not None:
+            cur.attach_all([st.where])
+            cur.df = cur.df.filter(
+                F.expr(_alias_ctx(cur, acols).render(st.where)))
+        if st.order:
+            cur.attach_all(e for e, _ in st.order)
+            actx = _alias_ctx(cur, acols)
+            cur.df = cur.df.orderBy(*[
+                F.expr(actx.render(e)).asc() if asc
+                else F.expr(actx.render(e)).desc()
+                for e, asc in st.order])
+        if cur._attached:
+            cur.df = cur.df.select(*aliases)
+            cur._attached.clear()
+        if st.skip:
+            cur.df = cur.df.offset(st.skip)
+        if st.limit is not None:
+            cur.df = cur.df.limit(st.limit)
+        fresh = False
+        minfo = _MatchInfo()   # the stage consumed the match scope
+    return cur.df
+
+
+def _compile_block(pg, q, injective, length_refs, cur, minfo) -> "_Frame":
+    """Compile one MATCH block (main parts + WHERE + its OPTIONAL MATCH
+    clauses) and merge it onto the running frame ``cur`` (None for the
+    first block): the block's relation inner-joins ``cur`` on shared
+    node variables.  Mutates ``minfo`` with the block's match-scope
+    metadata."""
     exists_conjuncts: list = []       # (negated, PatternPart)
     plain_conjuncts: list = []
     if q.where is not None:
@@ -973,14 +1113,27 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                     for _, part in exists_conjuncts}
     opt_edge_lists = [[e for p in parts for e in _norm_edges(p)]
                       for parts, _ in q.optionals]
+    # variables shared with the running frame bind to its rows: pin
+    # their labels from the carried graph vars so this block joins the
+    # prior match instead of re-deriving it
+    carried_labels = dict(cur.var_labels) if cur is not None else {}
+    main_node_vars = {n.var for part in q.parts for n in part.nodes}
+    shared = sorted(v for v in main_node_vars
+                    if cur is not None and v in cur.df.columns)
+    for v in shared:
+        if v not in carried_labels:
+            raise ValueError(
+                f"cypher: pattern variable {v!r} is already bound to a "
+                "non-node value from an earlier stage")
+    fixed = {v: carried_labels[v] for v in shared}
     # phased label resolution: the MAIN pattern resolves on its own
     # edges only; EXISTS / OPTIONAL clauses then resolve their NEW
     # variables with the main labels pinned — an auxiliary clause must
-    # never narrow (and thereby change) the main match: a NOT EXISTS /
-    # OPTIONAL edge is not evidence about an outer variable's label
-    main_node_vars = {n.var for part in q.parts for n in part.nodes}
-    labels = _resolve_labels(
-        pg, {v: nodes[v] for v in main_node_vars}, main_edges)
+    # never narrow (and thereby change) the main match
+    labels = dict(carried_labels)
+    labels.update(_resolve_labels(
+        pg, {v: nodes[v] for v in main_node_vars}, main_edges,
+        fixed=fixed))
     for _, part in exists_conjuncts:
         evars = {n.var for n in part.nodes}
         labels.update(_resolve_labels(
@@ -989,10 +1142,11 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
 
     # ---- classify WHERE conjuncts -------------------------------------
     main_vars = {n.var for part in q.parts for n in part.nodes}
-    edge_vars = {}                    # edge var -> main edge index
+    edge_vars = {}                    # edge var -> main edge index (local)
     for i, (u, v, e, _) in enumerate(main_edges):
         if e.var:
-            if e.var in edge_vars or e.var in nodes:
+            if e.var in edge_vars or e.var in nodes \
+                    or e.var in minfo.edge_vars:
                 raise ValueError(f"cypher: duplicate variable {e.var!r}")
             edge_vars[e.var] = i
     # inline property maps push into the MAIN scans only when written in
@@ -1023,7 +1177,9 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                 i = edge_vars[x]
                 edge_where_sql.setdefault(i, []).append(push_ctx.render(c))
                 continue
-            if x in main_vars:
+            if x in main_vars and x not in shared:
+                # predicates on a SHARED variable must not push into this
+                # block's scan alone — they filter the joined frame
                 node_where[x].append(push_ctx.render(c))
                 continue
         if not only:
@@ -1036,19 +1192,6 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
     # ---- compile the MATCH --------------------------------------------
     path_out_col: dict = {}           # path var -> hops column
     path_const: dict = {}             # path var -> constant length
-    # which path vars are referenced through length()? scan the stages
-    # AND the MATCH-level WHERE (length(p) in WHERE is just as valid as
-    # in RETURN — post_conjuncts render through the same match ctx)
-    length_refs = {a.name
-                   for e in ([i for st in q.stages for i, _ in st.items]
-                             + [o for st in q.stages for o, _ in st.order]
-                             + [st.where for st in q.stages if st.where]
-                             + ([q.where] if q.where is not None else []))
-                   if e is not None
-                   for n in _walk(e)
-                   if isinstance(n, Fn) and n.name == "length"
-                   and len(n.args) == 1 and isinstance(n.args[0], Var)
-                   for a in [n.args[0]]}
     hops_by_edge: dict = {}
     short_by_edge: dict = {}    # shortestPath(...) var-length binders
     pout_by_edge: dict = {}
@@ -1069,6 +1212,10 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                 (short_by_edge if part.shortest
                  else hops_by_edge)[offset + j] = e.hops
         if part.path_var:
+            if part.path_var in minfo.path_out_col \
+                    or part.path_var in minfo.path_const:
+                raise ValueError(
+                    f"cypher: duplicate path variable {part.path_var!r}")
             if part.path_var in length_refs:
                 if len(var_len) == 1:
                     col = f"__len_{part.path_var}"
@@ -1110,8 +1257,9 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                                short_by_edge.items() if i in remap})
         df = part_df if df is None else df.crossJoin(part_df)
     # cross-component injectivity (within-component pairs are handled by
-    # property_pattern_match itself)
-    if injective and len(comps) > 1:
+    # property_pattern_match itself); each MATCH clause is its own
+    # isomorphism scope, so no cross-BLOCK constraints are added
+    if df is not None and injective and len(comps) > 1:
         for ci in range(len(comps)):
             for cj in range(ci + 1, len(comps)):
                 for a in sorted(comps[ci][0]):
@@ -1119,14 +1267,42 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                         if labels[a] == labels[b]:
                             df = df.filter(F.col(_q(a)) != F.col(_q(b)))
 
-    frame = _Frame(df, pg, {v: labels[v] for v in main_vars})
+    # ---- merge onto the running frame ----------------------------------
+    block_var_labels = {v: labels[v] for v in main_vars}
+    if cur is None:
+        if df is None:
+            raise ValueError("cypher: query must start with MATCH")
+        frame = _Frame(df, pg, block_var_labels)
+    elif df is None:                  # optional-only block
+        frame = cur
+    else:
+        new_cols = [v for v in sorted(main_vars) if v not in shared]
+        clash = [c for c in df.columns
+                 if c in cur.df.columns and c not in shared]
+        if clash:
+            raise ValueError(
+                f"cypher: MATCH variable(s) {sorted(clash)} already bound")
+        joined = (cur.df.join(df, shared) if shared
+                  else cur.df.crossJoin(df))
+        frame = _Frame(joined, pg, {**cur.var_labels, **block_var_labels})
+        frame._attached.update(cur._attached)
+        del new_cols
+
+    # ---- merge match-scope metadata ------------------------------------
+    off = len(minfo.main_edges)
+    minfo.main_edges.extend(main_edges)
+    for name, i in edge_vars.items():
+        minfo.edge_vars[name] = off + i
+    minfo.labels.update(labels)
+    minfo.path_out_col.update(path_out_col)
+    minfo.path_const.update(path_const)
 
     # ---- EXISTS / NOT EXISTS => semi / anti joins ----------------------
     for negated, part in exists_conjuncts:
         es = exists_edges[id(part)]
         evars = {n.var for n in part.nodes}
-        shared = sorted(evars & main_vars)
-        if not shared:
+        eshared = sorted(v for v in evars if v in frame.var_labels)
+        if not eshared:
             raise ValueError(
                 "cypher: EXISTS pattern must share at least one variable "
                 "with the MATCH pattern")
@@ -1153,14 +1329,14 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
             {j for j, (_, _, _, both) in enumerate(es) if both},
             injective=False,
             shortest_hops=hops_d if part.shortest else {})
-        frame.df = frame.df.join(sub.select(*shared).distinct(), shared,
+        frame.df = frame.df.join(sub.select(*eshared).distinct(), eshared,
                                  "left_anti" if negated else "left_semi")
 
     # ---- post-pattern WHERE filters ------------------------------------
     if post_conjuncts:
         frame.attach_all(post_conjuncts)
-        ctx = _match_ctx(frame, path_out_col, path_const, labels,
-                         edge_vars, main_edges)
+        ctx = _match_ctx(frame, minfo.path_out_col, minfo.path_const,
+                         minfo.labels, minfo.edge_vars, minfo.main_edges)
         for c in post_conjuncts:
             frame.df = frame.df.filter(F.expr(ctx.render(c)))
 
@@ -1170,15 +1346,16 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
     # its own variables, then left-joins onto the current rows on the
     # shared ones. Its WHERE filters the OPTIONAL side before the join
     # (Neo4j semantics: unmatched rows survive with NULLs).
-    opt_edge_seen: set = set(edge_vars)
+    opt_edge_seen: set = minfo.opt_edge_seen
+    opt_edge_seen.update(edge_vars)
     for (parts, ow), oedges in zip(q.optionals, opt_edge_lists):
         ovars = {n.var for p in parts for n in p.nodes}
-        shared = sorted(v for v in ovars if v in frame.var_labels)
-        if not shared:
+        oshared = sorted(v for v in ovars if v in frame.var_labels)
+        if not oshared:
             raise ValueError(
                 "cypher: OPTIONAL MATCH must share at least one variable "
                 "with the MATCH pattern")
-        new_vars = sorted(ovars - set(shared))
+        new_vars = sorted(ovars - set(oshared))
         clash = [v for v in new_vars if v in frame.df.columns]
         if clash:
             raise ValueError(
@@ -1244,7 +1421,7 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
         oew_map = {i: " AND ".join(cs) for i, cs in oedge_where.items()}
         ohops: dict = {}
         oshort: dict = {}
-        off = 0
+        off2 = 0
         for p in parts:
             if p.path_var is not None:
                 raise ValueError(
@@ -1252,8 +1429,8 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
                     "supported")
             for j, e in enumerate(p.edges):
                 if e.hops:
-                    (oshort if p.shortest else ohops)[off + j] = e.hops
-            off += len(p.edges)
+                    (oshort if p.shortest else ohops)[off2 + j] = e.hops
+            off2 += len(p.edges)
         oeither = {i for i, (_, _, _, b) in enumerate(oedges) if b}
         ocomps = _components({v: nodes[v] for v in ovars}, oedges)
         sub = None
@@ -1293,50 +1470,12 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
             for c in opost:
                 oframe.df = oframe.df.filter(F.expr(octx.render(c)))
             sub = oframe.df.select(*sorted(ovars))
-        frame.df = frame.df.join(sub, shared, "left")
+        frame.df = frame.df.join(sub, oshared, "left")
         for v in new_vars:
             frame.var_labels[v] = labels[v]
+            minfo.labels.setdefault(v, labels[v])
 
-    # ---- WITH / RETURN stages ------------------------------------------
-    cur = frame
-    for si, st in enumerate(q.stages):
-        if si == 0:
-            ctx = _match_ctx(cur, path_out_col, path_const, labels,
-                             edge_vars, main_edges)
-        else:
-            ctx = _alias_ctx(cur, set(cur.df.columns))
-        cur.attach_all(e for e, _ in st.items)
-        out_df, carried = _apply_stage(cur.df, st, ctx)
-        aliases = [a for _, a in st.items]
-        # bare graph vars carried through a WITH keep property access
-        graph_vars = cur.var_labels
-        cur = _Frame(out_df, pg,
-                     {alias: graph_vars[v] for alias, v in carried.items()
-                      if v in graph_vars})
-
-        # stage-level WHERE (post-aggregation filter) + ORDER over the
-        # projected aliases (attached props are pruned right after)
-        acols = set(aliases)
-        if st.where is not None:
-            cur.attach_all([st.where])
-            cur.df = cur.df.filter(
-                F.expr(_alias_ctx(cur, acols).render(st.where)))
-        if st.order:
-            cur.attach_all(e for e, _ in st.order)
-            actx = _alias_ctx(cur, acols)
-            cur.df = cur.df.orderBy(*[
-                F.expr(actx.render(e)).asc() if asc
-                else F.expr(actx.render(e)).desc()
-                for e, asc in st.order])
-        if cur._attached:
-            cur.df = cur.df.select(*aliases)
-            cur._attached.clear()
-        if st.skip:
-            cur.df = cur.df.offset(st.skip)
-        if st.limit is not None:
-            cur.df = cur.df.limit(st.limit)
-    return cur.df
-
+    return frame
 
 def _match_ctx(frame: _Frame, path_out_col, path_const, labels,
                edge_vars, main_edges) -> _Ctx:

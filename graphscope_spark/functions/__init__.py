@@ -99,11 +99,15 @@ from graphscope_spark.functions.warc import (
     warc_records,
 )
 from graphscope_spark.functions.mp4 import (
+    decode_mjpeg,
+    decode_mjpeg_frames,
     demux_mp4,
     encode_fmp4,
+    encode_mjpeg_mp4,
     fmp4_media,
     demux_mp4_frames,
     encode_mp4,
+    mjpeg_media,
     mp4_media,
 )
 from graphscope_spark.functions.codecs_av import (
@@ -149,6 +153,7 @@ __all__ = [
     "encode_jpeg", "encode_jpeg_planes", "decode_jpeg", "jpeg_media",
     "decode_jpeg_features",
     "encode_mp4", "encode_fmp4", "demux_mp4", "mp4_media", "fmp4_media", "demux_mp4_frames",
+    "encode_mjpeg_mp4", "decode_mjpeg", "mjpeg_media", "decode_mjpeg_frames",
     "encode_warc", "gzip_warc", "parse_warc", "warc_media", "warc_records",
     "html_to_text", "html_to_text_sql", "canonicalize_url", "canonicalize_url_sql",
 ]

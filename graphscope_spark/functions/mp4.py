@@ -122,7 +122,7 @@ def _stsc_entries(chunk_sizes: list) -> list:
 def _stbl(sample_sizes, chunk_sizes, chunk_offsets, stts_runs,
           keyframes, co64: bool, sample_entry_fourcc: bytes,
           const_size: int = 0, width: int = 0, height: int = 0) -> bytes:
-    if sample_entry_fourcc == b"rawv":
+    if sample_entry_fourcc in (b"rawv", b"jpeg"):
         # minimal VisualSampleEntry (78 bytes after the 8-byte header)
         se = (bytes(6) + struct.pack(">H", 1) + bytes(16)
               + struct.pack(">HH", width, height)
@@ -655,6 +655,107 @@ def demux_mp4(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# MJPEG-in-MP4: JPEG samples behind the demux (QuickTime 'jpeg' fourcc)
+# ---------------------------------------------------------------------------
+
+_MJPEG_FOURCCS = ("jpeg", "mjpa", "mjpb", "AVDJ")
+
+
+def mjpeg_params(media_id: int) -> dict:
+    """Geometry for the MJPEG-in-MP4 stream (mirrored by the SQL
+    oracle): the TRACK geometry is jpeg_params(media_id) — constant
+    across frames, as real MJPEG requires — and frame f's per-MCU
+    values use the frame id ``media_id + 97·f`` through the same
+    jpeg_mcu_values closed form.  n_frames = media_id % 3 + 2."""
+    from graphscope_spark.functions.codecs_av import jpeg_params
+
+    return {**jpeg_params(media_id), "n_frames": media_id % 3 + 2}
+
+
+def encode_mjpeg_frame(media_id: int, f: int) -> bytes:
+    """One REAL baseline-JPEG frame of the MJPEG stream."""
+    import numpy as np
+
+    from graphscope_spark.functions.codecs_av import (
+        encode_jpeg_planes, jpeg_mcu_values)
+
+    p = mjpeg_params(media_id)
+    wm, hm, mcu = p["w_mcus"], p["h_mcus"], p["mcu"]
+    bx = np.arange(wm)[None, :]
+    by = np.arange(hm)[:, None]
+    yv, cb, cr = jpeg_mcu_values(media_id + 97 * f, bx, by)
+    y = np.repeat(np.repeat(yv, mcu, 0), mcu, 1).astype(np.uint8)
+    cbp = np.repeat(np.repeat(cb, 8, 0), 8, 1).astype(np.uint8)
+    crp = np.repeat(np.repeat(cr, 8, 0), 8, 1).astype(np.uint8)
+    return encode_jpeg_planes(y, cbp, crp, p["sub420"], p["restart"])
+
+
+def encode_mjpeg_mp4(media_id: int) -> bytes:
+    """MJPEG-in-MP4: a single video track whose samples are REAL
+    baseline JPEGs behind the QuickTime ``jpeg`` sample-entry fourcc —
+    the simplest real-world shape where the container demux and a real
+    image codec compose (a video pipeline without ffmpeg can decode
+    these frames; H.264/AAC remain the documented ffmpeg-only gap).
+    Every sample is a keyframe (no stss box = all sync, the ISO BMFF
+    default — exactly MJPEG's intra-only property)."""
+    p = mjpeg_params(media_id)
+    nf = p["n_frames"]
+    w, h = p["w_mcus"] * p["mcu"], p["h_mcus"] * p["mcu"]
+    frames = [encode_mjpeg_frame(media_id, f) for f in range(nf)]
+    sizes = [len(b) for b in frames]
+    chunks = _video_chunk_sizes(nf)
+    ftyp = _box(b"ftyp", b"qt  " + struct.pack(">I", 0) + b"qt  isom")
+    base = len(ftyp) + 8
+    media = bytearray()
+    offsets = []
+    si = 0
+    for spc in chunks:
+        offsets.append(base + len(media))
+        for _ in range(spc):
+            media += frames[si]
+            si += 1
+    mdat = _box(b"mdat", bytes(media))
+    duration = nf * 100
+    stbl = _stbl(sizes, chunks, offsets, [(nf, 100)], None, False,
+                 b"jpeg", width=w, height=h)
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, 1000, duration) + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100) + bytes(10)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24) + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd
+                + _trak(1, b"vide", stbl, w, h, 1000, duration))
+    return bytes(ftyp + mdat + moov)
+
+
+@truncation_guard
+def decode_mjpeg(payload: bytes) -> list:
+    """Demux an MJPEG MP4 and REALLY decode every video sample with the
+    baseline-JPEG decoder: one dict per frame with geometry, decode
+    timestamp and exact plane sums.  Composes functions this module and
+    codecs_av.py each verify independently — the demux hands each
+    sample's exact byte range to the codec, as ffmpeg would."""
+    from graphscope_spark.functions.codecs_av import decode_jpeg
+
+    d = demux_mp4(payload)
+    video = next((t for t in d["tracks"] if t["handler"] == "vide"), None)
+    if video is None:
+        raise ValueError("MP4 with no video track")
+    if video["codec"] not in _MJPEG_FOURCCS:
+        raise ValueError(
+            f"not an MJPEG track (codec {video['codec']!r}); only "
+            f"{_MJPEG_FOURCCS} decode without ffmpeg")
+    out = []
+    for s in video["samples"]:
+        fr = decode_jpeg(bytes(s["data"]))
+        out.append({"frame_no": s["sample_no"], "dts": s["dts"],
+                    "width": fr["width"], "height": fr["height"],
+                    "sum_y": fr["sum_y"], "sum_cb": fr["sum_cb"],
+                    "sum_cr": fr["sum_cr"]})
+    return out
+
+
+# ---------------------------------------------------------------------------
 # DataFrame stages
 # ---------------------------------------------------------------------------
 
@@ -667,6 +768,37 @@ def mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from graphscope_spark.functions.codecs import synth_media
 
     return synth_media(df, encode_mp4, id_col)
+
+
+def mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize one real MJPEG-in-MP4 per row — distributed."""
+    from graphscope_spark.functions.codecs import synth_media
+
+    return synth_media(df, encode_mjpeg_mp4, id_col)
+
+
+MJPEG_FRAME_SCHEMA = ("media_id LONG, frame_no INT, dts LONG, width LONG, "
+                      "height LONG, sum_y LONG, sum_cb LONG, sum_cr LONG")
+
+
+def decode_mjpeg_frames(media: DataFrame) -> DataFrame:
+    """REAL demux + REAL JPEG decode per video sample: one output row
+    per frame with exact plane sums — shuffle-free mapInPandas, the
+    same scale shape as every other codec stage."""
+    import pandas as pd
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for fr in decode_mjpeg(bytes(p)):
+                    rows.append({"media_id": mid, **fr})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "dts", "width",
+                               "height", "sum_y", "sum_cb", "sum_cr"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        dec, MJPEG_FRAME_SCHEMA)
 
 
 def fmp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

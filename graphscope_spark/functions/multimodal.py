@@ -187,18 +187,31 @@ def real_decode(media: DataFrame) -> DataFrame:
                     rows["content_sum"].append(
                         d["sum_y"] + d["sum_cb"] + d["sum_cr"])
                 elif p[4:8] == b"ftyp":
-                    from graphscope_spark.functions.mp4 import demux_mp4
+                    from graphscope_spark.functions.mp4 import (
+                        _MJPEG_FOURCCS, decode_mjpeg, demux_mp4)
                     video = next(
                         (t for t in demux_mp4(p)["tracks"]
                          if t["handler"] == "vide"), None)
                     if video is None:
                         raise ValueError("MP4 with no video track")
-                    rows["kind"].append("mp4")
-                    rows["width"].append(video["width"])
-                    rows["height"].append(video["height"])
-                    rows["n_samples"].append(len(video["samples"]))
-                    rows["content_sum"].append(int(sum(
-                        sum(s["data"]) for s in video["samples"])))
+                    if video["codec"] in _MJPEG_FOURCCS:
+                        # MJPEG: the samples are real JPEGs — decode
+                        # them to pixel-plane sums instead of raw bytes
+                        frames = decode_mjpeg(p)
+                        rows["kind"].append("mjpeg")
+                        rows["width"].append(video["width"])
+                        rows["height"].append(video["height"])
+                        rows["n_samples"].append(len(frames))
+                        rows["content_sum"].append(int(sum(
+                            f["sum_y"] + f["sum_cb"] + f["sum_cr"]
+                            for f in frames)))
+                    else:
+                        rows["kind"].append("mp4")
+                        rows["width"].append(video["width"])
+                        rows["height"].append(video["height"])
+                        rows["n_samples"].append(len(video["samples"]))
+                        rows["content_sum"].append(int(sum(
+                            sum(s["data"]) for s in video["samples"])))
                 else:
                     raise ValueError(
                         f"unknown container format (magic {p[:4]!r}); "

@@ -867,3 +867,71 @@ def test_cypher_elementid(pg):
       RETURN elementId(a) AS aid, elementId(s) AS sid
     """)
     assert [tuple(x) for x in r.collect()] == [("person:3", "software:11")]
+
+
+# ---------------------------------------------------------------------------
+# multi-MATCH pipelines (round 5 — beyond the reference's documented
+# single-MATCH surface, supported_cypher.md:114)
+
+def test_cypher_consecutive_match_joins_on_shared_var(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)-[:knows]->(b:person)
+      MATCH (b)-[:created]->(s:software)
+      RETURN a.name AS an, b.name AS bn, s.sname AS sn
+    """)
+    assert rows(r) == [("ann", "bob", "lib"), ("ann", "cyd", "app"),
+                       ("bob", "cyd", "app")]
+
+
+def test_cypher_match_after_with_aggregate_then_expand(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)-[:knows]->(b:person)
+      WITH b, count(*) AS fans
+      MATCH (b)-[:created]->(s:software)
+      RETURN b.name AS bn, fans, s.sname AS sn
+    """)
+    assert rows(r) == [("bob", 1, "lib"), ("cyd", 2, "app")]
+
+
+def test_cypher_optional_match_after_with(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)-[:knows]->(b:person)
+      WITH b, count(*) AS fans
+      OPTIONAL MATCH (b)-[:created]->(s:software)
+      RETURN b.name AS bn, fans, s.sname AS sn
+    """)
+    assert rows(r) == [("bob", 1, "lib"), ("cyd", 2, "app"),
+                       ("dee", 1, None)]
+
+
+def test_cypher_match_clauses_are_separate_isomorphism_scopes(pg):
+    # two MATCH clauses may bind the same data vertex (per-clause
+    # uniqueness); the comma form is ONE clause, so injectivity kills it
+    one = cypher_query(pg, """
+      MATCH (a:person {name: 'ann'}) MATCH (c:person {name: 'ann'})
+      RETURN count(*) AS n
+    """)
+    assert rows(one) == [(1,)]
+    comma = cypher_query(pg, """
+      MATCH (a:person {name: 'ann'}), (c:person {name: 'ann'})
+      RETURN count(*) AS n
+    """)
+    assert rows(comma) == [(0,)]
+
+
+def test_cypher_second_match_where_filters_joined_frame(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)-[:knows]->(b:person)
+      MATCH (b)-[:created]->(s:software)
+      WHERE a.age >= 30
+      RETURN a.name AS an, s.sname AS sn
+    """)
+    assert rows(r) == [("ann", "app"), ("ann", "lib")]
+
+
+def test_cypher_match_var_bound_to_scalar_is_an_error(pg):
+    with pytest.raises(ValueError, match="non-node value"):
+        cypher_query(pg, """
+          MATCH (a:person) WITH count(*) AS n
+          MATCH (n)-[:knows]->(b) RETURN b.name AS bn
+        """)

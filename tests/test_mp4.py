@@ -238,3 +238,73 @@ def test_fmp4_both_addressing_modes_present():
         tfhd_flags.append(int.from_bytes(payload[i + 5:i + 8], "big"))
     assert any(f & 0x01 for f in tfhd_flags)
     assert any(f & 0x020000 for f in tfhd_flags)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-MP4 (round 5): demux + real JPEG decode composed
+
+def test_mjpeg_roundtrip_exact():
+    import numpy as np
+
+    from graphscope_spark.functions.codecs_av import jpeg_mcu_values
+    from graphscope_spark.functions.mp4 import (
+        decode_mjpeg, encode_mjpeg_mp4, mjpeg_params)
+
+    for mid in range(10):
+        p = mjpeg_params(mid)
+        frames = decode_mjpeg(encode_mjpeg_mp4(mid))
+        assert len(frames) == p["n_frames"]
+        wm, hm, mcu = p["w_mcus"], p["h_mcus"], p["mcu"]
+        bx = np.arange(wm)[None, :]
+        by = np.arange(hm)[:, None]
+        ypix = mcu * mcu
+        for f, fr in enumerate(frames):
+            yv, cb, cr = jpeg_mcu_values(mid + 97 * f, bx, by)
+            assert (fr["width"], fr["height"]) == (wm * mcu, hm * mcu)
+            assert fr["dts"] == 100 * f
+            assert fr["sum_y"] == int(yv.sum()) * ypix
+            assert fr["sum_cb"] == int(cb.sum()) * 64
+            assert fr["sum_cr"] == int(cr.sum()) * 64
+
+
+def test_mjpeg_rejects_non_mjpeg_and_truncation():
+    import pytest
+
+    from graphscope_spark.functions.mp4 import (
+        decode_mjpeg, encode_mjpeg_mp4, encode_mp4)
+
+    # a rawv track is not decodable without ffmpeg — loud ValueError
+    with pytest.raises(ValueError, match="not an MJPEG track"):
+        decode_mjpeg(encode_mp4(3))
+    # garbage in -> ValueError out, never Index/Struct errors
+    payload = encode_mjpeg_mp4(4)
+    for cut in (10, len(payload) // 2, len(payload) - 3):
+        with pytest.raises(ValueError):
+            decode_mjpeg(payload[:cut])
+
+
+def test_real_decode_mjpeg_branch(spark):
+    import numpy as np
+
+    from graphscope_spark.functions.codecs_av import jpeg_mcu_values
+    from graphscope_spark.functions.mp4 import mjpeg_media, mjpeg_params
+    from graphscope_spark.functions.multimodal import real_decode
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    out = {r.media_id: r for r in
+           real_decode(mjpeg_media(docs)).collect()}
+    for mid in range(6):
+        p = mjpeg_params(mid)
+        wm, hm, mcu = p["w_mcus"], p["h_mcus"], p["mcu"]
+        bx = np.arange(wm)[None, :]
+        by = np.arange(hm)[:, None]
+        expect = 0
+        for f in range(p["n_frames"]):
+            yv, cb, cr = jpeg_mcu_values(mid + 97 * f, bx, by)
+            expect += (int(yv.sum()) * mcu * mcu
+                       + int(cb.sum()) * 64 + int(cr.sum()) * 64)
+        r = out[mid]
+        assert r.kind == "mjpeg"
+        assert (r.width, r.height) == (wm * mcu, hm * mcu)
+        assert r.n_samples == p["n_frames"]
+        assert r.content_sum == expect
