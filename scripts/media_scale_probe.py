@@ -33,8 +33,9 @@ ids.count()
 from graphscope_spark.functions import (  # noqa: E402
     bmp_media, composite_gif_frames, decode_bmp_features,
     decode_gif_frames, decode_jpeg_features, decode_png_features,
-    demux_mp4_frames, fmp4_media, gif_anim_media, gif_media, html_to_text,
-    jpeg_media, mp4_media, png_media, warc_media, warc_records)
+    decode_mjpeg_frames, demux_mp4_frames, fmp4_media, gif_anim_media,
+    gif_media, html_to_text, jpeg_media, mjpeg_media, mp4_media, png_media,
+    warc_media, warc_records)
 
 
 def _warc_pipeline(media):
@@ -50,6 +51,7 @@ for name, make, decode, agg in [
     ("gif_anim", gif_anim_media, composite_gif_frames, "sum(sum_r)"),
     ("jpeg", jpeg_media, decode_jpeg_features, "sum(sum_y)"),
     ("mp4", mp4_media, demux_mp4_frames, "sum(sum_bytes)"),
+    ("mjpeg", mjpeg_media, decode_mjpeg_frames, "sum(sum_y)"),
     ("fmp4", fmp4_media, demux_mp4_frames, "sum(sum_bytes)"),
     ("warc", warc_media, _warc_pipeline, "sum(length(t))"),
 ]:

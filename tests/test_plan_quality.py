@@ -323,3 +323,35 @@ def test_anf_step_no_state_broadcast_no_cartesian(spark):
             f"expected map-side partial bit_or:\n{plan[:2000]}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_cypher_multi_match_plans_no_cartesian(spark):
+    """A multi-MATCH pipeline must join blocks on shared variables —
+    never a cartesian product / broadcast nested loop."""
+    from graphscope_spark import PropertyGraph, cypher_query
+
+    people = spark.createDataFrame(
+        [(i, f"p{i}", 20 + i % 30) for i in range(50)],
+        "pid LONG, name STRING, age LONG")
+    sw = spark.createDataFrame(
+        [(100 + i, f"s{i}") for i in range(10)], "sid LONG, sname STRING")
+    knows = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50, 2000 + i % 20) for i in range(50)],
+        "a LONG, b LONG, since LONG")
+    created = spark.createDataFrame(
+        [(i, 100 + i % 10) for i in range(50)], "p LONG, s LONG")
+    pg = (PropertyGraph(spark)
+          .add_vertices(people, "person", vid_field="pid")
+          .add_vertices(sw, "software", vid_field="sid")
+          .add_edges(knows, "knows", src_label="person", dst_label="person")
+          .add_edges(created, "created", src_label="person",
+                     dst_label="software"))
+    df = cypher_query(pg, """
+      MATCH (a:person)-[:knows]->(b:person)
+      WITH b, count(*) AS fans
+      MATCH (b)-[:created]->(s:software)
+      RETURN b.name AS bn, fans, s.sname AS sn
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
