@@ -1126,6 +1126,17 @@ def _compile_block(pg, q, injective, length_refs, cur, minfo) -> "_Frame":
                 f"cypher: pattern variable {v!r} is already bound to a "
                 "non-node value from an earlier stage")
     fixed = {v: carried_labels[v] for v in shared}
+    # a written label on an already-bound variable is a label PREDICATE
+    # (Neo4j: MATCH (b:software) with b bound to person rows yields no
+    # rows, not an error). Vertex labels are disjoint here, so the
+    # predicate is constant per context: same label = no-op, different
+    # label = unsatisfiable. Within-block conflicts already raise in
+    # _merge_nodes; this detects cross-block ones per clause context.
+    def _unsat_labels(parts_):
+        return any(n.label and n.var in carried_labels
+                   and n.label != carried_labels[n.var]
+                   for p in parts_ for n in p.nodes)
+    main_unsat = _unsat_labels(q.parts)
     # phased label resolution: the MAIN pattern resolves on its own
     # edges only; EXISTS / OPTIONAL clauses then resolve their NEW
     # variables with the main labels pinned — an auxiliary clause must
@@ -1134,19 +1145,32 @@ def _compile_block(pg, q, injective, length_refs, cur, minfo) -> "_Frame":
     labels.update(_resolve_labels(
         pg, {v: nodes[v] for v in main_node_vars}, main_edges,
         fixed=fixed))
+    exists_unsat: set = set()
     for _, part in exists_conjuncts:
         evars = {n.var for n in part.nodes}
-        labels.update(_resolve_labels(
-            pg, {v: nodes[v] for v in evars}, exists_edges[id(part)],
-            fixed=labels))
+        try:
+            labels.update(_resolve_labels(
+                pg, {v: nodes[v] for v in evars}, exists_edges[id(part)],
+                fixed=labels))
+        except _NoMatch:
+            # schema-unsatisfiable EXISTS pattern: constant false (the
+            # same stance the OPTIONAL MATCH _NoMatch path takes)
+            exists_unsat.add(id(part))
 
     # ---- classify WHERE conjuncts -------------------------------------
     main_vars = {n.var for part in q.parts for n in part.nodes}
+    # a node variable of this block must not reuse an edge variable
+    # bound by an earlier MATCH clause (one name, two objects)
+    for v in sorted(main_vars | {n.var for part in (
+            [p for _, p in exists_conjuncts] + opt_parts) for n in part.nodes}):
+        if v in minfo.edge_vars:
+            raise ValueError(f"cypher: duplicate variable {v!r}")
     edge_vars = {}                    # edge var -> main edge index (local)
     for i, (u, v, e, _) in enumerate(main_edges):
         if e.var:
             if e.var in edge_vars or e.var in nodes \
-                    or e.var in minfo.edge_vars:
+                    or e.var in minfo.edge_vars \
+                    or (cur is not None and e.var in cur.df.columns):
                 raise ValueError(f"cypher: duplicate variable {e.var!r}")
             edge_vars[e.var] = i
     # inline property maps push into the MAIN scans only when written in
@@ -1276,7 +1300,6 @@ def _compile_block(pg, q, injective, length_refs, cur, minfo) -> "_Frame":
     elif df is None:                  # optional-only block
         frame = cur
     else:
-        new_cols = [v for v in sorted(main_vars) if v not in shared]
         clash = [c for c in df.columns
                  if c in cur.df.columns and c not in shared]
         if clash:
@@ -1284,9 +1307,13 @@ def _compile_block(pg, q, injective, length_refs, cur, minfo) -> "_Frame":
                 f"cypher: MATCH variable(s) {sorted(clash)} already bound")
         joined = (cur.df.join(df, shared) if shared
                   else cur.df.crossJoin(df))
+        if main_unsat:
+            # contradictory label predicate on a bound variable: keep
+            # the joined schema (downstream RETURN needs the columns)
+            # but no row can satisfy it
+            joined = joined.filter(F.lit(False))
         frame = _Frame(joined, pg, {**cur.var_labels, **block_var_labels})
         frame._attached.update(cur._attached)
-        del new_cols
 
     # ---- merge match-scope metadata ------------------------------------
     off = len(minfo.main_edges)
@@ -1306,6 +1333,14 @@ def _compile_block(pg, q, injective, length_refs, cur, minfo) -> "_Frame":
             raise ValueError(
                 "cypher: EXISTS pattern must share at least one variable "
                 "with the MATCH pattern")
+        if id(part) in exists_unsat or _unsat_labels([part]):
+            # label predicate on a bound variable contradicts its label
+            # (or no schema assignment exists): EXISTS is constant-false
+            # — a semi join keeps nothing, an anti join (NOT EXISTS)
+            # keeps everything
+            if not negated:
+                frame.df = frame.df.filter(F.lit(False))
+            continue
         ew: dict = {}
         nw: dict = {}
         for n in part.nodes:
@@ -1361,6 +1396,10 @@ def _compile_block(pg, q, injective, length_refs, cur, minfo) -> "_Frame":
             raise ValueError(
                 f"cypher: OPTIONAL MATCH variable(s) {clash} already bound")
         try:
+            if _unsat_labels(parts):
+                raise _NoMatch(
+                    "cypher: label predicate on a bound variable "
+                    "contradicts its label")
             labels.update(_resolve_labels(
                 pg, {v: nodes[v] for v in ovars}, oedges, fixed=labels))
             oresolved = [

@@ -712,16 +712,20 @@ def encode_jpeg_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     return bytes(out)
 
 
-def encode_jpeg(media_id: int) -> bytes:
+def encode_jpeg(media_id: int, value_id: int = None) -> bytes:
     """The deterministic synthetic stream for the value oracle: constant
     (Y, Cb, Cr) per MCU from :func:`jpeg_mcu_values` (see the module
     docstring for why constant MCUs survive the lossy pipeline exactly),
-    run through the fully general :func:`encode_jpeg_planes`."""
+    run through the fully general :func:`encode_jpeg_planes`.  A caller
+    needing fixed geometry with per-frame values (MJPEG: one track
+    geometry, many frames) passes ``value_id`` to decouple the MCU
+    values from the geometry id."""
     p = jpeg_params(media_id)
     wm, hm, mcu = p["w_mcus"], p["h_mcus"], p["mcu"]
     bx = np.arange(wm)[None, :]
     by = np.arange(hm)[:, None]
-    yv, cb, cr = jpeg_mcu_values(media_id, bx, by)
+    yv, cb, cr = jpeg_mcu_values(
+        media_id if value_id is None else value_id, bx, by)
     csize = 8  # chroma tile per MCU is always one 8x8 block
     y = np.repeat(np.repeat(yv, mcu, 0), mcu, 1).astype(np.uint8)
     cbp = np.repeat(np.repeat(cb, csize, 0), csize, 1).astype(np.uint8)

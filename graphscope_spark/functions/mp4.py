@@ -658,7 +658,12 @@ def demux_mp4(payload: bytes) -> dict:
 # MJPEG-in-MP4: JPEG samples behind the demux (QuickTime 'jpeg' fourcc)
 # ---------------------------------------------------------------------------
 
-_MJPEG_FOURCCS = ("jpeg", "mjpa", "mjpb", "AVDJ")
+# only fourccs whose samples are plain baseline-JPEG interchange
+# streams: QuickTime 'jpeg' and the AVID 'AVDJ' variant.  Motion-JPEG
+# A/B ('mjpa'/'mjpb') carry field headers / non-interchange entropy
+# data the baseline decoder cannot parse — they route to the generic
+# byte-sum MP4 branch, not here.
+_MJPEG_FOURCCS = ("jpeg", "AVDJ")
 
 
 def mjpeg_params(media_id: int) -> dict:
@@ -673,21 +678,11 @@ def mjpeg_params(media_id: int) -> dict:
 
 
 def encode_mjpeg_frame(media_id: int, f: int) -> bytes:
-    """One REAL baseline-JPEG frame of the MJPEG stream."""
-    import numpy as np
+    """One REAL baseline-JPEG frame of the MJPEG stream: the track's
+    geometry (jpeg_params(media_id)) with frame f's MCU values."""
+    from graphscope_spark.functions.codecs_av import encode_jpeg
 
-    from graphscope_spark.functions.codecs_av import (
-        encode_jpeg_planes, jpeg_mcu_values)
-
-    p = mjpeg_params(media_id)
-    wm, hm, mcu = p["w_mcus"], p["h_mcus"], p["mcu"]
-    bx = np.arange(wm)[None, :]
-    by = np.arange(hm)[:, None]
-    yv, cb, cr = jpeg_mcu_values(media_id + 97 * f, bx, by)
-    y = np.repeat(np.repeat(yv, mcu, 0), mcu, 1).astype(np.uint8)
-    cbp = np.repeat(np.repeat(cb, 8, 0), 8, 1).astype(np.uint8)
-    crp = np.repeat(np.repeat(cr, 8, 0), 8, 1).astype(np.uint8)
-    return encode_jpeg_planes(y, cbp, crp, p["sub420"], p["restart"])
+    return encode_jpeg(media_id, value_id=media_id + 97 * f)
 
 
 def encode_mjpeg_mp4(media_id: int) -> bytes:
@@ -729,15 +724,18 @@ def encode_mjpeg_mp4(media_id: int) -> bytes:
 
 
 @truncation_guard
-def decode_mjpeg(payload: bytes) -> list:
+def decode_mjpeg(payload: bytes, demuxed: dict = None) -> list:
     """Demux an MJPEG MP4 and REALLY decode every video sample with the
     baseline-JPEG decoder: one dict per frame with geometry, decode
     timestamp and exact plane sums.  Composes functions this module and
     codecs_av.py each verify independently — the demux hands each
-    sample's exact byte range to the codec, as ffmpeg would."""
+    sample's exact byte range to the codec, as ffmpeg would.  Pass
+    ``demuxed`` (a demux_mp4 result for the same payload) to skip the
+    second container walk — the hot-path pattern decode_gif's ``raw=``
+    uses."""
     from graphscope_spark.functions.codecs_av import decode_jpeg
 
-    d = demux_mp4(payload)
+    d = demuxed if demuxed is not None else demux_mp4(payload)
     video = next((t for t in d["tracks"] if t["handler"] == "vide"), None)
     if video is None:
         raise ValueError("MP4 with no video track")

@@ -189,15 +189,16 @@ def real_decode(media: DataFrame) -> DataFrame:
                 elif p[4:8] == b"ftyp":
                     from graphscope_spark.functions.mp4 import (
                         _MJPEG_FOURCCS, decode_mjpeg, demux_mp4)
+                    demuxed = demux_mp4(p)
                     video = next(
-                        (t for t in demux_mp4(p)["tracks"]
+                        (t for t in demuxed["tracks"]
                          if t["handler"] == "vide"), None)
                     if video is None:
                         raise ValueError("MP4 with no video track")
                     if video["codec"] in _MJPEG_FOURCCS:
                         # MJPEG: the samples are real JPEGs — decode
                         # them to pixel-plane sums instead of raw bytes
-                        frames = decode_mjpeg(p)
+                        frames = decode_mjpeg(p, demuxed=demuxed)
                         rows["kind"].append("mjpeg")
                         rows["width"].append(video["width"])
                         rows["height"].append(video["height"])

@@ -935,3 +935,70 @@ def test_cypher_match_var_bound_to_scalar_is_an_error(pg):
           MATCH (a:person) WITH count(*) AS n
           MATCH (n)-[:knows]->(b) RETURN b.name AS bn
         """)
+
+
+# round-5 review fixes: a written label on an already-bound variable is
+# a label PREDICATE (Neo4j semantics), and one name must not bind two
+# objects across clauses
+
+def test_cypher_rebound_var_contradictory_label_yields_no_rows(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)-[:knows]->(b:person)
+      MATCH (b:software)
+      RETURN count(*) AS n
+    """)
+    assert rows(r) == [(0,)]
+
+
+def test_cypher_rebound_var_same_label_is_noop(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person)-[:knows]->(b:person)
+      MATCH (b:person)
+      RETURN count(*) AS n
+    """)
+    assert rows(r) == [(4,)]
+
+
+def test_cypher_exists_contradictory_label_is_constant_false(pg):
+    base = cypher_query(pg, """
+      MATCH (a:person)-[:knows]->(b:person)
+      MATCH (x:person) WHERE EXISTS((b:software)-[:created]->(x))
+      RETURN count(*) AS n
+    """)
+    assert rows(base) == [(0,)]
+    neg = cypher_query(pg, """
+      MATCH (a:person)-[:knows]->(b:person)
+      MATCH (x:software) WHERE NOT EXISTS((b:software)-[:created]->(x))
+      RETURN count(*) AS n
+    """)
+    # NOT EXISTS over a constant-false pattern keeps every row:
+    # 4 (a,b) pairs x 2 software vertices
+    assert rows(neg) == [(8,)]
+
+
+def test_cypher_optional_contradictory_label_null_extends(pg):
+    r = cypher_query(pg, """
+      MATCH (a:person {name: 'ann'})
+      MATCH (c:person {name: 'bob'})
+      OPTIONAL MATCH (a:software)-[:created]->(s)
+      RETURN a.name AS an, s AS sv
+    """)
+    assert rows(r) == [("ann", None)]
+
+
+def test_cypher_edge_var_reusing_bound_node_var_is_an_error(pg):
+    with pytest.raises(ValueError, match="duplicate variable"):
+        cypher_query(pg, """
+          MATCH (a:person {name: 'ann'})
+          MATCH (x:person)-[a:knows]->(y:person)
+          RETURN count(*) AS n
+        """)
+
+
+def test_cypher_node_var_reusing_bound_edge_var_is_an_error(pg):
+    with pytest.raises(ValueError, match="duplicate variable"):
+        cypher_query(pg, """
+          MATCH (a:person)-[r:knows]->(b:person)
+          MATCH (r)-[:created]->(s:software)
+          RETURN count(*) AS n
+        """)
