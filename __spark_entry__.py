@@ -4930,19 +4930,56 @@ def _q_betweenness_exact(spark, sf_dir):
         "vid", F.round(F.col("betweenness") * 1e6).cast("long").alias("bc_micro"))
 
 
-def _betweenness_sql(depth: int = 8) -> str:
+def _q_betweenness_approx(spark, sf_dir):
+    """Sampled-pivot Brandes — the mode that survives at 100 TB: k pivot
+    sources instead of V, extrapolated by n/k exactly as NetworkX's
+    ``k=`` sampling (betweenness.py:115-119). The pivot set here uses a
+    SQL-expressible deterministic rule (the 6 smallest vids with
+    vid % 5 == 1) so the oracle replays the same restriction;
+    hash-pivot selection (sample_pivots) is pinned by pytest
+    separately. Reference: gs::BetweennessCentrality
+    (analytical_engine/apps/centrality/betweenness/
+    betweenness_centrality.h:40-80) computes the exact sum; the subset
+    estimator is the standard Brandes-pivot scale path on top of the
+    same forward/backward machinery."""
+    from graphscope_spark.operators.betweenness import betweenness_centrality
+
+    g = _tri_graph_small_und(spark, sf_dir)
+    pivots = [r["vid"] for r in g.vertices.select("vid")
+              .filter(F.col("vid") % 5 == 1).orderBy("vid").limit(6)
+              .collect()]
+    bc = betweenness_centrality(g, sources=pivots, normalized=False)
+    return bc.select(
+        "vid",
+        F.round(F.col("betweenness") * 1e6).cast("long").alias("bc_micro"))
+
+
+def _betweenness_sql(depth: int = 8, pivot_where: str = None,
+                     pivot_limit: int = 0) -> str:
     """Unrolled Brandes in plain SQL: level-synchronous BFS from every
     vertex (lev{k} = new frontier with path counts, vis{k} = cumulative
     visited set), then dependency accumulation swept from the deepest
     level down (del{d}). ``depth`` must be >= the graph diameter (4 at
     sf0.01, 1 at sf0.001); levels past it are empty and harmless. All
-    CTEs MATERIALIZED so the doubly-referenced levels evaluate once."""
+    CTEs MATERIALIZED so the doubly-referenced levels evaluate once.
+    With ``pivot_where``/``pivot_limit``, BFS runs from the pivot subset
+    only and the final sums carry the NetworkX n/k extrapolation — the
+    oracle for the sampled-pivot (approximate) mode."""
+    pivots = ""
+    src_tbl = "verts"
+    if pivot_where is not None:
+        pivots = (f""",
+pivots AS MATERIALIZED (
+  SELECT vid FROM verts WHERE {pivot_where}
+  ORDER BY vid LIMIT {pivot_limit})""")
+        src_tbl = "pivots"
     parts = [f"""WITH eraw AS MATERIALIZED ({_TRI_EDGES_SMALL_SQL}),
 edges AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM eraw UNION ALL SELECT dst, src FROM eraw),
-verts AS MATERIALIZED (SELECT DISTINCT u AS vid FROM edges),
+verts AS MATERIALIZED (SELECT DISTINCT u AS vid FROM edges){pivots},
 lev0 AS MATERIALIZED (
-  SELECT vid AS s, vid AS v, 0 AS d, CAST(1 AS DOUBLE) AS sigma FROM verts),
+  SELECT vid AS s, vid AS v, 0 AS d, CAST(1 AS DOUBLE) AS sigma
+  FROM {src_tbl}),
 vis0 AS MATERIALIZED (SELECT s, v FROM lev0)"""]
     for k in range(1, depth + 1):
         parts.append(f"""lev{k} AS MATERIALIZED (
@@ -4975,9 +5012,15 @@ vis0 AS MATERIALIZED (SELECT s, v FROM lev0)"""]
     # level could still expand (= lev{depth+1} would be non-empty), an
     # extra (-1, -1) row forces a row-count mismatch instead of a silently
     # undercounted oracle.
+    # sampled-pivot mode: mirror the engine's arithmetic ORDER exactly —
+    # (sum/2) * (n/k) — so the doubles agree bit-for-bit before rounding
+    extrap = ("" if pivot_where is None else
+              " * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM verts)"
+              " / (SELECT COUNT(*) FROM pivots))")
     return ",\n".join(parts) + f"""
 SELECT vt.vid,
-       CAST(ROUND(COALESCE(SUM(a.delta), 0) / 2 * 1e6) AS BIGINT) AS bc_micro
+       CAST(ROUND(COALESCE(SUM(a.delta), 0) / 2{extrap} * 1e6) AS BIGINT)
+         AS bc_micro
 FROM verts vt LEFT JOIN alldel a ON a.v = vt.vid
 GROUP BY vt.vid
 UNION ALL
@@ -5400,6 +5443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence until now); window them FIRST in r05 ---
         "betweenness_exact": _q_betweenness_exact,
         "lpa_u2i_3r": _q_lpa_u2i_3r,
+        # --- round 5: the sampled-pivot scale path, for the r06 pool ---
+        "betweenness_approx": _q_betweenness_approx,
     })
 
 
@@ -6562,4 +6607,6 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_docs": _bpe_encode_sql(rounds=3),
         "betweenness_exact": _betweenness_sql(depth=8),
         "lpa_u2i_3r": _lpa_u2i_sql(),
+        "betweenness_approx": _betweenness_sql(
+            depth=8, pivot_where="vid % 5 = 1", pivot_limit=6),
     })
