@@ -4930,6 +4930,52 @@ def _q_betweenness_exact(spark, sf_dir):
         "vid", F.round(F.col("betweenness") * 1e6).cast("long").alias("bc_micro"))
 
 
+def _q_simrank_3iter(spark, sf_dir):
+    """SimRank (Jeh-Widom KDD'02) after 3 rounds on the small directed
+    co-purchase graph — beyond-reference structural similarity (the
+    reference registry has no SimRank app; added alongside anf/ktruss).
+    The engine iterates the sparse pair graph (operators/simrank.py);
+    the oracle unrolls the same recursion in SQL."""
+    from graphscope_spark import simrank
+
+    g = _tri_graph_small(spark, sf_dir)
+    out = simrank(g, c=0.8, iterations=3)
+    return out.select(
+        "u", "v",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_micro"))
+
+
+def _simrank_sql(iterations: int = 3, c: float = 0.8) -> str:
+    """Unrolled Jeh-Widom recursion: s{t} = diagonal(1) plus the pair
+    product of s{t-1} pushed through one in-edge on each side, scaled by
+    C/(d_a*d_b) with the SAME arithmetic order as the engine."""
+    parts = [f"""WITH eraw AS MATERIALIZED ({_TRI_EDGES_SMALL_SQL}),
+edges AS MATERIALIZED (SELECT src AS u, dst AS v FROM eraw),
+verts AS MATERIALIZED (
+  SELECT DISTINCT u AS vid FROM (SELECT u FROM edges
+                                 UNION ALL SELECT v FROM edges)),
+indeg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM edges GROUP BY v),
+s0 AS MATERIALIZED (
+  SELECT vid AS i, vid AS j, CAST(1 AS DOUBLE) AS s FROM verts)"""]
+    for t in range(1, iterations + 1):
+        parts.append(f"""p{t} AS MATERIALIZED (
+  SELECT e1.v AS a, e2.v AS b,
+         CAST({c} AS DOUBLE) / (da.d * db.d) * SUM(st.s) AS s
+  FROM s{t - 1} st
+  JOIN edges e1 ON e1.u = st.i
+  JOIN edges e2 ON e2.u = st.j
+  JOIN indeg da ON da.v = e1.v
+  JOIN indeg db ON db.v = e2.v
+  WHERE e1.v <> e2.v
+  GROUP BY e1.v, e2.v, da.d, db.d)""")
+        parts.append(f"""s{t} AS MATERIALIZED (
+  SELECT vid AS i, vid AS j, CAST(1 AS DOUBLE) AS s FROM verts
+  UNION ALL SELECT a, b, s FROM p{t})""")
+    return ",\n".join(parts) + f"""
+SELECT i AS u, j AS v, CAST(ROUND(s * 1e6) AS BIGINT) AS score_micro
+FROM s{iterations} WHERE i <> j"""
+
+
 def _q_betweenness_approx(spark, sf_dir):
     """Sampled-pivot Brandes — the mode that survives at 100 TB: k pivot
     sources instead of V, extrapolated by n/k exactly as NetworkX's
@@ -5445,6 +5491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_u2i_3r": _q_lpa_u2i_3r,
         # --- round 5: the sampled-pivot scale path, for the r06 pool ---
         "betweenness_approx": _q_betweenness_approx,
+        "simrank_3iter": _q_simrank_3iter,
     })
 
 
@@ -6609,4 +6656,5 @@ def oracle_sql() -> dict[str, str]:
         "lpa_u2i_3r": _lpa_u2i_sql(),
         "betweenness_approx": _betweenness_sql(
             depth=8, pivot_where="vid % 5 = 1", pivot_limit=6),
+        "simrank_3iter": _simrank_sql(iterations=3, c=0.8),
     })

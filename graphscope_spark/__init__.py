@@ -90,6 +90,7 @@ from graphscope_spark.operators import (
     adamic_adar_index,
     jaccard_coefficient,
     ktruss,
+    simrank,
     link_prediction_scores,
     negative_sample_edges,
     preferential_attachment,
@@ -152,7 +153,7 @@ __all__ = [
     "node_boundary", "edge_boundary", "eccentricity", "diameter_approx",
     "all_simple_paths", "sampling_path", "neighbor_sample", "lpa_u2i", "path_expand", "node2vec_walks", "skipgram_pairs",
     "anf", "anf_sketches", "effective_diameter",
-    "ktruss", "truss_number_max",
+    "ktruss", "truss_number_max", "simrank",
     "link_prediction_scores", "negative_sample_edges", "jaccard_coefficient", "adamic_adar_index",
     "resource_allocation_index", "preferential_attachment",
     "harmonic_centrality", "lcc_directed", "degeneracy", "dfs",

@@ -79,6 +79,10 @@ from graphscope_spark.operators.ktruss import ktruss, truss_number_max  # noqa: 
 
 __all__ += ["ktruss", "truss_number_max"]
 
+from graphscope_spark.operators.simrank import simrank  # noqa: E402
+
+__all__ += ["simrank"]
+
 from graphscope_spark.operators.link_prediction import (  # noqa: E402
     adamic_adar_index,
     jaccard_coefficient,

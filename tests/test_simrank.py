@@ -1,0 +1,81 @@
+"""SimRank vs a dense pure-Python iterate of the Jeh-Widom recursion."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from graphscope_spark import LinkGraph, simrank
+from tests.conftest import power_law_graph
+
+
+def simrank_oracle(vertices, edges, c=0.8, iterations=3):
+    """Dense fixed-iteration SimRank (diagonal 1, in-neighbor form)."""
+    inn = defaultdict(list)
+    for s, d in edges:
+        inn[d].append(s)
+    score = {(v, v): 1.0 for v in vertices}
+    for _ in range(iterations):
+        nxt = {(v, v): 1.0 for v in vertices}
+        for a in vertices:
+            for b in vertices:
+                if a == b or not inn[a] or not inn[b]:
+                    continue
+                s = sum(score.get((i, j), 0.0)
+                        for i in inn[a] for j in inn[b])
+                if s:
+                    nxt[(a, b)] = c / (len(inn[a]) * len(inn[b])) * s
+        score = nxt
+    return {p: s for p, s in score.items() if p[0] != p[1]}
+
+
+def _graph(spark, n, m, seed):
+    vertices, edges = power_law_graph(n=n, m=m, seed=seed,
+                                      with_dangling=False)
+    g = LinkGraph(
+        spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(v,) for v in vertices],
+                                       "vid LONG"),
+        num_partitions=4)
+    return vertices, edges, g
+
+
+def test_simrank_matches_dense_oracle(spark):
+    vertices, edges, g = _graph(spark, 25, 80, 11)
+    got = {(r["u"], r["v"]): r["score"]
+           for r in simrank(g, c=0.8, iterations=3).collect()}
+    want = simrank_oracle(vertices, edges, c=0.8, iterations=3)
+    assert set(got) == set(want)
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-9, (p, got[p], want[p])
+
+
+def test_simrank_symmetric_and_bounded(spark):
+    _, _, g = _graph(spark, 30, 100, 12)
+    rows = simrank(g, c=0.6, iterations=2).collect()
+    got = {(r["u"], r["v"]): r["score"] for r in rows}
+    for (u, v), s in got.items():
+        assert 0.0 < s < 1.0
+        assert abs(got[(v, u)] - s) < 1e-12
+
+def test_simrank_min_score_truncation_is_a_subset(spark):
+    vertices, edges, g = _graph(spark, 25, 80, 11)
+    full = {(r["u"], r["v"]): r["score"]
+            for r in simrank(g, iterations=3).collect()}
+    thr = 0.02
+    trunc = {(r["u"], r["v"]): r["score"]
+             for r in simrank(g, iterations=3, min_score=thr).collect()}
+    assert set(trunc) <= set(full)
+    # every surviving pair keeps a score >= the threshold, and any pair
+    # the truncated run kept whose full score is comfortably above the
+    # pruning error bound agrees with the exact value
+    for p, s in trunc.items():
+        assert s >= thr
+        assert s <= full[p] + 1e-12
+
+
+def test_simrank_rejects_bad_damping(spark):
+    import pytest
+
+    _, _, g = _graph(spark, 10, 20, 13)
+    with pytest.raises(ValueError, match="damping"):
+        simrank(g, c=1.0)
