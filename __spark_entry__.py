@@ -1189,6 +1189,21 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qs, k=5, nbits=6, nprobe_ham=1)         .select("query_id", "vec_id", "rank")
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive-training curation): per query,
+    the top-5 corpus vectors whose cosine lies in [0.3, 0.9) — similar
+    enough to be hard, below the near-dup band that would make them
+    false negatives. Exact scoring path (functions/similarity.py::
+    hard_negative_topk); the IVF-pruned path shares the probed-list
+    scoring stage with ivf_kmeans_topk and is covered by pytest."""
+    from graphscope_spark.functions import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return hard_negative_topk(emb, qs, k=5, lo=0.3, hi=0.9) \
+        .select("query_id", "vec_id", "rank")
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Pretraining sequence packing: deterministic shuffle order (keyed
     sha256 hash), documents laid end to end, a bin cut every 512 tokens;
@@ -5492,6 +5507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 5: the sampled-pivot scale path, for the r06 pool ---
         "betweenness_approx": _q_betweenness_approx,
         "simrank_3iter": _q_simrank_3iter,
+        "hard_negatives": _q_hard_negatives,
     })
 
 
@@ -6657,4 +6673,16 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_approx": _betweenness_sql(
             depth=8, pivot_where="vid % 5 = 1", pivot_limit=6),
         "simrank_3iter": _simrank_sql(iterations=3, c=0.8),
+        "hard_negatives": (
+            "SELECT query_id, vec_id, rank FROM ("
+            "SELECT query_id, vec_id, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, vec_id ASC) AS rank FROM ("
+            "SELECT a.vec_id AS query_id, b.vec_id AS vec_id, "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
+            "WHERE a.vec_id < 10) "
+            "WHERE sim >= 0.3 AND sim < 0.9) WHERE rank <= 5"
+        ),
     })

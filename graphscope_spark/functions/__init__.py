@@ -58,6 +58,7 @@ from graphscope_spark.functions.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
     cosine_sim,
+    hard_negative_topk,
     ivf_index,
     ivf_kmeans_topk,
     ivf_topk,
@@ -142,6 +143,7 @@ __all__ = [
     "hll_sketch", "hll_merge", "hll_estimate",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
+    "hard_negative_topk",
     "kmeans_centroids", "ivf_kmeans_topk", "ivf_index", "semdedup",
     "pq_codebooks", "pq_encode", "pq_topk",
     "media_table", "decode_image_stub", "sample_frames_stub", "real_decode",

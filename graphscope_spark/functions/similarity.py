@@ -284,6 +284,18 @@ def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     with corpus size. Ties break (sim desc, cid asc / vec_id asc)
     everywhere, so results are fully deterministic.
     """
+    scored = _ivf_kmeans_scored(corpus, queries, ncentroids, iters, nprobe,
+                                id_col, vec_col, scale, centroids, index)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _ivf_kmeans_scored(corpus, queries, ncentroids, iters, nprobe,
+                       id_col, vec_col, scale, centroids, index) -> DataFrame:
+    """(query_id, vec_id, sim) over the probed inverted lists only —
+    the shared scoring stage of ivf_kmeans_topk / hard_negative_topk."""
     if centroids is None:
         centroids = kmeans_centroids(corpus, ncentroids, iters,
                                      id_col, vec_col, scale)
@@ -301,14 +313,53 @@ def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                                i.alias("cid")))),
              1, nprobe)).alias("probe"))
          .select("query_id", "qv", F.col("probe.cid").alias("cid")))
-    scored = (
+    return (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id",
                 cosine_sim(F.col("qv"), F.col("cv")).alias("sim")))
+
+
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       lo: float = 0.5, hi: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       centroids: list[list[float]] | None = None,
+                       nprobe: int = 2, scale: int = 1024,
+                       index: DataFrame | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive training →
+    (query_id, vec_id, sim, rank): the top-k most-similar neighbors per
+    query whose cosine falls in the band [lo, hi) — close enough to the
+    query to be a HARD negative, below the near-duplicate threshold that
+    would make it a false negative (the standard curation step for
+    embedding/retrieval training sets; the in-band constraint is what
+    distinguishes this from ``brute_force_topk``).
+
+    With ``centroids=None`` the scoring is exact (corpus × broadcast
+    queries — the small-query-batch baseline). Passing
+    ``centroids``/``index`` reuses the ivf_kmeans machinery: only the
+    ``nprobe`` nearest inverted lists per query are scored, which is the
+    corpus-scale path — note that at low ``lo`` a banded negative can
+    live outside the probed lists, so recall of the band follows IVF
+    recall (raise nprobe for wider bands). Ties break (sim desc, vec_id
+    asc); fully deterministic.
+    """
+    if centroids is not None or index is not None:
+        scored = _ivf_kmeans_scored(corpus, queries, 8, 2, nprobe,
+                                    id_col, vec_col, scale,
+                                    centroids, index)
+    else:
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qv"))
+        c = corpus.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("cv"))
+        scored = (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+            .select("query_id", "vec_id",
+                    cosine_sim(F.col("qv"), F.col("cv")).alias("sim")))
+    banded = scored.filter((F.col("sim") >= lo) & (F.col("sim") < hi))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (banded.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
 

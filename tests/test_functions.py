@@ -176,6 +176,59 @@ def test_brute_force_topk(spark, emb_df):
             assert abs(sim - wsim) < 1e-9
 
 
+def test_hard_negative_topk_band_and_rank(spark, emb_df):
+    from graphscope_spark.functions import hard_negative_topk
+
+    rows = emb_df.collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) \
+            / math.sqrt(sum(x * x for x in b))
+
+    lo, hi, k = 0.1, 0.6, 4
+    queries = emb_df.filter(F.col("vec_id") < 5)
+    got = hard_negative_topk(emb_df, queries, k=k, lo=lo, hi=hi).collect()
+    by_q = {}
+    for r in got:
+        assert lo <= r["sim"] < hi
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in range(5):
+        # oracle: in-band sims sorted desc, id asc on ties, first k
+        band = sorted(((cos(vecs[q], v), -i) for i, v in vecs.items()
+                       if i != q and lo <= cos(vecs[q], v) < hi),
+                      reverse=True)
+        want = [-negi for _, negi in band[:k]]
+        assert [vid for _, vid in sorted(by_q.get(q, []))] == want, q
+
+
+def test_hard_negative_topk_ivf_path_subset(spark, emb_df):
+    # the IVF-pruned path scores probed lists only: every returned pair
+    # must be in-band with a correct per-query ranking among itself, and
+    # with all lists probed it must equal the exact path
+    from graphscope_spark.functions import (hard_negative_topk,
+                                            kmeans_centroids)
+
+    queries = emb_df.filter(F.col("vec_id") < 5)
+    cents = kmeans_centroids(emb_df, ncentroids=4, iters=2)
+    full = hard_negative_topk(emb_df, queries, k=4, lo=0.1, hi=0.6)
+    ivf_all = hard_negative_topk(emb_df, queries, k=4, lo=0.1, hi=0.6,
+                                 centroids=cents, nprobe=4)
+    a = sorted((r["query_id"], r["vec_id"], r["rank"])
+               for r in full.collect())
+    b = sorted((r["query_id"], r["vec_id"], r["rank"])
+               for r in ivf_all.collect())
+    assert a == b
+    pruned = hard_negative_topk(emb_df, queries, k=4, lo=0.1, hi=0.6,
+                                centroids=cents, nprobe=1).collect()
+    kept = {(r["query_id"], r["vec_id"]) for r in pruned}
+    assert kept <= {(q, v) for q, v, _ in
+                    sorted((r["query_id"], r["vec_id"], 0) for r in
+                           hard_negative_topk(emb_df, queries, k=10 ** 6,
+                                              lo=0.1, hi=0.6).collect())}
+
+
 def test_ivf_topk_recall(spark, emb_df):
     queries = emb_df.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb_df, queries, k=5).collect()
