@@ -355,3 +355,41 @@ def test_cypher_multi_match_plans_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simrank_round_no_cartesian_no_state_broadcast(spark):
+    """A SimRank round is pair-state x two edge hash-joins + one
+    aggregate. The pair state grows toward the co-reachable closure, so
+    it must NEVER broadcast; a cartesian anywhere would defeat the
+    sparse-pair formulation."""
+    from graphscope_spark.operators.simrank import simrank
+
+    g = _mk(spark, n=300, m=900, seed=7)
+    plan = _formatted(simrank(g, iterations=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negative_exact_broadcasts_queries(spark):
+    """Exact hard-negative scoring is corpus x broadcast(query batch):
+    the corpus side must stream (no shuffle of the wide vectors), the
+    tiny query side must broadcast."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphscope_spark.functions import hard_negative_topk
+
+    rnd = random.Random(5)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    res = hard_negative_topk(df, df.filter(F.col("vec_id") < 4),
+                             k=3, lo=0.1, hi=0.9)
+    plan = _formatted(res)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, \
+        "exact band scoring joins on a non-equi predicate with the " \
+        "query side broadcast"
+    shuffles = re.findall(r"(?<!Broadcast)Exchange \(", plan)
+    assert len(shuffles) <= 1, \
+        "only the final per-query rank may shuffle"
