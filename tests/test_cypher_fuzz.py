@@ -1,0 +1,102 @@
+"""Property-based fuzz for the Cypher frontend (hypothesis).
+
+Contract (same stance as the codec layers' bit-flip fuzz): for ANY input
+string — grammar-adjacent garbage, truncations, or structurally valid
+queries over wrong identifiers — ``cypher_query`` either compiles to a
+DataFrame or raises ValueError with a message. It must never surface an
+internal IndexError/KeyError/AttributeError/RecursionError from the
+parser or compiler, because in a pipeline those read as engine bugs
+rather than input errors.
+
+Two generators: (1) token soup assembled from the grammar's own
+vocabulary (keywords, punctuation, identifiers — worst case for a
+recursive-descent parser because everything ALMOST parses), and
+(2) mutated well-formed queries (single-char deletions/insertions,
+keyword swaps), the textual analogue of the codecs' bit flips.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from graphscope_spark import PropertyGraph, cypher_query
+
+_TOKENS = [
+    "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "AS", "AND", "OR",
+    "NOT", "XOR", "EXISTS", "COUNT", "SUM", "DISTINCT", "ORDER", "BY",
+    "LIMIT", "CASE", "WHEN", "THEN", "ELSE", "END", "shortestPath",
+    "(", ")", "[", "]", "{", "}", "-", "->", "<-", ":", ",", ".", "*",
+    "..", "=", "<>", "<", ">=", "'x'", "1", "2.5", "a", "b", "n",
+    "person", "software", "knows", "created", "name", "age", "p",
+]
+
+_GOOD = [
+    "MATCH (a:person)-[:knows]->(b:person) RETURN a.name AS an",
+    "MATCH (a:person) WHERE a.age >= 28 RETURN count(*) AS n",
+    "MATCH (a:person)-[:knows]->(b) MATCH (b)-[:created]->(s:software) "
+    "RETURN b.name AS bn, s.sname AS sn",
+    "MATCH (a:person) OPTIONAL MATCH (a)-[:created]->(s:software) "
+    "RETURN a.name AS an, s.sname AS sn",
+    "MATCH p = shortestPath((a:person)-[:knows*1..3]->(b:person)) "
+    "RETURN a.name AS an, length(p) AS l",
+    "MATCH (a:person) WITH a.age AS g, count(*) AS n RETURN g, n "
+    "ORDER BY g LIMIT 3",
+]
+
+_ALLOWED = (ValueError,)  # includes the frontend's own error subclasses
+
+
+@pytest.fixture(scope="module")
+def pg(spark):
+    people = spark.createDataFrame(
+        [(1, "ann", 30), (2, "bob", 25), (3, "cyd", 35)],
+        "pid LONG, name STRING, age LONG")
+    sw = spark.createDataFrame([(10, "lib")], "sid LONG, sname STRING")
+    knows = spark.createDataFrame([(1, 2), (2, 3)], "a LONG, b LONG")
+    created = spark.createDataFrame([(1, 10)], "p LONG, s LONG")
+    return (PropertyGraph(spark)
+            .add_vertices(people, "person", vid_field="pid")
+            .add_vertices(sw, "software", vid_field="sid")
+            .add_edges(knows, "knows", src_label="person",
+                       dst_label="person")
+            .add_edges(created, "created",
+                       src_label="person", dst_label="software"))
+
+
+def _probe(pg, q: str) -> None:
+    try:
+        cypher_query(pg, q)   # lazy: compile only, no execution
+    except _ALLOWED:
+        pass                  # the documented contract for bad input
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.sampled_from(_TOKENS), min_size=1, max_size=25))
+def test_token_soup_never_raises_internal_errors(pg, toks):
+    _probe(pg, " ".join(toks))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from(_GOOD), st.data())
+def test_mutated_queries_never_raise_internal_errors(pg, q, data):
+    mode = data.draw(st.sampled_from(["del", "ins", "swap"]))
+    if mode == "del":
+        i = data.draw(st.integers(0, len(q) - 1))
+        q = q[:i] + q[i + 1:]
+    elif mode == "ins":
+        i = data.draw(st.integers(0, len(q)))
+        ch = data.draw(st.sampled_from(list("()[]{}-<>:.*,'x1 ")))
+        q = q[:i] + ch + q[i:]
+    else:
+        kw = data.draw(st.sampled_from(
+            ["MATCH", "WHERE", "RETURN", "WITH", "AND"]))
+        rep = data.draw(st.sampled_from(
+            ["MATCH", "WHERE", "RETURN", "WITH", "AND", "XOR", "END"]))
+        q = q.replace(kw, rep, 1)
+    _probe(pg, q)
+
+
+def test_good_queries_all_compile(pg):
+    for q in _GOOD:
+        cypher_query(pg, q)
