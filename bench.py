@@ -357,7 +357,10 @@ def section_c(extras: dict) -> None:
     pure-CPU control bracketing them: a single noisy session cannot fake
     a regression or an improvement, and the control pins down what the
     box itself scaled at during the same minutes."""
-    n_lo, n_hi = 2, 8
+    # default N=2 vs 4N=8; SPARK_GRAFT_SCALE_N=8 measures 8 vs 32 — a
+    # second, independent bracket of the same ≥0.8 criterion on this box
+    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    n_hi = 4 * n_lo
     s0, t0 = _cpu_stat()
     rtts = [round(_loopback_rtt_us(), 1)]
     ctl = [(_cpu_control(n_lo), _cpu_control(n_hi))]
