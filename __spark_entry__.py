@@ -1058,6 +1058,21 @@ def _q_louvain(spark, sf_dir):
                    max_rounds=4).select("vid", "community")
 
 
+def _q_leiden_1lvl(spark, sf_dir):
+    """Leiden = Louvain local moves + the connectivity refinement of
+    Traag/Waltman/van Eck 2019 (communities guaranteed internally
+    connected — the property plain Louvain can violate). One level,
+    bounded rounds, exactly as the louvain contract query, then HashMin
+    WCC over intra-community edges (operators/louvain.py::leiden_refine);
+    the oracle appends a recursive min-label closure to the same
+    local-move replay."""
+    from graphscope_spark.operators.louvain import leiden_refine, louvain
+
+    g = _tri_graph_small(spark, sf_dir)
+    lou = louvain(g, max_levels=1, max_rounds=4)
+    return leiden_refine(g, lou).select("vid", "community")
+
+
 def _q_modularity_cdlp(spark, sf_dir):
     from graphscope_spark import cdlp
     from graphscope_spark.operators.louvain import modularity
@@ -3425,15 +3440,18 @@ WHERE ca.comp <> cb.comp""")
     return "".join(out)
 
 
-def _louvain_sql(rounds: int = 6) -> str:
+def _louvain_sql(rounds: int = 6, refine: bool = False) -> str:
     """Exact replay of ONE Louvain level (graphscope_spark.operators.
     louvain._local_moves): ``rounds`` synchronous argmax-gain rounds with
     (vid+round)-parity damping over the small co-purchase graph, then the
     level-keep rule (moved partition iff its modularity beats the
     singleton partition) and min-member-vid relabeling. All gain inputs
     are integers with a single double division, so Spark and DuckDB
-    compute bit-identical argmax keys."""
-    out = [f"""WITH tedges AS MATERIALIZED ({_TRI_EDGES_SMALL_SQL}),
+    compute bit-identical argmax keys.  ``refine=True`` appends the
+    Leiden connectivity refinement (split each community into its
+    connected components via recursive min-label reachability over
+    intra-community edges) — the oracle for leiden_1lvl."""
+    out = [f"""WITH {"RECURSIVE " if refine else ""}tedges AS MATERIALIZED ({_TRI_EDGES_SMALL_SQL}),
 lsym AS MATERIALIZED (SELECT src, dst FROM tedges UNION SELECT dst, src FROM tedges),
 lverts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM lsym),
 kdeg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS k FROM lsym GROUP BY src),
@@ -3476,8 +3494,23 @@ qn AS (SELECT SUM(inw / (SELECT m FROM m2)
 q0 AS (SELECT SUM(0.0 - (k / (SELECT m FROM m2)) * (k / (SELECT m FROM m2))) AS q FROM kdeg),
 chosen AS (SELECT vid, CASE WHEN (SELECT q FROM qn) > (SELECT q FROM q0)
                             THEN comm ELSE vid END AS comm FROM {last}),
-rep AS (SELECT comm, MIN(vid) AS community FROM chosen GROUP BY comm)
+rep AS (SELECT comm, MIN(vid) AS community FROM chosen GROUP BY comm)""")
+    if not refine:
+        out.append("""
 SELECT c.vid, r.community FROM chosen c JOIN rep r ON c.comm = r.comm""")
+    else:
+        out.append(""",
+lres AS MATERIALIZED (
+  SELECT c.vid, r.community FROM chosen c JOIN rep r ON c.comm = r.comm),
+intra AS MATERIALIZED (
+  SELECT e.src, e.dst FROM lsym e
+  JOIN lres a ON e.src = a.vid JOIN lres b ON e.dst = b.vid
+  WHERE a.community = b.community),
+reach(id, lab) AS (
+  SELECT vid, vid FROM lres
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN intra s ON s.src = r.id)
+SELECT id AS vid, MIN(lab) AS community FROM reach GROUP BY id""")
     return "".join(out)
 
 
@@ -5508,6 +5541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_approx": _q_betweenness_approx,
         "simrank_3iter": _q_simrank_3iter,
         "hard_negatives": _q_hard_negatives,
+        "leiden_1lvl": _q_leiden_1lvl,
     })
 
 
@@ -6673,6 +6707,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_approx": _betweenness_sql(
             depth=8, pivot_where="vid % 5 = 1", pivot_limit=6),
         "simrank_3iter": _simrank_sql(iterations=3, c=0.8),
+        "leiden_1lvl": _louvain_sql(rounds=4, refine=True),
         "hard_negatives": (
             "SELECT query_id, vec_id, rank FROM ("
             "SELECT query_id, vec_id, "

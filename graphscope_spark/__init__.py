@@ -104,6 +104,8 @@ from graphscope_spark.operators import (
     edge_boundary,
     is_simple_path,
     louvain,
+    leiden,
+    leiden_refine,
     lpa_u2i,
     modularity,
     node_boundary,
@@ -147,7 +149,7 @@ __all__ = [
     "in_triangle_count", "out_triangle_count",
     "densest_subgraph_2approx", "onion_layers", "subgraph_counts",
     "biconnected_components", "articulation_points",
-    "scc", "louvain", "modularity", "betweenness_centrality", "voterank",
+    "scc", "louvain", "leiden", "leiden_refine", "modularity", "betweenness_centrality", "voterank",
     "sssp_path", "sssp_average_length", "sssp_has_path", "is_simple_path",
     "degree_assortativity_coefficient", "average_degree_connectivity",
     "node_boundary", "edge_boundary", "eccentricity", "diameter_approx",

@@ -43,10 +43,15 @@ __all__ += [
 ]
 
 from graphscope_spark.operators.scc import scc  # noqa: E402
-from graphscope_spark.operators.louvain import louvain, modularity  # noqa: E402
+from graphscope_spark.operators.louvain import (  # noqa: E402
+    leiden,
+    leiden_refine,
+    louvain,
+    modularity,
+)
 from graphscope_spark.operators.traversal import sssp_path  # noqa: E402
 
-__all__ += ["scc", "louvain", "modularity", "sssp_path"]
+__all__ += ["scc", "louvain", "leiden", "leiden_refine", "modularity", "sssp_path"]
 
 from graphscope_spark.operators.betweenness import betweenness_centrality  # noqa: E402
 

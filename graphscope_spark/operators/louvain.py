@@ -192,3 +192,45 @@ def louvain(graph: LinkGraph, weight_col: str | None = None,
     t.free("lvl_edges")
     t.free("comm")
     return out
+
+
+def leiden_refine(graph: LinkGraph, assignment: DataFrame,
+                  vid_col: str = "vid",
+                  comm_col: str = "community") -> DataFrame:
+    """(vid, community): split every community of ``assignment`` into
+    its CONNECTED components — the refinement guarantee Leiden (Traag,
+    Waltman & van Eck 2019, "From Louvain to Leiden") adds over Louvain,
+    whose local moves can leave a community internally disconnected
+    (§3/Fig. 2 of the paper). Refined labels are the min member vid of
+    each component, so they stay deterministic and disjoint across
+    communities without a relabeling pass.
+
+    Spark shape: restrict the symmetric edge list to intra-community
+    edges (two hash joins against the assignment), then HashMin WCC on
+    that subgraph — every machine piece already exists and scales
+    (operators/wcc.py); the refinement adds no new state class."""
+    from graphscope_spark.operators.wcc import wcc
+
+    a = assignment.select(F.col(vid_col).alias("src"),
+                          F.col(comm_col).alias("_ca"))
+    b = assignment.select(F.col(vid_col).alias("dst"),
+                          F.col(comm_col).alias("_cb"))
+    sym = (graph.sym_edges() if not graph.directed else graph.und_edges()) \
+        .select("src", "dst")
+    intra = (sym.join(a, "src").join(b, "dst")
+             .filter(F.col("_ca") == F.col("_cb"))
+             .select("src", "dst"))
+    sub = LinkGraph(graph.spark, intra,
+                    vertices=assignment.select(F.col(vid_col).alias("vid")),
+                    directed=False)
+    return wcc(sub).select("vid", F.col("comp").alias("community"))
+
+
+def leiden(graph: LinkGraph, weight_col: str | None = None,
+           max_levels: int = 5, max_rounds: int = 10,
+           min_gain: float = 1e-6) -> DataFrame:
+    """Louvain local moves + Leiden connectivity refinement: the
+    returned communities are guaranteed internally connected."""
+    return leiden_refine(
+        graph, louvain(graph, weight_col, max_levels, max_rounds,
+                       min_gain))

@@ -76,3 +76,55 @@ def test_modularity_matches_python(pg):
     lab = g.spark.createDataFrame(list(truth.items()), "vid LONG, comm LONG")
     q_spark = modularity(_sym_weighted(g, None), lab)
     assert abs(q_spark - _py_modularity(edges, truth)) < 1e-9
+
+
+def test_leiden_refine_splits_disconnected_communities(spark):
+    from graphscope_spark import LinkGraph, leiden_refine
+
+    # two triangles {0,1,2} and {10,11,12} with NO edge between them,
+    # assigned to one community — the exact pathology Leiden fixes
+    tri = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    sym = tri + [(b, a) for a, b in tri]
+    g = LinkGraph(spark, spark.createDataFrame(sym, "src LONG, dst LONG"),
+                  directed=False, num_partitions=2)
+    bad = spark.createDataFrame([(v, 0) for v in [0, 1, 2, 10, 11, 12]],
+                                "vid LONG, community LONG")
+    got = {r["vid"]: r["community"]
+           for r in leiden_refine(g, bad).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_leiden_communities_are_connected_and_quality_holds(pg):
+    from collections import defaultdict, deque
+
+    from graphscope_spark.operators.louvain import leiden, louvain
+
+    g, vertices, edges = pg
+    lei = {r["vid"]: r["community"] for r in leiden(g).collect()}
+    # partition over all vertices, labels = min member vid
+    assert set(lei) == set(vertices)
+    members = defaultdict(list)
+    for v, c in lei.items():
+        members[c].append(v)
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for c, vs in members.items():
+        assert c == min(vs)
+        # connectivity: BFS inside the community reaches every member
+        seen = {vs[0]}
+        dq = deque([vs[0]])
+        inside = set(vs)
+        while dq:
+            u = dq.popleft()
+            for w in adj[u] & inside:
+                if w not in seen:
+                    seen.add(w)
+                    dq.append(w)
+        assert seen == inside, (c, sorted(inside - seen))
+    # refinement of an already-connected partition is a no-op, so
+    # quality must match Louvain's on this planted-partition graph
+    lou = {r["vid"]: r["community"] for r in louvain(g).collect()}
+    assert abs(_py_modularity(edges, lei)
+               - _py_modularity(edges, lou)) < 0.05
