@@ -749,6 +749,38 @@ def _q_triangles(spark, sf_dir):
 
 
 
+def _q_triangles_doulion(spark, sf_dir):
+    """DOULION sparsified triangle estimate (Tsourakakis KDD'09) with a
+    deterministic sha2 edge coin (p=2): the scale path when even the
+    degree-oriented exact join is too heavy. The oracle replays the
+    identical sample (portable hash) and extrapolation, so the estimate
+    is value-exact, not tolerance-compared."""
+    from graphscope_spark.operators.triangles import triangle_count_approx
+
+    est = triangle_count_approx(_graph(spark, sf_dir, tri=True), p=2,
+                                hash_fn="sha2", seed=42)
+    return spark.createDataFrame([(int(est),)], "est_triangles LONG")
+
+
+def _triangles_doulion_sql() -> str:
+    """Replay of triangle_count_approx(p=2, sha2, seed=42): identical
+    canonical-key coin, sampled-graph orientation, p^3 extrapolation."""
+    key = ("concat(CAST(LEAST(src, dst) AS VARCHAR), ':', "
+           "CAST(GREATEST(src, dst) AS VARCHAR), ':42')")
+    return f"""
+WITH tri_edges AS MATERIALIZED ({_TRI_EDGES_SQL}),
+und AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst FROM tri_edges WHERE src <> dst
+        UNION SELECT dst AS src, src AS dst FROM tri_edges WHERE src <> dst)),
+kept AS MATERIALIZED (SELECT src, dst FROM und WHERE ({_h60_sql(key)}) % 2 = 0),
+deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM kept GROUP BY src),
+ori AS MATERIALIZED (SELECT u.src, u.dst FROM kept u JOIN deg ds ON u.src = ds.vid JOIN deg dd ON u.dst = dd.vid
+        WHERE dd.deg < ds.deg OR (dd.deg = ds.deg AND u.dst < u.src)),
+tris AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM ori e1
+         JOIN ori e2 ON e1.dst = e2.src
+         JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+SELECT CAST(COUNT(*) * 8 AS BIGINT) AS est_triangles FROM tris"""
+
+
 def _q_bfs(spark, sf_dir):
     from graphscope_spark import bfs
 
@@ -5542,6 +5574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_3iter": _q_simrank_3iter,
         "hard_negatives": _q_hard_negatives,
         "leiden_1lvl": _q_leiden_1lvl,
+        "triangles_doulion": _q_triangles_doulion,
     })
 
 
@@ -6708,6 +6741,7 @@ def oracle_sql() -> dict[str, str]:
             depth=8, pivot_where="vid % 5 = 1", pivot_limit=6),
         "simrank_3iter": _simrank_sql(iterations=3, c=0.8),
         "leiden_1lvl": _louvain_sql(rounds=4, refine=True),
+        "triangles_doulion": _triangles_doulion_sql(),
         "hard_negatives": (
             "SELECT query_id, vec_id, rank FROM ("
             "SELECT query_id, vec_id, "

@@ -78,6 +78,7 @@ from graphscope_spark.operators import (
     three_path_count,
     transitivity,
     triangle_count,
+    triangle_count_approx,
     triangles,
     wcc,
 )
@@ -132,7 +133,7 @@ __all__ = [
     "build_session",
     "load_csv_graph",
     "cypher_query", "traversal", "P", "TextP", "gremlin_query",
-    "pagerank", "ppr", "articlerank", "wcc", "cdlp", "triangles", "triangle_count",
+    "pagerank", "ppr", "articlerank", "wcc", "cdlp", "triangles", "triangle_count", "triangle_count_approx",
     "bfs", "sssp", "msbfs", "all_pairs_shortest_path_length",
     "closeness_centrality",
     "degree_centrality", "eigenvector_centrality", "katz_centrality", "hits",

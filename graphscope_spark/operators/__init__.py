@@ -1,7 +1,8 @@
 from graphscope_spark.operators.pagerank import PageRankJob, pagerank
 from graphscope_spark.operators.wcc import WCCJob, wcc
 from graphscope_spark.operators.cdlp import CDLPJob, cdlp
-from graphscope_spark.operators.triangles import triangles, triangle_count
+from graphscope_spark.operators.triangles import (
+    triangles, triangle_count, triangle_count_approx)
 from graphscope_spark.operators.traversal import (
     bfs, sssp, msbfs, all_pairs_shortest_path_length, closeness_centrality,
 )
@@ -15,7 +16,7 @@ __all__ = [
     "pagerank", "PageRankJob",
     "wcc", "WCCJob",
     "cdlp", "CDLPJob",
-    "triangles", "triangle_count",
+    "triangles", "triangle_count", "triangle_count_approx",
     "bfs", "sssp", "msbfs", "all_pairs_shortest_path_length",
     "closeness_centrality",
     "degree_centrality", "eigenvector_centrality", "katz_centrality", "hits",

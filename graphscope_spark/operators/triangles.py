@@ -62,3 +62,29 @@ def triangles(graph: LinkGraph) -> DataFrame:
     return graph.vertices.select("vid").join(cnt, "vid", "left").select(
         "vid", F.coalesce("tricnt", F.lit(0)).cast("long").alias("tricnt")
     )
+
+
+def triangle_count_approx(graph: LinkGraph, p: int = 4,
+                          hash_fn: str = "sha2", seed: int = 42) -> int:
+    """DOULION-style sparsified triangle count (Tsourakakis et al.,
+    KDD'09): keep each undirected edge with probability 1/p, count
+    triangles on the sparsified graph, extrapolate by p^3 — the
+    standard scale path when the exact count's oriented join is still
+    too heavy (expected work drops by ~p^3 on the join side while the
+    estimator stays unbiased).
+
+    The coin flip is a deterministic hash of the canonical undirected
+    edge key (same ``_hash60`` family as the dedup/ANF operators):
+    replayable in any engine — ``hash_fn="sha2"`` lets a SQL oracle
+    recompute the exact sample — and stable across partitionings."""
+    from graphscope_spark.functions.dedup import _hash60
+
+    if p <= 1:
+        return triangle_count(graph)
+    und = graph.und_edges()
+    canon = F.concat_ws(
+        ":", F.least("src", "dst"), F.greatest("src", "dst"), F.lit(seed))
+    kept = und.filter(_hash60(canon, hash_fn) % p == 0)
+    sub = LinkGraph(graph.spark, kept, vertices=graph.vertices,
+                    directed=False)
+    return triangle_list(sub).count() * p ** 3

@@ -83,3 +83,30 @@ def test_undirected_pagerank(spark, tiny_graph):
         np.array([want[v] for v in vertices]),
         rtol=1e-6,
     )
+
+
+def test_triangle_count_approx_replays_hash_sample(spark, small_graph):
+    """DOULION estimate: p=1 is exact; p=2 must equal a pure-Python
+    replay of the deterministic sha2 edge coin + p^3 extrapolation."""
+    import hashlib
+
+    from graphscope_spark.operators.triangles import triangle_count_approx
+
+    vertices, edges = small_graph
+    g = make_graph(spark, vertices, edges)
+    exact = sum(triangles_oracle(vertices, edges).values()) // 3
+    assert triangle_count_approx(g, p=1) == exact
+
+    def h60(s: str) -> int:
+        return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    kept = {e for e in und if h60(f"{e[0]}:{e[1]}:42") % 2 == 0}
+    adj = {}
+    for a, b in kept:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(1 for a, b in kept
+               for c in adj.get(a, set()) & adj.get(b, set())
+               if c > b) * 8
+    assert triangle_count_approx(g, p=2, hash_fn="sha2") == want
