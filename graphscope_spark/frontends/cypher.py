@@ -1160,16 +1160,18 @@ def _compile_block(pg, q, injective, length_refs, cur, minfo) -> "_Frame":
     # ---- classify WHERE conjuncts -------------------------------------
     main_vars = {n.var for part in q.parts for n in part.nodes}
     # a node variable of this block must not reuse an edge variable
-    # bound by an earlier MATCH clause (one name, two objects)
+    # bound by an earlier MATCH or OPTIONAL MATCH clause (one name, two
+    # objects)
     for v in sorted(main_vars | {n.var for part in (
             [p for _, p in exists_conjuncts] + opt_parts) for n in part.nodes}):
-        if v in minfo.edge_vars:
+        if v in minfo.edge_vars or v in minfo.opt_edge_seen:
             raise ValueError(f"cypher: duplicate variable {v!r}")
     edge_vars = {}                    # edge var -> main edge index (local)
     for i, (u, v, e, _) in enumerate(main_edges):
         if e.var:
             if e.var in edge_vars or e.var in nodes \
                     or e.var in minfo.edge_vars \
+                    or e.var in minfo.opt_edge_seen \
                     or (cur is not None and e.var in cur.df.columns):
                 raise ValueError(f"cypher: duplicate variable {e.var!r}")
             edge_vars[e.var] = i

@@ -296,6 +296,13 @@ def _ivf_kmeans_scored(corpus, queries, ncentroids, iters, nprobe,
                        id_col, vec_col, scale, centroids, index) -> DataFrame:
     """(query_id, vec_id, sim) over the probed inverted lists only —
     the shared scoring stage of ivf_kmeans_topk / hard_negative_topk."""
+    if index is not None and centroids is None:
+        # an index without its quantizer would probe a freshly-trained
+        # one whose cids need not match the index's — the equi-join then
+        # hits wrong/missing lists and recall silently collapses
+        raise ValueError(
+            "pass centroids= together with index= — an IVF index's cids "
+            "are only meaningful under the quantizer that produced them")
     if centroids is None:
         centroids = kmeans_centroids(corpus, ncentroids, iters,
                                      id_col, vec_col, scale)
@@ -325,7 +332,8 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        centroids: list[list[float]] | None = None,
                        nprobe: int = 2, scale: int = 1024,
-                       index: DataFrame | None = None) -> DataFrame:
+                       index: DataFrame | None = None,
+                       ncentroids: int = 8, iters: int = 2) -> DataFrame:
     """Hard-negative mining for contrastive training →
     (query_id, vec_id, sim, rank): the top-k most-similar neighbors per
     query whose cosine falls in the band [lo, hi) — close enough to the
@@ -344,8 +352,8 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     asc); fully deterministic.
     """
     if centroids is not None or index is not None:
-        scored = _ivf_kmeans_scored(corpus, queries, 8, 2, nprobe,
-                                    id_col, vec_col, scale,
+        scored = _ivf_kmeans_scored(corpus, queries, ncentroids, iters,
+                                    nprobe, id_col, vec_col, scale,
                                     centroids, index)
     else:
         q = queries.select(F.col(id_col).alias("query_id"),

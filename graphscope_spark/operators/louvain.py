@@ -223,7 +223,12 @@ def leiden_refine(graph: LinkGraph, assignment: DataFrame,
     sub = LinkGraph(graph.spark, intra,
                     vertices=assignment.select(F.col(vid_col).alias("vid")),
                     directed=False)
-    return wcc(sub).select("vid", F.col("comp").alias("community"))
+    try:
+        # wcc's supersteps are eager and its result is checkpointed by
+        # the runner, so the throwaway subgraph's caches free safely
+        return wcc(sub).select("vid", F.col("comp").alias("community"))
+    finally:
+        sub.unpersist_all()
 
 
 def leiden(graph: LinkGraph, weight_col: str | None = None,

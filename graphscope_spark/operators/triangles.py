@@ -87,4 +87,8 @@ def triangle_count_approx(graph: LinkGraph, p: int = 4,
     kept = und.filter(_hash60(canon, hash_fn) % p == 0)
     sub = LinkGraph(graph.spark, kept, vertices=graph.vertices,
                     directed=False)
-    return triangle_list(sub).count() * p ** 3
+    try:
+        return triangle_list(sub).count() * p ** 3
+    finally:
+        # count() is terminal — free the throwaway subgraph's caches
+        sub.unpersist_all()

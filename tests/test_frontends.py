@@ -1002,3 +1002,18 @@ def test_cypher_node_var_reusing_bound_edge_var_is_an_error(pg):
           MATCH (r)-[:created]->(s:software)
           RETURN count(*) AS n
         """)
+
+
+def test_cypher_var_reusing_optional_edge_var_is_an_error(pg):
+    with pytest.raises(ValueError, match="duplicate variable"):
+        cypher_query(pg, """
+          MATCH (a:person) OPTIONAL MATCH (a)-[r:created]->(s:software)
+          MATCH (x:person)-[r:knows]->(y:person)
+          RETURN count(*) AS n
+        """)
+    with pytest.raises(ValueError, match="duplicate variable"):
+        cypher_query(pg, """
+          MATCH (a:person) OPTIONAL MATCH (a)-[r:created]->(s:software)
+          MATCH (r)-[:knows]->(y:person)
+          RETURN count(*) AS n
+        """)

@@ -630,3 +630,19 @@ def test_similarity_empty_input_returns_empty(spark):
     topk = ivf_topk(empty, queries)
     assert topk.columns == ["query_id", "vec_id", "sim", "rank"]
     assert topk.count() == 0
+
+
+def test_ivf_index_without_centroids_is_an_error(spark, emb_df):
+    import pytest as _pytest
+
+    from graphscope_spark.functions import (hard_negative_topk,
+                                            ivf_index, ivf_kmeans_topk,
+                                            kmeans_centroids)
+
+    cents = kmeans_centroids(emb_df, ncentroids=4, iters=1)
+    idx = ivf_index(emb_df, cents)
+    queries = emb_df.filter(F.col("vec_id") < 3)
+    with _pytest.raises(ValueError, match="centroids"):
+        ivf_kmeans_topk(None, queries, k=3, index=idx)
+    with _pytest.raises(ValueError, match="centroids"):
+        hard_negative_topk(None, queries, k=3, index=idx)
