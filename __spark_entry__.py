@@ -4134,6 +4134,40 @@ def _q_hll_users(spark, sf_dir):
                       group_cols=["event_type"], p=8, hash_fn="sha2")
 
 
+def _q_cms_user_events(spark, sf_dir):
+    """Count-min sketch point-frequency estimates (Cormode &
+    Muthukrishnan 2005; functions/sketch.py::cms_sketch/cms_estimate):
+    event counts per probe user through a 4x64 exact-integer counter
+    table with the portable sha2-60 row-salted hash — the heavy-hitter
+    sibling of hll_users, replayed counter-for-counter by the oracle."""
+    from graphscope_spark.functions.sketch import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", depth=4, width=64, hash_fn="sha2")
+    probes = ev.select("user_id").filter(F.col("user_id") % 97 == 0) \
+        .distinct()
+    return cms_estimate(sk, probes, "user_id", depth=4, width=64,
+                        hash_fn="sha2")
+
+
+def _cms_user_events_sql(depth: int = 4, width: int = 64) -> str:
+    rs = ", ".join(f"({r})" for r in range(depth))
+    hk = _h60_sql("concat(k, ':', CAST(r AS VARCHAR))")
+    hp = _h60_sql("concat(CAST(user_id AS VARCHAR), ':', CAST(r AS VARCHAR))")
+    return f"""
+WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+              WHERE user_id IS NOT NULL),
+salted AS (SELECT k, r FROM keys, (VALUES {rs}) t(r)),
+cnts AS (SELECT r AS row, ({hk}) % {width} AS col, COUNT(*) AS cnt
+         FROM salted GROUP BY 1, 2),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+pr AS (SELECT user_id, r, ({hp}) % {width} AS col
+       FROM probes, (VALUES {rs}) t(r))
+SELECT pr.user_id, MIN(COALESCE(c.cnt, 0)) AS est
+FROM pr LEFT JOIN cnts c ON c.row = pr.r AND c.col = pr.col
+GROUP BY pr.user_id"""
+
+
 def _q_rel_rollup(spark, sf_dir):
     """ROLLUP hierarchy totals (GIE GroupBy extension; DuckDB oracle uses
     GROUP BY ROLLUP) — subtotal rows surfaced via COALESCE('ALL')."""
@@ -5575,6 +5609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "leiden_1lvl": _q_leiden_1lvl,
         "triangles_doulion": _q_triangles_doulion,
+        "cms_user_events": _q_cms_user_events,
     })
 
 
@@ -6742,6 +6777,7 @@ def oracle_sql() -> dict[str, str]:
         "simrank_3iter": _simrank_sql(iterations=3, c=0.8),
         "leiden_1lvl": _louvain_sql(rounds=4, refine=True),
         "triangles_doulion": _triangles_doulion_sql(),
+        "cms_user_events": _cms_user_events_sql(depth=4, width=64),
         "hard_negatives": (
             "SELECT query_id, vec_id, rank FROM ("
             "SELECT query_id, vec_id, "

@@ -50,6 +50,9 @@ from graphscope_spark.functions.profile import profile_columns
 from graphscope_spark.functions.sessions import session_stats, sessionize
 from graphscope_spark.functions.temporal import asof_join, interval_join
 from graphscope_spark.functions.sketch import (
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
     hll_estimate,
     hll_merge,
     hll_sketch,
@@ -140,7 +143,7 @@ __all__ = [
     "pack_sequences", "chunk_documents",
     "sessionize", "session_stats", "funnel_levels", "funnel_counts", "retention_matrix", "profile_columns", "event_transitions",
     "asof_join", "interval_join",
-    "hll_sketch", "hll_merge", "hll_estimate",
+    "hll_sketch", "cms_sketch", "cms_merge", "cms_estimate", "hll_merge", "hll_estimate",
     "simhash", "simhash_pairs",
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
     "hard_negative_topk",

@@ -102,3 +102,83 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
 def hll_error_bound(p: int) -> float:
     """Expected relative standard error of the estimator at precision p."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — heavy-hitter /
+# point-frequency estimation as the same exact-integer, mergeable,
+# engine-replayable table shape as the HLL family above.
+# ---------------------------------------------------------------------------
+
+def _cms_col(key: Column, row: int, width: int, hash_fn: str) -> Column:
+    """Column index of ``key`` in sketch row ``row``: the shared 60-bit
+    hash over the row-salted key, mod width — replayable in SQL."""
+    return _hash60(F.concat_ws(":", key.cast("string"), F.lit(row)),
+                   hash_fn) % width
+
+
+def cms_sketch(df: DataFrame, key_col: str,
+               group_cols: list[str] | None = None,
+               depth: int = 4, width: int = 256,
+               weight_col: str | None = None,
+               hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-group count-min counter table (group…, row, col, cnt).
+
+    cnt sums ``weight_col`` (default 1 per input row), so the sketch
+    answers weighted frequency queries too.  Only hit counters appear;
+    absent (row, col) means 0.  Mergeable (``cms_merge``): union + re-sum
+    — that IS the CMS union, same incremental-daily-fold story as HLL.
+    One narrow shuffle: groupBy(group…, row, col) with map-side partial
+    sums over depth×|input| integer rows.  Estimates are upper bounds
+    with overcount ≤ e·N/width at probability 1−e^−depth (the classic
+    CMS guarantee)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"cms_sketch: need depth >= 1, width >= 2; "
+                         f"got {depth}x{width}")
+    groups = list(group_cols or [])
+    df = df.filter(F.col(key_col).isNotNull())
+    wcol = (F.col(weight_col).cast("long") if weight_col
+            else F.lit(1).cast("long"))
+    rows = df.select(
+        *groups, wcol.alias("_w"),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     _cms_col(F.col(key_col), r, width, hash_fn)
+                     .cast("int").alias("col"))
+            for r in range(depth)])).alias("_rc"))
+    return (rows.select(*groups, F.col("_rc.row").alias("row"),
+                        F.col("_rc.col").alias("col"), "_w")
+            .groupBy(*groups, "row", "col")
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of CMS tables over the same (group…, row, col) layout."""
+    groups = [c for c in sketches[0].columns
+              if c not in ("row", "col", "cnt")]
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return (u.groupBy(*groups, "row", "col")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 256,
+                 hash_fn: str = "xxhash64") -> DataFrame:
+    """Point-frequency estimate per probe key: min over the depth rows
+    of the key's counter, absent counters counting as 0.  Returns
+    ``keys`` with an ``est`` column (ungrouped sketches only — probe a
+    grouped sketch by pre-filtering it to one group)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     _cms_col(F.col(key_col), r, width, hash_fn)
+                     .cast("int").alias("col"))
+            for r in range(depth)])).alias("_rc")) \
+        .select(key_col, F.col("_rc.row").alias("row"),
+                F.col("_rc.col").alias("col"))
+    return (probes.join(sketch, ["row", "col"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))

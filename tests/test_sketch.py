@@ -74,3 +74,73 @@ def test_estimate_small_range_correction(spark):
     df = spark.range(10).select(F.col("id").cast("string").alias("k"))
     est = hll_estimate(hll_sketch(df, "k", p=8), p=8).collect()[0]["estimate"]
     assert abs(est - 10) < 2, est
+
+
+# ---- count-min sketch ------------------------------------------------------
+
+def _py_cms(keys, depth, width, weights=None):
+    t = {}
+    for i, k in enumerate(keys):
+        w = 1 if weights is None else weights[i]
+        for r in range(depth):
+            c = _h60(f"{k}:{r}") % width
+            t[(r, c)] = t.get((r, c), 0) + w
+    return t
+
+
+def test_cms_counters_match_pure_python(spark):
+    from graphscope_spark.functions.sketch import cms_sketch
+
+    keys = [f"k{i % 37}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "key STRING")
+    got = {(r["row"], r["col"]): r["cnt"]
+           for r in cms_sketch(df, "key", depth=3, width=32,
+                               hash_fn="sha2").collect()}
+    assert got == _py_cms(keys, 3, 32)
+
+
+def test_cms_estimate_upper_bound_and_merge(spark):
+    from graphscope_spark.functions.sketch import (cms_estimate, cms_merge,
+                                                   cms_sketch)
+
+    keys = [f"k{i % 37}" for i in range(500)]
+    true = {}
+    for k in keys:
+        true[k] = true.get(k, 0) + 1
+    df = spark.createDataFrame([(k,) for k in keys], "key STRING")
+    sk = cms_sketch(df, "key", depth=4, width=64, hash_fn="sha2")
+    probes = spark.createDataFrame([(k,) for k in sorted(true)],
+                                   "key STRING")
+    est = {r["key"]: r["est"]
+           for r in cms_estimate(sk, probes, "key", depth=4, width=64,
+                                 hash_fn="sha2").collect()}
+    for k, n in true.items():
+        assert est[k] >= n           # CMS never undercounts
+        assert est[k] <= n + len(keys)  # sanity cap
+    # unseen key estimates are bounded by collisions only
+    unseen = spark.createDataFrame([("zzz",)], "key STRING")
+    e0 = cms_estimate(sk, unseen, "key", depth=4, width=64,
+                      hash_fn="sha2").collect()[0]["est"]
+    assert 0 <= e0 <= len(keys)
+    # merge of two halves == sketch of the whole
+    d1 = spark.createDataFrame([(k,) for k in keys[:250]], "key STRING")
+    d2 = spark.createDataFrame([(k,) for k in keys[250:]], "key STRING")
+    merged = {(r["row"], r["col"]): r["cnt"] for r in cms_merge(
+        cms_sketch(d1, "key", depth=4, width=64, hash_fn="sha2"),
+        cms_sketch(d2, "key", depth=4, width=64, hash_fn="sha2")).collect()}
+    whole = {(r["row"], r["col"]): r["cnt"]
+             for r in cms_sketch(df, "key", depth=4, width=64,
+                                 hash_fn="sha2").collect()}
+    assert merged == whole
+
+
+def test_cms_weighted(spark):
+    from graphscope_spark.functions.sketch import cms_sketch
+
+    rows = [("a", 5), ("b", 2), ("a", 3)]
+    df = spark.createDataFrame(rows, "key STRING, w LONG")
+    got = {(r["row"], r["col"]): r["cnt"]
+           for r in cms_sketch(df, "key", depth=2, width=16,
+                               weight_col="w", hash_fn="sha2").collect()}
+    want = _py_cms(["a", "b", "a"], 2, 16, weights=[5, 2, 3])
+    assert got == want
