@@ -4134,6 +4134,32 @@ def _q_hll_users(spark, sf_dir):
                       group_cols=["event_type"], p=8, hash_fn="sha2")
 
 
+def _q_exact_quantiles(spark, sf_dir):
+    """Exact type-1 quantiles of l_quantity via the histogram +
+    two-phase-prefix plan (functions/profile.py::exact_quantiles) — no
+    full-data sort, no single-partition window over data rows. The
+    oracle computes the same lower-rank rule with the same DOUBLE
+    rank arithmetic."""
+    from graphscope_spark.functions import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, "l_quantity", qs=(0.25, 0.5, 0.75, 0.95),
+                           num_partitions=8)
+
+
+_EXACT_QUANTILES_SQL = """
+WITH vals AS (SELECT l_quantity AS v FROM lineitem
+              WHERE l_quantity IS NOT NULL),
+n AS (SELECT COUNT(*) AS n FROM vals),
+cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum
+        FROM (SELECT v, COUNT(*) AS cnt FROM vals GROUP BY v)),
+qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.95))
+SELECT CAST(q AS DOUBLE) AS q, MIN(v) AS value
+FROM qs, cum, n
+WHERE cum.cum >= CEIL(CAST(q AS DOUBLE) * n.n)
+GROUP BY q"""
+
+
 def _q_cms_user_events(spark, sf_dir):
     """Count-min sketch point-frequency estimates (Cormode &
     Muthukrishnan 2005; functions/sketch.py::cms_sketch/cms_estimate):
@@ -5610,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden_1lvl": _q_leiden_1lvl,
         "triangles_doulion": _q_triangles_doulion,
         "cms_user_events": _q_cms_user_events,
+        "exact_quantiles": _q_exact_quantiles,
     })
 
 
@@ -6778,6 +6805,7 @@ def oracle_sql() -> dict[str, str]:
         "leiden_1lvl": _louvain_sql(rounds=4, refine=True),
         "triangles_doulion": _triangles_doulion_sql(),
         "cms_user_events": _cms_user_events_sql(depth=4, width=64),
+        "exact_quantiles": _EXACT_QUANTILES_SQL,
         "hard_negatives": (
             "SELECT query_id, vec_id, rank FROM ("
             "SELECT query_id, vec_id, "

@@ -46,7 +46,7 @@ from graphscope_spark.functions.sample import (
     stratified_sample,
 )
 from graphscope_spark.functions.funnel import event_transitions, funnel_counts, funnel_levels, retention_matrix
-from graphscope_spark.functions.profile import profile_columns
+from graphscope_spark.functions.profile import exact_quantiles, profile_columns
 from graphscope_spark.functions.sessions import session_stats, sessionize
 from graphscope_spark.functions.temporal import asof_join, interval_join
 from graphscope_spark.functions.sketch import (
@@ -141,7 +141,7 @@ __all__ = [
     "bpe_encode",
     "hash_sample", "stratified_sample", "sample_gate", "mixture_plan",
     "pack_sequences", "chunk_documents",
-    "sessionize", "session_stats", "funnel_levels", "funnel_counts", "retention_matrix", "profile_columns", "event_transitions",
+    "sessionize", "session_stats", "funnel_levels", "funnel_counts", "retention_matrix", "profile_columns", "exact_quantiles", "event_transitions",
     "asof_join", "interval_join",
     "hll_sketch", "cms_sketch", "cms_merge", "cms_estimate", "hll_merge", "hll_estimate",
     "simhash", "simhash_pairs",

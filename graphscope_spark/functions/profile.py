@@ -83,3 +83,59 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None,
                 F.col(f"_max_{i}").alias("max_str")))
     return (one.select(F.explode(F.array(*structs)).alias("p"))
             .select("p.*"))
+
+
+def exact_quantiles(df: DataFrame, col: str,
+                    qs: tuple = (0.25, 0.5, 0.75),
+                    num_partitions: int = 32) -> DataFrame:
+    """(q, value): EXACT type-1 (lower-rank) quantiles — the smallest
+    value whose cumulative count reaches ceil(q*N) — when
+    ``percentile_approx``'s error bound isn't acceptable (threshold
+    tuning, contract SLOs, deterministic mixture cuts).
+
+    Scale shape — never a full-data sort and never a single-partition
+    window over the data:
+      1. value histogram: groupBy(col).count() — ONE narrow shuffle,
+         map-side combined;
+      2. range-repartition the (distinct-value, count) rows, cumulative
+         count per partition via a partition-local window;
+      3. P per-partition totals (P rows, not N) prefix-summed through a
+         broadcast join back — the same two-phase prefix-sum pattern as
+         pack_sequences;
+      4. each requested q picks min(value) with cum >= ceil(q*N) — a
+         tiny ordered-limit per quantile.
+    """
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("exact_quantiles: need at least one q")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"exact_quantiles: q must be in (0, 1]: {q}")
+    hist = (df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("v"))
+            .agg(F.count("*").alias("cnt"))
+            .repartitionByRange(num_partitions, "v")
+            .withColumn("pid", F.spark_partition_id()))
+    local = hist.withColumn(
+        "lcum", F.sum("cnt").over(
+            Window.partitionBy("pid").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ptot = (hist.groupBy("pid").agg(F.sum("cnt").alias("ptot")))
+    prefix = ptot.withColumn(
+        "before", F.coalesce(
+            F.sum("ptot").over(
+                Window.orderBy("pid")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0))).select("pid", "before")
+    cum = (local.join(F.broadcast(prefix), "pid")
+           .select("v", (F.col("lcum") + F.col("before")).alias("cum")))
+    n = df.filter(F.col(col).isNotNull()).count()
+    out = None
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.lit(n))
+        pick = (cum.filter(F.col("cum") >= rank)
+                .orderBy("v").limit(1)
+                .select(F.lit(float(q)).alias("q"), F.col("v").alias("value")))
+        out = pick if out is None else out.unionByName(pick)
+    return out

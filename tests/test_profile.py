@@ -41,3 +41,36 @@ def test_profile_awkward_column_names(spark):
     assert out["avg rate"]["median_micro"] == 2_000_000
     assert out["wei`rd"]["median_micro"] == 3_000_000
     assert out["tag.name"]["min_str"] == "a"
+
+
+def test_exact_quantiles_type1_with_ties(spark):
+    import math
+    import random
+
+    from graphscope_spark.functions import exact_quantiles
+
+    rnd = random.Random(7)
+    vals = [float(rnd.randint(0, 40)) for _ in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    qs = (0.01, 0.25, 0.5, 0.75, 0.95, 1.0)
+    got = {r["q"]: r["value"]
+           for r in exact_quantiles(df, "x", qs=qs,
+                                    num_partitions=8).collect()}
+    s = sorted(vals)
+    for q in qs:
+        want = s[math.ceil(q * len(s)) - 1]   # type-1 lower-rank
+        assert got[q] == want, (q, got[q], want)
+
+
+def test_exact_quantiles_ignores_nulls_and_validates(spark):
+    import pytest as _pytest
+
+    from graphscope_spark.functions import exact_quantiles
+
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,), (2.0,)],
+                               "x DOUBLE")
+    got = {r["q"]: r["value"]
+           for r in exact_quantiles(df, "x", qs=(0.5, 1.0)).collect()}
+    assert got == {0.5: 2.0, 1.0: 3.0}
+    with _pytest.raises(ValueError, match="q must be"):
+        exact_quantiles(df, "x", qs=(0.0,))
