@@ -4134,6 +4134,63 @@ def _q_hll_users(spark, sf_dir):
                       group_cols=["event_type"], p=8, hash_fn="sha2")
 
 
+def _q_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval: a BM25 lexical leg over documents and an exact
+    embedding-cosine leg fused by Reciprocal Rank Fusion (Cormack
+    SIGIR'09; functions/similarity.py::rrf_fuse). Two legs means every
+    fused score is a 2-term double sum — commutative, so the oracle is
+    bit-exact at nano rounding."""
+    from graphscope_spark.functions import (bm25_topk, brute_force_topk,
+                                            rrf_fuse)
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "join", "window"], k=20)
+    wlex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = lex.select("doc_id", F.row_number().over(wlex).alias("rank"))
+    sem = (brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+           .select(F.col("vec_id").alias("doc_id"), "rank"))
+    out = rrf_fuse([lex, sem], k=60, topk=10)
+    return out.select(
+        "doc_id",
+        F.round(F.col("rrf_score") * 1e9).cast("long").alias("rrf_nano"),
+        "rank")
+
+
+_RRF_HYBRID_SQL = (
+    r"WITH tok AS (SELECT doc_id, list_filter("
+    r"string_split_regex(text, '\s+'), x -> x <> '') AS ts "
+    "FROM documents), "
+    "toks AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM tok), "
+    "q AS (SELECT doc_id, dl, term FROM toks "
+    "WHERE term IN ('spark', 'join', 'window')), "
+    "tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM q "
+    "GROUP BY doc_id, dl, term), "
+    "dfreq AS (SELECT term, COUNT(*) AS df_count FROM tf GROUP BY term), "
+    "st AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM tok), "
+    "per AS (SELECT tf.doc_id, "
+    "ln(1 + (st.n_docs - dfreq.df_count + 0.5) / (dfreq.df_count + 0.5)) "
+    "* (tf.tf * (1.2 + 1)) / "
+    "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl)) AS s "
+    "FROM tf JOIN dfreq USING (term) CROSS JOIN st), "
+    "lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY SUM(s) DESC, "
+    "doc_id ASC) AS rank FROM per GROUP BY doc_id "
+    "ORDER BY rank LIMIT 20), "
+    "sem AS (SELECT vec_id AS doc_id, rank FROM ("
+    "SELECT b.vec_id, ROW_NUMBER() OVER (ORDER BY "
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id ASC) AS rank "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
+    "WHERE a.vec_id = 0) WHERE rank <= 20), "
+    "u AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM lex "
+    "UNION ALL SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) FROM sem), "
+    "sc AS (SELECT doc_id, SUM(c) AS rrf FROM u GROUP BY doc_id) "
+    "SELECT doc_id, CAST(ROUND(rrf * 1e9) AS BIGINT) AS rrf_nano, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) "
+    "AS rank FROM sc ORDER BY rank LIMIT 10"
+)
+
+
 def _q_exact_quantiles(spark, sf_dir):
     """Exact type-1 quantiles of l_quantity via the histogram +
     two-phase-prefix plan (functions/profile.py::exact_quantiles) — no
@@ -5637,6 +5694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_doulion": _q_triangles_doulion,
         "cms_user_events": _q_cms_user_events,
         "exact_quantiles": _q_exact_quantiles,
+        "rrf_hybrid": _q_rrf_hybrid,
     })
 
 
@@ -6806,6 +6864,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_doulion": _triangles_doulion_sql(),
         "cms_user_events": _cms_user_events_sql(depth=4, width=64),
         "exact_quantiles": _EXACT_QUANTILES_SQL,
+        "rrf_hybrid": _RRF_HYBRID_SQL,
         "hard_negatives": (
             "SELECT query_id, vec_id, rank FROM ("
             "SELECT query_id, vec_id, "

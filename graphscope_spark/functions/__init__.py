@@ -69,6 +69,7 @@ from graphscope_spark.functions.similarity import (
     pq_codebooks,
     pq_encode,
     pq_topk,
+    rrf_fuse,
     semdedup,
 )
 from graphscope_spark.functions.multimodal import (
@@ -148,7 +149,7 @@ __all__ = [
     "cosine_sim", "brute_force_topk", "ivf_topk", "cosine_neardup_pairs",
     "hard_negative_topk",
     "kmeans_centroids", "ivf_kmeans_topk", "ivf_index", "semdedup",
-    "pq_codebooks", "pq_encode", "pq_topk",
+    "pq_codebooks", "pq_encode", "pq_topk", "rrf_fuse",
     "media_table", "decode_image_stub", "sample_frames_stub", "real_decode",
     "encode_bmp", "decode_bmp", "bmp_media", "decode_bmp_features",
     "encode_wav", "decode_wav", "wav_media", "decode_wav_features",

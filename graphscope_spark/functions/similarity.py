@@ -665,3 +665,28 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "vec_id",
                     F.round(F.col("d2") * 1e6).cast("long")
                     .alias("l2_micro"), "rank"))
+
+
+def rrf_fuse(rankings: list, id_col: str = "doc_id",
+             rank_col: str = "rank", k: int = 60,
+             topk: int | None = None) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    fused_score(d) = Σ over rankings r of 1/(k + rank_r(d)) — the
+    standard way to combine a lexical (BM25) and an embedding (ANN)
+    retrieval leg into one hybrid ranking without score calibration.
+    A document absent from a leg simply contributes nothing.
+
+    Returns (id, rrf_score, rank) ordered by score desc / id asc.
+    Shape: one union of the (already tiny, top-k) leg outputs + one
+    aggregate + one rank window — the legs carry the real cost."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    u = None
+    for r in rankings:
+        leg = r.select(F.col(id_col),
+                       (1.0 / (F.lit(k) + F.col(rank_col))).alias("_c"))
+        u = leg if u is None else u.unionByName(leg)
+    scores = u.groupBy(id_col).agg(F.sum("_c").alias("rrf_score"))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    out = scores.withColumn("rank", F.row_number().over(w))
+    return out.filter(F.col("rank") <= topk) if topk else out

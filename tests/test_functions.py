@@ -646,3 +646,28 @@ def test_ivf_index_without_centroids_is_an_error(spark, emb_df):
         ivf_kmeans_topk(None, queries, k=3, index=idx)
     with _pytest.raises(ValueError, match="centroids"):
         hard_negative_topk(None, queries, k=3, index=idx)
+
+
+def test_rrf_fuse_matches_pure_python(spark):
+    from graphscope_spark.functions import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id LONG, rank LONG")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)],
+                              "doc_id LONG, rank LONG")
+    got = [(r["doc_id"], r["rrf_score"], r["rank"])
+           for r in rrf_fuse([a, b], k=60).orderBy("rank").collect()]
+    want = {}
+    for ranks in ([(1, 1), (2, 2), (3, 3)], [(3, 1), (1, 2), (9, 3)]):
+        for d, rk in ranks:
+            want[d] = want.get(d, 0.0) + 1.0 / (60 + rk)
+    order = sorted(want, key=lambda d: (-want[d], d))
+    for i, d in enumerate(order):
+        assert got[i][0] == d
+        assert abs(got[i][1] - want[d]) < 1e-12
+        assert got[i][2] == i + 1
+    top2 = rrf_fuse([a, b], k=60, topk=2).count()
+    assert top2 == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
