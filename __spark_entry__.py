@@ -5197,8 +5197,24 @@ def _q_betweenness_approx(spark, sf_dir):
         F.round(F.col("betweenness") * 1e6).cast("long").alias("bc_micro"))
 
 
+def _q_edge_betweenness(spark, sf_dir):
+    """Brandes EDGE betweenness (all sources, unnormalized, undirected
+    — NetworkX _rescale_e 1/2) on the small co-purchase graph: the edge
+    sums are one extra 3-way join over the same forward/backward tables
+    as betweenness_exact (operators/betweenness.py::
+    edge_betweenness_centrality)."""
+    from graphscope_spark.operators.betweenness import \
+        edge_betweenness_centrality
+
+    g = _tri_graph_small_und(spark, sf_dir)
+    bc = edge_betweenness_centrality(g, sources="all", normalized=False)
+    return bc.select(
+        "src", "dst",
+        F.round(F.col("betweenness") * 1e6).cast("long").alias("bc_micro"))
+
+
 def _betweenness_sql(depth: int = 8, pivot_where: str = None,
-                     pivot_limit: int = 0) -> str:
+                     pivot_limit: int = 0, edge_mode: bool = False) -> str:
     """Unrolled Brandes in plain SQL: level-synchronous BFS from every
     vertex (lev{k} = new frontier with path counts, vis{k} = cumulative
     visited set), then dependency accumulation swept from the deepest
@@ -5260,6 +5276,29 @@ vis0 AS MATERIALIZED (SELECT s, v FROM lev0)"""]
     extrap = ("" if pivot_where is None else
               " * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM verts)"
               " / (SELECT COUNT(*) FROM pivots))")
+    if edge_mode:
+        # per-EDGE sums: the del{d} inner product grouped by the edge's
+        # canonical undirected key instead of by the lower endpoint
+        return ",\n".join(parts) + f""",
+ecomp AS MATERIALIZED (
+  SELECT LEAST(lo.v, e.v) AS src, GREATEST(lo.v, e.v) AS dst,
+         SUM(lo.sigma / hi.sigma * (1 + COALESCE(dw.delta, 0))) AS c
+  FROM lev lo
+  JOIN edges e ON e.u = lo.v
+  JOIN lev hi ON hi.s = lo.s AND hi.v = e.v AND hi.d = lo.d + 1
+  LEFT JOIN alldel dw ON dw.s = hi.s AND dw.v = hi.v
+  GROUP BY 1, 2),
+ue AS (SELECT DISTINCT LEAST(u, v) AS src, GREATEST(u, v) AS dst
+       FROM edges)
+SELECT ue.src, ue.dst,
+       CAST(ROUND(COALESCE(ec.c, 0) / 2 * 1e6) AS BIGINT) AS bc_micro
+FROM ue LEFT JOIN ecomp ec ON ec.src = ue.src AND ec.dst = ue.dst
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+WHERE EXISTS (
+  SELECT 1 FROM lev{depth} l JOIN edges e ON e.u = l.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{depth} x
+                    WHERE x.s = l.s AND x.v = e.v))"""
     return ",\n".join(parts) + f"""
 SELECT vt.vid,
        CAST(ROUND(COALESCE(SUM(a.delta), 0) / 2{extrap} * 1e6) AS BIGINT)
@@ -5695,6 +5734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_events": _q_cms_user_events,
         "exact_quantiles": _q_exact_quantiles,
         "rrf_hybrid": _q_rrf_hybrid,
+        "edge_betweenness": _q_edge_betweenness,
     })
 
 
@@ -6865,6 +6905,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_events": _cms_user_events_sql(depth=4, width=64),
         "exact_quantiles": _EXACT_QUANTILES_SQL,
         "rrf_hybrid": _RRF_HYBRID_SQL,
+        "edge_betweenness": _betweenness_sql(depth=8, edge_mode=True),
         "hard_negatives": (
             "SELECT query_id, vec_id, rank FROM ("
             "SELECT query_id, vec_id, "

@@ -99,6 +99,7 @@ from graphscope_spark.operators import (
     truss_number_max,
     average_degree_connectivity,
     betweenness_centrality,
+    edge_betweenness_centrality,
     degree_assortativity_coefficient,
     diameter_approx,
     eccentricity,
@@ -150,7 +151,7 @@ __all__ = [
     "in_triangle_count", "out_triangle_count",
     "densest_subgraph_2approx", "onion_layers", "subgraph_counts",
     "biconnected_components", "articulation_points",
-    "scc", "louvain", "leiden", "leiden_refine", "modularity", "betweenness_centrality", "voterank",
+    "scc", "louvain", "leiden", "leiden_refine", "modularity", "betweenness_centrality", "edge_betweenness_centrality", "voterank",
     "sssp_path", "sssp_average_length", "sssp_has_path", "is_simple_path",
     "degree_assortativity_coefficient", "average_degree_connectivity",
     "node_boundary", "edge_boundary", "eccentricity", "diameter_approx",

@@ -54,9 +54,12 @@ from graphscope_spark.operators.traversal import sssp_path  # noqa: E402
 
 __all__ += ["scc", "louvain", "leiden", "leiden_refine", "modularity", "sssp_path"]
 
-from graphscope_spark.operators.betweenness import betweenness_centrality  # noqa: E402
+from graphscope_spark.operators.betweenness import (  # noqa: E402
+    betweenness_centrality,
+    edge_betweenness_centrality,
+)
 
-__all__ += ["betweenness_centrality"]
+__all__ += ["betweenness_centrality", "edge_betweenness_centrality"]
 
 from graphscope_spark.operators.sampling import (  # noqa: E402
     all_simple_paths, neighbor_sample, sampling_path)

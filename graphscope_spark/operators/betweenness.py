@@ -37,9 +37,16 @@ def betweenness_centrality(graph: LinkGraph,
                            num_pivots: int = 16, seed: int = 42) -> DataFrame:
     """(vid, betweenness). Sampled-pivot estimate by default; exact with
     ``sources="all"``."""
-    spark = graph.spark
-    n = graph.num_vertices
     sources = resolve_sources(graph, sources, num_pivots, seed)
+    delta, edges, t = _brandes_delta(graph, sources)
+    return _finish_vertex(graph, delta, edges, sources, normalized, t)
+
+
+def _brandes_delta(graph: LinkGraph, sources: list[int]):
+    """Batched Brandes forward+backward: the per-(source, vid) state
+    table (source, vid, depth, sigma, delta) all betweenness flavors
+    post-process, plus the persisted traversal edges."""
+    spark = graph.spark
     t = Truncator()
     # undirected LinkGraphs store both orientations (factory-enforced;
     # sym_edges() returns them as-is) — the conditional only matters for
@@ -98,7 +105,12 @@ def betweenness_centrality(graph: LinkGraph,
             ),
             "delta",
         )
+    return delta, edges, t
 
+
+def _finish_vertex(graph: LinkGraph, delta, edges, sources,
+                   normalized: bool, t: Truncator) -> DataFrame:
+    n = graph.num_vertices
     bc = (
         delta.filter(F.col("vid") != F.col("source"))
         .groupBy("vid").agg(F.sum("delta").alias("betweenness"))
@@ -116,5 +128,64 @@ def betweenness_centrality(graph: LinkGraph,
         out = out.select(
             "vid",
             (F.col("betweenness") * (n / len(sources))).alias("betweenness"))
+    edges.unpersist()
+    return out
+
+
+def edge_betweenness_centrality(graph: LinkGraph,
+                                sources: list[int] | str | None = None,
+                                normalized: bool = True,
+                                num_pivots: int = 16,
+                                seed: int = 42) -> DataFrame:
+    """(src, dst, betweenness) — Brandes EDGE betweenness over the same
+    batched forward/backward tables as the vertex flavor: the edge
+    (v, w) with depth(w) = depth(v)+1 in source s's shortest-path DAG
+    carries sigma_s(v)/sigma_s(w) * (1 + delta_s(w)), summed over
+    sources (Brandes 2001 §4; NetworkX edge_betweenness_centrality
+    semantics, including its _rescale_e: normalized -> 1/(n(n-1)),
+    unnormalized undirected -> 1/2, and the n/k subset extrapolation
+    whenever a scale applies). Undirected graphs report each edge once
+    with src < dst; directed graphs keep the stored orientation.
+
+    No extra supersteps: the edge sums are ONE additional 3-way join +
+    aggregate over the final per-(source, vid) state — the traversal
+    cost is shared with (and identical to) the vertex operator."""
+    n = graph.num_vertices
+    sources = resolve_sources(graph, sources, num_pivots, seed)
+    delta, edges, t = _brandes_delta(graph, sources)
+    lo = delta.select("source", F.col("vid").alias("src"),
+                      F.col("depth").alias("_dlo"),
+                      F.col("sigma").alias("_sv"))
+    hi = delta.select("source", F.col("vid").alias("dst"),
+                      F.col("depth").alias("_dhi"),
+                      F.col("sigma").alias("_sw"),
+                      F.col("delta").alias("_dw"))
+    ec = (edges.join(lo, "src").join(hi, ["source", "dst"])
+          .filter(F.col("_dhi") == F.col("_dlo") + 1)
+          .select("src", "dst",
+                  (F.col("_sv") / F.col("_sw")
+                   * (1.0 + F.col("_dw"))).alias("_c")))
+    if graph.directed:
+        out = ec.groupBy("src", "dst").agg(F.sum("_c").alias("betweenness"))
+        base = graph.edges.select("src", "dst").distinct()
+    else:
+        out = (ec.select(F.least("src", "dst").alias("src"),
+                         F.greatest("src", "dst").alias("dst"), "_c")
+               .groupBy("src", "dst").agg(F.sum("_c").alias("betweenness")))
+        base = (graph.edges.select(F.least("src", "dst").alias("src"),
+                                   F.greatest("src", "dst").alias("dst"))
+                .distinct())
+    out = base.join(out, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
+    scale = None
+    if normalized and n > 1:
+        scale = 1.0 / (n * (n - 1))
+    elif not graph.directed:
+        scale = 0.5
+    if scale is not None:
+        if 0 < len(sources) < n:
+            scale = scale * (n / len(sources))
+        out = out.select("src", "dst",
+                         (F.col("betweenness") * scale).alias("betweenness"))
     edges.unpersist()
     return out

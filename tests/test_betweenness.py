@@ -82,3 +82,106 @@ def test_betweenness_sampled_subset(spark):
                 want[w] += delta[w]
     for v in vertices:
         assert abs(got.get(v, 0.0) - want.get(v, 0.0)) < 1e-9, v
+
+
+def _edge_betweenness_oracle(vertices, edges, directed=True,
+                             normalized=False, sources=None):
+    """Pure-Python Brandes edge accumulation (NetworkX semantics)."""
+    from collections import deque
+
+    adj = {v: [] for v in vertices}
+    for a, b in edges:
+        adj[a].append(b)
+        if not directed:
+            adj[b].append(a)
+    keys = (lambda u, v: (u, v)) if directed else \
+        (lambda u, v: (min(u, v), max(u, v)))
+    bc = {}
+    for a, b in edges:
+        bc[keys(a, b)] = 0.0
+    n = len(vertices)
+    srcs = vertices if sources is None else sources
+    for s in srcs:
+        dist = {s: 0}
+        sigma = {v: 0.0 for v in vertices}
+        sigma[s] = 1.0
+        preds = {v: [] for v in vertices}
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in vertices}
+        for w in reversed(order):
+            for v in preds[w]:
+                c = sigma[v] / sigma[w] * (1.0 + delta[w])
+                bc[keys(v, w)] += c
+                delta[v] += c
+    scale = None
+    if normalized and n > 1:
+        scale = 1.0 / (n * (n - 1))
+    elif not directed:
+        scale = 0.5
+    if scale is not None:
+        if sources is not None and 0 < len(sources) < n:
+            scale *= n / len(sources)
+        bc = {e: x * scale for e, x in bc.items()}
+    return bc
+
+
+def test_edge_betweenness_directed_exact(spark):
+    from graphscope_spark.operators.betweenness import \
+        edge_betweenness_centrality
+
+    vertices, edges = power_law_graph(n=40, m=150, seed=9,
+                                      with_dangling=False)
+    edges = sorted(set(edges))
+    g = LinkGraph(spark, spark.createDataFrame(edges, "src LONG, dst LONG"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices],
+                                                 "vid LONG"),
+                  num_partitions=4)
+    got = {(r["src"], r["dst"]): r["betweenness"]
+           for r in edge_betweenness_centrality(g, sources="all",
+                                                normalized=False).collect()}
+    want = _edge_betweenness_oracle(vertices, edges, directed=True)
+    assert set(got) == set(want)
+    for e in want:
+        assert abs(got[e] - want[e]) < 1e-9, (e, got[e], want[e])
+
+
+def test_edge_betweenness_undirected_normalized_and_subset(spark):
+    from graphscope_spark.operators.betweenness import \
+        edge_betweenness_centrality
+
+    vertices, edges = power_law_graph(n=30, m=90, seed=10,
+                                      with_dangling=False)
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    sym = und + [(b, a) for a, b in und]
+    g = LinkGraph(spark, spark.createDataFrame(sym, "src LONG, dst LONG"),
+                  vertices=spark.createDataFrame([(v,) for v in vertices],
+                                                 "vid LONG"),
+                  num_partitions=4, directed=False)
+    got = {(r["src"], r["dst"]): r["betweenness"]
+           for r in edge_betweenness_centrality(g, sources="all",
+                                                normalized=True).collect()}
+    want = _edge_betweenness_oracle(vertices, und, directed=False,
+                                    normalized=True)
+    assert set(got) == set(want)
+    for e in want:
+        assert abs(got[e] - want[e]) < 1e-9, (e, got[e], want[e])
+    # pivot subset with n/k extrapolation (unnormalized undirected)
+    srcs = sorted(vertices)[:7]
+    got_s = {(r["src"], r["dst"]): r["betweenness"]
+             for r in edge_betweenness_centrality(
+                 g, sources=srcs, normalized=False).collect()}
+    want_s = _edge_betweenness_oracle(vertices, und, directed=False,
+                                      normalized=False, sources=srcs)
+    for e in want_s:
+        assert abs(got_s[e] - want_s[e]) < 1e-9, e
