@@ -781,6 +781,42 @@ tris AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM ori e1
 SELECT CAST(COUNT(*) * 8 AS BIGINT) AS est_triangles FROM tris"""
 
 
+def _q_triangles_warm(spark, sf_dir):
+    """Incremental triangle maintenance under edge inserts
+    (operators/triangles.py::triangles_incremental — the warm-start
+    sibling of wcc_warm/sssp_warm/pagerank_warm): old graph = co-supply
+    band <= 20, insert batch = band (20, 25]; updated counts must equal
+    a cold full recount, which is exactly what the oracle computes on
+    the combined graph."""
+    from graphscope_spark import LinkGraph
+    from graphscope_spark.operators.triangles import (triangles,
+                                                      triangles_incremental)
+
+    full = _tri_edges_small(spark, sf_dir)
+    old_e = full.filter(F.col("dst") - F.col("src") <= 20)
+    new_e = full.filter(F.col("dst") - F.col("src") > 20)
+    g_old = LinkGraph(spark, old_e, directed=True)
+    return triangles_incremental(g_old, new_e, counts=triangles(g_old)) \
+        .select("vid", "tricnt")
+
+
+_TRIANGLES_WARM_SQL = f"""
+WITH tri_edges AS MATERIALIZED ({_TRI_EDGES_SMALL_SQL}),
+und AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst FROM tri_edges WHERE src <> dst
+        UNION SELECT dst AS src, src AS dst FROM tri_edges WHERE src <> dst)),
+verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM tri_edges UNION SELECT dst FROM tri_edges)),
+deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src),
+ori AS MATERIALIZED (SELECT u.src, u.dst FROM und u JOIN deg ds ON u.src = ds.vid JOIN deg dd ON u.dst = dd.vid
+        WHERE dd.deg < ds.deg OR (dd.deg = ds.deg AND u.dst < u.src)),
+tris AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM ori e1
+         JOIN ori e2 ON e1.dst = e2.src
+         JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (SELECT a AS vid FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris)
+SELECT v.vid, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS tricnt
+FROM verts v LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM corners GROUP BY vid) c
+ON v.vid = c.vid"""
+
+
 def _q_bfs(spark, sf_dir):
     from graphscope_spark import bfs
 
@@ -5735,6 +5771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": _q_exact_quantiles,
         "rrf_hybrid": _q_rrf_hybrid,
         "edge_betweenness": _q_edge_betweenness,
+        "triangles_warm": _q_triangles_warm,
     })
 
 
@@ -6906,6 +6943,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_quantiles": _EXACT_QUANTILES_SQL,
         "rrf_hybrid": _RRF_HYBRID_SQL,
         "edge_betweenness": _betweenness_sql(depth=8, edge_mode=True),
+        "triangles_warm": _TRIANGLES_WARM_SQL,
         "hard_negatives": (
             "SELECT query_id, vec_id, rank FROM ("
             "SELECT query_id, vec_id, "

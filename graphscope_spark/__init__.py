@@ -79,6 +79,7 @@ from graphscope_spark.operators import (
     transitivity,
     triangle_count,
     triangle_count_approx,
+    triangles_incremental,
     triangles,
     wcc,
 )
@@ -134,7 +135,7 @@ __all__ = [
     "build_session",
     "load_csv_graph",
     "cypher_query", "traversal", "P", "TextP", "gremlin_query",
-    "pagerank", "ppr", "articlerank", "wcc", "cdlp", "triangles", "triangle_count", "triangle_count_approx",
+    "pagerank", "ppr", "articlerank", "wcc", "cdlp", "triangles", "triangle_count", "triangle_count_approx", "triangles_incremental",
     "bfs", "sssp", "msbfs", "all_pairs_shortest_path_length",
     "closeness_centrality",
     "degree_centrality", "eigenvector_centrality", "katz_centrality", "hits",

@@ -2,7 +2,7 @@ from graphscope_spark.operators.pagerank import PageRankJob, pagerank
 from graphscope_spark.operators.wcc import WCCJob, wcc
 from graphscope_spark.operators.cdlp import CDLPJob, cdlp
 from graphscope_spark.operators.triangles import (
-    triangles, triangle_count, triangle_count_approx)
+    triangles, triangle_count, triangle_count_approx, triangles_incremental)
 from graphscope_spark.operators.traversal import (
     bfs, sssp, msbfs, all_pairs_shortest_path_length, closeness_centrality,
 )
@@ -16,7 +16,7 @@ __all__ = [
     "pagerank", "PageRankJob",
     "wcc", "WCCJob",
     "cdlp", "CDLPJob",
-    "triangles", "triangle_count", "triangle_count_approx",
+    "triangles", "triangle_count", "triangle_count_approx", "triangles_incremental",
     "bfs", "sssp", "msbfs", "all_pairs_shortest_path_length",
     "closeness_centrality",
     "degree_centrality", "eigenvector_centrality", "katz_centrality", "hits",

@@ -92,3 +92,63 @@ def triangle_count_approx(graph: LinkGraph, p: int = 4,
     finally:
         # count() is terminal — free the throwaway subgraph's caches
         sub.unpersist_all()
+
+
+def triangles_incremental(graph: LinkGraph, new_edges: DataFrame,
+                          counts: DataFrame = None) -> DataFrame:
+    """Incremental per-vertex triangle maintenance under edge INSERTS —
+    the warm-start sibling of wcc/sssp/pagerank warm starts: given
+    ``counts`` = triangles(graph) and a batch of new undirected edges,
+    return the updated (vid, tricnt) for graph + new_edges by counting
+    ONLY triangles that touch at least one new edge.
+
+    The delta enumeration reuses the degree-ordered oriented join on the
+    COMBINED graph with a per-edge is-new flag; triangles entirely
+    inside the old graph are filtered out before the corner explode, so
+    the incremental cost tracks the new batch's wedge count, not the
+    full graph's. With ``counts=None`` the base counts are computed
+    fresh (then the result simply equals triangles(combined))."""
+    if counts is None:
+        counts = triangles(graph)
+    base = (graph.und_edges() if graph.directed else
+            graph.edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst")).distinct())
+    ns = new_edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    # an "insert" of an edge already present must not re-count its
+    # triangles — they are in the old counts
+    nsym = (ns.union(ns.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct()
+            .join(base, ["src", "dst"], "left_anti"))
+    # combined simple undirected view + degree-ordered orientation built
+    # INLINE (no throwaway persisted LinkGraph — one-shot plan)
+    und = base.withColumn("_new", F.lit(False)) \
+        .unionByName(nsym.withColumn("_new", F.lit(True)))
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    o = (und.join(deg, "src")
+         .join(deg.select(F.col("src").alias("dst"),
+                          F.col("deg").alias("_dd")), "dst")
+         .filter((F.col("_dd") < F.col("deg"))
+                 | ((F.col("_dd") == F.col("deg"))
+                    & (F.col("dst") < F.col("src"))))
+         .select("src", "dst", "_new"))
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                  F.col("_new").alias("n1"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"),
+                  F.col("_new").alias("n2"))
+    e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"),
+                  F.col("_new").alias("n3"))
+    tris = (e1.join(e2, "b").join(e3, ["a", "c"])
+            .filter(F.col("n1") | F.col("n2") | F.col("n3")))
+    corners = (tris.select(F.col("a").alias("vid"))
+               .union(tris.select("b")).union(tris.select("c")))
+    delta = corners.groupBy("vid").agg(F.count("*").alias("_d"))
+    verts = und.select(F.col("src").alias("vid")).distinct() \
+        .unionByName(graph.vertices.select("vid")).distinct()
+    return (verts
+            .join(counts.select("vid", F.col("tricnt").alias("_old")),
+                  "vid", "left")
+            .join(delta, "vid", "left")
+            .select("vid",
+                    (F.coalesce("_old", F.lit(0))
+                     + F.coalesce("_d", F.lit(0)))
+                    .cast("long").alias("tricnt")))

@@ -110,3 +110,27 @@ def test_triangle_count_approx_replays_hash_sample(spark, small_graph):
                for c in adj.get(a, set()) & adj.get(b, set())
                if c > b) * 8
     assert triangle_count_approx(g, p=2, hash_fn="sha2") == want
+
+
+def test_triangles_incremental_matches_full_recount(spark, small_graph):
+    from graphscope_spark.operators.triangles import (triangles,
+                                                      triangles_incremental)
+
+    vertices, edges = small_graph
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    old_e, new_e = und[: len(und) * 2 // 3], und[len(und) * 2 // 3:]
+    g_old = make_graph(spark, vertices, old_e)
+    counts_old = triangles(g_old)
+    new_df = spark.createDataFrame(new_e, "src LONG, dst LONG")
+    got = {r["vid"]: r["tricnt"]
+           for r in triangles_incremental(g_old, new_df,
+                                          counts=counts_old).collect()}
+    want = triangles_oracle(vertices, und)
+    assert got == want
+    # re-inserting existing edges must be a no-op
+    dup = spark.createDataFrame(old_e[:5], "src LONG, dst LONG")
+    same = {r["vid"]: r["tricnt"]
+            for r in triangles_incremental(
+                g_old, dup, counts=counts_old).collect()}
+    base = {r["vid"]: r["tricnt"] for r in counts_old.collect()}
+    assert same == base
