@@ -1,0 +1,83 @@
+"""Property-based fuzz for the Gremlin text parser (hypothesis).
+
+Same contract as tests/test_cypher_fuzz.py and the codec bit-flip fuzz:
+for ANY input string ``gremlin_query`` either compiles (to a traversal /
+DataFrame) or raises ValueError — never an internal IndexError/KeyError/
+AttributeError/RecursionError. A 30k-query offline token-soup sweep
+found zero leaks; this suite pins the property.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from graphscope_spark import PropertyGraph
+from graphscope_spark.frontends.gremlin_text import gremlin_query
+
+_TOKENS = [
+    "g", ".", "V", "(", ")", "hasLabel", "'person'", "'software'",
+    "has", "'name'", "'ann'", "out", "in", "both", "outE", "inV",
+    "values", "valueMap", "count", "groupCount", "by", "order", "limit",
+    "1", "2", "where", "is", "gt", "lt", "eq", "within", "union",
+    "repeat", "times", "emit", "path", "as", "select", "dedup", "match",
+    "__", "unfold", "fold", "not", "and", "or", "E", "label", "id",
+    "sum", "mean", "min", "max", "subgraph", "'k'", ",", "10",
+]
+
+_GOOD = [
+    "g.V().hasLabel('person').values('name')",
+    "g.V().has('person', 'name', 'ann').out('knows').values('name')",
+    "g.V().hasLabel('person').out('knows').groupCount().by('name')",
+    "g.V().hasLabel('person').order().by('age').limit(2).values('name')",
+    "g.V().union(__.out('knows'), __.out('created')).count()",
+]
+
+
+@pytest.fixture(scope="module")
+def pg(spark):
+    people = spark.createDataFrame(
+        [(1, "ann", 30), (2, "bob", 25), (3, "cyd", 35)],
+        "pid LONG, name STRING, age LONG")
+    sw = spark.createDataFrame([(10, "lib")], "sid LONG, sname STRING")
+    knows = spark.createDataFrame([(1, 2), (2, 3)], "a LONG, b LONG")
+    created = spark.createDataFrame([(1, 10)], "p LONG, s LONG")
+    return (PropertyGraph(spark)
+            .add_vertices(people, "person", vid_field="pid")
+            .add_vertices(sw, "software", vid_field="sid")
+            .add_edges(knows, "knows", src_label="person",
+                       dst_label="person")
+            .add_edges(created, "created",
+                       src_label="person", dst_label="software"))
+
+
+def _probe(pg, q: str) -> None:
+    try:
+        gremlin_query(pg, q)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.sampled_from(_TOKENS), min_size=1, max_size=28))
+def test_token_soup_never_raises_internal_errors(pg, toks):
+    _probe(pg, "".join(toks))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from(_GOOD), st.data())
+def test_mutated_queries_never_raise_internal_errors(pg, q, data):
+    mode = data.draw(st.sampled_from(["del", "ins"]))
+    if mode == "del":
+        i = data.draw(st.integers(0, len(q) - 1))
+        q = q[:i] + q[i + 1:]
+    else:
+        i = data.draw(st.integers(0, len(q)))
+        ch = data.draw(st.sampled_from(list("()'.,_1x ")))
+        q = q[:i] + ch + q[i:]
+    _probe(pg, q)
+
+
+def test_good_queries_all_compile(pg):
+    for q in _GOOD:
+        gremlin_query(pg, q)
