@@ -363,8 +363,12 @@ def _cdlp_sql(k: int) -> str:
     return _GRAPH_PRELUDE + ", " + ",\n".join(ctes) + f"\nSELECT vid, label FROM l{k}"
 
 
-_TRIANGLES_SQL = f"""
-WITH tri_edges AS MATERIALIZED ({_TRI_EDGES_SQL}),
+def _triangles_sql(edges_sql: str) -> str:
+    """Per-vertex degree-ordered triangle counts over any (src, dst)
+    edge relation — one builder serving both the big co-purchase graph
+    (``triangles``) and the small one (``triangles_warm``)."""
+    return f"""
+WITH tri_edges AS MATERIALIZED ({edges_sql}),
 und AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst FROM tri_edges WHERE src <> dst
         UNION SELECT dst AS src, src AS dst FROM tri_edges WHERE src <> dst)),
 verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM tri_edges UNION SELECT dst FROM tri_edges)),
@@ -378,6 +382,9 @@ corners AS (SELECT a AS vid FROM tris UNION ALL SELECT b FROM tris UNION ALL SEL
 SELECT v.vid, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS tricnt
 FROM verts v LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM corners GROUP BY vid) c ON v.vid = c.vid
 """
+
+
+_TRIANGLES_SQL = _triangles_sql(_TRI_EDGES_SQL)
 
 
 
@@ -800,21 +807,9 @@ def _q_triangles_warm(spark, sf_dir):
         .select("vid", "tricnt")
 
 
-_TRIANGLES_WARM_SQL = f"""
-WITH tri_edges AS MATERIALIZED ({_TRI_EDGES_SMALL_SQL}),
-und AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst FROM tri_edges WHERE src <> dst
-        UNION SELECT dst AS src, src AS dst FROM tri_edges WHERE src <> dst)),
-verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM tri_edges UNION SELECT dst FROM tri_edges)),
-deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src),
-ori AS MATERIALIZED (SELECT u.src, u.dst FROM und u JOIN deg ds ON u.src = ds.vid JOIN deg dd ON u.dst = dd.vid
-        WHERE dd.deg < ds.deg OR (dd.deg = ds.deg AND u.dst < u.src)),
-tris AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM ori e1
-         JOIN ori e2 ON e1.dst = e2.src
-         JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst),
-corners AS (SELECT a AS vid FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris)
-SELECT v.vid, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS tricnt
-FROM verts v LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM corners GROUP BY vid) c
-ON v.vid = c.vid"""
+# cold full-recount oracle on the small graph: same builder as the
+# ``triangles`` oracle (the warm path must equal the cold count)
+_TRIANGLES_WARM_SQL = _triangles_sql(_TRI_EDGES_SMALL_SQL)
 
 
 def _q_bfs(spark, sf_dir):

@@ -105,37 +105,58 @@ def exact_quantiles(df: DataFrame, col: str,
       4. each requested q picks min(value) with cum >= ceil(q*N) — a
          tiny ordered-limit per quantile.
     """
+    import math
+
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     if not qs:
         raise ValueError("exact_quantiles: need at least one q")
     for q in qs:
         if not 0.0 < q <= 1.0:
             raise ValueError(f"exact_quantiles: q must be in (0, 1]: {q}")
+    # persist the range-partitioned histogram BEFORE fanning out: the
+    # partition-id-based prefix sum is only correct when every branch
+    # reads the SAME physical partitioning, which exchange reuse does
+    # not guarantee (spark.sql.exchange.reuse=false, plan divergence) —
+    # the cache does
     hist = (df.filter(F.col(col).isNotNull())
             .groupBy(F.col(col).alias("v"))
             .agg(F.count("*").alias("cnt"))
             .repartitionByRange(num_partitions, "v")
-            .withColumn("pid", F.spark_partition_id()))
-    local = hist.withColumn(
-        "lcum", F.sum("cnt").over(
-            Window.partitionBy("pid").orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    ptot = (hist.groupBy("pid").agg(F.sum("cnt").alias("ptot")))
-    prefix = ptot.withColumn(
-        "before", F.coalesce(
-            F.sum("ptot").over(
-                Window.orderBy("pid")
-                .rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0))).select("pid", "before")
-    cum = (local.join(F.broadcast(prefix), "pid")
-           .select("v", (F.col("lcum") + F.col("before")).alias("cum")))
-    n = df.filter(F.col(col).isNotNull()).count()
-    out = None
-    for q in qs:
-        rank = F.ceil(F.lit(float(q)) * F.lit(n))
-        pick = (cum.filter(F.col("cum") >= rank)
-                .orderBy("v").limit(1)
-                .select(F.lit(float(q)).alias("q"), F.col("v").alias("value")))
-        out = pick if out is None else out.unionByName(pick)
-    return out
+            .withColumn("pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        # N from the histogram itself (one pass over data total) — this
+        # also materializes the cache, pinning the pid mapping
+        n = hist.agg(F.sum("cnt")).first()[0] or 0
+        if n == 0:
+            return df.sparkSession.createDataFrame(
+                [], "q DOUBLE, value " + dict(df.dtypes)[col])
+        local = hist.withColumn(
+            "lcum", F.sum("cnt").over(
+                Window.partitionBy("pid").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ptot = hist.groupBy("pid").agg(F.sum("cnt").alias("ptot"))
+        prefix = ptot.withColumn(
+            "before", F.coalesce(
+                F.sum("ptot").over(
+                    Window.orderBy("pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0))).select("pid", "before")
+        cum = (local.join(F.broadcast(prefix), "pid")
+               .select("v", (F.col("lcum") + F.col("before")).alias("cum")))
+        # one pass for every quantile: broadcast the tiny (q, rank)
+        # relation, keep the min in-rank value per q
+        ranks = [(float(q), int(math.ceil(float(q) * n))) for q in qs]
+        qdf = df.sparkSession.createDataFrame(ranks, "q DOUBLE, rank LONG")
+        rows = (cum.join(F.broadcast(qdf), F.col("cum") >= F.col("rank"))
+                .groupBy("q").agg(F.min("v").alias("value"))
+                .collect())
+        # the output is at most len(qs) rows — return it eagerly so the
+        # histogram cache can be freed deterministically
+        return df.sparkSession.createDataFrame(
+            [(r["q"], r["value"]) for r in rows],
+            "q DOUBLE, value " + dict(df.dtypes)[col])
+    finally:
+        hist.unpersist()

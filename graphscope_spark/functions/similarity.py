@@ -689,4 +689,4 @@ def rrf_fuse(rankings: list, id_col: str = "doc_id",
     scores = u.groupBy(id_col).agg(F.sum("_c").alias("rrf_score"))
     w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     out = scores.withColumn("rank", F.row_number().over(w))
-    return out.filter(F.col("rank") <= topk) if topk else out
+    return out.filter(F.col("rank") <= topk) if topk is not None else out

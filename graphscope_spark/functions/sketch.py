@@ -170,7 +170,10 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
     of the key's counter, absent counters counting as 0.  Returns
     ``keys`` with an ``est`` column (ungrouped sketches only — probe a
     grouped sketch by pre-filtering it to one group)."""
-    probes = keys.select(
+    # NULL probe keys would hash as the salt-only string (concat_ws
+    # skips NULLs) and read real counters — drop them, matching
+    # cms_sketch's (and the HLL family's) NULL-key stance
+    probes = keys.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col),
         F.explode(F.array(*[
             F.struct(F.lit(r).alias("row"),

@@ -38,8 +38,8 @@ def betweenness_centrality(graph: LinkGraph,
     """(vid, betweenness). Sampled-pivot estimate by default; exact with
     ``sources="all"``."""
     sources = resolve_sources(graph, sources, num_pivots, seed)
-    delta, edges, t = _brandes_delta(graph, sources)
-    return _finish_vertex(graph, delta, edges, sources, normalized, t)
+    delta, edges, _t = _brandes_delta(graph, sources)
+    return _finish_vertex(graph, delta, edges, sources, normalized)
 
 
 def _brandes_delta(graph: LinkGraph, sources: list[int]):
@@ -109,7 +109,7 @@ def _brandes_delta(graph: LinkGraph, sources: list[int]):
 
 
 def _finish_vertex(graph: LinkGraph, delta, edges, sources,
-                   normalized: bool, t: Truncator) -> DataFrame:
+                   normalized: bool) -> DataFrame:
     n = graph.num_vertices
     bc = (
         delta.filter(F.col("vid") != F.col("source"))
@@ -152,7 +152,7 @@ def edge_betweenness_centrality(graph: LinkGraph,
     cost is shared with (and identical to) the vertex operator."""
     n = graph.num_vertices
     sources = resolve_sources(graph, sources, num_pivots, seed)
-    delta, edges, t = _brandes_delta(graph, sources)
+    delta, edges, _t = _brandes_delta(graph, sources)
     lo = delta.select("source", F.col("vid").alias("src"),
                       F.col("depth").alias("_dlo"),
                       F.col("sigma").alias("_sv"))

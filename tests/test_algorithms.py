@@ -134,3 +134,27 @@ def test_triangles_incremental_matches_full_recount(spark, small_graph):
                 g_old, dup, counts=counts_old).collect()}
     base = {r["vid"]: r["tricnt"] for r in counts_old.collect()}
     assert same == base
+
+
+def test_triangles_incremental_undirected_graph_branch(spark, small_graph):
+    # undirected LinkGraph (symmetric stored edges): the base-edge branch
+    # reads graph.edges directly and must still match a full recount
+    from graphscope_spark import LinkGraph
+    from graphscope_spark.operators.triangles import (triangles,
+                                                      triangles_incremental)
+
+    vertices, edges = small_graph
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    old_e, new_e = und[: len(und) // 2], und[len(und) // 2:]
+    sym = old_e + [(b, a) for a, b in old_e]
+    g_old = LinkGraph(
+        spark, spark.createDataFrame(sym, "src LONG, dst LONG"),
+        vertices=spark.createDataFrame([(v,) for v in vertices],
+                                       "vid LONG"),
+        num_partitions=4, directed=False)
+    got = {r["vid"]: r["tricnt"]
+           for r in triangles_incremental(
+               g_old, spark.createDataFrame(new_e, "src LONG, dst LONG"),
+               counts=triangles(g_old)).collect()}
+    want = triangles_oracle(vertices, und)
+    assert got == want

@@ -144,3 +144,14 @@ def test_cms_weighted(spark):
                                weight_col="w", hash_fn="sha2").collect()}
     want = _py_cms(["a", "b", "a"], 2, 16, weights=[5, 2, 3])
     assert got == want
+
+
+def test_cms_estimate_drops_null_probes(spark):
+    from graphscope_spark.functions.sketch import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "key STRING")
+    sk = cms_sketch(df, "key", depth=3, width=16, hash_fn="sha2")
+    probes = spark.createDataFrame([("a",), (None,)], "key STRING")
+    rows = cms_estimate(sk, probes, "key", depth=3, width=16,
+                        hash_fn="sha2").collect()
+    assert {r["key"]: r["est"] for r in rows} == {"a": 2}
