@@ -363,10 +363,18 @@ class _Parser:
                     break
         skip = limit = None
         if self._kw("SKIP"):
-            skip = int(self._next()[1])
+            skip = self._int_literal("SKIP")
         if self._kw("LIMIT"):
-            limit = int(self._next()[1])
+            limit = self._int_literal("LIMIT")
         return Stage(kind, distinct, items, where, order, skip, limit)
+
+    def _int_literal(self, kw: str) -> int:
+        tok = self._next()
+        if tok is None or not str(tok[1]).isdigit():
+            raise ValueError(
+                f"cypher: {kw} expects a non-negative integer literal"
+                f"{'' if tok is None else f', got {tok[1]!r}'}")
+        return int(tok[1])
 
     def _item(self):
         e = self._expr()
@@ -1019,6 +1027,19 @@ def cypher_query(pg, text: str, injective: bool = True) -> DataFrame:
     clause is its own isomorphism scope — injectivity applies within a
     clause, not across clauses (the analogue of Cypher's per-clause
     relationship uniqueness)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return _cypher_query(pg, text, injective)
+    except AnalysisException as ex:
+        # compile-time analysis failures (e.g. a predicate naming a
+        # property the label doesn't have) are INPUT errors — keep the
+        # frontend's garbage-in -> ValueError contract, with the
+        # analyzer's message (it carries did-you-mean suggestions)
+        raise ValueError(f"cypher: {ex.getMessage() or ex}") from ex
+
+
+def _cypher_query(pg, text: str, injective: bool) -> DataFrame:
     q = _Parser(text).parse()
     stages = [it for kind, it in q.pipeline if kind == "stage"]
     # which path vars are referenced through length()? scan every stage

@@ -114,9 +114,22 @@ class _Parser:
                 args.append(self._arg())
         self._expect(")")
         fn = getattr(obj, name, None)
-        if fn is None:
+        if fn is None or not callable(fn):
             raise ValueError(f"gremlin text: unsupported step {name!r}")
-        return fn(*args)
+        try:
+            return fn(*args)
+        except ValueError:
+            raise
+        except Exception as ex:
+            # wrong arity / argument kind / argument count for a real
+            # step is an INPUT error (garbage-in -> ValueError contract):
+            # a parsed-from-text argument can be any shape, so whatever
+            # the builder or the JVM throws while APPLYING the step
+            # (TypeError, IndexError, AttributeError, Py4J casts, ...)
+            # reports as a step-argument error, never an internal one
+            raise ValueError(
+                f"gremlin text: step {name!r} does not accept these "
+                f"arguments ({type(ex).__name__}: {ex})") from ex
 
     # ---- arguments -------------------------------------------------------
     def _arg(self):
@@ -194,11 +207,28 @@ def gremlin_query(pg, text: str):
     """Parse a textual Gremlin traversal and return the resulting
     DataFrame (terminal values/aggregates keep the builder's column
     naming). ``g.V()...`` only — the graph object is implicit."""
-    t = _Parser(text, pg).parse()
-    # a trailing _AnonFactory chain means the text was only "__..." — reject
-    if isinstance(t, (_AnonFactory,)):
-        raise ValueError("gremlin text: query must start with g")
-    toDF = getattr(t, "toDF", None)
-    if toDF is None:
-        raise ValueError("gremlin text: query did not end in a traversal")
-    return toDF()
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        t = _Parser(text, pg).parse()
+        # a trailing _AnonFactory chain means the text was only
+        # "__..." — reject
+        if isinstance(t, (_AnonFactory,)):
+            raise ValueError("gremlin text: query must start with g")
+        toDF = getattr(t, "toDF", None)
+        if toDF is None:
+            raise ValueError(
+                "gremlin text: query did not end in a traversal")
+        return toDF()
+    except ValueError:
+        raise
+    except AnalysisException as ex:
+        # same garbage-in -> ValueError contract as the Cypher frontend:
+        # analyzer failures over user-named properties are input errors
+        raise ValueError(f"gremlin text: {ex.getMessage() or ex}") from ex
+    except (TypeError, AttributeError, IndexError, KeyError) as ex:
+        # a structurally-broken traversal assembled from text (e.g. a
+        # bare __ factory reaching a terminal) is an input error too
+        raise ValueError(
+            f"gremlin text: invalid traversal "
+            f"({type(ex).__name__}: {ex})") from ex
